@@ -1,0 +1,215 @@
+"""AR query layer: pure DataFrame-producing functions.
+
+Each function mirrors one reference endpoint's query semantics
+(/root/reference/app/api/invoices.py, app/api/customers.py) with every
+scalar computation inside the Catalyst plan — the reference's Python
+post-processing loops (outstanding clamp, days_past_due; invoices.py:
+106-131) become ``greatest``/``datediff`` column expressions so the work
+runs distributed and codegen'd, not row-at-a-time on the driver.
+
+Quirks encoded (SURVEY §2.11):
+  Q1 past-due ``total`` counts the filtered FACT, pre-join.
+  Q2 summary currency = min(currency) with 'USD' fallback.
+  Q3 emitted outstanding = greatest(outstanding, 0) (always > 0 given the filter).
+  Q4 unknown sort values fall back to ascending.
+  Q5 deliberate deviation: deterministic ``invoice_number`` tie-break
+     (the reference's order among due_date ties is SQLite-plan-dependent,
+     i.e. unspecified; a distributed engine must pin it).
+  Q6 contact ``total`` = page length, not match count.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import date, datetime, timedelta
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.cleaning import MONEY_TYPE, outstanding_expr
+
+PAST_DUE_SORTS = {"due_date.asc": True, "due_date.desc": False}
+
+
+def month_window(month: str) -> tuple[date, date]:
+    """'YYYY-MM' -> [first_day, first_of_next_month) with December
+    rollover (F7; reference app/api/invoices.py:188-196). Raises
+    ValueError on malformed input (REST layer maps it to 400, Q7)."""
+    dt = datetime.strptime(month, "%Y-%m")
+    first_day = date(dt.year, dt.month, 1)
+    next_month = date(dt.year + (dt.month == 12), (dt.month % 12) + 1, 1)
+    return first_day, next_month
+
+
+@dataclass
+class PastDuePage:
+    items: DataFrame
+    total: int
+    limit: int
+    offset: int
+
+
+def past_due(
+    invoices: DataFrame,
+    customers: DataFrame,
+    as_of: date,
+    limit: int = 50,
+    offset: int = 0,
+    sort: str = "due_date.asc",
+) -> PastDuePage:
+    """GET /invoices/past-due (reference app/api/invoices.py:41-138).
+
+    Plan shape at scale: the fact filter (outstanding > 0 AND due_date <
+    as_of) is pure column arithmetic -> pushed to the parquet scan; the
+    dim join is broadcast; sort+offset+limit compiles to
+    TakeOrderedAndProject, so only limit+offset rows ever reach the
+    driver.
+    """
+    outstanding = outstanding_expr(F.col("bill_total"), F.col("applied"))
+    base = invoices.filter((outstanding > 0) & (F.col("due_date") < F.lit(as_of)))
+
+    total = base.count()  # Q1: count on the filtered fact, pre-join
+
+    ascending = PAST_DUE_SORTS.get(sort, True)  # Q4: unknown -> asc
+    order = [
+        F.col("due_date").asc() if ascending else F.col("due_date").desc(),
+        F.col("invoice_number").asc(),  # Q5: deterministic tie-break
+    ]
+    dim = F.broadcast(customers.select(F.col("id").alias("customer_id"), F.col("name")))
+    items = (
+        base.join(dim, "customer_id", "inner")
+        .select(
+            "invoice_number",
+            F.col("name").alias("customer_name"),
+            "invoice_date",
+            "due_date",
+            F.coalesce(F.col("bill_total"), F.lit(0).cast(MONEY_TYPE)).alias("bill_total"),
+            F.coalesce(F.col("applied"), F.lit(0).cast(MONEY_TYPE)).alias("applied"),
+            "currency",
+            "status",
+            F.greatest(outstanding, F.lit(0).cast(MONEY_TYPE)).alias("outstanding"),  # Q3
+            F.datediff(F.lit(as_of), F.col("due_date")).alias("days_past_due"),
+        )
+        .orderBy(*order)
+        .offset(offset)
+        .limit(limit)
+    )
+    return PastDuePage(items=items, total=total, limit=limit, offset=offset)
+
+
+def monthly_summary(
+    invoices: DataFrame,
+    customers: DataFrame,
+    month: str,
+    customer_name: str | None = None,
+) -> DataFrame:
+    """GET /invoices/summary/month (reference app/api/invoices.py:176-233).
+
+    Single-row global aggregate. The inner join to the dim happens even
+    without a name filter (reference :218) — a dangling customer_id row
+    would be excluded; semantics pinned by oracle test. With the fact
+    partitioned by invoice_month, the range filter prunes to one
+    partition at any scale.
+    """
+    first_day, next_month = month_window(month)
+    conditions = (F.col("invoice_date") >= F.lit(first_day)) & (
+        F.col("invoice_date") < F.lit(next_month)
+    )
+    dim = F.broadcast(customers.select(F.col("id").alias("customer_id"), F.col("name")))
+    joined = invoices.join(dim, "customer_id", "inner").filter(conditions)
+    if customer_name is not None:
+        joined = joined.filter(F.lower(F.col("name")) == customer_name.lower())  # P6
+    zero = F.lit("0").cast(MONEY_TYPE)
+    return joined.agg(
+        F.lit(month).alias("month"),
+        F.coalesce(F.min("currency"), F.lit("USD")).alias("currency"),  # Q2/A4
+        F.coalesce(F.sum("bill_total"), zero).cast(MONEY_TYPE).alias("sum_bill_total"),  # A2
+        F.count(F.lit(1)).alias("count_invoices"),  # A3
+    )
+
+
+@dataclass
+class ContactPage:
+    customer_name: str
+    contacts: DataFrame
+    match_count: int  # drives the 404 (Q7); NOT the response total (Q6)
+
+
+def customer_contact(
+    customers: DataFrame,
+    invoices: DataFrame,
+    name: str,
+    limit: int = 10,
+    offset: int = 0,
+) -> ContactPage:
+    """GET /customers/contact (reference app/api/customers.py:52-119).
+
+    Left-outer join so zero-invoice customers survive with NULL
+    last_seen_invoice_date (J2); group on the full customer identity
+    (A5). The dim side is filtered to one name first, so at scale the
+    join probes a broadcast single-key dim against the fact.
+    """
+    matched = customers.filter(F.lower(F.col("name")) == name.lower())
+    match_count = matched.count()
+
+    contacts = (
+        F.broadcast(matched)
+        .join(
+            invoices.select(F.col("customer_id").alias("id"), "invoice_date"),
+            "id",
+            "left",
+        )
+        .groupBy("id", "name", "contact_name", "contact_email", "contact_phone")
+        .agg(F.max("invoice_date").alias("last_seen_invoice_date"))
+        .orderBy(F.col("name").asc(), F.col("id").asc())
+        .select(
+            F.col("name").alias("customer_name"),
+            "contact_name",
+            "contact_email",
+            "contact_phone",
+            "last_seen_invoice_date",
+        )
+        .offset(offset)
+        .limit(limit)
+    )
+    return ContactPage(customer_name=name, contacts=contacts, match_count=match_count)
+
+
+def list_customers(customers: DataFrame) -> DataFrame:
+    """GET /customers/ (reference app/api/customers.py:19-49): full dim
+    scan (S2), ordered by name."""
+    return customers.select(
+        "id", "name", "contact_name", "contact_phone", "contact_email"
+    ).orderBy("name")
+
+
+def get_invoice(invoices: DataFrame, customers: DataFrame, invoice_number: str) -> DataFrame:
+    """GET /invoices/{invoice_number} (reference app/api/invoices.py:141-174):
+    exact-key lookup (P7) + dim join for customer_name."""
+    dim = F.broadcast(customers.select(F.col("id").alias("customer_id"), F.col("name")))
+    return (
+        invoices.filter(F.col("invoice_number") == F.lit(invoice_number))
+        .join(dim, "customer_id", "inner")
+        .select(
+            "id",
+            "invoice_number",
+            "customer_id",
+            F.col("name").alias("customer_name"),
+            "invoice_date",
+            "due_date",
+            "customer_po_number",
+            "bill_total",
+            "applied",
+            "status",
+            "currency",
+            "customer_terms",
+            "terms_days",
+        )
+    )
+
+
+def get_customer(customers: DataFrame, customer_id: int) -> DataFrame:
+    """GET /customers/{customer_id} (reference app/api/customers.py:122-152)."""
+    return customers.filter(F.col("id") == F.lit(customer_id)).select(
+        "id", "name", "contact_name", "contact_phone", "contact_email"
+    )

@@ -1,0 +1,50 @@
+"""Readers for the synthetic star schema (TPC-H-ish) parquet tables.
+
+Columnar parquet scans are the engine's primary source: Catalyst pushes
+predicates into row-group stats and prunes columns at the reader, so a
+query touching 2 of 16 lineitem columns reads 2 column chunks — the
+property that makes a 100 TB scan feasible. Nothing here materializes;
+these return lazy DataFrames.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables that are broadcast-size at any realistic scale factor
+# (region=5, nation=25; part/supplier/customer grow with SF but stay dims).
+BROADCAST_DIMS = ("region", "nation")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register every table as a temp view so spark.sql() corpus queries
+    can run against them by name."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
