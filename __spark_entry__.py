@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001;
+``queries()`` / ``oracle_sql()`` expose the operator corpus declared in
+``accounts_receivable_data_pipeline_api_spark.plans`` (one entry per
+SURVEY §2 operator row; oracle omitted only for non-SQL-expressible
+hash-family operators, which the driver checks rows-only).
 """
 
 from __future__ import annotations
@@ -13,26 +13,34 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from accounts_receivable_data_pipeline_api_spark.plans import CORPUS
+from accounts_receivable_data_pipeline_api_spark.session import configure_session
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    configure_session(spark)
+    return CORPUS["tpch_q1_pricing_summary"].build(spark, SMOKE_SF_DIR)
+
+
+def _wrap(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    builder = CORPUS[name].build
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        configure_session(spark)
+        return builder(spark, sf_dir)
+
+    run.__name__ = name
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: _wrap(name) for name in CORPUS}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twins (None-oracle entries omitted)."""
+    return {name: cq.oracle for name, cq in CORPUS.items() if cq.oracle is not None}

@@ -1,0 +1,282 @@
+"""Deduplication operators for large-scale text corpora ([EXT] north star).
+
+Four tiers, cheapest first; all are pure DataFrame compositions (no
+Python UDFs) so they stay JVM-side and scale by shuffle capacity:
+
+  exact_dedup       — hash-groupBy on normalized text. One shuffle.
+  ngram_jaccard     — exact Jaccard on character-shingle sets, restricted
+                      to candidate pairs that share >=1 shingle (the
+                      standard inverted-index blocking trick).
+  minhash_lsh       — MinHash signatures + banded LSH bucketing: candidate
+                      generation cost ~O(n * bands) instead of O(n^2).
+  simhash           — 64-bit SimHash fingerprints; near-dups differ in
+                      few bits (compared via popcount of xor).
+
+Determinism: every hash derives from md5/xxhash64 of the content, never
+from partition layout or RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalized(text_col) -> "F.Column":
+    """Canonical text form for exact dedup: lowercase, collapse
+    whitespace, trim."""
+    col = text_col if not isinstance(text_col, str) else F.col(text_col)
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by normalized-text md5: one row per group
+    with the representative (min id) and the group size.
+
+    Scale: single hash shuffle on a 32-hex-char key; the md5 projection
+    is codegen'd. 100 TB note: group keys are uniform md5s, so no skew.
+    """
+    return (
+        df.select(F.col(id_col), F.md5(normalized(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def drop_exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Filter form: keep only the min-id representative of each exact
+    duplicate group (left-semi join against the keeper set)."""
+    keepers = exact_dedup(df, id_col, text_col).select(F.col("keep_id").alias(id_col))
+    return df.join(keepers, id_col, "left_semi")
+
+
+def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
+    """Distinct character n-gram shingles per document: (id, shingle).
+
+    Built with sequence+transform+explode — all JVM expressions. The
+    distinct() collapses repeated shingles so Jaccard is set-based.
+    """
+    shingles = F.expr(
+        f"transform(sequence(1, greatest(length({_norm_sql(text_col)}) - {n - 1}, 1)), "
+        f"i -> substr({_norm_sql(text_col)}, i, {n}))"
+    )
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .filter(F.length("shingle") == n)
+        .distinct()
+    )
+
+
+def _norm_sql(text_col: str) -> str:
+    return f"trim(regexp_replace(lower({text_col}), '\\\\s+', ' '))"
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs by exact Jaccard over character n-gram sets.
+
+    Plan: shingle-explode -> self-join on shingle (inverted index, only
+    pairs sharing >=1 shingle survive) -> count shared shingles ->
+    jaccard = shared / (|A| + |B| - shared). Emits (id_a < id_b, jaccard).
+
+    Scale: the shingle join is the hot spot; extremely common shingles
+    create skew. Production variant: drop shingles with document
+    frequency above a cap before the join (stop-shingle pruning) — the
+    minhash_lsh operator below is the asymptotically better path.
+    """
+    sh = char_shingles(df, id_col, text_col, n).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            (
+                F.col("shared").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("shared")).cast("double")
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per document: num_hashes columns, each the min
+    over shingles of xxhash64(seed_i, shingle).
+
+    xxhash64 with distinct literal seeds gives an independent-enough
+    hash family; everything is content-derived and deterministic. One
+    aggregation pass over the exploded shingles.
+    """
+    sh = char_shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    verify_threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH, verified with
+    exact Jaccard.
+
+    Pipeline: signatures -> band keys (md5 of the band's hash slice) ->
+    group by band key (documents agreeing on ALL rows of any band become
+    candidates) -> exact-Jaccard verification of candidates only.
+
+    Scale: candidate generation is O(n * bands) shuffle rows; the
+    quadratic blowup is confined to same-bucket groups. Verification
+    joins shingle sets only for candidate ids (semi-join pushdown).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        slice_cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *[c.cast("string") for c in slice_cols])).alias("key"),
+            )
+        )
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+    a = buckets.select(F.col(id_col).alias("id_a"), "band", "key")
+    b = buckets.select(F.col(id_col).alias("id_b"), "band", "key")
+    candidates = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+    # Exact-Jaccard verification restricted to candidate ids.
+    sh = char_shingles(df, id_col, text_col, n)
+    cand_ids = candidates.select(F.col("id_a").alias(id_col)).union(
+        candidates.select(F.col("id_b"))
+    ).distinct()
+    sh_cand = sh.join(cand_ids, id_col, "left_semi").cache()
+    sizes = sh_cand.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+
+    sa = sh_cand.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh_cand.select(F.col(id_col).alias("id_b"), "shingle")
+    shared = (
+        candidates.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    za = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        shared.join(za, "id_a")
+        .join(zb, "id_b")
+        .withColumn(
+            "jaccard",
+            (
+                F.col("shared").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("shared")).cast("double")
+            ),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document from word tokens.
+
+    For each token, xxhash64 gives 64 bits; each bit votes +1/-1; the
+    sign of each bit-position total forms the fingerprint. Implemented
+    as explode -> per-bit aggregation -> bit reassembly, all in JVM
+    expressions. Near-dups have small hamming distance (use
+    ``bit_count(a ^ b)`` to compare).
+    """
+    tokens = df.select(
+        F.col(id_col),
+        F.explode(F.split(normalized(text_col), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    hashed = tokens.select(id_col, F.xxhash64("token").alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    per_bit = hashed.groupBy(id_col).agg(*votes)
+    fingerprint = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseXOR(term)
+    return per_bit.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit
+    chunks (a pair within hamming<=3*16 shares at least one of 4 chunks;
+    with max_hamming<=8 the 4-chunk pigeonhole guarantees recall)."""
+    fp = simhash(df, id_col, text_col)
+    chunks = fp.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                )
+                for c in range(4)
+            ])
+        ).alias("ck"),
+    ).select(id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "key")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "key")
+    return (
+        a.join(b, ["chunk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

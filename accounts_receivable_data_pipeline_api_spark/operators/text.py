@@ -1,0 +1,130 @@
+"""Text-analysis operators ([EXT] north star): language ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything is built from JVM-side expressions (regexp/length/split/
+aggregate) — no Python UDFs — so the operators run inside whole-stage
+codegen at full scan speed. That matters: at 100 TB these run on every
+document in the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword-ratio
+# heuristic language ID. Deliberately small and public-knowledge.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "fr": ("le", "la", "et", "est", "les"),
+    "es": ("el", "la", "que", "de", "es"),
+}
+
+STOPWORDS_EN = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def tokens_expr(text_col: str) -> Column:
+    """Whitespace tokenization after lowercase-normalization."""
+    return F.filter(
+        F.split(F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), " "),
+        lambda t: t != "",
+    )
+
+
+def token_count(text_col: str) -> Column:
+    return F.size(tokens_expr(text_col)).cast("bigint")
+
+
+def bpe_ish_token_count(text_col: str) -> Column:
+    """Sub-word-ish token count: words plus digit runs plus punctuation
+    marks counted separately (a cheap deterministic proxy for BPE token
+    counts, useful for budget estimation at corpus scale)."""
+    words = token_count(text_col)
+    punct = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    ).cast("bigint")
+    return (words + punct).cast("bigint")
+
+
+def punct_ratio(text_col: str) -> Column:
+    non_alnum = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    )
+    return (
+        non_alnum.cast("double")
+        / F.greatest(F.length(F.col(text_col)), F.lit(1)).cast("double")
+    ).cast("double")
+
+
+def stopword_ratio(text_col: str, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    toks = tokens_expr(text_col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return (
+        n_stop.cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+    ).cast("double")
+
+
+def quality_score(text_col: str) -> Column:
+    """Heuristic quality in [0,1]: rewards reasonable length and word
+    shape, penalizes punctuation soup. Deterministic; thresholds are
+    conventional (Gopher-style length/punct gates, public heuristics)."""
+    n_tok = token_count(text_col)
+    mean_word_len = (
+        (F.length(F.regexp_replace(F.col(text_col), r"\s+", "")).cast("double"))
+        / F.greatest(n_tok, F.lit(1)).cast("double")
+    )
+    length_ok = F.when((n_tok >= 5) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    word_len_ok = F.when((mean_word_len >= 2.0) & (mean_word_len <= 12.0), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(text_col) <= 0.3, 1.0).otherwise(0.0)
+    return ((length_ok + word_len_ok + punct_ok) / F.lit(3.0)).cast("double")
+
+
+def lang_scores(text_col: str) -> Column:
+    """Map of language -> marker-hit count (the raw signal behind
+    ``predict_lang``)."""
+    toks = tokens_expr(text_col)
+    entries = []
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t)))
+        entries.append(F.struct(F.lit(lang).alias("lang"), hits.alias("hits")))
+    return F.array(*entries)
+
+
+def predict_lang(text_col: str) -> Column:
+    """argmax language by marker hits; ties break to the
+    lexicographically LAST language (struct max ordering — pinned,
+    deterministic); zero hits -> 'und' (undetermined)."""
+    scores = lang_scores(text_col)
+    best = F.array_max(
+        F.transform(
+            scores,
+            lambda s: F.struct(s["hits"].alias("hits"), s["lang"].alias("lang")),
+        )
+    )
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text_col: str, prefix_chars: int = 256) -> Column:
+    """Stable 128-bit document fingerprint: md5 over the normalized
+    text (cheap rolling-hash analogue for shard-level dedup indexes)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return F.md5(F.substring(norm, 1, prefix_chars))
+
+
+def analyze(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One-pass text-analysis projection: all metrics as columns."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_tokens_bpe"),
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars_measured"),
+        punct_ratio(text_col).alias("punct_ratio"),
+        stopword_ratio(text_col).alias("stopword_ratio"),
+        quality_score(text_col).alias("quality"),
+        predict_lang(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,7 @@
+from .registry import CORPUS, CorpusQuery, register
+
+# Import modules for their registration side effects.
+from . import relational  # noqa: E402,F401
+from . import llm_ops  # noqa: E402,F401
+
+__all__ = ["CORPUS", "CorpusQuery", "register"]

@@ -1,0 +1,216 @@
+"""LLM-data-pipeline corpus entries ([EXT] north star): dedup,
+similarity search, text analysis, multimodal — over the driver's
+``documents`` and ``embeddings`` tables.
+
+Oracle notes:
+- xxhash64-based operators (minhash, simhash, LSH) have no DuckDB
+  equivalent hash => oracle=None (driver records rows-only checks).
+- md5-based operators oracle cleanly (both engines ship md5).
+- The cosine oracle folds in index order on both sides; scores are
+  rounded to 6 dp before ranking/output to absorb any last-ulp
+  disagreement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity, text
+from ..operators.multimodal import attach_binary, media_metadata
+from ..sources.star import load_table
+from .registry import register
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+
+@register(
+    "dedup_exact_groups",
+    oracle=f"""
+    SELECT md5({_NORM_SQL}) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS group_size
+    FROM documents
+    GROUP BY content_hash
+    """,
+    tags=("EXT", "DEDUP"),
+    doc="Exact dedup groups by normalized-text md5 (operators/dedup.py).",
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE doc_id < 200
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id, substr(t, CAST(i AS INT), 5) AS shingle
+      FROM (
+        SELECT doc_id, t, unnest(range(1, greatest(length(t) - 4, 1) + 1)) AS i
+        FROM norm
+      )
+      WHERE length(substr(t, CAST(i AS INT), 5)) = 5
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b,
+           CAST(shared AS DOUBLE) / (sa.set_size + sb.set_size - shared) AS jaccard
+    FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(shared AS DOUBLE) / (sa.set_size + sb.set_size - shared) >= 0.2
+    """,
+    tags=("EXT", "DEDUP"),
+    doc="Near-dup pairs by exact 5-gram Jaccard with inverted-index "
+    "blocking (operators/dedup.py:ngram_jaccard_pairs).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # xxhash64 hash family has no DuckDB equivalent
+    tags=("EXT", "DEDUP"),
+    doc="Banded MinHash-LSH candidate pairs verified by exact Jaccard "
+    "(operators/dedup.py:minhash_lsh_pairs). Rows-only check.",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.minhash_lsh_pairs(docs, verify_threshold=0.2)
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=None,  # xxhash64-based fingerprint
+    tags=("EXT", "DEDUP"),
+    doc="SimHash near-dup pairs by hamming distance with 16-bit chunk "
+    "blocking (operators/dedup.py:simhash_near_pairs). Rows-only check.",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return dedup.simhash_near_pairs(docs, max_hamming=16)
+
+
+@register(
+    "text_stats",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, text, {_NORM_SQL} AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(t, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           CAST((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+           md5(substr(t, 1, 256)) AS fingerprint
+    FROM norm
+    """,
+    tags=("EXT", "TEXT"),
+    doc="Per-document text stats: token count, char count, punctuation "
+    "ratio, md5 fingerprint (operators/text.py).",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_measured"),
+        text.punct_ratio("text").alias("punct_ratio"),
+        text.fingerprint("text").alias("fingerprint"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=None,  # composite heuristic; pinned by unit tests instead
+    tags=("EXT", "TEXT"),
+    doc="Quality scoring + stopword ratio + language ID heuristic "
+    "(operators/text.py). Rows-only check.",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.analyze(docs)
+
+
+@register(
+    "similarity_brute_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, match_id,
+             round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                   6) AS score
+      FROM q, c WHERE query_id != match_id
+    )
+    SELECT query_id, match_id, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, match_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 10
+    """,
+    tags=("EXT", "SIM"),
+    doc="Exact brute-force cosine top-10 for 5 query vectors "
+    "(operators/similarity.py:brute_force_topk), scores rounded to 6 dp.",
+)
+def similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.brute_force_topk(queries, emb, k=10)
+    # Round + re-rank on the rounded score so both engines rank the
+    # exact same values.
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("match_id"))
+    return (
+        out.drop("rank")
+        .withColumn("score", F.round(F.col("score"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+@register(
+    "similarity_lsh_topk",
+    oracle=None,  # xxhash64-derived hyperplanes
+    tags=("EXT", "SIM"),
+    doc="Hyperplane-LSH bucketed approximate top-k "
+    "(operators/similarity.py:lsh_topk). Rows-only check.",
+)
+def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(queries, emb, dim=64, k=10, num_planes=6)
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id, 'image' AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+    tags=("EXT", "MM"),
+    doc="Multimodal metadata projection over opaque binary payloads "
+    "(operators/multimodal.py). The decode stage is stubbed (no codec "
+    "libs in container) and exercised in tests/test_operators.py.",
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return media_metadata(attach_binary(docs))

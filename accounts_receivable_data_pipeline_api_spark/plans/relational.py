@@ -1,0 +1,838 @@
+"""Relational corpus: one registered query per SURVEY §2 operator row.
+
+Naming: ``ar_*`` queries replay the reference AR pipeline's exact query
+shapes (filters/joins/aggs/quirks from /root/reference/app/api/*.py)
+transposed onto the synthetic star schema (orders≈invoices,
+customer≈customers). ``tpch_*``/``window_*``/``agg_*``/``set_*`` extend
+coverage to the operator classes the reference lacks ([EXT] rows).
+
+Decimal discipline: money flows through DECIMAL(18,2) casts before any
+aggregation so sums are exact and order-independent (a raw double sum's
+low bits depend on Spark's partition reduce order and would never
+hash-match a serial DuckDB sum). Averages divide the exact decimal sum
+cast to double by the count — one IEEE op, bit-identical on both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.star import load_table
+from .registry import register
+
+MONEY = "decimal(18,2)"
+
+
+def _money(col):
+    return F.col(col).cast(MONEY) if isinstance(col, str) else col.cast(MONEY)
+
+
+def _davg(sum_col, count_col):
+    """Deterministic average: exact decimal sum -> double, one division."""
+    return (sum_col.cast("double") / count_col).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# AR-parity query shapes (SURVEY §2.1-§2.8, §2.11)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ar_past_due_page",
+    oracle="""
+    SELECT o_orderkey, c_name AS customer_name,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total, o_orderstatus
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 150000
+      AND CAST(o_orderdate AS DATE) < DATE '1997-06-01'
+    ORDER BY order_date ASC, o_orderkey ASC
+    LIMIT 50 OFFSET 10
+    """,
+    tags=("P1", "P3", "P4", "P8", "J1", "O1", "O3"),
+    doc="Past-due page shape: derived filter + dim join + sort + limit/offset "
+    "(reference app/api/invoices.py:41-102).",
+)
+def ar_past_due_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.filter(
+            (_money("o_totalprice") > 150000)
+            & (F.col("o_orderdate").cast("date") < F.lit("1997-06-01").cast("date"))
+        )
+        .join(
+            F.broadcast(customer.select("c_custkey", "c_name")),
+            orders.o_custkey == F.col("c_custkey"),
+            "inner",
+        )
+        .select(
+            "o_orderkey",
+            F.col("c_name").alias("customer_name"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            _money("o_totalprice").alias("total"),
+            "o_orderstatus",
+        )
+        .orderBy(F.col("order_date").asc(), F.col("o_orderkey").asc())
+        .offset(10)
+        .limit(50)
+    )
+
+
+@register(
+    "ar_monthly_summary",
+    oracle="""
+    SELECT '1996-03' AS month,
+           COALESCE(MIN(o_orderpriority), 'NONE') AS top_priority,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS sum_total,
+           COUNT(*) AS count_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-03-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+    """,
+    tags=("P5", "A2", "A3", "A4", "F2", "F7", "Q2"),
+    doc="Monthly summary: half-open month window, global agg, min() pick + "
+    "coalesce defaults (reference app/api/invoices.py:176-233, quirk Q2).",
+)
+def ar_monthly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        orders.join(
+            F.broadcast(customer.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "inner",
+        )
+        .filter((d >= F.lit("1996-03-01").cast("date")) & (d < F.lit("1996-04-01").cast("date")))
+        .agg(
+            F.lit("1996-03").alias("month"),
+            F.coalesce(F.min("o_orderpriority"), F.lit("NONE")).alias("top_priority"),
+            F.coalesce(F.sum(_money("o_totalprice")), F.lit(0)).cast(MONEY).alias("sum_total"),
+            F.count(F.lit(1)).alias("count_orders"),
+        )
+    )
+
+
+@register(
+    "ar_monthly_rollup",
+    oracle="""
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total,
+           COUNT(*) AS count_orders,
+           MIN(o_orderpriority) AS top_priority
+    FROM orders
+    GROUP BY month
+    """,
+    tags=("A2", "A3", "A4", "F7"),
+    doc="Grouped variant of the monthly summary over the full date range — "
+    "the scale path for the summary endpoint (partition-pruned by month).",
+)
+def ar_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(_money("o_totalprice")).cast(MONEY).alias("sum_total"),
+            F.count(F.lit(1)).alias("count_orders"),
+            F.min("o_orderpriority").alias("top_priority"),
+        )
+    )
+
+
+@register(
+    "ar_customer_contact",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment,
+           MAX(CAST(o_orderdate AS DATE)) AS last_seen_order_date,
+           COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    WHERE c_custkey < 300
+    GROUP BY c_custkey, c_name, c_mktsegment
+    """,
+    tags=("J2", "A5", "A1"),
+    doc="Contact lookup shape: left-outer join so zero-order customers "
+    "survive with NULL max (reference app/api/customers.py:77-97).",
+)
+def ar_customer_contact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.filter(F.col("c_custkey") < 300)
+        .join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_seen_order_date"),
+            F.count("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "ar_first_seen",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS first_orderkey,
+           CAST(o_orderdate AS DATE) AS first_order_date
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey
+        ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+      ) AS rn FROM orders
+    ) WHERE rn = 1
+    """,
+    tags=("A6", "Q10", "W"),
+    doc="First-seen-wins dedup: the distributed recipe for the reference's "
+    "first-seen customer registry (scripts/ingest.py:126-136).",
+)
+def ar_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").cast("date"), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_custkey",
+            F.col("o_orderkey").alias("first_orderkey"),
+            F.col("o_orderdate").cast("date").alias("first_order_date"),
+        )
+    )
+
+
+@register(
+    "ar_upsert_last_wins",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS amount, 0 AS priority
+      FROM orders WHERE o_orderkey < 5000
+      UNION ALL
+      SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)), 1
+      FROM orders WHERE o_orderkey >= 2500 AND o_orderkey < 7500
+    )
+    SELECT o_orderkey, amount, priority FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY priority DESC) AS rn
+      FROM unioned
+    ) WHERE rn = 1
+    """,
+    tags=("S5", "Q11"),
+    doc="Batch MERGE semantics: union + rank-desc + keep-1 (the set-based "
+    "rewrite of SQLite ON CONFLICT DO UPDATE, scripts/ingest.py:61-101).",
+)
+def ar_upsert_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    existing = orders.filter(F.col("o_orderkey") < 5000).select(
+        "o_orderkey", _money("o_totalprice").alias("amount"), F.lit(0).alias("priority")
+    )
+    batch = orders.filter((F.col("o_orderkey") >= 2500) & (F.col("o_orderkey") < 7500)).select(
+        "o_orderkey",
+        (_money("o_totalprice") * 2).cast(MONEY).alias("amount"),
+        F.lit(1).alias("priority"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("priority").desc())
+    return (
+        existing.unionByName(batch)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "amount", "priority")
+    )
+
+
+@register(
+    "ar_dup_count",
+    oracle="""
+    SELECT l_orderkey, COUNT(*) AS n_lines
+    FROM lineitem GROUP BY l_orderkey HAVING COUNT(*) > 4
+    """,
+    tags=("A7",),
+    doc="Duplicate-key counting (reference dup detection, scripts/ingest.py:179-187).",
+)
+def ar_dup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .filter(F.col("n_lines") > 4)
+    )
+
+
+@register(
+    "ar_quarantine_stats",
+    oracle="""
+    SELECT is_clean, COUNT(*) AS n,
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS sum_value
+    FROM (
+      SELECT value,
+             (value IS NOT NULL AND value >= 0
+              AND TRY_CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL) AS is_clean
+      FROM events
+    ) GROUP BY is_clean
+    """,
+    tags=("Q8", "A8"),
+    doc="Quarantine split: validity predicate partitioning rows into "
+    "clean/quarantine with per-side counters (reference error handling, "
+    "scripts/ingest.py:191-200).",
+)
+def ar_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    is_clean = (
+        F.col("value").isNotNull()
+        & (F.col("value") >= 0)
+        & F.get_json_object("props", "$.k").try_cast("int").isNotNull()
+    )
+    return (
+        events.withColumn("is_clean", is_clean)
+        .groupBy("is_clean")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(_money("value")), F.lit(0)).cast(MONEY).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "ar_ci_lookup",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment,
+           CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+    FROM customer WHERE LOWER(c_name) = LOWER('Customer#000000042')
+    """,
+    tags=("P6", "F1"),
+    doc="Case-insensitive exact-name match (reference app/api/customers.py:68).",
+)
+def ar_ci_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.filter(
+        F.lower(F.col("c_name")) == F.lit("Customer#000000042".lower())
+    ).select(
+        "c_custkey", "c_name", "c_mktsegment", _money("c_acctbal").alias("acctbal")
+    )
+
+
+@register(
+    "ar_key_lookup",
+    oracle="""
+    SELECT o_orderkey, c_name AS customer_name, o_orderstatus,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+           CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderkey = 4242
+    """,
+    tags=("P7", "J1"),
+    doc="Exact-key single-row lookup + dim join (reference app/api/invoices.py:141-174).",
+)
+def ar_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.filter(F.col("o_orderkey") == 4242)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
+        .select(
+            "o_orderkey",
+            F.col("c_name").alias("customer_name"),
+            "o_orderstatus",
+            _money("o_totalprice").alias("total"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped analytics ([EXT]: multi-join, big aggregation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))
+                AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2)) AS DECIMAL(24,4))
+                * CAST(1 + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(4,2))
+                AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_price,
+           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("A2", "A3", "EXT"),
+    doc="Flagship wide aggregation (TPC-H Q1 shape): scan-heavy, "
+    "map-side partial agg, 6-group output. Exact-decimal money pipeline.",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    qty = _money("l_quantity")
+    price = _money("l_extendedprice")
+    disc = _money("l_discount")
+    tax = _money("l_tax")
+    one_minus = (F.lit(1) - disc).cast("decimal(4,2)")
+    one_plus = (F.lit(1) + tax).cast("decimal(4,2)")
+    disc_price = (price * one_minus).cast("decimal(24,4)")
+    charge = (disc_price * one_plus).cast("decimal(30,6)")
+    n = F.count(F.lit(1))
+    return (
+        lineitem.filter(F.col("l_shipdate").cast("date") <= F.lit("2000-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+            _davg(F.sum(qty), n).alias("avg_qty"),
+            _davg(F.sum(price), n).alias("avg_price"),
+            _davg(F.sum(disc), n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@register(
+    "tpch_q3_top_orders",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))
+                AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+      AND CAST(l_shipdate AS DATE) > DATE '1998-03-15'
+    GROUP BY l_orderkey, order_date, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("J1", "O1", "EXT"),
+    doc="Shipping-priority top-k (TPC-H Q3 shape): fact-fact join + "
+    "grouped revenue + deterministic top-10 (TakeOrderedAndProject).",
+)
+def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    disc_price = (
+        _money("l_extendedprice") * (F.lit(1) - _money("l_discount")).cast("decimal(4,2)")
+    ).cast("decimal(24,4)")
+    cutoff = F.lit("1998-03-15").cast("date")
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .filter(F.col("o_orderdate").cast("date") < cutoff)
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate").cast("date") > cutoff)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(disc_price).cast("decimal(38,4)").alias("revenue"))
+        .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_nation_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))
+                AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_regionkey = 0
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+    GROUP BY n_name
+    """,
+    tags=("J1", "EXT"),
+    doc="Local-supplier revenue (TPC-H Q5 shape): 6-table join with "
+    "broadcast dims (region/nation/supplier) and a fact-fact shuffle join.",
+)
+def tpch_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    disc_price = (
+        _money("l_extendedprice") * (F.lit(1) - _money("l_discount")).cast("decimal(4,2)")
+    ).cast("decimal(24,4)")
+    d = F.col("o_orderdate").cast("date")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .filter((d >= F.lit("1996-01-01").cast("date")) & (d < F.lit("1997-01-01").cast("date")))
+        .join(lineitem, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_regionkey") == 0)), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(disc_price).cast("decimal(38,4)").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi/anti joins, set ops ([EXT] §2.3/§2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND c_custkey < 500
+    """,
+    tags=("EXT", "J"),
+    doc="Left-semi join (EXISTS shape) — needed by dedup candidate filtering.",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        customer.filter(F.col("c_custkey") < 500)
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("EXT", "J"),
+    doc="Left-anti join (NOT EXISTS shape) — FK-integrity audit (SURVEY §1.3).",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "set_ops_custkeys",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+         b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    SELECT 'union' AS op, COUNT(*) AS n
+      FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
+    UNION ALL
+    SELECT 'intersect', COUNT(*)
+      FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+    UNION ALL
+    SELECT 'except', COUNT(*)
+      FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+    """,
+    tags=("EXT", "SET"),
+    doc="UNION/INTERSECT/EXCEPT coverage (§2.7).",
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    union_n = a.union(b).distinct().agg(F.count(F.lit(1)).alias("n")).select(F.lit("union").alias("op"), "n")
+    inter_n = a.intersect(b).agg(F.count(F.lit(1)).alias("n")).select(F.lit("intersect").alias("op"), "n")
+    except_n = a.exceptAll(b).distinct().agg(F.count(F.lit(1)).alias("n")).select(F.lit("except").alias("op"), "n")
+    return union_n.unionByName(inter_n).unionByName(except_n)
+
+
+# ---------------------------------------------------------------------------
+# Window functions ([EXT] §2.5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rn,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey
+        ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey
+      ) AS rn FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("EXT", "W"),
+    doc="Top-k per group via row_number (grouped top-k, no global sort).",
+)
+def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(_money("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn", _money("o_totalprice").alias("total"))
+    )
+
+
+@register(
+    "window_lag_gap",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS gap_us
+    FROM events WHERE user_id < 50
+    """,
+    tags=("EXT", "W"),
+    doc="lead/lag sequence analysis over the event stream.",
+)
+def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts"))
+    return events.filter(F.col("user_id") < 50).select(
+        "user_id",
+        "event_id",
+        (micros - F.lag(micros).over(w)).alias("gap_us"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,2)) AS running_total
+    FROM orders WHERE o_custkey < 200
+    """,
+    tags=("EXT", "W"),
+    doc="Running total with explicit ROWS frame.",
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").cast("date"), F.col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.filter(F.col("o_custkey") < 200).select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_money("o_totalprice")).over(w).cast(MONEY).alias("running_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / distinct aggregates ([EXT] §2.4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_rollup_nation_segment",
+    oracle="""
+    SELECT n_name, c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+    tags=("EXT", "A"),
+    doc="ROLLUP grouping sets.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_money("c_acctbal")).cast(MONEY).alias("sum_bal"),
+        )
+    )
+
+
+@register(
+    "agg_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("EXT", "A"),
+    doc="CUBE grouping sets.",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_money("o_totalprice")).cast(MONEY).alias("sum_total"),
+    )
+
+
+@register(
+    "agg_distinct_customers",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("EXT", "A"),
+    doc="Distinct aggregate (two-phase distinct agg under the hood).",
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function gauntlets (§2.8) + JSON ([EXT])
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_gauntlet",
+    oracle="""
+    SELECT p_partkey,
+           LOWER(p_type) AS lo_type,
+           UPPER(p_name) AS up_name,
+           CONCAT_WS('-', p_brand, p_type) AS brand_type,
+           regexp_extract(p_brand, '(\\d+)', 1) AS brand_num,
+           SUBSTR(p_name, 1, 4) AS name4,
+           LENGTH(p_name) AS name_len,
+           COALESCE(NULLIF(p_type, 'ECONOMY'), 'STANDARD') AS type_std,
+           GREATEST(p_size, 25) AS size_clamped,
+           REGEXP_REPLACE(p_name, ' ', '_') AS name_snake
+    FROM part WHERE p_partkey < 500
+    """,
+    tags=("F1", "F2", "F4", "F10", "F12"),
+    doc="String/regex scalar coverage: lower/upper/concat_ws/regexp_extract/"
+    "substr/length/nullif-coalesce/greatest/regexp_replace (F-rows of §2.8).",
+)
+def scalar_string_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_partkey") < 500).select(
+        "p_partkey",
+        F.lower("p_type").alias("lo_type"),
+        F.upper("p_name").alias("up_name"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", r"(\d+)", 1).alias("brand_num"),
+        F.substring("p_name", 1, 4).alias("name4"),
+        F.length("p_name").alias("name_len"),
+        F.coalesce(F.nullif("p_type", F.lit("ECONOMY")), F.lit("STANDARD")).alias("type_std"),
+        F.greatest("p_size", F.lit(25)).alias("size_clamped"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+    )
+
+
+@register(
+    "scalar_date_gauntlet",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) AS d,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2mo,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+    tags=("F5", "F6", "F7", "F11"),
+    doc="Date scalar coverage: date_add/add_months/datediff/date_trunc/"
+    "extract/last_day/format (F5-F7, F11 of §2.8).",
+)
+def scalar_date_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        d.alias("d"),
+        F.date_add(d, 30).alias("plus30"),
+        F.add_months(d, 2).alias("plus2mo"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.last_day(d).alias("month_end"),
+        F.date_format(d, "yyyy-MM").alias("ym"),
+    )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           CAST(MIN(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+           CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("EXT", "JSON"),
+    doc="JSON field extraction + aggregation over the events stream table "
+    "(driver's events.props column; SURVEY §2.8 note).",
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").try_cast("int")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).cast("int").alias("min_k"),
+        F.max(k).cast("int").alias("max_k"),
+    )
+
+
+@register(
+    "events_hourly_windows",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+    tags=("EXT", "STREAM"),
+    doc="Tumbling-window aggregation, batch form — the exact semantics the "
+    "streaming job (streaming/pipeline.py) produces incrementally; this "
+    "entry pins them against the oracle (§2.9).",
+)
+def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_money("value")).cast(MONEY).alias("sum_value"),
+        )
+    )

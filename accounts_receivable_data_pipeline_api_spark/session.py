@@ -26,6 +26,10 @@ SEMANTIC_CONFS: dict[str, str] = {
     "spark.sql.legacy.timeParserPolicy": "CORRECTED",
     # Arrow for any pandas_udf / toPandas path (similarity, multimodal).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The driver's events.parquet stores TIMESTAMP(NANOS); Spark 4 has
+    # no nanos timestamp type, so read as long and convert at the
+    # source (sources/star.py converts ns -> microsecond timestamp).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 # Confs that define PERFORMANCE POLICY — values below are the local-mode
@@ -74,7 +78,10 @@ def configure_session(spark: SparkSession) -> SparkSession:
     """Pin semantic confs on an externally-provided session (the driver
     harness passes its own SparkSession to ``__spark_entry__.entry``)."""
     for key, value in SEMANTIC_CONFS.items():
-        spark.conf.set(key, value)
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            pass  # static conf on a running session; defaults still correct
     for key in ("spark.sql.adaptive.enabled",):
         spark.conf.set(key, ADAPTIVE_CONFS[key])
     return spark

@@ -1,0 +1,37 @@
+"""Every corpus query vs its DuckDB oracle at sf0.001 (fast local mirror
+of the driver's t2 correctness gate)."""
+
+from __future__ import annotations
+
+import pytest
+
+from accounts_receivable_data_pipeline_api_spark.plans import CORPUS
+
+from .oracle_harness import compare, duck_connection
+
+ORACLED = [n for n, cq in CORPUS.items() if cq.oracle is not None]
+ROWS_ONLY = [n for n, cq in CORPUS.items() if cq.oracle is None]
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_match(spark, sf_dir, con, name):
+    cq = CORPUS[name]
+    report = compare(cq.build(spark, sf_dir), con, cq.oracle)
+    assert report["count_match"], f"{name}: row count {report}"
+    assert report["cols_match"], f"{name}: columns {report}"
+    assert report["values_match"], f"{name}: values {report['first_diff']}"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, sf_dir, name):
+    cq = CORPUS[name]
+    df = cq.build(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
