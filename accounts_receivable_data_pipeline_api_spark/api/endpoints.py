@@ -1,0 +1,149 @@
+"""Framework-agnostic endpoint core mirroring the reference REST API.
+
+Each method returns the exact JSON-shaped dict the reference's Pydantic
+models serialize (routes, params, envelopes, error codes from
+/root/reference/app/main.py, app/api/invoices.py, app/api/customers.py).
+``ApiError`` carries the HTTP status (404/400 per quirk Q7); the
+optional FastAPI adapter (api/app.py) is a thin translation layer, so
+all semantics are testable without the web framework (which is not
+installed in this container).
+
+The engine holds ONE long-lived SparkSession and caches the two AR
+tables — deliberately the opposite of the reference's per-request
+engine creation (app/db/engine.py:8-10, an anti-pattern at any scale).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import date, datetime
+from typing import Any, Optional
+from zoneinfo import ZoneInfo
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..ar.ingest import DEFAULT_CSV, ingest as run_ingest
+from ..ar import queries as q
+from .serialize import json_value, row_to_dict
+
+PAST_DUE_ITEM_FIELDS = (
+    "invoice_number",
+    "customer_name",
+    "invoice_date",
+    "due_date",
+    "bill_total",
+    "applied",
+    "outstanding",
+    "currency",
+    "status",
+    "days_past_due",
+)
+INVOICE_FIELDS = (
+    "id",
+    "invoice_number",
+    "customer_id",
+    "customer_name",
+    "invoice_date",
+    "due_date",
+    "customer_po_number",
+    "bill_total",
+    "applied",
+    "status",
+    "currency",
+    "customer_terms",
+    "terms_days",
+)
+CUSTOMER_FIELDS = ("id", "name", "contact_name", "contact_phone", "contact_email")
+CONTACT_FIELDS = ("contact_name", "contact_email", "contact_phone", "last_seen_invoice_date")
+
+
+class ApiError(Exception):
+    def __init__(self, status_code: int, detail: str):
+        super().__init__(detail)
+        self.status_code = status_code
+        self.detail = detail
+
+
+@dataclass
+class Endpoints:
+    spark: SparkSession
+    customers: DataFrame
+    invoices: DataFrame
+
+    @classmethod
+    def from_csv(cls, spark: SparkSession, path: str = DEFAULT_CSV) -> "Endpoints":
+        result = run_ingest(spark, path)
+        # Resident cache: endpoint latency is dominated by these two
+        # frames; recomputed only on re-ingest.
+        return cls(spark, result.customers.cache(), result.invoices.cache())
+
+    # GET /health (reference app/main.py:11-13)
+    def health(self) -> dict[str, Any]:
+        return {"status": "ok"}
+
+    # GET /invoices/past-due (reference app/api/invoices.py:41-138)
+    def past_due(
+        self,
+        as_of: Optional[date] = None,
+        limit: int = 50,
+        offset: int = 0,
+        sort: str = "due_date.asc",
+    ) -> dict[str, Any]:
+        if not 1 <= limit <= 200:
+            raise ApiError(422, "limit must be in [1, 200]")
+        if offset < 0:
+            raise ApiError(422, "offset must be >= 0")
+        if as_of is None:
+            # F6: "today" resolves in America/New_York, OUTSIDE the plan.
+            as_of = datetime.now(ZoneInfo("America/New_York")).date()
+        page = q.past_due(self.invoices, self.customers, as_of, limit, offset, sort)
+        items = [row_to_dict(r, PAST_DUE_ITEM_FIELDS) for r in page.items.collect()]
+        return {"items": items, "total": page.total, "limit": limit, "offset": offset}
+
+    # GET /invoices/{invoice_number} (reference app/api/invoices.py:141-174)
+    def get_invoice(self, invoice_number: str) -> dict[str, Any]:
+        row = q.get_invoice(self.invoices, self.customers, invoice_number).first()
+        if row is None:
+            raise ApiError(404, "Invoice not found")
+        return row_to_dict(row, INVOICE_FIELDS)
+
+    # GET /invoices/summary/month (reference app/api/invoices.py:176-233)
+    def monthly_summary(self, month: str, customer_name: Optional[str] = None) -> dict[str, Any]:
+        try:
+            q.month_window(month)
+        except ValueError:
+            raise ApiError(400, "month must be in YYYY-MM format")
+        row = q.monthly_summary(self.invoices, self.customers, month, customer_name).first()
+        return {
+            "month": month,
+            "currency": row["currency"] or "USD",
+            "sum_bill_total": json_value(row["sum_bill_total"]),
+            "count_invoices": row["count_invoices"] or 0,
+        }
+
+    # GET /customers/ (reference app/api/customers.py:19-49)
+    def list_customers(self) -> list[dict[str, Any]]:
+        rows = q.list_customers(self.customers).collect()
+        return [row_to_dict(r, CUSTOMER_FIELDS) for r in rows]
+
+    # GET /customers/contact (reference app/api/customers.py:52-119)
+    def customer_contact(self, name: str, limit: int = 10, offset: int = 0) -> dict[str, Any]:
+        if limit < 1:  # note: no upper bound, matching the reference
+            raise ApiError(422, "limit must be >= 1")
+        if offset < 0:
+            raise ApiError(422, "offset must be >= 0")
+        page = q.customer_contact(self.customers, self.invoices, name, limit, offset)
+        if page.match_count == 0:
+            raise ApiError(404, "Customer not found")
+        rows = page.contacts.collect()
+        contacts = [row_to_dict(r, CONTACT_FIELDS) for r in rows]
+        customer_name = rows[0]["customer_name"] if rows else name
+        # Q6: total = page length, NOT match count (reference :115-119).
+        return {"customer_name": customer_name, "contacts": contacts, "total": len(contacts)}
+
+    # GET /customers/{customer_id} (reference app/api/customers.py:122-152)
+    def get_customer(self, customer_id: int) -> dict[str, Any]:
+        row = q.get_customer(self.customers, customer_id).first()
+        if row is None:
+            raise ApiError(404, "Customer not found")
+        return row_to_dict(row, CUSTOMER_FIELDS)
