@@ -1,0 +1,224 @@
+"""Structured Streaming jobs ([EXT] §2.9 — the reference is batch-only).
+
+Three streaming shapes, each the incremental twin of a batch operator
+already pinned by the oracle corpus:
+
+  invoice_csv_stream + dedup_invoice_stream
+      streaming analogue of the S5 upsert: file-source CSV batches,
+      watermarked dropDuplicates on invoice_number.
+  events_windowed_counts
+      tumbling-window aggregation over the events table — same
+      semantics as the batch corpus query ``events_hourly_windows``
+      (plans/relational.py), which is how correctness is oracled.
+  sessionize_events
+      custom stateful operator via applyInPandasWithState: groups a
+      user's events into sessions split by >30min gaps.
+
+All jobs parameterize source/sink so tests can run them with
+memory/file sinks and ``availableNow`` triggers.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..functions.cleaning import money, nullif_blank, parse_mdy_date, terms_days_expr
+
+RAW_INVOICE_SCHEMA = StructType(
+    [
+        StructField(name, StringType())
+        for name in (
+            "CustomerName",
+            "InvoiceNumber",
+            "InvoiceDate",
+            "CustomerPoNumber",
+            "BillTotal",
+            "Applied",
+            "Status",
+            "Currency",
+            "ContactName",
+            "ContactPhone",
+            "ContactEmail",
+            "CustomerTerms",
+            "DueDate",
+        )
+    ]
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def invoice_csv_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source streaming ingest of invoice CSV batches with the same
+    typed parsing as the batch path (ar/ingest.py) plus an ingest-time
+    timestamp for watermarking."""
+    raw = spark.readStream.schema(RAW_INVOICE_SCHEMA).option("header", True).csv(input_dir)
+    return (
+        raw.withColumn("invoice_number", F.trim(F.col("InvoiceNumber")))
+        .withColumn("invoice_date", parse_mdy_date(F.col("InvoiceDate")))
+        .withColumn("bill_total", money(F.col("BillTotal")))
+        .withColumn("applied", money(F.col("Applied")))
+        .withColumn("status", nullif_blank(F.col("Status")))
+        .withColumn("currency", nullif_blank(F.col("Currency")))
+        .withColumn("terms_days", terms_days_expr(F.col("CustomerTerms")))
+        .withColumn("ingest_ts", F.current_timestamp())
+        .select(
+            "invoice_number",
+            "invoice_date",
+            "bill_total",
+            "applied",
+            "status",
+            "currency",
+            "terms_days",
+            "ingest_ts",
+        )
+    )
+
+
+def dedup_invoice_stream(parsed: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming S5: keep the first arrival of each invoice_number
+    within the watermark horizon (state expires after it).
+
+    Batch last-wins (Q11) vs streaming first-wins: a stream has no "end
+    of batch", so first-arrival-wins is the only bounded-state option —
+    documented deviation, mirrored in the oracle corpus only via the
+    batch path.
+    """
+    return parsed.withWatermark("ingest_ts", watermark).dropDuplicates(
+        ["invoice_number"]
+    )
+
+
+def events_windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation (the incremental twin of
+    the oracled batch query ``events_hourly_windows``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", IntegerType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", IntegerType()),
+    ]
+)
+
+SESSION_GAP = dt.timedelta(minutes=30)
+
+
+def _sessionize_fn(
+    key: tuple,
+    pdfs: Iterable[pd.DataFrame],
+    state: GroupState,
+):
+    """Stateful kernel: emit a session row whenever a >30min gap closes
+    one. State = (session_start, last_event, count) in epoch micros."""
+    gap_us = int(SESSION_GAP.total_seconds() * 1_000_000)
+    if state.hasTimedOut:
+        (start_us, last_us, n) = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+            }
+        )
+        return
+
+    ts_list: list[int] = []
+    for pdf in pdfs:
+        ts_list.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+    ts_list.sort()
+    if not ts_list:
+        return
+
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us, last_us, n = ts_list[0], ts_list[0], 0
+
+    closed = []
+    for t in ts_list:
+        if t - last_us > gap_us:
+            closed.append((start_us, last_us, n))
+            start_us, n = t, 0
+        last_us = max(last_us, t)
+        n += 1
+    state.update((start_us, last_us, n))
+    state.setTimeoutDuration(int(gap_us // 1000))
+
+    if closed:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(closed),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in closed],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in closed],
+                "n_events": [c for _, _, c in closed],
+            }
+        )
+
+
+def sessionize_events(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization with
+    a 30-minute inactivity gap, via applyInPandasWithState (Arrow-batch
+    state machine; state size O(active users))."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

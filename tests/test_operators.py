@@ -1,0 +1,136 @@
+"""Behavioral tests for the LLM-pipeline operators on constructed
+inputs (the oracle corpus pins them on real tables; these pin edge
+semantics)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from accounts_receivable_data_pipeline_api_spark.operators import dedup, similarity, text
+from accounts_receivable_data_pipeline_api_spark.operators.multimodal import (
+    attach_binary,
+    decode_features,
+    frame_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog near the river bank today"),
+        (2, "the  QUICK brown fox jumps over the lazy dog near the river bank today"),  # exact dup after normalization
+        (3, "The quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+        (4, "Completely different content about spark shuffle partitions and joins"),
+        (5, "der hund und die katze sind nicht der gleichen meinung ist das"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(docs):
+    groups = dedup.exact_dedup(docs).collect()
+    sizes = sorted(g["group_size"] for g in groups)
+    assert sizes == [1, 1, 1, 2]  # docs 1+2 collapse
+    dup_group = next(g for g in groups if g["group_size"] == 2)
+    assert dup_group["keep_id"] == 1
+
+
+def test_drop_exact_dups(docs):
+    kept = sorted(r["doc_id"] for r in dedup.drop_exact_dups(docs).collect())
+    assert kept == [1, 3, 4, 5]
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical after normalization
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0  # near dup
+    assert (1, 4) not in pairs
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(docs, verify_threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs
+
+
+def test_simhash_identical_and_near(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert fps[1] == fps[2]  # identical token multiset after normalization
+    near = {(r["id_a"], r["id_b"]): r["hamming"] for r in dedup.simhash_near_pairs(docs, max_hamming=16).collect()}
+    assert near.get((1, 2)) == 0
+    assert (1, 3) in near and near[(1, 3)] > 0
+
+
+def test_similarity_topk_ranks_self_neighbors(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),  # closest to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),  # orthogonal to 0
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = similarity.brute_force_topk(df.filter(F.col("vec_id") == 0), df, k=3).collect()
+    ranked = [r["match_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [1, 2, 3]
+    scores = {r["match_id"]: r["score"] for r in out}
+    assert scores[3] == pytest.approx(-1.0)
+    assert scores[2] == pytest.approx(0.0)
+
+
+def test_lsh_topk_subset_of_bruteforce(spark, sf_dir):
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    brute = similarity.brute_force_topk(queries, emb, k=50)
+    lsh = similarity.lsh_topk(queries, emb, dim=64, k=10, num_planes=4)
+    brute_pairs = {(r["query_id"], r["match_id"]) for r in brute.collect()}
+    lsh_rows = lsh.collect()
+    assert len(lsh_rows) > 0
+    # LSH scores are exact cosine; any in-bucket top hit that brute-force
+    # also ranked top-50 must agree — spot check membership overlap > 0.
+    lsh_pairs = {(r["query_id"], r["match_id"]) for r in lsh_rows}
+    assert len(lsh_pairs & brute_pairs) > 0
+
+
+def test_text_analyze(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house is in it"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "!!! ??? ... ###"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in text.analyze(df).collect()}
+    assert rows[1]["lang_pred"] == "en"
+    assert rows[2]["lang_pred"] == "de"
+    assert rows[3]["lang_pred"] == "und"
+    assert rows[1]["n_tokens"] == 11
+    assert rows[1]["stopword_ratio"] > 0.5
+    assert rows[3]["punct_ratio"] > 0.5
+    assert rows[1]["quality"] > rows[3]["quality"]
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([(1, "hello world"), (2, "spark")], ["doc_id", "text"])
+    media = attach_binary(df)
+    rows = {r["doc_id"]: r for r in media.collect()}
+    assert rows[1]["n_bytes"] == 11 and rows[1]["modality"] == "image"
+    decoded = {r["doc_id"]: r for r in decode_features(media).collect()}
+    assert set(decoded) == {1, 2}
+    for r in decoded.values():
+        assert 1 <= r["width"] <= 1920 and 1 <= r["height"] <= 1080 and r["channels"] in (1, 2, 3)
+    # determinism: same content -> same fake dims
+    again = {r["doc_id"]: r for r in decode_features(media).collect()}
+    assert {k: (v["width"], v["height"]) for k, v in decoded.items()} == {
+        k: (v["width"], v["height"]) for k, v in again.items()
+    }
+    frames = frame_sample(media, every_n_bytes=4).collect()
+    assert sum(1 for f in frames if f["doc_id"] == 1) == 3  # offsets 0,4,8
+
+
+def test_decode_without_stub_raises(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(NotImplementedError):
+        decode_features(attach_binary(df), decode_stub=False)

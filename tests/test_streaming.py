@@ -1,0 +1,110 @@
+"""Structured Streaming tests: run each job for real (availableNow
+trigger + memory sink) and compare against its batch twin."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+from accounts_receivable_data_pipeline_api_spark.streaming import (
+    dedup_invoice_stream,
+    events_windowed_counts,
+    invoice_csv_stream,
+    sessionize_events,
+)
+
+pytestmark = pytest.mark.filterwarnings("ignore::FutureWarning")
+
+
+def _run_available_now(stream_df, name: str):
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    return query
+
+
+def _events_stream(spark, sf_dir, out_dir):
+    """Re-stage events as a file-source stream (one parquet per batch)."""
+    events = load_table(spark, sf_dir, "events")
+    path = os.path.join(out_dir, "events_stream")
+    events.write.mode("overwrite").parquet(path)
+    return spark.readStream.schema(events.schema).parquet(path), events
+
+
+def test_windowed_counts_match_batch(spark, sf_dir, tmp_path):
+    stream_src, events_batch = _events_stream(spark, sf_dir, str(tmp_path))
+    out = events_windowed_counts(stream_src, window="1 hour", watermark="2 hours")
+    _run_available_now(out, "win_counts")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in (
+            events_batch.groupBy(
+                F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_value"),
+            )
+            .collect()
+        )
+    }
+    # availableNow + watermark: windows at the tail may be withheld until
+    # the watermark passes; every emitted window must match batch exactly.
+    assert len(got) > 0
+    for key, val in got.items():
+        assert expected[key] == val, key
+    assert len(got) >= len(expected) - 3  # at most the tail windows withheld
+
+
+def test_invoice_stream_dedup(spark, tmp_path):
+    src = tmp_path / "csv_in"
+    src.mkdir()
+    header = "CustomerName,InvoiceNumber,InvoiceDate,CustomerPoNumber,BillTotal,Applied,Status,Currency,ContactName,ContactPhone,ContactEmail,CustomerTerms,DueDate"
+    (src / "batch1.csv").write_text(
+        f"{header}\nAcme,INV-1,1/5/24,PO-1,100,0,Pending,USD,,,,Net 30,\n"
+        f"Acme,INV-2,1/6/24,PO-2,200,0,Pending,USD,,,,Net 30,\n"
+        f"Acme,INV-1,1/7/24,PO-3,300,0,Pending,USD,,,,Net 30,\n"
+    )
+    parsed = invoice_csv_stream(spark, str(src))
+    deduped = dedup_invoice_stream(parsed)
+    _run_available_now(deduped, "inv_dedup")
+    rows = spark.sql("select invoice_number, bill_total from inv_dedup").collect()
+    by_key = {r["invoice_number"]: r["bill_total"] for r in rows}
+    assert set(by_key) == {"INV-1", "INV-2"}  # duplicate INV-1 dropped
+
+
+def test_sessionize_events(spark, sf_dir, tmp_path):
+    stream_src, events_batch = _events_stream(spark, sf_dir, str(tmp_path))
+    sessions = sessionize_events(stream_src.filter(F.col("user_id") < 20))
+    _run_available_now(sessions, "sessions")
+    rows = spark.sql("select * from sessions").collect()
+    # Sessions only emit when a >30min gap CLOSES them within the fed
+    # data; with a month of synthetic events per user there must be many.
+    assert len(rows) > 0
+    for r in rows:
+        assert r["session_end"] >= r["session_start"]
+        assert r["n_events"] >= 1
+    # batch cross-check for one user: number of >30min gaps == closed sessions
+    uid = rows[0]["user_id"]
+    ts = [
+        r["ts"]
+        for r in events_batch.filter(F.col("user_id") == uid).orderBy("ts").collect()
+    ]
+    gaps = sum(
+        1 for a, b in zip(ts, ts[1:]) if (b - a).total_seconds() > 1800
+    )
+    n_sessions_for_uid = sum(1 for r in rows if r["user_id"] == uid)
+    assert n_sessions_for_uid == gaps  # last (open) session not emitted
