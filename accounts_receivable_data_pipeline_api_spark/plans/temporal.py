@@ -1,0 +1,113 @@
+"""Temporal join corpus ([EXT]): as-of join, range join, approx
+aggregates — operators Spark lacks as primitives, built as compositions
+of DataFrame ops (SURVEY 'custom operators' guidance, option (a)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.star import load_table
+from .registry import register
+
+
+@register(
+    "join_asof_purchase_signup",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, event_id, ts AS purchase_ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    signups AS (
+      SELECT user_id, ts AS signup_ts FROM events WHERE event_type = 'signup'
+    )
+    SELECT p.user_id, p.event_id, p.purchase_ts, s.signup_ts
+    FROM purchases p ASOF LEFT JOIN signups s
+      ON p.user_id = s.user_id AND p.purchase_ts >= s.signup_ts
+    """,
+    tags=("EXT", "TEMPORAL"),
+    doc="As-of join: latest signup at-or-before each purchase, per user. "
+    "Spark has no ASOF primitive; implemented as the union+last-non-null "
+    "window composition — one shuffle on (user), no per-row subqueries, "
+    "scales as a sort within user partitions.",
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    signups = events.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts"), F.lit(0).alias("kind"), F.lit(None).cast("long").alias("event_id")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts"), F.lit(1).alias("kind"), "event_id"
+    )
+    unioned = signups.unionByName(purchases)
+    # At equal ts the signup row (kind 0) sorts first => 'at-or-before'
+    # is inclusive, matching DuckDB ASOF's >= semantics.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    asof_ts = F.last(F.when(F.col("kind") == 0, F.col("ts")), ignorenulls=True).over(w)
+    return (
+        unioned.withColumn("signup_ts", asof_ts)
+        .filter(F.col("kind") == 1)
+        .select("user_id", "event_id", F.col("ts").alias("purchase_ts"), "signup_ts")
+    )
+
+
+@register(
+    "join_range_followups",
+    oracle="""
+    SELECT s.user_id, s.event_id, COUNT(e.event_id) AS followups_5min
+    FROM events s
+    LEFT JOIN events e
+      ON e.user_id = s.user_id
+     AND e.ts > s.ts
+     AND e.ts <= s.ts + INTERVAL 5 MINUTE
+    WHERE s.event_type = 'signup' AND s.user_id < 40
+    GROUP BY s.user_id, s.event_id
+    """,
+    tags=("EXT", "TEMPORAL"),
+    doc="Range (interval) join: events within 5 minutes after each "
+    "signup. Equi-join on user + range predicate => Spark executes as a "
+    "hash join on user_id with the range as residual filter — the "
+    "scalable shape (never a broadcast-nested-loop over the full fact).",
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    signups = events.filter((F.col("event_type") == "signup") & (F.col("user_id") < 40)).select(
+        "user_id", "event_id", "ts"
+    )
+    others = events.select(
+        F.col("user_id").alias("e_user_id"),
+        F.col("event_id").alias("e_event_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    cond = (
+        (F.col("user_id") == F.col("e_user_id"))
+        & (F.col("e_ts") > F.col("ts"))
+        & (F.col("e_ts") <= F.col("ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return (
+        signups.join(others, cond, "left")
+        .groupBy("user_id", "event_id")
+        .agg(F.count("e_event_id").alias("followups_5min"))
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines; exactness checked
+    # separately by agg_distinct_customers
+    tags=("EXT", "A"),
+    doc="approx_count_distinct (HLL++) per status — the sketch path for "
+    "100 TB cardinality estimation. Rows-only check (sketch values are "
+    "engine-specific); exact twin: agg_distinct_customers.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
