@@ -163,7 +163,16 @@ def minhash_lsh_pairs(
     joins shingle sets only for candidate ids (semi-join pushdown).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    # One shingle subplan feeds both signature building and verification;
+    # Spark reuses the shuffle output (ReusedExchange) where subtrees
+    # match. An explicit persist() was measured SLOWER here (adds a
+    # materialization barrier + memory pressure) — do not re-add.
+    sh_all = char_shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh_all.groupBy(id_col).agg(*mins)
     band_cols = []
     for b in range(bands):
         slice_cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -187,11 +196,10 @@ def minhash_lsh_pairs(
     )
 
     # Exact-Jaccard verification restricted to candidate ids.
-    sh = char_shingles(df, id_col, text_col, n)
     cand_ids = candidates.select(F.col("id_a").alias(id_col)).union(
         candidates.select(F.col("id_b"))
     ).distinct()
-    sh_cand = sh.join(cand_ids, id_col, "left_semi").cache()
+    sh_cand = sh_all.join(cand_ids, id_col, "left_semi")
     sizes = sh_cand.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
 
     sa = sh_cand.select(F.col(id_col).alias("id_a"), "shingle")

@@ -34,9 +34,19 @@ BROADCAST_DIMS = ("region", "nation")
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# Catalog memo: a resident engine lists files / reads footers once per
+# table, not once per query. Keyed by Spark application so a new session
+# (fresh JVM, possibly changed files) re-lists.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # events.ts is TIMESTAMP(NANOS) in parquet; Spark has no nanos
@@ -45,6 +55,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # DuckDB applies, so oracle comparisons agree.
         # integer division: ns values exceed 2^53, double math would lose precision
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _TABLE_CACHE[key] = df
     return df
 
 
