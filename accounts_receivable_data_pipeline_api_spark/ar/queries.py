@@ -97,6 +97,49 @@ def past_due(
     return PastDuePage(items=items, total=total, limit=limit, offset=offset)
 
 
+def past_due_keyset(
+    invoices: DataFrame,
+    customers: DataFrame,
+    as_of: date,
+    after: tuple[date, str] | None = None,
+    limit: int = 50,
+) -> DataFrame:
+    """Keyset-paginated past-due scan ([EXT]; SURVEY §4.2 'deep
+    pagination at scale').
+
+    OFFSET n forces the engine to materialize and discard n sorted rows
+    per page — O(offset) per request. Keyset pagination filters on the
+    last-seen sort key instead: (due_date, invoice_number) >
+    (after_due, after_inv), which pushes into the scan and keeps every
+    page O(limit). The tuple comparison is expressed as the expanded
+    OR form so each conjunct can prune row groups.
+    """
+    outstanding = outstanding_expr(F.col("bill_total"), F.col("applied"))
+    base = invoices.filter((outstanding > 0) & (F.col("due_date") < F.lit(as_of)))
+    if after is not None:
+        after_due, after_inv = after
+        base = base.filter(
+            (F.col("due_date") > F.lit(after_due))
+            | (
+                (F.col("due_date") == F.lit(after_due))
+                & (F.col("invoice_number") > F.lit(after_inv))
+            )
+        )
+    dim = F.broadcast(customers.select(F.col("id").alias("customer_id"), F.col("name")))
+    return (
+        base.join(dim, "customer_id", "inner")
+        .select(
+            "invoice_number",
+            F.col("name").alias("customer_name"),
+            "due_date",
+            F.greatest(outstanding, F.lit(0).cast(MONEY_TYPE)).alias("outstanding"),
+            F.datediff(F.lit(as_of), F.col("due_date")).alias("days_past_due"),
+        )
+        .orderBy(F.col("due_date").asc(), F.col("invoice_number").asc())
+        .limit(limit)
+    )
+
+
 def monthly_summary(
     invoices: DataFrame,
     customers: DataFrame,

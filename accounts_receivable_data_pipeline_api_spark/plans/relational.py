@@ -338,6 +338,42 @@ def ar_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ar_keyset_page",
+    oracle="""
+    SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS total
+    FROM orders
+    WHERE (CAST(o_orderdate AS DATE) > DATE '1996-06-15'
+           OR (CAST(o_orderdate AS DATE) = DATE '1996-06-15' AND o_orderkey > 5000))
+      AND o_orderstatus = 'O'
+    ORDER BY order_date, o_orderkey
+    LIMIT 50
+    """,
+    tags=("O3", "EXT"),
+    doc="Keyset pagination: O(limit) deep paging via last-seen sort-key "
+    "filter instead of OFFSET's O(offset) discard (SURVEY §4.2; "
+    "ar/queries.py:past_due_keyset is the endpoint twin).",
+)
+def ar_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    after_d = F.lit("1996-06-15").cast("date")
+    return (
+        orders.filter(
+            ((d > after_d) | ((d == after_d) & (F.col("o_orderkey") > 5000)))
+            & (F.col("o_orderstatus") == "O")
+        )
+        .select(
+            "o_orderkey",
+            d.alias("order_date"),
+            _money("o_totalprice").alias("total"),
+        )
+        .orderBy("order_date", "o_orderkey")
+        .limit(50)
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H-shaped analytics ([EXT]: multi-join, big aggregation)
 # ---------------------------------------------------------------------------
