@@ -83,6 +83,119 @@ def brute_force_topk(
     )
 
 
+def ivf_build(
+    candidates: DataFrame,
+    k: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic IVF coarse quantizer: k-means with the first k
+    vectors (by id) as initial centroids and a fixed iteration count.
+
+    Each iteration is one Spark aggregation (assign + per-cluster mean);
+    centroids (k x dim floats) live on the driver — tiny. Determinism:
+    no RNG, fixed init, fixed iters, exact argmin with centroid-index
+    tie-break.
+    """
+    vecs = candidates.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    centroids = [
+        list(r["v"]) for r in vecs.orderBy(id_col).limit(k).collect()
+    ]
+    for _ in range(iters):
+        assigned = vecs.withColumn("cluster", _nearest_centroid(F.col("v"), centroids))
+        dim = len(centroids[0])
+        sums = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum(F.element_at(F.col("v"), i + 1)).alias(f"s{i}")
+                for i in range(dim)
+            ],
+        )
+        new_centroids = list(centroids)
+        for row in sums.collect():
+            c = row["cluster"]
+            new_centroids[c] = [row[f"s{i}"] / row["n"] for i in range(dim)]
+        centroids = new_centroids
+    return centroids
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin_c ||vec - centroid_c||^2 == argmax_c (2*dot - ||c||^2);
+    ties break to the LOWEST centroid index (struct-max on negated
+    index)."""
+    entries = []
+    for idx, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        c_norm2 = float(sum(x * x for x in c))
+        score = 2.0 * dot(vec, carr) - F.lit(c_norm2)
+        entries.append(
+            F.struct(score.alias("score"), F.lit(-idx).alias("neg_idx"))
+        )
+    best = F.array_max(F.array(*entries))
+    return (-best["neg_idx"]).cast("int")
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k with IVF coarse quantization: score only
+    candidates whose cluster is among the query's nprobe nearest
+    centroids. The candidate scan shrinks ~k/nprobe-fold; the probe
+    match is an equi-join on cluster id — the IVF shape that scales to
+    billions of vectors (one shuffle on a small int key).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("match_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cluster", _nearest_centroid(F.col("cv"), centroids))
+
+    # nprobe nearest centroids per query: explode scored centroid list,
+    # keep top-nprobe by the same argmax metric.
+    probe_entries = []
+    for idx, cent in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in cent])
+        c_norm2 = float(sum(x * x for x in cent))
+        probe_entries.append(
+            F.struct(
+                (2.0 * dot(F.col("qv"), carr) - F.lit(c_norm2)).alias("score"),
+                F.lit(idx).alias("cluster"),
+            )
+        )
+    probes = (
+        q.withColumn(
+            "probe",
+            F.explode(
+                F.slice(
+                    F.reverse(F.array_sort(F.array(*probe_entries))), 1, nprobe
+                )
+            ),
+        )
+        .select("query_id", "qv", F.col("probe.cluster").alias("cluster"))
+    )
+
+    scored = (
+        F.broadcast(probes)
+        .join(c, "cluster")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id", cosine(F.col("qv"), F.col("cv")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("match_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "score", "rank")
+    )
+
+
 def hyperplane(dim: int, plane: int) -> Column:
     """Deterministic pseudo-random hyperplane: component d is
     xxhash64(plane, d) scaled to [-1, 1). Content-independent and

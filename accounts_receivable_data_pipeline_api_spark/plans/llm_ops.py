@@ -199,6 +199,21 @@ def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_ivf_topk",
+    oracle=None,  # k-means quantizer state is engine-side
+    tags=("EXT", "SIM"),
+    doc="IVF-bucketed approximate top-k: deterministic k-means coarse "
+    "quantizer (operators/similarity.py:ivf_build/ivf_topk), nprobe=4 "
+    "of k=8 clusters. Rows-only check; recall pinned in unit tests.",
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    centroids = similarity.ivf_build(emb, k=8, iters=3)
+    return similarity.ivf_topk(queries, emb, centroids, k=10, nprobe=4)
+
+
+@register(
     "multimodal_metadata",
     oracle="""
     SELECT doc_id, 'image' AS modality,

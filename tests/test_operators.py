@@ -134,3 +134,22 @@ def test_decode_without_stub_raises(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(NotImplementedError):
         decode_features(attach_binary(df), decode_stub=False)
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    centroids = similarity.ivf_build(emb, k=8, iters=3)
+    assert len(centroids) == 8 and len(centroids[0]) == 64
+    ivf = similarity.ivf_topk(queries, emb, centroids, k=10, nprobe=4)
+    brute = similarity.brute_force_topk(queries, emb, k=10)
+    ivf_pairs = {(r["query_id"], r["match_id"]) for r in ivf.collect()}
+    brute_pairs = {(r["query_id"], r["match_id"]) for r in brute.collect()}
+    # nprobe=4 of 8 clusters: expect >= 40% recall of exact top-10
+    recall = len(ivf_pairs & brute_pairs) / len(brute_pairs)
+    assert recall >= 0.4, recall
+    # determinism: rebuild gives identical centroids
+    again = similarity.ivf_build(emb, k=8, iters=3)
+    assert centroids == again
