@@ -288,3 +288,92 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs: every (id_a < id_b) pair
+    whose cosine similarity (rounded to ``round_dp``) >= threshold.
+
+    This is the exact O(n^2) baseline — the oracle-parity path. Scores
+    are rounded BEFORE the threshold filter so a boundary value lands on
+    the same side in any engine. Use ``embedding_cosine_pairs_lsh`` at
+    corpus scale.
+    """
+    from .similarity import _as_double, cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), round_dp).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def embedding_cosine_pairs_lsh(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.3,
+    band_planes: int = 4,
+    num_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Approximate embedding near-dup pairs: banded multi-table
+    hyperplane-LSH blocking, then exact cosine within buckets.
+
+    OR-construction over ``num_tables`` disjoint plane families of
+    ``band_planes`` bits each: a pair is a candidate if it collides in
+    ANY table. Collision probability per table is p^b with
+    p = 1 - theta/pi, so overall recall = 1 - (1 - p^b)^L — e.g. at
+    cosine 0.3 (p ~ 0.60), b=4, L=8 gives ~0.67; at cosine 0.8
+    (p ~ 0.80) it is ~0.98. The O(n^2) cross join becomes L self
+    equi-joins on a small long key (one shuffle each, union + distinct)
+    — the shape that survives a billion-vector corpus.
+    """
+    from .similarity import _as_double, cosine, lsh_bucket
+
+    v = df.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
+    tables = v.select(
+        "vid",
+        "v",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("table"),
+                    lsh_bucket(
+                        F.col("v"), dim, band_planes, plane_offset=t * band_planes
+                    ).alias("bucket"),
+                )
+                for t in range(num_tables)
+            ])
+        ).alias("tb"),
+    ).select("vid", "v", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"))
+    a = tables.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "table", "bucket")
+    b = tables.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "table", "bucket")
+    candidates = (
+        a.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        candidates.select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), round_dp).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

@@ -208,14 +208,15 @@ def hyperplane(dim: int, plane: int) -> Column:
     )
 
 
-def lsh_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
+def lsh_bucket(vec: Column, dim: int, num_planes: int = 8, plane_offset: int = 0) -> Column:
     """Random-hyperplane signature: bit p = sign(vec . plane_p),
-    packed into a long."""
+    packed into a long. ``plane_offset`` selects a disjoint plane family
+    (for banded multi-table LSH)."""
     acc = F.lit(0).cast("long")
     for p in range(num_planes):
-        bit = F.when(dot(vec, hyperplane(dim, p)) >= 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            dot(vec, hyperplane(dim, plane_offset + p)) >= 0, F.lit(1).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
         acc = acc + F.shiftleft(bit, p)
     return acc
 

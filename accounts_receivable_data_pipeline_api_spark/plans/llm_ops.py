@@ -102,6 +102,46 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    scored AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.e, b.e) /
+                   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                   6) AS score
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, score FROM scored WHERE score >= 0.3
+    """,
+    tags=("EXT", "DEDUP", "SIM"),
+    doc="Exact embedding-cosine near-dup pairs at threshold 0.3 "
+    "(operators/dedup.py:embedding_cosine_pairs). Scores rounded to "
+    "6 dp before the threshold so boundary values agree across engines.",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs(emb, threshold=0.3)
+
+
+@register(
+    "dedup_embedding_lsh",
+    oracle=None,  # xxhash64-derived hyperplane buckets
+    tags=("EXT", "DEDUP", "SIM"),
+    doc="LSH-blocked embedding near-dup pairs: banded multi-table "
+    "hyperplane bucketing (8 tables x 4 planes, OR-construction) "
+    "replaces the O(n^2) cross join with self equi-joins on bucket "
+    "(operators/dedup.py:embedding_cosine_pairs_lsh). Rows-only check; "
+    "recall vs the exact operator pinned in unit tests.",
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs_lsh(emb, dim=64, threshold=0.3)
+
+
+@register(
     "text_stats",
     oracle=f"""
     WITH norm AS (
@@ -132,10 +172,54 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_quality",
-    oracle=None,  # composite heuristic; pinned by unit tests instead
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, text, {_NORM_SQL} AS t FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, text, t,
+             list_filter(string_split(t, ' '), x -> x != '') AS tok
+      FROM norm
+    ),
+    m AS (
+      SELECT doc_id, text, t, tok,
+             CAST(len(tok) AS BIGINT) AS n_tokens,
+             CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                  AS BIGINT) AS n_punct,
+             CAST(len(list_filter(tok, x -> list_contains(
+               ['the','a','an','and','or','of','to','in','is','it'], x)))
+                  AS BIGINT) AS n_stop,
+             CAST(len(list_filter(tok, x -> list_contains(['the','and','of','to','is'], x))) AS BIGINT) AS h_en,
+             CAST(len(list_filter(tok, x -> list_contains(['der','die','und','ist','nicht'], x))) AS BIGINT) AS h_de,
+             CAST(len(list_filter(tok, x -> list_contains(['le','la','et','est','les'], x))) AS BIGINT) AS h_fr,
+             CAST(len(list_filter(tok, x -> list_contains(['el','la','que','de','es'], x))) AS BIGINT) AS h_es,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) /
+               greatest(len(tok), 1) AS mean_word_len
+      FROM toks
+    )
+    SELECT doc_id,
+           n_tokens,
+           n_tokens + n_punct AS n_tokens_bpe,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           CAST(n_punct AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1) AS stopword_ratio,
+           ((CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN mean_word_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN CAST(n_punct AS DOUBLE) / greatest(length(text), 1) <= 0.3
+                    THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality,
+           CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+                WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                ELSE 'de' END AS lang_pred,
+           md5(substr(t, 1, 256)) AS fingerprint
+    FROM m
+    """,
     tags=("EXT", "TEXT"),
     doc="Quality scoring + stopword ratio + language ID heuristic "
-    "(operators/text.py). Rows-only check.",
+    "(operators/text.py:analyze). Language argmax tie-break: "
+    "lexicographically last (struct-max ordering), pinned in both "
+    "engines.",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -153,3 +153,27 @@ def test_ivf_topk_recall(spark, sf_dir):
     # determinism: rebuild gives identical centroids
     again = similarity.ivf_build(emb, k=8, iters=3)
     assert centroids == again
+
+
+def test_embedding_cosine_pairs_exact_symmetric(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.1, 0.0, 0.0]),   # cos(1,2) ~ 0.995
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 1
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # anti-parallel to 1
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {(r.id_a, r.id_b): r.score for r in dedup.embedding_cosine_pairs(df, 0.5).collect()}
+    assert set(out) == {(1, 2)}
+    assert abs(out[(1, 2)] - 0.995037) < 1e-6
+
+
+def test_embedding_lsh_recall_and_subset(spark, sf_dir):
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {(r.id_a, r.id_b) for r in dedup.embedding_cosine_pairs(emb, 0.3).collect()}
+    lsh = {(r.id_a, r.id_b) for r in dedup.embedding_cosine_pairs_lsh(emb, 64, 0.3).collect()}
+    assert lsh <= exact  # blocking never invents pairs
+    # banded OR-construction (b=4, L=8): theory ~0.67 recall at cos 0.3
+    assert len(exact & lsh) / len(exact) >= 0.5
