@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -110,6 +111,56 @@ def decode_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
             yield out
 
     return media.mapInPandas(kernel, schema=DECODED_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("checksum", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("target_w", IntegerType()),
+        StructField("target_h", IntegerType()),
+        StructField("scale", DoubleType()),
+    ]
+)
+
+
+def resize(decoded: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize stage over decoded media: compute aspect-preserving target
+    dims capped at ``max_side`` via Arrow-batched mapInPandas.
+
+    STUB: emits the resize geometry (target dims + scale factor) rather
+    than resampled pixels — the pixel kernel would slot into the same
+    batch loop (PIL.Image.resize / cv2.resize), which is not available
+    in this container. Batch shape, schema, and the numpy math are real.
+    """
+
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].astype("float64")
+            h = pdf["height"].astype("float64")
+            s = (max_side / w.combine(h, max)).clip(upper=1.0)
+            # floor(x + 0.5) = half-up rounding: pinned explicitly because
+            # numpy's .round() is half-to-even while SQL round() is
+            # half-away — the oracle must land on the same integer.
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "checksum": pdf["checksum"],
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "target_w": np.floor(w * s + 0.5).clip(lower=1).astype("int32"),
+                    "target_h": np.floor(h * s + 0.5).clip(lower=1).astype("int32"),
+                    "scale": s,
+                }
+            )
+
+    return decoded.mapInPandas(kernel, schema=RESIZED_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:

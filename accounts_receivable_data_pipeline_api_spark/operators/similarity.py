@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 
 def _as_double(arr: Column) -> Column:
@@ -78,6 +79,72 @@ def brute_force_topk(
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("match_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "match_id", "score", "rank")
+    )
+
+
+def brute_force_topk_pandas(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Vectorized exact cosine top-k: the query matrix (small) ships to
+    every task inside the Arrow kernel's closure; candidates stream
+    through numpy matmul one Arrow batch at a time.
+
+    Same semantics as ``brute_force_topk`` but the scoring hot loop is a
+    BLAS GEMM instead of a per-element JVM fold — the right hot path
+    when dim is large. Each batch emits only its local top-k per query
+    (partial top-k = map-side combine), so the final global top-k window
+    sees at most k * num_batches rows per query, not the whole corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v")).collect()
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("match_id", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            c_ids = pdf["match_id"].to_numpy(dtype=np.int64)
+            c_mat = np.array(list(pdf["cv"]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            scores = (q_mat @ c_mat.T) / np.outer(q_norm, c_norm)  # Q x B
+            for qi in range(len(q_ids)):
+                s = scores[qi]
+                mask = c_ids != q_ids[qi]
+                idx = np.nonzero(mask)[0]
+                if idx.size == 0:
+                    continue
+                top = idx[np.argsort(-s[idx], kind="stable")[: k]]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(top.size, q_ids[qi]),
+                        "match_id": c_ids[top],
+                        "score": s[top],
+                    }
+                )
+
+    c = candidates.select(
+        F.col(id_col).alias("match_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    partial = c.mapInPandas(kernel, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("match_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "score", "rank")
     )

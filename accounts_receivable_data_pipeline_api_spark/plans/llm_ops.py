@@ -17,7 +17,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup, similarity, text
-from ..operators.multimodal import attach_binary, media_metadata
+from ..operators.multimodal import (
+    attach_binary,
+    decode_features,
+    media_metadata,
+    resize,
+)
 from ..sources.star import load_table
 from .registry import register
 
@@ -298,6 +303,49 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_brute_topk_pandas",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, match_id,
+             round(list_dot_product(qv, cv) /
+                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
+                   6) AS score
+      FROM q, c WHERE query_id != match_id
+    )
+    SELECT query_id, match_id, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, match_id
+      ) AS rank FROM scored
+    ) WHERE rank <= 10
+    """,
+    tags=("EXT", "SIM"),
+    doc="Vectorized exact cosine top-10: Arrow-batched numpy GEMM with "
+    "per-batch partial top-k (operators/similarity.py:"
+    "brute_force_topk_pandas) — the Pandas-UDF hot path for wide "
+    "embeddings. Same oracle as the JVM-fold variant.",
+)
+def similarity_brute_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.brute_force_topk_pandas(queries, emb, k=10)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("match_id"))
+    return (
+        out.drop("rank")
+        .withColumn("score", F.round(F.col("score"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+@register(
     "multimodal_metadata",
     oracle="""
     SELECT doc_id, 'image' AS modality,
@@ -313,3 +361,60 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return media_metadata(attach_binary(docs))
+
+
+_DECODE_SQL = """
+    WITH m AS (
+      SELECT doc_id, 'image' AS modality,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             md5(text) AS checksum,
+             CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS hx
+      FROM documents
+    )
+    SELECT doc_id, modality, n_bytes, checksum,
+           CAST(hx % 1920 + 1 AS INT) AS width,
+           CAST((hx // 1920) % 1080 + 1 AS INT) AS height,
+           CAST(hx % 3 + 1 AS INT) AS channels
+    FROM m
+"""
+
+
+@register(
+    "multimodal_decode",
+    oracle=_DECODE_SQL,
+    tags=("EXT", "MM"),
+    doc="Arrow-batched mapInPandas decode stage over binary payloads "
+    "(operators/multimodal.py:decode_features). The pixel decode is a "
+    "deterministic checksum-derived STUB (no codec libs in container), "
+    "which makes the whole Python batch path oracle-checkable.",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_features(attach_binary(docs))
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH d AS (
+    """ + _DECODE_SQL + """
+    ),
+    r AS (
+      SELECT doc_id, modality, checksum, width, height,
+             least(256.0 / greatest(width, height), 1.0) AS scale
+      FROM d
+    )
+    SELECT doc_id, modality, checksum, width, height,
+           CAST(greatest(floor(width * scale + 0.5), 1) AS INT) AS target_w,
+           CAST(greatest(floor(height * scale + 0.5), 1) AS INT) AS target_h,
+           scale
+    FROM r
+    """,
+    tags=("EXT", "MM"),
+    doc="Aspect-preserving resize geometry via mapInPandas "
+    "(operators/multimodal.py:resize), max side 256. Half-up rounding "
+    "pinned on both sides (numpy floor(x+0.5) == SQL floor(x+0.5)).",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return resize(decode_features(attach_binary(docs)), max_side=256)
