@@ -116,15 +116,63 @@ def fingerprint(text_col: str, prefix_chars: int = 256) -> Column:
 
 
 def analyze(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """One-pass text-analysis projection: all metrics as columns."""
-    return df.select(
+    """One-pass text-analysis projection: all metrics as columns.
+
+    Tokenization and the punctuation count are materialized ONCE in an
+    inner projection and shared by every metric — the naive form
+    (each metric calling tokens_expr) re-ran the regex split ~6x per
+    row, which Catalyst does not CSE across aliases.
+    """
+    tok = tokens_expr(text_col)
+    n_punct = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    )
+    staged = df.select(
         F.col(id_col),
-        token_count(text_col).alias("n_tokens"),
-        bpe_ish_token_count(text_col).alias("n_tokens_bpe"),
-        F.length(F.col(text_col)).cast("bigint").alias("n_chars_measured"),
-        punct_ratio(text_col).alias("punct_ratio"),
-        stopword_ratio(text_col).alias("stopword_ratio"),
-        quality_score(text_col).alias("quality"),
-        predict_lang(text_col).alias("lang_pred"),
-        fingerprint(text_col).alias("fingerprint"),
+        F.col(text_col),
+        tok.alias("_tok"),
+        n_punct.cast("bigint").alias("_n_punct"),
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")).alias("_norm"),
+    )
+
+    n_tok = F.size("_tok").cast("bigint")
+    chars = F.length(F.col(text_col))
+    p_ratio = (
+        F.col("_n_punct").cast("double") / F.greatest(chars, F.lit(1)).cast("double")
+    ).cast("double")
+    sw = F.array(*[F.lit(s) for s in STOPWORDS_EN])
+    s_ratio = (
+        F.size(F.filter(F.col("_tok"), lambda t: F.array_contains(sw, t))).cast("double")
+        / F.greatest(F.size("_tok"), F.lit(1)).cast("double")
+    ).cast("double")
+    mean_word_len = (
+        F.length(F.regexp_replace(F.col(text_col), r"\s+", "")).cast("double")
+        / F.greatest(n_tok, F.lit(1)).cast("double")
+    )
+    quality = (
+        (
+            F.when((n_tok >= 5) & (n_tok <= 100000), 1.0).otherwise(0.0)
+            + F.when((mean_word_len >= 2.0) & (mean_word_len <= 12.0), 1.0).otherwise(0.0)
+            + F.when(p_ratio <= 0.3, 1.0).otherwise(0.0)
+        )
+        / F.lit(3.0)
+    ).cast("double")
+    lang_entries = []
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(F.col("_tok"), lambda t: F.array_contains(marker_arr, t)))
+        lang_entries.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*lang_entries))
+    lang_pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+    return staged.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        (n_tok + F.col("_n_punct")).cast("bigint").alias("n_tokens_bpe"),
+        chars.cast("bigint").alias("n_chars_measured"),
+        p_ratio.alias("punct_ratio"),
+        s_ratio.alias("stopword_ratio"),
+        quality.alias("quality"),
+        lang_pred.alias("lang_pred"),
+        F.md5(F.substring(F.col("_norm"), 1, 256)).alias("fingerprint"),
     )

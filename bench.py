@@ -39,8 +39,12 @@ HEADLINE = (
     "json_props_extract",
     "dedup_exact_groups",
     "dedup_minhash_lsh",
+    "dedup_embedding_lsh",
     "similarity_brute_topk",
+    "similarity_brute_topk_pandas",
     "text_stats",
+    "text_quality",
+    "multimodal_decode",
 )
 
 
