@@ -872,3 +872,49 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_money("value")).cast(MONEY).alias("sum_value"),
         )
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, c.c_name,
+           CAST(o.o_totalprice AS DECIMAL(18,2)) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=("EXT", "JOIN", "SKEW"),
+    doc="Explicit salted equi-join (operators/skew.py:salted_join, 8 "
+    "salts): rows identical to the plain join — salting only changes "
+    "shuffle layout. The deterministic fallback for single-giant-key "
+    "skew that AQE's split can't balance.",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    joined = salted_join(orders, customer, on=["o_custkey"], num_salts=8)
+    return joined.select(
+        "o_orderkey", "o_custkey", "c_name", _money("o_totalprice").alias("total")
+    )
+
+
+@register(
+    "agg_salted_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct_l_orderkey
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("EXT", "AGG", "SKEW"),
+    doc="Exact per-key distinct count via two balanced shuffles "
+    "(operators/skew.py:salted_distinct_count, salt = hash(value) % 32): "
+    "hot-key state spreads over 32 tasks, final stage sums partial "
+    "cardinalities. l_returnflag has 3 values — maximal key skew.",
+)
+def agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_distinct_count
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return salted_distinct_count(lineitem, ["l_returnflag"], "l_orderkey", num_salts=32)

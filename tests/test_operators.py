@@ -177,3 +177,32 @@ def test_embedding_lsh_recall_and_subset(spark, sf_dir):
     assert lsh <= exact  # blocking never invents pairs
     # banded OR-construction (b=4, L=8): theory ~0.67 recall at cos 0.3
     assert len(exact & lsh) / len(exact) >= 0.5
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    from accounts_receivable_data_pipeline_api_spark.operators.skew import salted_join
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    plain = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "o_orderkey", "c_name"
+    )
+    salted = salted_join(
+        orders, customer.withColumnRenamed("c_custkey", "o_custkey"), on=["o_custkey"]
+    ).select("o_orderkey", "c_name")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_collect_set_and_distinct(spark):
+    from accounts_receivable_data_pipeline_api_spark.operators.skew import (
+        salted_collect_set,
+        salted_distinct_count,
+    )
+
+    rows = [("k1", v) for v in ["a", "b", "a", "c", "b"]] + [("k2", "z")]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    cs = {r.k: list(r["values"]) for r in salted_collect_set(df, ["k"], "v").collect()}
+    assert cs == {"k1": ["a", "b", "c"], "k2": ["z"]}
+    dc = {r.k: r.n_distinct_v for r in salted_distinct_count(df, ["k"], "v").collect()}
+    assert dc == {"k1": 3, "k2": 1}
