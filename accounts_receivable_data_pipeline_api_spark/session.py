@@ -71,6 +71,11 @@ def get_spark(app_name: str = "accounts_receivable_data_pipeline_api_spark", mas
         builder = builder.config(key, value)
     builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     builder = builder.config("spark.ui.enabled", "false")
+    # Managed-table warehouse (bucketed tables) outside the repo tree.
+    builder = builder.config(
+        "spark.sql.warehouse.dir",
+        os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+    )
     return builder.getOrCreate()
 
 

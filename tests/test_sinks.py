@@ -53,3 +53,32 @@ def test_keyset_pagination_matches_offset(spark):
     assert [(r["invoice_number"], r["due_date"]) for r in keyset_page] == [
         (r["invoice_number"], r["due_date"]) for r in offset_page
     ]
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    from accounts_receivable_data_pipeline_api_spark.sources.bucketed import (
+        colocated_join,
+        write_bucketed,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    write_bucketed(orders, "b_orders", "o_custkey", num_buckets=8)
+    write_bucketed(customer, "b_customer", "c_custkey", num_buckets=8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force SMJ so the test exercises the bucketed (non-broadcast) path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = colocated_join(spark, "b_orders", "b_customer", "o_custkey", "c_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        plain = load_table(spark, sf_dir, "orders").join(
+            load_table(spark, sf_dir, "customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
