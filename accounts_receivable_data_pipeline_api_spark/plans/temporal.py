@@ -111,3 +111,53 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "window_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+    tags=("EXT", "TEMPORAL", "STREAM"),
+    doc="Batch sessionization (30-min inactivity gap) as lag + running "
+    "sum + groupBy — the oracle-checked twin of the streaming "
+    "applyInPandasWithState sessionizer (streaming/pipeline.py), "
+    "pinning the same session semantics in SQL.",
+)
+def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    marked = events.withColumn(
+        "new_session",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800,
+            1,
+        ).otherwise(0),
+    )
+    numbered = marked.withColumn("session_id", F.sum("new_session").over(wrun).cast("bigint"))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
