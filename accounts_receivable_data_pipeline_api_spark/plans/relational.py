@@ -316,7 +316,7 @@ def ar_ci_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(o_totalprice AS DECIMAL(18,2)) AS total,
            CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
     FROM orders JOIN customer ON o_custkey = c_custkey
-    WHERE o_orderkey = 4242
+    WHERE o_orderkey = 1042
     """,
     tags=("P7", "J1"),
     doc="Exact-key single-row lookup + dim join (reference app/api/invoices.py:141-174).",
@@ -325,7 +325,7 @@ def ar_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     return (
-        orders.filter(F.col("o_orderkey") == 4242)
+        orders.filter(F.col("o_orderkey") == 1042)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
         .select(
             "o_orderkey",
@@ -556,14 +556,17 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti_customers_without_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
     """,
     tags=("EXT", "J"),
-    doc="Left-anti join (NOT EXISTS shape) — FK-integrity audit (SURVEY §1.3).",
+    doc="Left-anti join (NOT EXISTS shape): customers with no order in "
+    "'P' status — the FK-audit pattern (SURVEY §1.3) with a predicate "
+    "that keeps the result non-trivial at every SF.",
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")
