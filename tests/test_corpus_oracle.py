@@ -35,3 +35,19 @@ def test_rows_only_runs(spark, sf_dir, name):
     df = cq.build(spark, sf_dir)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_coverage_doc_references_are_real():
+    """Every corpus:NAME reference in COVERAGE.md must be a registered
+    query — the traceability doc can't drift from the registry."""
+    import re
+
+    from accounts_receivable_data_pipeline_api_spark.plans import CORPUS
+
+    text = open("COVERAGE.md").read()
+    referenced = set(re.findall(r"corpus:([A-Za-z0-9_]+)", text))
+    missing = referenced - set(CORPUS)
+    assert not missing, f"COVERAGE.md references unknown queries: {sorted(missing)}"
+    # and the doc should mention the overwhelming majority of the corpus
+    unmentioned = set(CORPUS) - referenced
+    assert len(unmentioned) <= 10, f"many corpus queries undocumented: {sorted(unmentioned)}"
