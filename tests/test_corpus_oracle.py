@@ -48,6 +48,7 @@ def test_coverage_doc_references_are_real():
     referenced = set(re.findall(r"corpus:([A-Za-z0-9_]+)", text))
     missing = referenced - set(CORPUS)
     assert not missing, f"COVERAGE.md references unknown queries: {sorted(missing)}"
-    # and the doc should mention the overwhelming majority of the corpus
-    unmentioned = set(CORPUS) - referenced
-    assert len(unmentioned) <= 10, f"many corpus queries undocumented: {sorted(unmentioned)}"
+    # every registered query must appear somewhere in the doc
+    words = set(re.findall(r"[A-Za-z0-9_]+", text))
+    unmentioned = set(CORPUS) - words
+    assert not unmentioned, f"corpus queries undocumented: {sorted(unmentioned)}"
