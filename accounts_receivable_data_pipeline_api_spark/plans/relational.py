@@ -921,3 +921,26 @@ def agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lineitem = load_table(spark, sf_dir, "lineitem")
     return salted_distinct_count(lineitem, ["l_returnflag"], "l_orderkey", num_salts=32)
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("EXT", "AGG"),
+    doc="Exact interpolated percentiles per group (Spark `percentile` == "
+    "DuckDB `quantile_cont`, verified bit-exact). The exact baseline for "
+    "approx_percentile at scale.",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
+        F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
+        F.count(F.lit(1)).alias("n"),
+    )

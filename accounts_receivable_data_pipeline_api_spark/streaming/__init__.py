@@ -2,12 +2,16 @@ from .pipeline import (
     dedup_invoice_stream,
     events_windowed_counts,
     invoice_csv_stream,
+    read_snapshot_table,
     sessionize_events,
+    stream_upsert_invoices,
 )
 
 __all__ = [
     "dedup_invoice_stream",
     "events_windowed_counts",
     "invoice_csv_stream",
+    "read_snapshot_table",
     "sessionize_events",
+    "stream_upsert_invoices",
 ]

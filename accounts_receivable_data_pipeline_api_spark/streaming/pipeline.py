@@ -222,3 +222,81 @@ def sessionize_events(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming MERGE sink (S5, incremental form)
+# ---------------------------------------------------------------------------
+
+MANIFEST = "_MANIFEST"
+
+
+def read_snapshot_table(spark: SparkSession, target_dir: str) -> DataFrame | None:
+    """Read the current snapshot of a snapshot-versioned parquet table
+    (None if no snapshot committed yet)."""
+    import os
+
+    manifest = os.path.join(target_dir, MANIFEST)
+    if not os.path.exists(manifest):
+        return None
+    with open(manifest) as fh:
+        snap = fh.read().strip()
+    return spark.read.parquet(os.path.join(target_dir, snap))
+
+
+def stream_upsert_invoices(
+    parsed: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    key: str = "invoice_number",
+):
+    """Streaming S5: every micro-batch MERGEs into a parquet table via
+    foreachBatch — the production shape for continuous upsert ingest.
+
+    The table is snapshot-versioned (a poor-man's table format): batch N
+    writes a full new snapshot computed as merge(previous snapshot,
+    batch), then atomically repoints the manifest file. Readers always
+    see a complete snapshot; a crashed batch leaves the manifest (and
+    thus the table) untouched, and foreachBatch re-runs it. Last-wins
+    semantics across batches come from batch order (later batch
+    overrides); within a batch, ties on the key break by the greatest
+    full-row struct — deterministic under replays, unlike arrival order.
+    At 100 TB one swaps this for Delta/Iceberg MERGE INTO, which is this
+    exact pattern plus file-level pruning and compaction.
+    """
+    import os
+
+    from pyspark.sql import Window as W
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        data_cols = [c for c in batch_df.columns]
+        struct_all = F.struct(*[F.col(c) for c in data_cols])
+        by_key = W.partitionBy(key).orderBy(F.col("__pri").desc(), F.col("__tie").desc())
+
+        batch_ranked = batch_df.withColumn("__pri", F.lit(1)).withColumn("__tie", struct_all)
+        prev = read_snapshot_table(spark, target_dir)
+        if prev is not None:
+            prev_ranked = prev.select(*data_cols).withColumn(
+                "__pri", F.lit(0)
+            ).withColumn("__tie", F.struct(*[F.col(c) for c in data_cols]))
+            merged = batch_ranked.unionByName(prev_ranked)
+        else:
+            merged = batch_ranked
+        final = (
+            merged.withColumn("__rn", F.row_number().over(by_key))
+            .filter(F.col("__rn") == 1)
+            .select(*data_cols)
+        )
+        snap = f"snap_{batch_id:010d}"
+        final.write.mode("overwrite").parquet(os.path.join(target_dir, snap))
+        tmp = os.path.join(target_dir, MANIFEST + ".tmp")
+        with open(tmp, "w") as fh:
+            fh.write(snap)
+        os.replace(tmp, os.path.join(target_dir, MANIFEST))  # atomic repoint
+
+    return (
+        parsed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

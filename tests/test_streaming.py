@@ -108,3 +108,46 @@ def test_sessionize_events(spark, sf_dir, tmp_path):
     )
     n_sessions_for_uid = sum(1 for r in rows if r["user_id"] == uid)
     assert n_sessions_for_uid == gaps  # last (open) session not emitted
+
+
+def test_stream_upsert_merges_batches(spark, tmp_path):
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        read_snapshot_table,
+        stream_upsert_invoices,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1 = spark.createDataFrame(
+        [("INV-1", 100.0, "open"), ("INV-2", 200.0, "open")],
+        ["invoice_number", "bill_total", "status"],
+    )
+    b2 = spark.createDataFrame(
+        [("INV-2", 250.0, "closed"), ("INV-3", 300.0, "open")],
+        ["invoice_number", "bill_total", "status"],
+    )
+    b1.coalesce(1).write.parquet(f"{src}/b1")
+    b2.coalesce(1).write.parquet(f"{src}/b2")
+    # file-source ordering is by modification time: make b2 strictly newer
+    now = 2_000_000_000
+    for i, d in enumerate(["b1", "b2"]):
+        for f in os.listdir(f"{src}/{d}"):
+            os.utime(f"{src}/{d}/{f}", (now + i * 60, now + i * 60))
+
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    target = str(tmp_path / "table")
+    os.makedirs(target)
+    q = stream_upsert_invoices(stream, target, str(tmp_path / "ckpt")).start()
+    q.awaitTermination(120)
+
+    final = read_snapshot_table(spark, target)
+    rows = {r.invoice_number: (r.bill_total, r.status) for r in final.collect()}
+    assert rows == {
+        "INV-1": (100.0, "open"),
+        "INV-2": (250.0, "closed"),  # batch 2 overrides batch 1
+        "INV-3": (300.0, "open"),
+    }
