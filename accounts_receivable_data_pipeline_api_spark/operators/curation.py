@@ -1,0 +1,101 @@
+"""Dataset-curation operators ([EXT] north star): chunking,
+deterministic sampling, split assignment.
+
+The building blocks between raw documents and training batches. All
+pure JVM expressions (sequence/substring/md5 — no Python), and all
+deterministic by CONTENT or KEY, never by partition layout or RNG:
+a re-run, a retry, or a different cluster size yields byte-identical
+samples and splits, which is what makes dataset versions reproducible.
+
+Hash-bucket idiom: bucket(x) = first 8 hex chars of md5(x) as an int,
+mod 100 — portable (DuckDB: CAST('0x' || substr(md5(x),1,8) AS BIGINT)),
+uniform, and stable across engines, so even sampling is oracle-checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(col: Column, buckets: int = 100) -> Column:
+    """Deterministic uniform bucket in [0, buckets) from md5 content."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % buckets
+
+
+def sample_by_hash(
+    df: DataFrame,
+    key_col: str,
+    pct: int,
+    buckets: int = 100,
+) -> DataFrame:
+    """Keep rows whose key hashes into the first ``pct`` of ``buckets``
+    — a deterministic ~pct% sample. Unlike df.sample(), the selected set
+    is a pure function of the keys: stable across runs, partitionings,
+    and engines, and consistent BETWEEN tables sharing the key (sampling
+    documents and their embeddings by the same id keeps them aligned).
+    """
+    return df.filter(hash_bucket(F.col(key_col).cast("string"), buckets) < pct)
+
+
+def assign_split(
+    df: DataFrame,
+    key_col: str,
+    val_pct: int = 10,
+    test_pct: int = 10,
+    out_col: str = "split",
+) -> DataFrame:
+    """Stamp a train/val/test split column from the key hash: buckets
+    [0, val_pct) -> 'val', [val_pct, val_pct+test_pct) -> 'test', rest
+    -> 'train'. Content-addressed: a document keeps its split forever,
+    across reshuffles and incremental refreshes — no leakage when the
+    corpus grows.
+    """
+    b = hash_bucket(F.col(key_col).cast("string"))
+    return df.withColumn(
+        out_col,
+        F.when(b < val_pct, "val")
+        .when(b < val_pct + test_pct, "test")
+        .otherwise("train"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping character chunks:
+    (doc_id, chunk_idx, chunk_start, chunk_text).
+
+    Stride = chunk_chars - overlap; the final partial chunk is kept.
+    sequence+explode+substring — the chunking fan-out happens inside the
+    scan stage (no shuffle), so at corpus scale it is bounded by write
+    throughput, not by a repartition.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(F.col(text_col)) - overlap, F.lit(1)),
+        F.lit(stride),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.posexplode(starts).alias("chunk_idx", "chunk_start"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            "chunk_start",
+            F.substring(F.col(text_col), F.col("chunk_start"), chunk_chars).alias(
+                "chunk_text"
+            ),
+        )
+        .filter(F.length("chunk_text") > 0)
+    )

@@ -418,3 +418,77 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return resize(decode_features(attach_binary(docs)), max_side=256)
+
+
+_BUCKET_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+
+
+@register(
+    "curation_sample_hash",
+    oracle=f"""
+    SELECT doc_id, {_BUCKET_SQL} AS bucket
+    FROM documents WHERE {_BUCKET_SQL} < 5
+    """,
+    tags=("EXT", "CURATION"),
+    doc="Deterministic ~5% sample by md5 hash bucket of the key "
+    "(operators/curation.py:sample_by_hash): the selected set is a pure "
+    "function of the keys — stable across runs, partitionings, and "
+    "engines, and alignable across tables sharing the key.",
+)
+def curation_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import hash_bucket, sample_by_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_by_hash(docs, "doc_id", pct=5).select(
+        "doc_id", hash_bucket(F.col("doc_id").cast("string")).alias("bucket")
+    )
+
+
+@register(
+    "curation_split_counts",
+    oracle=f"""
+    SELECT CASE WHEN {_BUCKET_SQL} < 10 THEN 'val'
+                WHEN {_BUCKET_SQL} < 20 THEN 'test'
+                ELSE 'train' END AS split,
+           COUNT(*) AS n
+    FROM documents GROUP BY split
+    """,
+    tags=("EXT", "CURATION"),
+    doc="Content-addressed train/val/test split (operators/curation.py:"
+    "assign_split): a document keeps its split across reshuffles and "
+    "corpus growth — no leakage on incremental refresh.",
+)
+def curation_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import assign_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return assign_split(docs, "doc_id").groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "curation_chunks",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50)
+    SELECT doc_id,
+           CAST((chunk_start - 1) // 448 AS INT) AS chunk_idx,
+           CAST(chunk_start AS INT) AS chunk_start,
+           substr(text, CAST(chunk_start AS INT), 512) AS chunk_text
+    FROM (
+      SELECT doc_id, text,
+             unnest(range(1, greatest(length(text) - 64, 1) + 1, 448)) AS chunk_start
+      FROM d
+    )
+    WHERE length(substr(text, CAST(chunk_start AS INT), 512)) > 0
+    """,
+    tags=("EXT", "CURATION"),
+    doc="Overlapping character chunking, 512 chars / 64 overlap "
+    "(operators/curation.py:chunk_documents): fan-out inside the scan "
+    "stage, no shuffle.",
+)
+def curation_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return chunk_documents(docs, chunk_chars=512, overlap=64)

@@ -206,3 +206,45 @@ def test_salted_collect_set_and_distinct(spark):
     assert cs == {"k1": ["a", "b", "c"], "k2": ["z"]}
     dc = {r.k: r.n_distinct_v for r in salted_distinct_count(df, ["k"], "v").collect()}
     assert dc == {"k1": 3, "k2": 1}
+
+
+def test_chunk_documents_roundtrip(spark):
+    from accounts_receivable_data_pipeline_api_spark.operators.curation import (
+        chunk_documents,
+    )
+
+    txt = "abcdefghij" * 30  # 300 chars
+    df = spark.createDataFrame([(1, txt), (2, "short")], ["doc_id", "text"])
+    chunks = chunk_documents(df, chunk_chars=100, overlap=20).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 2 fits in one chunk, text preserved
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "short"
+    # doc 1: stride 80, starts 1,81,161,241 -> 4 chunks
+    assert [r.chunk_start for r in sorted(by_doc[1], key=lambda r: r.chunk_idx)] == [1, 81, 161, 241]
+    # consecutive chunks overlap by exactly 20 chars
+    ordered = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.chunk_text[-20:] == b.chunk_text[:20]
+    # every char of the original is covered
+    rebuilt = ordered[0].chunk_text + "".join(b.chunk_text[20:] for b in ordered[1:])
+    assert rebuilt == txt
+
+
+def test_split_assignment_stable_and_disjoint(spark):
+    from accounts_receivable_data_pipeline_api_spark.operators.curation import (
+        assign_split,
+        sample_by_hash,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(500)], ["doc_id"])
+    s1 = {r.doc_id: r.split for r in assign_split(df, "doc_id").collect()}
+    s2 = {r.doc_id: r.split for r in assign_split(df.repartition(13), "doc_id").collect()}
+    assert s1 == s2  # content-addressed: layout-independent
+    frac = sum(1 for v in s1.values() if v == "train") / len(s1)
+    assert 0.7 < frac < 0.9
+    # hash sample is a subset relation as pct grows
+    p5 = {r.doc_id for r in sample_by_hash(df, "doc_id", 5).collect()}
+    p20 = {r.doc_id for r in sample_by_hash(df, "doc_id", 20).collect()}
+    assert p5 <= p20 and 0 < len(p5) < len(p20) < 500
