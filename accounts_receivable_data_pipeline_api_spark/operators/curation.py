@@ -14,7 +14,7 @@ uniform, and stable across engines, so even sampling is oracle-checked.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -99,3 +99,27 @@ def chunk_documents(
         )
         .filter(F.length("chunk_text") > 0)
     )
+
+
+def pack_batches(
+    chunks: DataFrame,
+    token_col: str,
+    budget: int,
+    order_cols: tuple[str, ...] = ("doc_id", "chunk_idx"),
+    out_col: str = "batch_id",
+) -> DataFrame:
+    """Assign chunks to training batches under a token budget:
+    batch_id = floor(exclusive-prefix-sum(tokens) / budget) over a
+    PINNED global order.
+
+    Deterministic bin assignment (same inputs => same batches — the
+    reproducibility requirement for dataset versioning), at the cost of
+    a single-partition window for the global prefix sum. At 100 TB,
+    shard first (e.g. by split or hash bucket) and pack per shard: the
+    same code with order_cols prefixed by the shard key and the window
+    partitioned on it — packing is embarrassingly parallel across
+    shards.
+    """
+    w = Window.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, -1)
+    prefix = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
+    return chunks.withColumn(out_col, F.floor(prefix / budget).cast("bigint"))

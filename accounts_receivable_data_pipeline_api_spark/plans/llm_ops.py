@@ -492,3 +492,41 @@ def curation_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return chunk_documents(docs, chunk_chars=512, overlap=64)
+
+
+@register(
+    "curation_pack_batches",
+    oracle="""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+    ch AS (
+      SELECT doc_id,
+             CAST((chunk_start - 1) // 448 AS INT) AS chunk_idx,
+             CAST(length(substr(text, CAST(chunk_start AS INT), 512)) AS BIGINT) AS n_chars
+      FROM (
+        SELECT doc_id, text,
+               unnest(range(1, greatest(length(text) - 64, 1) + 1, 448)) AS chunk_start
+        FROM d
+      )
+      WHERE length(substr(text, CAST(chunk_start AS INT), 512)) > 0
+    )
+    SELECT doc_id, chunk_idx, n_chars,
+           CAST(floor(COALESCE(SUM(n_chars) OVER (
+             ORDER BY doc_id, chunk_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / 4096) AS BIGINT) AS batch_id
+    FROM ch
+    """,
+    tags=("EXT", "CURATION"),
+    doc="Token-budget sequence packing (operators/curation.py:"
+    "pack_batches): batch_id = floor(exclusive prefix sum / 4096) over "
+    "a pinned global order — deterministic bin assignment for dataset "
+    "versioning; shard-partitioned at scale.",
+)
+def curation_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import chunk_documents, pack_batches
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    chunks = chunk_documents(docs, chunk_chars=512, overlap=64).select(
+        "doc_id", "chunk_idx", F.length("chunk_text").cast("bigint").alias("n_chars")
+    )
+    return pack_batches(chunks, "n_chars", budget=4096)

@@ -248,3 +248,18 @@ def test_split_assignment_stable_and_disjoint(spark):
     p5 = {r.doc_id for r in sample_by_hash(df, "doc_id", 5).collect()}
     p20 = {r.doc_id for r in sample_by_hash(df, "doc_id", 20).collect()}
     assert p5 <= p20 and 0 < len(p5) < len(p20) < 500
+
+
+def test_pack_batches_respects_budget(spark):
+    from accounts_receivable_data_pipeline_api_spark.operators.curation import pack_batches
+
+    rows = [(d, c, 100) for d in range(3) for c in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "chunk_idx", "n_tok"])
+    out = pack_batches(df, "n_tok", budget=400).collect()
+    sizes = {}
+    for r in out:
+        sizes[r.batch_id] = sizes.get(r.batch_id, 0) + r.n_tok
+    # every batch except possibly the last is filled to the budget
+    full = sorted(sizes)[:-1]
+    assert all(sizes[b] == 400 for b in full)
+    assert sum(sizes.values()) == 1500
