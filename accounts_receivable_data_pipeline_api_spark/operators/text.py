@@ -176,3 +176,51 @@ def analyze(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         lang_pred.alias("lang_pred"),
         F.md5(F.substring(F.col("_norm"), 1, 256)).alias("fingerprint"),
     )
+
+
+def top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """TF-IDF top-k terms per document.
+
+    tf = in-doc term count; idf = ln((N+1)/(df_t+1)) + 1 (smoothed);
+    rank by score desc with token-asc tie-break. Scores are rounded to
+    6 dp before ranking so rankings are engine-portable (ln() may differ
+    in the last ulp across libm implementations).
+
+    Plan shape: explode -> two hash aggs (tf, document frequency) ->
+    broadcast of the tiny (token, df) side is NOT safe at corpus scale
+    (vocabulary grows); it stays a shuffle join on token. The N scalar
+    joins in as a broadcast literal frame (no driver-side collect, plan
+    stays lazy).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1).cast("double") / (F.col("df_t") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tf", "score", "rank")
+    )

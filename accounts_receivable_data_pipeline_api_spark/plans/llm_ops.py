@@ -530,3 +530,34 @@ def curation_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "chunk_idx", F.length("chunk_text").cast("bigint").alias("n_chars")
     )
     return pack_batches(chunks, "n_chars", budget=4096)
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter(string_split({_NORM_SQL}, ' '), x -> x != '')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    df_t AS (SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             round(tf.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (df_t.df_t + 1)) + 1.0), 6) AS score
+      FROM tf JOIN df_t USING (token) CROSS JOIN n
+    )
+    SELECT doc_id, token, tf, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, token
+      ) AS rank FROM scored
+    ) WHERE rank <= 5
+    """,
+    tags=("EXT", "TEXT"),
+    doc="TF-IDF top-5 terms per document (operators/text.py:top_terms): "
+    "explode -> tf/df aggs -> shuffle join on token -> windowed top-k. "
+    "Scores rounded to 6 dp before ranking (libm ln last-ulp).",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.top_terms(docs, k=5)
