@@ -224,3 +224,39 @@ def top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "token", "tf", "score", "rank")
     )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes + quantifiers only, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Scrub emails / phone numbers / IPv4s, emitting the redacted text
+    plus per-kind match counts (the audit signal a curation pipeline
+    logs). Pure JVM regexp — runs at scan speed on every document.
+
+    Patterns are deliberately lookaround-free so the DuckDB oracle uses
+    the byte-identical pattern strings.
+    """
+    redacted = F.col(text_col)
+    counts = []
+    for kind, pat in PII_PATTERNS.items():
+        counts.append(
+            F.size(F.split(F.col(text_col), pat)).cast("bigint") - 1
+        )
+        redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
+    out = df.select(
+        F.col(id_col),
+        redacted.alias("redacted_text"),
+        *[c.alias(f"n_{kind}") for c, kind in zip(counts, PII_PATTERNS)],
+    )
+    return out

@@ -561,3 +561,70 @@ def curation_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return text.top_terms(docs, k=5)
+
+
+_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE = "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]"
+_IPV4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+
+@register(
+    "text_redact_pii",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g'),
+               '{_PHONE}', '<PHONE>', 'g'),
+             '{_IPV4}', '<IPV4>', 'g') AS redacted_text,
+           CAST(len(regexp_split_to_array(text, '{_EMAIL}')) - 1 AS BIGINT) AS n_email,
+           CAST(len(regexp_split_to_array(text, '{_PHONE}')) - 1 AS BIGINT) AS n_phone,
+           CAST(len(regexp_split_to_array(text, '{_IPV4}')) - 1 AS BIGINT) AS n_ipv4
+    FROM documents
+    """,
+    tags=("EXT", "TEXT"),
+    doc="PII scrub (emails/phones/IPv4s) with per-kind audit counts "
+    "(operators/text.py:redact_pii). Patterns are lookaround-free so "
+    "Java regex and RE2 parse them identically.",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text.redact_pii(docs)
+
+
+@register(
+    "dedup_components",
+    oracle="""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.e, b.e) /
+                  (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                  6) >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM p
+      UNION
+      SELECT id_b, id_a FROM p
+    ),
+    reach(a, b) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+      UNION
+      SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+    )
+    SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a
+    """,
+    tags=("EXT", "DEDUP"),
+    doc="Near-dup clusters: connected components over the exact "
+    "embedding-cosine pair graph via iterative min-label propagation "
+    "(operators/dedup.py:connected_components). Oracled as a recursive "
+    "reachability closure — the iterative Spark operator and the "
+    "recursive SQL agree exactly.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_cosine_pairs(emb, threshold=0.3)
+    return dedup.connected_components(pairs)

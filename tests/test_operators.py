@@ -263,3 +263,29 @@ def test_pack_batches_respects_budget(spark):
     full = sorted(sizes)[:-1]
     assert all(sizes[b] == 400 for b in full)
     assert sum(sizes.values()) == 1500
+
+
+def test_redact_pii(spark):
+    rows = [
+        (1, "mail me at jane.doe+x@corp.example.com or call +1 (555) 123-4567 now"),
+        (2, "server at 192.168.001.1 responded"),
+        (3, "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in text.redact_pii(df).collect()}
+    assert "<EMAIL>" in out[1].redacted_text and "<PHONE>" in out[1].redacted_text
+    assert "jane" not in out[1].redacted_text and "555" not in out[1].redacted_text
+    assert out[1].n_email == 1 and out[1].n_phone == 1
+    assert out[2].redacted_text == "server at <IPV4> responded" and out[2].n_ipv4 == 1
+    assert out[3].redacted_text == rows[2][1]
+    assert (out[3].n_email, out[3].n_phone, out[3].n_ipv4) == (0, 0, 0)
+
+
+def test_connected_components(spark):
+    # components: {1,2,3,4} (chain), {10,11}, singleton {99}
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], ["doc_id"])
+    out = {r.node: r.component for r in dedup.connected_components(pairs, nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
