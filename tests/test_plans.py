@@ -1,0 +1,56 @@
+"""Physical-plan quality gates: the properties that make these queries
+viable at 100 TB, asserted on the actual executed plans so a refactor
+can't silently regress them (SURVEY §4.2)."""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entry_mod
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = entry_mod.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filters_push_into_parquet_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q3_top_orders")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("c_mktsegment" in p for p in pushed)
+    assert any("o_orderdate" in p for p in pushed)
+    assert any("l_shipdate" in p for p in pushed)
+
+
+def test_small_dims_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q5_nation_revenue")
+    assert "BroadcastHashJoin" in plan
+    plan2 = _plan(spark, sf_dir, "ar_past_due_page")
+    assert "BroadcastHashJoin" in plan2
+
+
+def test_columns_prune_to_projection(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "window_topk_per_customer")
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    cols = [c.split(":")[0] for c in schemas[0].split(",")]
+    assert set(cols) == {"o_orderkey", "o_custkey", "o_totalprice"}
+
+
+def test_asof_join_is_single_shuffle_no_join(spark, sf_dir):
+    """The as-of join compiles to union + one window shuffle — no join
+    operator, no per-row subquery."""
+    plan = _plan(spark, sf_dir, "join_asof_purchase_signup")
+    ops = re.findall(r"\n\(\d+\) (\S+)", plan)
+    assert not any("Join" in op for op in ops), ops
+    assert sum(1 for op in ops if op == "Exchange") == 1, ops
+
+
+def test_aggregates_have_partial_final_split(spark, sf_dir):
+    """Map-side combine: partial aggregate before the exchange, final
+    after — sum/count never ship raw rows."""
+    plan = _plan(spark, sf_dir, "ar_monthly_rollup")
+    agg_ops = re.findall(r"(HashAggregate|SortAggregate)", plan)
+    assert len(agg_ops) >= 2, plan
