@@ -161,3 +161,37 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "window_sliding_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS DECIMAL(18,2)) AS moving_sum3,
+           CAST(COUNT(*) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS frame_n
+    FROM events
+    """,
+    tags=("EXT", "TEMPORAL", "W"),
+    doc="Explicit sliding frame spec (ROWS BETWEEN 2 PRECEDING AND "
+    "CURRENT ROW): 3-event moving sum per user, decimal-exact, full "
+    "tie-break on (ts, event_id).",
+)
+def window_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("decimal(18,2)").alias("moving_sum3"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("frame_n"),
+    )
