@@ -44,7 +44,10 @@ HEADLINE = (
     "similarity_brute_topk_pandas",
     "text_stats",
     "text_quality",
+    "text_tfidf_topk",
     "multimodal_decode",
+    "curation_chunks",
+    "window_sessionize",
 )
 
 
