@@ -944,3 +944,57 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "json_typed_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k,
+           CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod
+    FROM events WHERE event_id < 2000
+    """,
+    tags=("EXT", "JSON"),
+    doc="Typed JSON parsing via from_json with an explicit schema "
+    "(struct<k:int>) — the schema-on-read path for the events.props "
+    "column; contrast with json_props_extract's get_json_object.",
+)
+def json_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    schema = StructType([StructField("k", IntegerType())])
+    parsed = events.withColumn("p", F.from_json("props", schema))
+    return parsed.select(
+        "event_id",
+        F.col("p.k").alias("k"),
+        (F.col("p.k") % 10).alias("k_mod"),
+    )
+
+
+@register(
+    "sql_front_door",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("EXT", "SQL"),
+    doc="Pure-SQL entry path: the identical ANSI SQL string runs through "
+    "spark.sql() over registered views (sources/star.py:register_views) "
+    "— demonstrating the engine's SQL front door produces the same "
+    "results as the DataFrame API.",
+)
+def sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.star import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        """
+    )
