@@ -24,6 +24,10 @@ QUERIES = (
     "similarity_brute_topk",
     "agg_percentiles",
     "window_sessionize",
+    # rows-only (non-oracled) entries: partition-invariance is their
+    # only cross-layout value check
+    "dedup_minhash_lsh",
+    "similarity_ivf_topk",
 )
 
 
