@@ -87,6 +87,6 @@ def configure_session(spark: SparkSession) -> SparkSession:
             spark.conf.set(key, value)
         except Exception:
             pass  # static conf on a running session; defaults still correct
-    for key in ("spark.sql.adaptive.enabled",):
+    for key in ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions"):
         spark.conf.set(key, ADAPTIVE_CONFS[key])
     return spark
