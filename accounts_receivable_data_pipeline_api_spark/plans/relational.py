@@ -12,6 +12,18 @@ low bits depend on Spark's partition reduce order and would never
 hash-match a serial DuckDB sum). Averages divide the exact decimal sum
 cast to double by the count — one IEEE op, bit-identical on both
 engines.
+
+Output-boundary rule (round-2 driver finding): decimals are INTERNAL
+only — every final output column is double/int/string/date, never
+DECIMAL. The driver's oracle fetch renders decimals scale-free (2494.00
+-> "2494.0") while Spark's collect preserves scale ("2494.00"), so any
+decimal output value with a trailing zero in its last place
+hash-mismatches even when bit-exact. Verified empirically against
+CORRECTNESS_r01.json: the trailing-zero predicate separates all 13
+hash failures from all 32 passes with zero exceptions (row order is
+irrelevant — 5k-row unordered queries pass). The exact decimal sum cast
+to double is correctly rounded on both engines, so doubles at the
+boundary are bit-identical and scale-free.
 """
 
 from __future__ import annotations
@@ -44,7 +56,7 @@ def _davg(sum_col, count_col):
     oracle="""
     SELECT o_orderkey, c_name AS customer_name,
            CAST(o_orderdate AS DATE) AS order_date,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total, o_orderstatus
+           o_totalprice AS total, o_orderstatus
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE CAST(o_totalprice AS DECIMAL(18,2)) > 150000
       AND CAST(o_orderdate AS DATE) < DATE '1997-06-01'
@@ -72,7 +84,7 @@ def ar_past_due_page(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.col("c_name").alias("customer_name"),
             F.col("o_orderdate").cast("date").alias("order_date"),
-            _money("o_totalprice").alias("total"),
+            F.col("o_totalprice").alias("total"),
             "o_orderstatus",
         )
         .orderBy(F.col("order_date").asc(), F.col("o_orderkey").asc())
@@ -86,7 +98,7 @@ def ar_past_due_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT '1996-03' AS month,
            COALESCE(MIN(o_orderpriority), 'NONE') AS top_priority,
-           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS sum_total,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_total,
            COUNT(*) AS count_orders
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE CAST(o_orderdate AS DATE) >= DATE '1996-03-01'
@@ -110,7 +122,7 @@ def ar_monthly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.lit("1996-03").alias("month"),
             F.coalesce(F.min("o_orderpriority"), F.lit("NONE")).alias("top_priority"),
-            F.coalesce(F.sum(_money("o_totalprice")), F.lit(0)).cast(MONEY).alias("sum_total"),
+            F.coalesce(F.sum(_money("o_totalprice")), F.lit(0)).cast("double").alias("sum_total"),
             F.count(F.lit(1)).alias("count_orders"),
         )
     )
@@ -120,7 +132,7 @@ def ar_monthly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ar_monthly_rollup",
     oracle="""
     SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
            COUNT(*) AS count_orders,
            MIN(o_orderpriority) AS top_priority
     FROM orders
@@ -135,7 +147,7 @@ def ar_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.groupBy(F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("month"))
         .agg(
-            F.sum(_money("o_totalprice")).cast(MONEY).alias("sum_total"),
+            F.sum(_money("o_totalprice")).cast("double").alias("sum_total"),
             F.count(F.lit(1)).alias("count_orders"),
             F.min("o_orderpriority").alias("top_priority"),
         )
@@ -204,10 +216,10 @@ def ar_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ar_upsert_last_wins",
     oracle="""
     WITH unioned AS (
-      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS amount, 0 AS priority
+      SELECT o_orderkey, o_totalprice AS amount, 0 AS priority
       FROM orders WHERE o_orderkey < 5000
       UNION ALL
-      SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)), 1
+      SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DOUBLE), 1
       FROM orders WHERE o_orderkey >= 2500 AND o_orderkey < 7500
     )
     SELECT o_orderkey, amount, priority FROM (
@@ -222,11 +234,11 @@ def ar_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ar_upsert_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     existing = orders.filter(F.col("o_orderkey") < 5000).select(
-        "o_orderkey", _money("o_totalprice").alias("amount"), F.lit(0).alias("priority")
+        "o_orderkey", F.col("o_totalprice").alias("amount"), F.lit(0).alias("priority")
     )
     batch = orders.filter((F.col("o_orderkey") >= 2500) & (F.col("o_orderkey") < 7500)).select(
         "o_orderkey",
-        (_money("o_totalprice") * 2).cast(MONEY).alias("amount"),
+        (_money("o_totalprice") * 2).cast("double").alias("amount"),
         F.lit(1).alias("priority"),
     )
     w = Window.partitionBy("o_orderkey").orderBy(F.col("priority").desc())
@@ -260,7 +272,7 @@ def ar_dup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ar_quarantine_stats",
     oracle="""
     SELECT is_clean, COUNT(*) AS n,
-           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))), 0) AS DECIMAL(18,2)) AS sum_value
+           CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_value
     FROM (
       SELECT value,
              (value IS NOT NULL AND value >= 0
@@ -285,7 +297,7 @@ def ar_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("is_clean")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum(_money("value")), F.lit(0)).cast(MONEY).alias("sum_value"),
+            F.coalesce(F.sum(_money("value")), F.lit(0)).cast("double").alias("sum_value"),
         )
     )
 
@@ -294,7 +306,7 @@ def ar_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ar_ci_lookup",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment,
-           CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal
+           c_acctbal AS acctbal
     FROM customer WHERE LOWER(c_name) = LOWER('Customer#000000042')
     """,
     tags=("P6", "F1"),
@@ -305,7 +317,7 @@ def ar_ci_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.filter(
         F.lower(F.col("c_name")) == F.lit("Customer#000000042".lower())
     ).select(
-        "c_custkey", "c_name", "c_mktsegment", _money("c_acctbal").alias("acctbal")
+        "c_custkey", "c_name", "c_mktsegment", F.col("c_acctbal").alias("acctbal")
     )
 
 
@@ -313,7 +325,7 @@ def ar_ci_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ar_key_lookup",
     oracle="""
     SELECT o_orderkey, c_name AS customer_name, o_orderstatus,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total,
+           o_totalprice AS total,
            CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE o_orderkey = 1042
@@ -331,7 +343,7 @@ def ar_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.col("c_name").alias("customer_name"),
             "o_orderstatus",
-            _money("o_totalprice").alias("total"),
+            F.col("o_totalprice").alias("total"),
             F.col("o_orderdate").cast("date").alias("order_date"),
             "o_orderpriority",
         )
@@ -342,7 +354,7 @@ def ar_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ar_keyset_page",
     oracle="""
     SELECT o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total
+           o_totalprice AS total
     FROM orders
     WHERE (CAST(o_orderdate AS DATE) > DATE '1996-06-15'
            OR (CAST(o_orderdate AS DATE) = DATE '1996-06-15' AND o_orderkey > 5000))
@@ -367,7 +379,7 @@ def ar_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_orderkey",
             d.alias("order_date"),
-            _money("o_totalprice").alias("total"),
+            F.col("o_totalprice").alias("total"),
         )
         .orderBy("order_date", "o_orderkey")
         .limit(50)
@@ -383,15 +395,15 @@ def ar_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q1_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
            CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                 * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))
-                AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+                AS DECIMAL(24,4))) AS DOUBLE) AS sum_disc_price,
            CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                 * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2)) AS DECIMAL(24,4))
                 * CAST(1 + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(4,2))
-                AS DECIMAL(30,6))) AS DECIMAL(38,6)) AS sum_charge,
+                AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
            CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
            CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_price,
            CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_disc,
@@ -419,10 +431,10 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.filter(F.col("l_shipdate").cast("date") <= F.lit("2000-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(price).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,4)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
             _davg(F.sum(qty), n).alias("avg_qty"),
             _davg(F.sum(price), n).alias("avg_price"),
             _davg(F.sum(disc), n).alias("avg_disc"),
@@ -437,7 +449,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey,
            CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                 * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))
-                AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS revenue,
+                AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
            CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -471,7 +483,7 @@ def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date").alias("order_date"),
             "o_orderpriority",
         )
-        .agg(F.sum(disc_price).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "order_date", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
@@ -484,7 +496,7 @@ def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n_name,
            CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                 * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))
-                AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS revenue
+                AS DECIMAL(24,4))) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -523,7 +535,7 @@ def tpch_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region.filter(F.col("r_regionkey") == 0)), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
-        .agg(F.sum(disc_price).cast("decimal(38,4)").alias("revenue"))
+        .agg(F.sum(disc_price).cast("double").alias("revenue"))
     )
 
 
@@ -608,7 +620,7 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_topk_per_customer",
     oracle="""
     SELECT o_custkey, o_orderkey, rn,
-           CAST(o_totalprice AS DECIMAL(18,2)) AS total
+           o_totalprice AS total
     FROM (
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY o_custkey
@@ -625,7 +637,7 @@ def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", "rn", _money("o_totalprice").alias("total"))
+        .select("o_custkey", "o_orderkey", "rn", F.col("o_totalprice").alias("total"))
     )
 
 
@@ -660,7 +672,7 @@ def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
              PARTITION BY o_custkey
              ORDER BY CAST(o_orderdate AS DATE), o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DECIMAL(18,2)) AS running_total
+           ) AS DOUBLE) AS running_total
     FROM orders WHERE o_custkey < 200
     """,
     tags=("EXT", "W"),
@@ -676,7 +688,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.filter(F.col("o_custkey") < 200).select(
         "o_custkey",
         "o_orderkey",
-        F.sum(_money("o_totalprice")).over(w).cast(MONEY).alias("running_total"),
+        F.sum(_money("o_totalprice")).over(w).cast("double").alias("running_total"),
     )
 
 
@@ -689,7 +701,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup_nation_segment",
     oracle="""
     SELECT n_name, c_mktsegment, COUNT(*) AS n,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY ROLLUP (n_name, c_mktsegment)
     """,
@@ -704,7 +716,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rollup("n_name", "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_money("c_acctbal")).cast(MONEY).alias("sum_bal"),
+            F.sum(_money("c_acctbal")).cast("double").alias("sum_bal"),
         )
     )
 
@@ -713,7 +725,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cube_status_priority",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -724,7 +736,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(_money("o_totalprice")).cast(MONEY).alias("sum_total"),
+        F.sum(_money("o_totalprice")).cast("double").alias("sum_total"),
     )
 
 
@@ -854,7 +866,7 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT date_trunc('hour', ts) AS window_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY window_start, event_type
     """,
@@ -872,7 +884,7 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_money("value")).cast(MONEY).alias("sum_value"),
+            F.sum(_money("value")).cast("double").alias("sum_value"),
         )
     )
 
@@ -881,7 +893,7 @@ def events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_salted_skew",
     oracle="""
     SELECT o.o_orderkey, o.o_custkey, c.c_name,
-           CAST(o.o_totalprice AS DECIMAL(18,2)) AS total
+           o.o_totalprice AS total
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     """,
     tags=("EXT", "JOIN", "SKEW"),
@@ -899,7 +911,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = salted_join(orders, customer, on=["o_custkey"], num_salts=8)
     return joined.select(
-        "o_orderkey", "o_custkey", "c_name", _money("o_totalprice").alias("total")
+        "o_orderkey", "o_custkey", "c_name", F.col("o_totalprice").alias("total")
     )
 
 
@@ -1004,7 +1016,7 @@ def sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
@@ -1020,7 +1032,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT o_orderstatus, o_orderpriority,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_total,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM __gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())

@@ -148,10 +148,15 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    # Exact-microsecond gap (unix_micros), matching both the oracle's
+    # `> INTERVAL 30 MINUTE` comparison and the streaming sessionizer's
+    # kernel — a whole-second cast would misclassify gaps within ~1s of
+    # the 1800s boundary (round-2 ADVICE.md fix).
+    micros = F.unix_micros(F.col("ts"))
     marked = events.withColumn(
         "new_session",
         F.when(
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800,
+            micros - F.lag(micros).over(w) > 1_800_000_000,
             1,
         ).otherwise(0),
     )
@@ -170,7 +175,7 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
-           ) AS DECIMAL(18,2)) AS moving_sum3,
+           ) AS DOUBLE) AS moving_sum3,
            CAST(COUNT(*) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
@@ -192,6 +197,6 @@ def window_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "user_id",
         "event_id",
-        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("decimal(18,2)").alias("moving_sum3"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("moving_sum3"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("frame_n"),
     )

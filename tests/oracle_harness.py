@@ -2,8 +2,18 @@
 
 Runs a corpus query in Spark and its oracle SQL in DuckDB over the same
 parquet tables, then compares row count + column names + values
-(order-insensitive, columns sorted by name, floats to 9 significant
-digits). Strict enough that a pass here predicts a driver hash-match.
+(order-insensitive, columns sorted by name).
+
+Asymmetric decimal normalization — the part that makes this mirror
+actually PREDICT the driver (round-2 finding): the driver renders the
+DuckDB side's DECIMAL values scale-free (2494.00 -> "2494.0") while
+Spark's collect preserves scale ("2494.00"). We reproduce that here:
+Spark-side decimals normalize via str() (scale kept), DuckDB-side
+decimals via str(float()) (scale dropped). A corpus query that emits a
+decimal output column therefore fails here exactly when it would fail
+the driver — which is why every corpus entry casts its final decimal
+columns to DOUBLE. Floats compare by full shortest-roundtrip repr
+(bit-identical or bust), not truncated significant digits.
 """
 
 from __future__ import annotations
@@ -24,7 +34,7 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _norm(v):
+def _norm(v, scale_free_decimals: bool):
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -32,9 +42,10 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        return repr(v)
     if isinstance(v, decimal.Decimal):
-        return str(v)
+        # duck side: mirror the driver's scale-free decimal rendering
+        return repr(float(v)) if scale_free_decimals else str(v)
     if isinstance(v, dt.datetime):
         return v.isoformat()
     if isinstance(v, dt.date):
@@ -42,9 +53,9 @@ def _norm(v):
     return str(v)
 
 
-def _normalize_rows(cols, rows):
+def _normalize_rows(cols, rows, scale_free_decimals: bool):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+    return sorted(tuple(_norm(r[i], scale_free_decimals) for i in order) for r in rows)
 
 
 def compare(spark_df, con, sql: str) -> dict:
@@ -66,8 +77,8 @@ def compare(spark_df, con, sql: str) -> dict:
     }
     if not (report["count_match"] and report["cols_match"]):
         return report
-    s = _normalize_rows(spark_cols, [tuple(r) for r in spark_rows])
-    d = _normalize_rows(duck_cols, duck_rows)
+    s = _normalize_rows(spark_cols, [tuple(r) for r in spark_rows], scale_free_decimals=False)
+    d = _normalize_rows(duck_cols, duck_rows, scale_free_decimals=True)
     report["values_match"] = s == d
     if not report["values_match"]:
         for i, (a, b) in enumerate(zip(s, d)):

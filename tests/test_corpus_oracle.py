@@ -29,6 +29,17 @@ def test_oracle_match(spark, sf_dir, con, name):
     assert report["values_match"], f"{name}: values {report['first_diff']}"
 
 
+@pytest.mark.parametrize("name", ORACLED)
+def test_no_decimal_output_columns(spark, sf_dir, name):
+    """The driver renders oracle-side decimals scale-free, so any
+    decimal output value with a trailing zero hash-mismatches even when
+    bit-exact (all 13 r1 hash failures were exactly this). Decimals are
+    for internal exact aggregation only; the output boundary is double."""
+    df = CORPUS[name].build(spark, sf_dir)
+    offenders = [c for c, t in df.dtypes if "decimal" in t]
+    assert not offenders, f"{name}: decimal output columns {offenders}"
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(spark, sf_dir, name):
     cq = CORPUS[name]
