@@ -52,43 +52,133 @@ ROW_IDX = "__row_idx"
 DEFAULT_CSV = "/root/reference/data/unicorn_inc.csv"
 
 
+# Bits reserved for the within-file row position in ROW_IDX: files are
+# ordered in the high bits, rows within a file in the low 40 (supports
+# ~1.1e12 rows per file).
+_FILE_ORD_SHIFT = 40
+
+
 def read_raw_invoices(spark: SparkSession, path: str = DEFAULT_CSV) -> DataFrame:
     """All-string CSV read (S1) with a deterministic file-order row index.
 
-    ``monotonically_increasing_id`` encodes (partition, offset); for a
-    file-based scan the planner orders splits by (file, offset), so the
-    id is monotone in file order — the property first-seen/last-wins
-    semantics need. At 100 TB the same recipe holds per-file; cross-file
-    order comes from the lexicographic file listing.
+    ROW_IDX is derived from data, not from scan layout (round-2 fix —
+    the previous ``monotonically_increasing_id`` claim was wrong: Spark
+    bin-packs splits sorted by SIZE DESCENDING, not by file path, so the
+    raw id is not file-order monotone on multi-file or multi-split
+    input). The deterministic construction:
+
+      1. ``_metadata.file_path`` + ``_metadata.file_block_start`` stamp
+         each row with its file and byte-range; within one block rows
+         are scanned sequentially, so a per-block
+         ``monotonically_increasing_id`` orders rows inside the block.
+      2. per-file position = row_number() over
+         (partitionBy file, orderBy block_start, intra-block id) — a
+         shuffle keyed by FILE, so at 100 TB each file's window runs in
+         parallel across executors; no global single-partition sort.
+      3. file ordinal = row_number over the lexicographically sorted
+         DISTINCT file list (O(#files) rows, broadcast back) — "file
+         order" is the explicit lexicographic listing, matching how the
+         reference would `for f in sorted(glob(...))`.
+      4. ROW_IDX = file_ordinal << 40 | per-file position (0-based), so
+         a single-file read keeps ROW_IDX == CSV data-row offset, which
+         the stats path relies on for 1-based row numbers
+         (reference scripts/ingest.py:121-199).
+
+    First-seen ids (Q10), contact backfill, and last-wins upsert (Q11)
+    all order by this index, so their results are independent of
+    partition count and split packing — pinned by
+    tests/test_ar_ingest.py::test_multifile_order with size-inverted
+    files.
     """
     raw = spark.read.csv(path, header=True, inferSchema=False)
-    return raw.withColumn(ROW_IDX, F.monotonically_increasing_id())
+    stamped = (
+        raw.withColumn("__file", F.col("_metadata.file_path"))
+        .withColumn("__block", F.col("_metadata.file_block_start"))
+        .withColumn("__seq", F.monotonically_increasing_id())
+    )
+    in_file = Window.partitionBy("__file").orderBy("__block", "__seq")
+    files = (
+        stamped.select("__file")
+        .distinct()
+        .withColumn(
+            "__file_ord",
+            (F.row_number().over(Window.orderBy("__file")) - 1).cast("long"),
+        )
+    )
+    return (
+        stamped.withColumn("__pos", (F.row_number().over(in_file) - 1).cast("long"))
+        .join(F.broadcast(files), "__file")
+        .withColumn(
+            ROW_IDX,
+            F.shiftleft(F.col("__file_ord"), _FILE_ORD_SHIFT) + F.col("__pos"),
+        )
+        .drop("__file", "__block", "__seq", "__pos", "__file_ord")
+    )
+
+
+def _bad_money(name: str):
+    trimmed = F.trim(F.col(name))
+    return trimmed.isNotNull() & (trimmed != "") & trimmed.try_cast("decimal(18,2)").isNull()
+
+
+def _bad_date(name: str):
+    head = F.split(F.trim(F.col(name)), " ").getItem(0)
+    return (
+        F.col(name).isNotNull()
+        & (F.trim(F.col(name)) != "")
+        & F.try_to_timestamp(head, F.lit("M/d/yy")).isNull()
+    )
+
+
+# (reason, predicate) in the reference's raise order, so the synthesized
+# "error" field names the FIRST failure the reference would hit
+# (scripts/ingest.py:125-167: CustomerName.strip -> parse_money(BillTotal)
+# -> parse_money(Applied) -> parse_invoice_date -> parse_due_date_raw ->
+# InvoiceNumber.strip -> CustomerPoNumber.strip). parse_due_date_raw and
+# extract_terms_days are None-guarded in the reference, so only a
+# malformed non-empty DueDate errors, and CustomerTerms never does.
+def _error_cases():
+    attr = "AttributeError(\"'NoneType' object has no attribute 'strip'\")"
+    return [
+        (f"{attr} [CustomerName]", F.col("CustomerName").isNull()),
+        ("InvalidOperation [BillTotal]", _bad_money("BillTotal")),
+        ("InvalidOperation [Applied]", _bad_money("Applied")),
+        ("ValueError [InvoiceDate]", _bad_date("InvoiceDate")),
+        ("ValueError [DueDate]", _bad_date("DueDate")),
+        (f"{attr} [InvoiceNumber]", F.col("InvoiceNumber").isNull()),
+        (f"{attr} [CustomerPoNumber]", F.col("CustomerPoNumber").isNull()),
+    ]
 
 
 def _error_predicate(raw: DataFrame):
     """Rows the reference would quarantine (Q8): any scalar parse that
     raises. Decimal() raises on malformed money; strptime raises on
-    malformed non-empty dates. Missing CustomerName (None) raises
-    AttributeError on .strip()."""
-    def bad_money(name: str):
-        trimmed = F.trim(F.col(name))
-        return trimmed.isNotNull() & (trimmed != "") & trimmed.try_cast("decimal(18,2)").isNull()
+    malformed non-empty dates; .strip() on a missing CustomerName /
+    InvoiceNumber / CustomerPoNumber raises AttributeError
+    (reference scripts/ingest.py:125,160,165).
 
-    def bad_date(name: str):
-        head = F.split(F.trim(F.col(name)), " ").getItem(0)
-        return (
-            F.col(name).isNotNull()
-            & (F.trim(F.col(name)) != "")
-            & F.try_to_timestamp(head, F.lit("M/d/yy")).isNull()
-        )
+    Known conflation, documented: Spark's CSV parser returns NULL for
+    both an EMPTY unquoted field and a MISSING field of a short row
+    (verified — a sentinel nullValue doesn't change this), while Python's
+    DictReader yields "" vs None respectively. The reference keeps
+    empty-identifier rows ("".strip() succeeds) but errors on short
+    rows. We quarantine NULL identifiers, which matches the reference on
+    every structurally well-formed CSV (the golden file has no empty
+    identifier fields) and errs toward hygiene on short rows.
+    """
+    cases = _error_cases()
+    pred = cases[0][1]
+    for _, p in cases[1:]:
+        pred = pred | p
+    return pred
 
-    return (
-        F.col("CustomerName").isNull()
-        | bad_money("BillTotal")
-        | bad_money("Applied")
-        | bad_date("InvoiceDate")
-        | bad_date("DueDate")
-    )
+
+def _error_reason():
+    """CASE expression naming the first reference-order failure."""
+    expr = F.lit(None).cast("string")
+    for reason, pred in reversed(_error_cases()):
+        expr = F.when(pred, F.lit(reason)).otherwise(expr)
+    return expr
 
 
 def split_clean_quarantine(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -211,8 +301,17 @@ def ingest(spark: SparkSession, path: str = DEFAULT_CSV) -> IngestResult:
     n_customers = customers.count()
     n_errors = quarantine.count()
     error_examples = [
-        {"row_number": r[ROW_IDX] + 1, "row": {c: r[c] for c in RAW_COLUMNS}}
-        for r in quarantine.orderBy(ROW_IDX).limit(5).collect()
+        {
+            "row_number": r[ROW_IDX] + 1,
+            "row": {c: r[c] for c in RAW_COLUMNS},
+            "error": r["__error"],
+        }
+        for r in (
+            quarantine.withColumn("__error", _error_reason())
+            .orderBy(ROW_IDX)
+            .limit(5)
+            .collect()
+        )
     ]
     dup_examples = [
         f"Duplicate InvoiceNumber {r['invoice_number']!r}"

@@ -103,3 +103,50 @@ def test_get_invoice_roundtrip(result):
     assert row["bill_total"] == Decimal("3150.00")
     missing = q.get_invoice(result.invoices, result.customers, "NOPE").first()
     assert missing is None
+
+
+HEADER = (
+    "CustomerName,InvoiceNumber,InvoiceDate,CustomerPoNumber,BillTotal,Applied,"
+    "Status,Currency,ContactName,ContactPhone,ContactEmail,CustomerTerms,DueDate"
+)
+
+
+def _row(name, inv, contact="", bill="100.00"):
+    return f"{name},{inv},1/5/24,PO1,{bill},0,Open,USD,{contact},,,Net 30,"
+
+
+def test_multifile_order(spark, tmp_path):
+    """ROW_IDX must follow (lexicographic file, in-file row) order even
+    when Spark's size-descending split packing visits files in the other
+    order. The lexicographically FIRST file is deliberately the SMALLER
+    one, so the bin-packer reads file b first — the old
+    monotonically_increasing_id index would invert first-seen/last-wins
+    here (round-2 VERDICT fix #3)."""
+    d = tmp_path / "multi"
+    d.mkdir()
+    # a.csv: 2 rows; b.csv: 200 rows (larger => scheduled first by size)
+    a_rows = [
+        _row("Alpha Co", "INV-A1", contact=""),  # blank contact: backfill comes later
+        _row("Dup Co", "INV-DUP", bill="111.00"),
+    ]
+    b_rows = (
+        [_row("Alpha Co", "INV-B1", contact="From B")]
+        + [_row("Beta Co", f"INV-B{i}", contact="Beta Contact") for i in range(2, 199)]
+        + [_row("Dup Co", "INV-DUP", bill="222.00")]
+    )
+    (d / "a.csv").write_text("\n".join([HEADER, *a_rows]) + "\n")
+    (d / "b.csv").write_text("\n".join([HEADER, *b_rows]) + "\n")
+
+    res = ingest(spark, str(d))
+    customers = {r["name"]: r for r in res.customers.collect()}
+    # First-seen order (Q10): file a registers Alpha then Dup; Beta only in b.
+    assert customers["Alpha Co"]["id"] == 1
+    assert customers["Dup Co"]["id"] == 2
+    assert customers["Beta Co"]["id"] == 3
+    # Contact backfill: Alpha's first non-empty contact is in file b.
+    assert customers["Alpha Co"]["contact_name"] == "From B"
+    # Last-wins upsert (Q11): the b.csv duplicate (file-order later) wins.
+    dup = res.invoices.filter("invoice_number = 'INV-DUP'").collect()
+    assert len(dup) == 1
+    assert dup[0]["bill_total"] == Decimal("222.00")
+    assert res.stats["n_rows"] == len(a_rows) + len(b_rows)
