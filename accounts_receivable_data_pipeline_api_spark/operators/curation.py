@@ -107,19 +107,28 @@ def pack_batches(
     budget: int,
     order_cols: tuple[str, ...] = ("doc_id", "chunk_idx"),
     out_col: str = "batch_id",
+    shard_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Assign chunks to training batches under a token budget:
     batch_id = floor(exclusive-prefix-sum(tokens) / budget) over a
-    PINNED global order.
+    PINNED order.
 
     Deterministic bin assignment (same inputs => same batches — the
-    reproducibility requirement for dataset versioning), at the cost of
-    a single-partition window for the global prefix sum. At 100 TB,
-    shard first (e.g. by split or hash bucket) and pack per shard: the
-    same code with order_cols prefixed by the shard key and the window
-    partitioned on it — packing is embarrassingly parallel across
-    shards.
+    reproducibility requirement for dataset versioning).
+
+    ``shard_cols`` is the scale switch. Empty: one global prefix sum —
+    a single-partition window, acceptable only for bounded frames (one
+    epoch shard, a debugging run). Non-empty: the window PARTITIONS on
+    the shard key, so prefix sums run in parallel across shards and no
+    task ever sees more than one shard — the 100 TB shape (shard by
+    split or a hash bucket of the document id; batch_id is then scoped
+    per shard, and (shard, batch_id) is the global batch key). Shard
+    assignment should itself be content-addressed (hash_bucket) so the
+    whole packing stays reproducible across cluster sizes. Plan shape
+    (no single-partition exchange in the sharded form) is asserted in
+    tests/test_plans.py.
     """
-    w = Window.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, -1)
+    base = Window.partitionBy(*shard_cols) if shard_cols else Window
+    w = base.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, -1)
     prefix = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
     return chunks.withColumn(out_col, F.floor(prefix / budget).cast("bigint"))

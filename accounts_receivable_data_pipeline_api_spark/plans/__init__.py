@@ -37,6 +37,7 @@ _DEMOTED = [
     "similarity_brute_topk_pandas",
     "multimodal_resize",
     # rows-only entries (driver check is row-count only; recall pinned in pytest)
+    "dedup_components_lsh",
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "dedup_embedding_lsh",

@@ -500,6 +500,7 @@ def curation_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
     ch AS (
       SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4 AS shard,
              CAST((chunk_start - 1) // 448 AS INT) AS chunk_idx,
              CAST(length(substr(text, CAST(chunk_start AS INT), 512)) AS BIGINT) AS n_chars
       FROM (
@@ -509,27 +510,35 @@ def curation_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
       WHERE length(substr(text, CAST(chunk_start AS INT), 512)) > 0
     )
-    SELECT doc_id, chunk_idx, n_chars,
+    SELECT doc_id, shard, chunk_idx, n_chars,
            CAST(floor(COALESCE(SUM(n_chars) OVER (
+             PARTITION BY shard
              ORDER BY doc_id, chunk_idx
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
            ), 0) / 4096) AS BIGINT) AS batch_id
     FROM ch
     """,
     tags=("EXT", "CURATION"),
-    doc="Token-budget sequence packing (operators/curation.py:"
-    "pack_batches): batch_id = floor(exclusive prefix sum / 4096) over "
-    "a pinned global order — deterministic bin assignment for dataset "
-    "versioning; shard-partitioned at scale.",
+    doc="Token-budget sequence packing, SHARDED form (operators/"
+    "curation.py:pack_batches): shard = content-addressed hash bucket "
+    "of doc_id, batch_id = floor(exclusive prefix sum / 4096) within "
+    "the shard. Prefix sums run per-shard in parallel — no "
+    "single-partition window anywhere in the plan (asserted in "
+    "test_plans.py); (shard, batch_id) is the global batch key.",
 )
 def curation_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.curation import chunk_documents, pack_batches
+    from ..operators.curation import chunk_documents, hash_bucket, pack_batches
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    chunks = chunk_documents(docs, chunk_chars=512, overlap=64).select(
-        "doc_id", "chunk_idx", F.length("chunk_text").cast("bigint").alias("n_chars")
+    chunks = (
+        chunk_documents(docs, chunk_chars=512, overlap=64)
+        .select(
+            "doc_id", "chunk_idx", F.length("chunk_text").cast("bigint").alias("n_chars")
+        )
+        .withColumn("shard", hash_bucket(F.col("doc_id").cast("string"), 4))
     )
-    return pack_batches(chunks, "n_chars", budget=4096)
+    packed = pack_batches(chunks, "n_chars", budget=4096, shard_cols=("shard",))
+    return packed.select("doc_id", "shard", "chunk_idx", "n_chars", "batch_id")
 
 
 @register(
@@ -622,9 +631,36 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding-cosine pair graph via iterative min-label propagation "
     "(operators/dedup.py:connected_components). Oracled as a recursive "
     "reachability closure — the iterative Spark operator and the "
-    "recursive SQL agree exactly.",
+    "recursive SQL agree exactly. The exact O(n^2) pair input is the "
+    "ORACLE-PARITY baseline only; dedup_components_lsh is the scale "
+    "path (LSH-blocked candidates, no cross join).",
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = dedup.embedding_cosine_pairs(emb, threshold=0.3)
     return dedup.connected_components(pairs)
+
+
+@register(
+    "dedup_components_lsh",
+    oracle=None,  # candidate generation is a GEMM over md5-seeded
+    # hyperplanes — deterministic but not SQL-expressible; correctness
+    # pinned by tests (cluster-membership soundness vs the exact graph,
+    # no-crossjoin plan gate).
+    tags=("EXT", "DEDUP"),
+    doc="Near-dup clustering at corpus scale: connected components over "
+    "banded hyperplane-LSH candidate pairs "
+    "(operators/dedup.py:embedding_cosine_pairs_lsh) instead of the "
+    "exact O(n^2) graph — candidate generation is L self equi-joins on "
+    "a small long key, never a cross join (asserted in test_plans.py). "
+    "nodes= passes the full vector id set, so singletons surface as "
+    "their own component and the output is a total keep/drop map. "
+    "LSH recall < 1 can only SPLIT true clusters, never merge false "
+    "ones (every emitted pair is exact-cosine-verified >= threshold): "
+    "components here are always subsets of the exact components "
+    "(tests/test_operators.py pins this).",
+)
+def dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_cosine_pairs_lsh(emb, dim=64, threshold=0.3)
+    return dedup.connected_components(pairs, nodes=emb.select("vec_id"))

@@ -289,3 +289,35 @@ def test_connected_components(spark):
     nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], ["doc_id"])
     out = {r.node: r.component for r in dedup.connected_components(pairs, nodes).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_components_over_lsh_refine_exact(spark, sf_dir):
+    """The scale-path clustering (components over LSH candidates) must
+    be a REFINEMENT of the exact clustering: every emitted pair is
+    exact-verified, so LSH misses can split true clusters but never
+    merge unrelated ones — two nodes sharing an LSH component must
+    share the exact component. Singletons must cover the full id set."""
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact_pairs = dedup.embedding_cosine_pairs(emb, 0.3)
+    exact = {
+        r.node: r.component
+        for r in dedup.connected_components(
+            exact_pairs, nodes=emb.select("vec_id")
+        ).collect()
+    }
+    lsh_pairs = dedup.embedding_cosine_pairs_lsh(emb, 64, 0.3)
+    approx = {
+        r.node: r.component
+        for r in dedup.connected_components(
+            lsh_pairs, nodes=emb.select("vec_id")
+        ).collect()
+    }
+    n_vecs = emb.count()
+    assert len(approx) == n_vecs  # total keep/drop map incl. singletons
+    by_comp: dict[int, list[int]] = {}
+    for node, comp in approx.items():
+        by_comp.setdefault(comp, []).append(node)
+    for members in by_comp.values():
+        assert len({exact[m] for m in members}) == 1, members

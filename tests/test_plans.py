@@ -54,3 +54,29 @@ def test_aggregates_have_partial_final_split(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ar_monthly_rollup")
     agg_ops = re.findall(r"(HashAggregate|SortAggregate)", plan)
     assert len(agg_ops) >= 2, plan
+
+
+def test_sharded_packing_has_no_global_window(spark, sf_dir):
+    """curation_pack_batches partitions its prefix-sum window on the
+    shard key: the plan must shuffle by shard (parallel prefix sums),
+    never collapse to a single partition (round-2 VERDICT fix #5)."""
+    plan = _plan(spark, sf_dir, "curation_pack_batches")
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan
+    assert re.search(r"hashpartitioning\(shard", plan), plan
+
+
+def test_lsh_candidate_generation_never_cross_joins(spark, sf_dir):
+    """The scale path for embedding dedup must block via equi-joins on
+    (table, bucket) — an O(n^2) join operator anywhere in the candidate
+    plan means the 100 TB story is broken (round-2 VERDICT fix #4)."""
+    from accounts_receivable_data_pipeline_api_spark.operators import dedup
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_cosine_pairs_lsh(emb, dim=64, threshold=0.3)
+    plan = pairs._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
