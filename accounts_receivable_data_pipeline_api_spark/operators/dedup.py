@@ -269,10 +269,28 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 8,
+    num_chunks: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance, blocked on 16-bit
-    chunks (a pair within hamming<=3*16 shares at least one of 4 chunks;
-    with max_hamming<=8 the 4-chunk pigeonhole guarantees recall)."""
+    """Near-dup pairs by SimHash hamming distance, blocked on
+    ``num_chunks`` equal bit-chunks of the 64-bit fingerprint.
+
+    Recall guarantee (pigeonhole, stated precisely — round-2 ADVICE
+    fix): a pair with hamming distance h can dirty at most h chunks, so
+    it is GUARANTEED to collide on some chunk only when
+    h <= num_chunks - 1. With the default 4 chunks that is h <= 3; for
+    larger ``max_hamming`` the operator is APPROXIMATE blocking — pairs
+    whose differing bits spread across every chunk are missed (observed
+    recall stays high because simhash flips cluster, pinned by
+    tests/test_operators.py). For a hard guarantee at larger h, raise
+    ``num_chunks`` to max_hamming + 1 and accept coarser keys:
+    64/(h+1)-bit chunk keys mean fewer distinct buckets, so candidate
+    volume (~ n^2 / 2^chunk_bits per table) grows — the classic
+    Manku-et-al precision/recall dial.
+    """
+    if not 1 <= num_chunks <= 64 or 64 % num_chunks != 0:
+        raise ValueError("num_chunks must divide 64")
+    chunk_bits = 64 // num_chunks
+    mask = (1 << chunk_bits) - 1
     fp = simhash(df, id_col, text_col)
     chunks = fp.select(
         id_col,
@@ -281,9 +299,9 @@ def simhash_near_pairs(
             F.array(*[
                 F.struct(
                     F.lit(c).alias("chunk"),
-                    F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    F.shiftright("simhash", c * chunk_bits).bitwiseAND(F.lit(mask)).alias("key"),
                 )
-                for c in range(4)
+                for c in range(num_chunks)
             ])
         ).alias("ck"),
     ).select(id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))

@@ -99,7 +99,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=None,  # xxhash64-based fingerprint
     tags=("EXT", "DEDUP"),
     doc="SimHash near-dup pairs by hamming distance with 16-bit chunk "
-    "blocking (operators/dedup.py:simhash_near_pairs). Rows-only check.",
+    "blocking (operators/dedup.py:simhash_near_pairs). APPROXIMATE at "
+    "max_hamming=16: the 4-chunk pigeonhole only guarantees recall for "
+    "hamming <= 3; beyond that, pairs whose differing bits touch every "
+    "chunk are missed (recall pinned in tests). Rows-only check.",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)

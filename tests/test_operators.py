@@ -61,6 +61,19 @@ def test_simhash_identical_and_near(docs):
     assert (1, 3) in near and near[(1, 3)] > 0
 
 
+def test_simhash_finer_chunks_never_lose_pairs(docs):
+    """A pair colliding on a 16-bit chunk also collides on one of its
+    8-bit halves, so num_chunks=8 candidates are a superset of
+    num_chunks=4 — the precision/recall dial moves monotonically."""
+    coarse = {(r["id_a"], r["id_b"]) for r in dedup.simhash_near_pairs(docs, max_hamming=16).collect()}
+    fine = {(r["id_a"], r["id_b"]) for r in dedup.simhash_near_pairs(docs, max_hamming=16, num_chunks=8).collect()}
+    assert coarse <= fine
+    import pytest
+
+    with pytest.raises(ValueError):
+        dedup.simhash_near_pairs(docs, num_chunks=7)
+
+
 def test_similarity_topk_ranks_self_neighbors(spark):
     vecs = [
         (0, [1.0, 0.0, 0.0, 0.0]),
