@@ -1,0 +1,88 @@
+"""Performance regression gate against the round-1 bench anchor.
+
+Runs the real bench harness (bench.py, fresh Spark subprocess) at the
+anchor's scale factor and asserts the suite and each warm per-query time
+stay within 2x of BENCH_ANCHOR.json — so a round can answer "did this
+change make it slower?" with a failing test instead of a post-hoc diff
+(round-2 VERDICT fix #6). Warm times are the data-path numbers; a
+0.5 s floor keeps sub-100 ms queries from flaking on scheduler noise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ANCHOR_PATH = os.path.join(REPO, "BENCH_ANCHOR.json")
+SF_DIR = "/root/testdata/sf0.1"
+FACTOR = 2.0
+FLOOR_S = 0.5
+
+
+def _run_bench() -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = [l for l in out.stdout.splitlines() if re.match(r'^\{"metric"', l)][-1]
+    return json.loads(line)
+
+
+class _Lazy:
+    """First bench run, plus an on-demand second run: a genuine
+    regression reproduces, a one-off scheduler/GC spike does not, so
+    failing queries are re-judged on the per-query MIN of two runs."""
+
+    def __init__(self):
+        self.first = _run_bench()
+        self.second: dict | None = None
+
+    def best(self, name: str) -> float:
+        if self.second is None:
+            self.second = _run_bench()
+        return min(
+            self.first["queries_warm"][name],
+            self.second["queries_warm"].get(name, float("inf")),
+        )
+
+
+@pytest.fixture(scope="module")
+def bench():
+    if not os.path.isdir(SF_DIR):
+        pytest.skip(f"{SF_DIR} not present")
+    return _Lazy()
+
+
+def test_suite_within_anchor(bench):
+    anchor = json.load(open(ANCHOR_PATH))["r01_sf0.1"]
+    assert bench.first["value"] <= FACTOR * anchor["suite_seconds_cold"], (
+        f"suite {bench.first['value']}s vs anchor "
+        f"{anchor['suite_seconds_cold']}s (x{FACTOR})"
+    )
+
+
+def test_warm_queries_within_anchor(bench):
+    anchor = json.load(open(ANCHOR_PATH))["r01_sf0.1"]["queries_warm"]
+    warm = bench.first.get("queries_warm", {})
+    suspect = [
+        name
+        for name, t in warm.items()
+        if name in anchor and t > max(FLOOR_S, FACTOR * anchor[name])
+    ]
+    slow = {
+        name: (bench.best(name), anchor[name])
+        for name in suspect
+        if bench.best(name) > max(FLOOR_S, FACTOR * anchor[name])
+    }
+    assert not slow, f"warm regressions vs r01 anchor (x{FACTOR}, floor {FLOOR_S}s): {slow}"
