@@ -164,6 +164,16 @@ def ivf_build(
     centroids (k x dim floats) live on the driver — tiny. Determinism:
     no RNG, fixed init, fixed iters, exact argmin with centroid-index
     tie-break.
+
+    Sizing note (round-2 VERDICT): centroids are embedded as plan
+    LITERALS (k arrays in ``_nearest_centroid``, dim per-component sums
+    here), which codegen handles comfortably at k=8/dim=64 but blows up
+    the generated method size as k*dim grows (janino 64KB method limit
+    territory around k*dim ~ 10^4). Before raising k: switch assignment
+    to a broadcast centroid TABLE cross-joined against vectors with a
+    groupBy-argmin (same math, data-side instead of plan-side), and
+    replace the per-dim sum columns with a vectorized mapInPandas
+    per-cluster mean — both shapes keep centroids off the plan.
     """
     vecs = candidates.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     centroids = [

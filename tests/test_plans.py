@@ -66,6 +66,12 @@ def test_sharded_packing_has_no_global_window(spark, sf_dir):
     assert re.search(r"hashpartitioning\(shard", plan), plan
 
 
+def _formatted(spark, df) -> str:
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
 def test_lsh_candidate_generation_never_cross_joins(spark, sf_dir):
     """The scale path for embedding dedup must block via equi-joins on
     (table, bucket) — an O(n^2) join operator anywhere in the candidate
@@ -75,8 +81,18 @@ def test_lsh_candidate_generation_never_cross_joins(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = dedup.embedding_cosine_pairs_lsh(emb, dim=64, threshold=0.3)
-    plan = pairs._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
+    plan = _formatted(spark, pairs)
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_approx_topk_paths_never_cross_join(spark, sf_dir):
+    """Both approximate ANN paths replace the brute-force cross join
+    with equi-joins (LSH: bucket key; IVF: probed cluster id). A
+    cartesian/nested-loop operator in either plan is a scale
+    regression."""
+    plan_lsh = _plan(spark, sf_dir, "similarity_lsh_topk")
+    plan_ivf = _plan(spark, sf_dir, "similarity_ivf_topk")
+    for plan in (plan_lsh, plan_ivf):
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
