@@ -28,6 +28,9 @@ QUERIES = (
     # only cross-layout value check
     "dedup_minhash_lsh",
     "similarity_ivf_topk",
+    "dedup_components_lsh",
+    # sharded prefix-sum packing: per-shard windows must not leak layout
+    "curation_pack_batches",
 )
 
 
