@@ -121,7 +121,20 @@ def analyze(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     Tokenization and the punctuation count are materialized ONCE in an
     inner projection and shared by every metric — the naive form
     (each metric calling tokens_expr) re-ran the regex split ~6x per
-    row, which Catalyst does not CSE across aliases.
+    row, which Catalyst does not CSE across aliases (higher-order
+    functions are CodegenFallback: an unshared argument subtree
+    re-evaluates interpreted on every call).
+
+    Measured alternatives for the 5 membership counts (sf0.1, 5000
+    docs, warm): separate HOF filters over the materialized token
+    column 0.256 s; one fused F.aggregate pass with a struct
+    accumulator 0.243 s (~5%, not worth the opacity); per-set
+    regexp_count over the normalized string 0.179 s PER SET (worse).
+    The interpreted per-element cost dominates all shapes; a real step
+    change needs either distinct-membership semantics (array_intersect,
+    codegen) or an Arrow kernel — both rejected: the first changes the
+    metric, the second adds a Python crossing to an otherwise
+    scan-speed operator.
     """
     tok = tokens_expr(text_col)
     n_punct = F.length(F.col(text_col)) - F.length(

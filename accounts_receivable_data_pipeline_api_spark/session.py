@@ -51,6 +51,15 @@ ADAPTIVE_CONFS: dict[str, str] = {
     # pipeline) auto-broadcast under this threshold; joins also carry
     # explicit broadcast() hints where the dim is known-small by design.
     "spark.sql.autoBroadcastJoinThreshold": "67108864",
+    # Unfiltered COUNT/MIN/MAX aggregates answer from parquet footer
+    # statistics instead of scanning data — at 100 TB a bare count(*)
+    # (A1-style stats endpoints) becomes a metadata-only read. Off by
+    # default upstream; values are identical either way (stats are
+    # exact), so this is purely a scan-elision policy.
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # Runtime bloom-filter and dynamic-partition-pruning join filters
+    # are ON by Spark 4 default — noted here because the 100 TB
+    # fact-fact joins (tpch_q3/q5 shapes) rely on them; do not disable.
 }
 
 
