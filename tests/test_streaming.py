@@ -69,6 +69,54 @@ def test_windowed_counts_match_batch(spark, sf_dir, tmp_path):
     assert len(got) >= len(expected) - 3  # at most the tail windows withheld
 
 
+def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path):
+    """Watermark semantics, shown concretely. Spark's guarantee is
+    eviction-based, not arrival-time-based: a straggler merges into its
+    window as long as the window's STATE is still alive, and is dropped
+    only once the watermark has evicted that state (verified empirically
+    — a 2-batch version of this test shows the late row merging). Three
+    microbatches (maxFilesPerTrigger=1, mtime-ordered files):
+      b1: 10:10+10:40 (window W10) and 15:30  -> watermark becomes 14:30
+      b2: fresh 16:30 row -> W10 (end 11:00 < 14:30) is evicted and
+          EMITTED with exactly b1's two rows; watermark becomes 15:30
+      b3: 10:30 straggler -> older than watermark, state gone: dropped,
+          and crucially W10 is NOT re-emitted (append mode would
+          otherwise produce a duplicate, corrupting downstream sinks)."""
+    import datetime as dt
+    import os
+
+    src = str(tmp_path / "late_src")
+    os.makedirs(src)
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    cols = ["event_id", "ts", "event_type", "value"]
+    batches = [
+        [(1, t(10, 10), "click", 1.0), (2, t(10, 40), "click", 2.0), (3, t(15, 30), "click", 4.0)],
+        [(5, t(16, 30), "click", 16.0)],
+        [(4, t(10, 30), "click", 8.0)],
+    ]
+    now = 2_000_000_000
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(f"{src}/b{i}")
+        for f in os.listdir(f"{src}/b{i}"):
+            os.utime(f"{src}/b{i}/{f}", (now + i * 60, now + i * 60))
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{src}/b0").schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = events_windowed_counts(stream, window="1 hour", watermark="1 hour")
+    _run_available_now(out, "late_drop")
+    emitted = [
+        (r["window_start"], r["n"], float(r["sum_value"]))
+        for r in spark.sql("select * from late_drop").collect()
+        if r["window_start"] == t(10, 0)
+    ]
+    # exactly ONE emission of the 10:00 window, with only b1's rows
+    assert emitted == [(t(10, 0), 2, 3.0)], emitted
+
+
 def test_invoice_stream_dedup(spark, tmp_path):
     src = tmp_path / "csv_in"
     src.mkdir()
