@@ -117,9 +117,11 @@ RESIZED_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
         StructField("checksum", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
         StructField("target_w", IntegerType()),
         StructField("target_h", IntegerType()),
         StructField("scale", DoubleType()),
@@ -151,9 +153,11 @@ def resize(decoded: DataFrame, max_side: int = 256) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "modality": pdf["modality"],
+                    "n_bytes": pdf["n_bytes"],
                     "checksum": pdf["checksum"],
                     "width": pdf["width"],
                     "height": pdf["height"],
+                    "channels": pdf["channels"],
                     "target_w": np.floor(w * s + 0.5).clip(lower=1).astype("int32"),
                     "target_h": np.floor(h * s + 0.5).clip(lower=1).astype("int32"),
                     "scale": s,

@@ -17,12 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup, similarity, text
-from ..operators.multimodal import (
-    attach_binary,
-    decode_features,
-    media_metadata,
-    resize,
-)
+from ..operators.multimodal import attach_binary, decode_features, resize
 from ..sources.star import load_table
 from .registry import register
 
@@ -150,35 +145,6 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_stats",
-    oracle=f"""
-    WITH norm AS (
-      SELECT doc_id, text, {_NORM_SQL} AS t FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(list_filter(string_split(t, ' '), x -> x != '')) AS BIGINT) AS n_tokens,
-           CAST(length(text) AS BIGINT) AS n_chars_measured,
-           CAST((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
-                AS DOUBLE) / greatest(length(text), 1) AS punct_ratio,
-           md5(substr(t, 1, 256)) AS fingerprint
-    FROM norm
-    """,
-    tags=("EXT", "TEXT"),
-    doc="Per-document text stats: token count, char count, punctuation "
-    "ratio, md5 fingerprint (operators/text.py).",
-)
-def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        text.token_count("text").alias("n_tokens"),
-        F.length("text").cast("bigint").alias("n_chars_measured"),
-        text.punct_ratio("text").alias("punct_ratio"),
-        text.fingerprint("text").alias("fingerprint"),
-    )
-
-
-@register(
     "text_quality",
     oracle=f"""
     WITH norm AS (
@@ -225,9 +191,11 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("EXT", "TEXT"),
     doc="Quality scoring + stopword ratio + language ID heuristic "
-    "(operators/text.py:analyze). Language argmax tie-break: "
-    "lexicographically last (struct-max ordering), pinned in both "
-    "engines.",
+    "(operators/text.py:analyze). Subsumes the former text_stats entry: "
+    "n_tokens / n_chars_measured / punct_ratio / fingerprint are all "
+    "output (and hash-checked) here, from the same single-projection "
+    "plan. Language argmax tie-break: lexicographically last "
+    "(struct-max ordering), pinned in both engines.",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -305,67 +273,6 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(queries, emb, centroids, k=10, nprobe=4)
 
 
-@register(
-    "similarity_brute_topk_pandas",
-    oracle="""
-    WITH q AS (
-      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-      FROM embeddings WHERE vec_id < 5
-    ),
-    c AS (
-      SELECT vec_id AS match_id, CAST(embedding AS DOUBLE[]) AS cv
-      FROM embeddings
-    ),
-    scored AS (
-      SELECT query_id, match_id,
-             round(list_dot_product(qv, cv) /
-                   (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))),
-                   6) AS score
-      FROM q, c WHERE query_id != match_id
-    )
-    SELECT query_id, match_id, score, rank FROM (
-      SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY query_id ORDER BY score DESC, match_id
-      ) AS rank FROM scored
-    ) WHERE rank <= 10
-    """,
-    tags=("EXT", "SIM"),
-    doc="Vectorized exact cosine top-10: Arrow-batched numpy GEMM with "
-    "per-batch partial top-k (operators/similarity.py:"
-    "brute_force_topk_pandas) — the Pandas-UDF hot path for wide "
-    "embeddings. Same oracle as the JVM-fold variant.",
-)
-def similarity_brute_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    out = similarity.brute_force_topk_pandas(queries, emb, k=10)
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("match_id"))
-    return (
-        out.drop("rank")
-        .withColumn("score", F.round(F.col("score"), 6))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-    )
-
-
-@register(
-    "multimodal_metadata",
-    oracle="""
-    SELECT doc_id, 'image' AS modality,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           md5(text) AS checksum
-    FROM documents
-    """,
-    tags=("EXT", "MM"),
-    doc="Multimodal metadata projection over opaque binary payloads "
-    "(operators/multimodal.py). The decode stage is stubbed (no codec "
-    "libs in container) and exercised in tests/test_operators.py.",
-)
-def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return media_metadata(attach_binary(docs))
-
-
 _DECODE_SQL = """
     WITH m AS (
       SELECT doc_id, 'image' AS modality,
@@ -383,42 +290,34 @@ _DECODE_SQL = """
 
 
 @register(
-    "multimodal_decode",
-    oracle=_DECODE_SQL,
-    tags=("EXT", "MM"),
-    doc="Arrow-batched mapInPandas decode stage over binary payloads "
-    "(operators/multimodal.py:decode_features). The pixel decode is a "
-    "deterministic checksum-derived STUB (no codec libs in container), "
-    "which makes the whole Python batch path oracle-checkable.",
-)
-def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return decode_features(attach_binary(docs))
-
-
-@register(
-    "multimodal_resize",
+    "multimodal_pipeline",
     oracle="""
     WITH d AS (
     """ + _DECODE_SQL + """
     ),
     r AS (
-      SELECT doc_id, modality, checksum, width, height,
-             least(256.0 / greatest(width, height), 1.0) AS scale
+      SELECT *, least(256.0 / greatest(width, height), 1.0) AS scale
       FROM d
     )
-    SELECT doc_id, modality, checksum, width, height,
+    SELECT doc_id, modality, n_bytes, checksum, width, height, channels,
            CAST(greatest(floor(width * scale + 0.5), 1) AS INT) AS target_w,
            CAST(greatest(floor(height * scale + 0.5), 1) AS INT) AS target_h,
            scale
     FROM r
     """,
     tags=("EXT", "MM"),
-    doc="Aspect-preserving resize geometry via mapInPandas "
-    "(operators/multimodal.py:resize), max side 256. Half-up rounding "
-    "pinned on both sides (numpy floor(x+0.5) == SQL floor(x+0.5)).",
+    doc="Full multimodal pipeline over opaque binary payloads: metadata "
+    "projection (attach_binary/media_metadata columns: n_bytes, "
+    "checksum, modality — pure JVM) -> Arrow-batched mapInPandas decode "
+    "(operators/multimodal.py:decode_features; pixel decode is a "
+    "deterministic checksum-derived STUB, no codec libs in container) "
+    "-> aspect-preserving resize geometry (operators/multimodal.py:"
+    "resize, max side 256, half-up rounding: numpy floor(x+0.5) == SQL "
+    "floor(x+0.5)). Every stage's output columns flow through and are "
+    "hash-checked in one entry (merged from the former "
+    "multimodal_metadata / multimodal_decode / multimodal_resize).",
 )
-def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return resize(decode_features(attach_binary(docs)), max_side=256)
 
@@ -427,74 +326,42 @@ _BUCKET_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT
 
 
 @register(
-    "curation_sample_hash",
-    oracle=f"""
-    SELECT doc_id, {_BUCKET_SQL} AS bucket
-    FROM documents WHERE {_BUCKET_SQL} < 5
-    """,
-    tags=("EXT", "CURATION"),
-    doc="Deterministic ~5% sample by md5 hash bucket of the key "
-    "(operators/curation.py:sample_by_hash): the selected set is a pure "
-    "function of the keys — stable across runs, partitionings, and "
-    "engines, and alignable across tables sharing the key.",
-)
-def curation_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.curation import hash_bucket, sample_by_hash
-
-    docs = load_table(spark, sf_dir, "documents")
-    return sample_by_hash(docs, "doc_id", pct=5).select(
-        "doc_id", hash_bucket(F.col("doc_id").cast("string")).alias("bucket")
-    )
-
-
-@register(
-    "curation_split_counts",
+    "curation_splits",
     oracle=f"""
     SELECT CASE WHEN {_BUCKET_SQL} < 10 THEN 'val'
                 WHEN {_BUCKET_SQL} < 20 THEN 'test'
                 ELSE 'train' END AS split,
-           COUNT(*) AS n
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN {_BUCKET_SQL} < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled
     FROM documents GROUP BY split
     """,
     tags=("EXT", "CURATION"),
-    doc="Content-addressed train/val/test split (operators/curation.py:"
-    "assign_split): a document keeps its split across reshuffles and "
-    "corpus growth — no leakage on incremental refresh.",
+    doc="Content-addressed train/val/test split + deterministic ~5% "
+    "hash sample in one entry (operators/curation.py:assign_split + "
+    "sample_by_hash, merged from the former curation_split_counts / "
+    "curation_sample_hash): a document keeps its split and its "
+    "in-sample status across reshuffles, engines, and corpus growth — "
+    "no leakage on incremental refresh, and samples stay aligned "
+    "between tables sharing the key. n_sampled per split hash-checks "
+    "sample membership against the same md5-bucket oracle.",
 )
-def curation_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.curation import assign_split
+def curation_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import assign_split, sample_by_hash
 
     docs = load_table(spark, sf_dir, "documents")
-    return assign_split(docs, "doc_id").groupBy("split").agg(
-        F.count(F.lit(1)).alias("n")
+    sampled = sample_by_hash(docs, "doc_id", pct=5).select(
+        "doc_id", F.lit(1).alias("in_sample")
     )
-
-
-@register(
-    "curation_chunks",
-    oracle="""
-    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50)
-    SELECT doc_id,
-           CAST((chunk_start - 1) // 448 AS INT) AS chunk_idx,
-           CAST(chunk_start AS INT) AS chunk_start,
-           substr(text, CAST(chunk_start AS INT), 512) AS chunk_text
-    FROM (
-      SELECT doc_id, text,
-             unnest(range(1, greatest(length(text) - 64, 1) + 1, 448)) AS chunk_start
-      FROM d
+    return (
+        assign_split(docs, "doc_id")
+        .join(sampled, "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce(F.col("in_sample"), F.lit(0))).cast("bigint").alias("n_sampled"),
+        )
     )
-    WHERE length(substr(text, CAST(chunk_start AS INT), 512)) > 0
-    """,
-    tags=("EXT", "CURATION"),
-    doc="Overlapping character chunking, 512 chars / 64 overlap "
-    "(operators/curation.py:chunk_documents): fan-out inside the scan "
-    "stage, no shuffle.",
-)
-def curation_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.curation import chunk_documents
-
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
-    return chunk_documents(docs, chunk_chars=512, overlap=64)
 
 
 @register(
@@ -505,6 +372,8 @@ def curation_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4 AS shard,
              CAST((chunk_start - 1) // 448 AS INT) AS chunk_idx,
+             CAST(chunk_start AS INT) AS chunk_start,
+             md5(substr(text, CAST(chunk_start AS INT), 512)) AS chunk_hash,
              CAST(length(substr(text, CAST(chunk_start AS INT), 512)) AS BIGINT) AS n_chars
       FROM (
         SELECT doc_id, text,
@@ -513,7 +382,7 @@ def curation_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
       WHERE length(substr(text, CAST(chunk_start AS INT), 512)) > 0
     )
-    SELECT doc_id, shard, chunk_idx, n_chars,
+    SELECT doc_id, shard, chunk_idx, chunk_start, chunk_hash, n_chars,
            CAST(floor(COALESCE(SUM(n_chars) OVER (
              PARTITION BY shard
              ORDER BY doc_id, chunk_idx
@@ -522,10 +391,13 @@ def curation_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ch
     """,
     tags=("EXT", "CURATION"),
-    doc="Token-budget sequence packing, SHARDED form (operators/"
-    "curation.py:pack_batches): shard = content-addressed hash bucket "
-    "of doc_id, batch_id = floor(exclusive prefix sum / 4096) within "
-    "the shard. Prefix sums run per-shard in parallel — no "
+    doc="Chunking + token-budget sequence packing, SHARDED form "
+    "(operators/curation.py:chunk_documents -> pack_batches, subsuming "
+    "the former curation_chunks entry): overlapping 512-char/64-overlap "
+    "chunks fan out inside the scan stage (no shuffle), chunk content "
+    "hash-checked via md5(chunk_text), shard = content-addressed hash "
+    "bucket of doc_id, batch_id = floor(exclusive prefix sum / 4096) "
+    "within the shard. Prefix sums run per-shard in parallel — no "
     "single-partition window anywhere in the plan (asserted in "
     "test_plans.py); (shard, batch_id) is the global batch key.",
 )
@@ -536,12 +408,18 @@ def curation_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = (
         chunk_documents(docs, chunk_chars=512, overlap=64)
         .select(
-            "doc_id", "chunk_idx", F.length("chunk_text").cast("bigint").alias("n_chars")
+            "doc_id",
+            "chunk_idx",
+            "chunk_start",
+            F.md5("chunk_text").alias("chunk_hash"),
+            F.length("chunk_text").cast("bigint").alias("n_chars"),
         )
         .withColumn("shard", hash_bucket(F.col("doc_id").cast("string"), 4))
     )
     packed = pack_batches(chunks, "n_chars", budget=4096, shard_cols=("shard",))
-    return packed.select("doc_id", "shard", "chunk_idx", "n_chars", "batch_id")
+    return packed.select(
+        "doc_id", "shard", "chunk_idx", "chunk_start", "chunk_hash", "n_chars", "batch_id"
+    )
 
 
 @register(

@@ -641,55 +641,9 @@ def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "window_lag_gap",
-    oracle="""
-    SELECT user_id, event_id,
-           epoch_us(ts) - LAG(epoch_us(ts)) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-           ) AS gap_us
-    FROM events WHERE user_id < 50
-    """,
-    tags=("EXT", "W"),
-    doc="lead/lag sequence analysis over the event stream.",
-)
-def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    micros = F.unix_micros(F.col("ts"))
-    return events.filter(F.col("user_id") < 50).select(
-        "user_id",
-        "event_id",
-        (micros - F.lag(micros).over(w)).alias("gap_us"),
-    )
-
-
-@register(
-    "window_running_sum",
-    oracle="""
-    SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-             PARTITION BY o_custkey
-             ORDER BY CAST(o_orderdate AS DATE), o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DOUBLE) AS running_total
-    FROM orders WHERE o_custkey < 200
-    """,
-    tags=("EXT", "W"),
-    doc="Running total with explicit ROWS frame.",
-)
-def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate").cast("date"), F.col("o_orderkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return orders.filter(F.col("o_custkey") < 200).select(
-        "o_custkey",
-        "o_orderkey",
-        F.sum(_money("o_totalprice")).over(w).cast("double").alias("running_total"),
-    )
+# window_lag_gap / window_running_sum / window_sliding_frame are merged
+# into the single `window_frames` entry (plans/temporal.py): same window
+# partition, one shuffle, all three frame specs hash-checked together.
 
 
 # ---------------------------------------------------------------------------
@@ -740,23 +694,10 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_distinct_customers",
-    oracle="""
-    SELECT o_orderstatus,
-           COUNT(DISTINCT o_custkey) AS n_customers,
-           COUNT(*) AS n_orders
-    FROM orders GROUP BY o_orderstatus
-    """,
-    tags=("EXT", "A"),
-    doc="Distinct aggregate (two-phase distinct agg under the hood).",
-)
-def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.countDistinct("o_custkey").alias("n_customers"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
+# Plain COUNT(DISTINCT) (former agg_distinct_customers) is pinned by
+# agg_salted_distinct — the salted implementation is row-identical to the
+# plain aggregate (equality asserted in tests/test_operators.py) and its
+# oracle IS the plain COUNT(DISTINCT) SQL.
 
 
 # ---------------------------------------------------------------------------
@@ -838,25 +779,40 @@ def scalar_date_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_props_extract",
     oracle="""
+    WITH per_event AS (
+      SELECT event_id, event_type,
+             CAST(json_extract(props, '$.k') AS INT) AS k
+      FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
-           CAST(MIN(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
-           CAST(MAX(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
-    FROM events GROUP BY event_type
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS INT) AS min_k,
+           CAST(MAX(k) AS INT) AS max_k,
+           CAST(SUM(k % 10) AS BIGINT) AS sum_k_mod
+    FROM per_event GROUP BY event_type
     """,
     tags=("EXT", "JSON"),
     doc="JSON field extraction + aggregation over the events stream table "
-    "(driver's events.props column; SURVEY §2.8 note).",
+    "(driver's events.props column; SURVEY §2.8 note). Pins BOTH JSON "
+    "APIs in one entry (merged from the former json_typed_struct): "
+    "sum_k/min_k/max_k extract via the string path (get_json_object), "
+    "sum_k_mod via typed schema-on-read (from_json struct<k:int>) — the "
+    "shared oracle cross-validates that the two paths parse identically.",
 )
 def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     events = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").try_cast("int")
+    k_str = F.get_json_object("props", "$.k").try_cast("int")
+    schema = StructType([StructField("k", IntegerType())])
+    k_typed = F.from_json("props", schema)["k"]
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(k).cast("bigint").alias("sum_k"),
-        F.min(k).cast("int").alias("min_k"),
-        F.max(k).cast("int").alias("max_k"),
+        F.sum(k_str).cast("bigint").alias("sum_k"),
+        F.min(k_str).cast("int").alias("min_k"),
+        F.max(k_str).cast("int").alias("max_k"),
+        F.sum(k_typed % 10).cast("bigint").alias("sum_k_mod"),
     )
 
 
@@ -959,60 +915,6 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "json_typed_struct",
-    oracle="""
-    SELECT event_id,
-           CAST(json_extract(props, '$.k') AS INT) AS k,
-           CAST(json_extract(props, '$.k') AS INT) % 10 AS k_mod
-    FROM events WHERE event_id < 2000
-    """,
-    tags=("EXT", "JSON"),
-    doc="Typed JSON parsing via from_json with an explicit schema "
-    "(struct<k:int>) — the schema-on-read path for the events.props "
-    "column; contrast with json_props_extract's get_json_object.",
-)
-def json_typed_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.types import IntegerType, StructField, StructType
-
-    events = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
-    schema = StructType([StructField("k", IntegerType())])
-    parsed = events.withColumn("p", F.from_json("props", schema))
-    return parsed.select(
-        "event_id",
-        F.col("p.k").alias("k"),
-        (F.col("p.k") % 10).alias("k_mod"),
-    )
-
-
-@register(
-    "sql_front_door",
-    oracle="""
-    SELECT n_name,
-           CAST(COUNT(*) AS BIGINT) AS n_customers
-    FROM customer JOIN nation ON c_nationkey = n_nationkey
-    GROUP BY n_name
-    """,
-    tags=("EXT", "SQL"),
-    doc="Pure-SQL entry path: the identical ANSI SQL string runs through "
-    "spark.sql() over registered views (sources/star.py:register_views) "
-    "— demonstrating the engine's SQL front door produces the same "
-    "results as the DataFrame API.",
-)
-def sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.star import register_views
-
-    register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        SELECT n_name,
-               CAST(COUNT(*) AS BIGINT) AS n_customers
-        FROM customer JOIN nation ON c_nationkey = n_nationkey
-        GROUP BY n_name
-        """
-    )
-
-
-@register(
     "agg_grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
@@ -1021,10 +923,13 @@ def sql_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
-    tags=("EXT", "AGG"),
+    tags=("EXT", "AGG", "SQL"),
     doc="Explicit GROUPING SETS ((status),(priority),()) — independent "
     "marginals plus grand total in one pass (distinct from cube/rollup "
-    "coverage; SURVEY §2.4 'not present' list).",
+    "coverage; SURVEY §2.4 'not present' list). Also the SQL-front-door "
+    "pin (former sql_front_door entry): the builder runs ANSI SQL text "
+    "through spark.sql() over a registered view, hash-checked against "
+    "the same SQL on DuckDB.",
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")

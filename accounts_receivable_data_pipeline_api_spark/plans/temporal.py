@@ -99,11 +99,13 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_approx_distinct",
     oracle=None,  # HLL sketches differ across engines; exactness checked
-    # separately by agg_distinct_customers
+    # separately by agg_salted_distinct (plain COUNT(DISTINCT) oracle)
     tags=("EXT", "A"),
     doc="approx_count_distinct (HLL++) per status — the sketch path for "
     "100 TB cardinality estimation. Rows-only check (sketch values are "
-    "engine-specific); exact twin: agg_distinct_customers.",
+    "engine-specific); exact twin: agg_salted_distinct, whose oracle is "
+    "the plain COUNT(DISTINCT). Relative error vs the exact count is "
+    "pinned in tests/test_operators.py.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -169,9 +171,16 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_sliding_frame",
+    "window_frames",
     oracle="""
     SELECT user_id, event_id,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS gap_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
@@ -183,20 +192,29 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     """,
     tags=("EXT", "TEMPORAL", "W"),
-    doc="Explicit sliding frame spec (ROWS BETWEEN 2 PRECEDING AND "
-    "CURRENT ROW): 3-event moving sum per user, decimal-exact, full "
-    "tie-break on (ts, event_id).",
+    doc="All three window-frame shapes in ONE pass over the event "
+    "stream (merged from the former window_lag_gap / window_running_sum "
+    "/ window_sliding_frame entries): lag() sequence gap in exact "
+    "microseconds, running total (ROWS UNBOUNDED PRECEDING), and a "
+    "3-event sliding frame (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW). "
+    "Every frame spec shares the same (user_id)/(ts, event_id) window, "
+    "so Spark evaluates all four columns after a single shuffle+sort — "
+    "the cheapest plan that hash-pins lag, unbounded, and bounded "
+    "frames together. Decimal-exact sums, full tie-break.",
 )
-def window_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-2, Window.currentRow)
-    )
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wslide = w.rowsBetween(-2, Window.currentRow)
+    micros = F.unix_micros(F.col("ts"))
+    money = F.col("value").cast("decimal(18,2)")
     return events.select(
         "user_id",
         "event_id",
-        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("moving_sum3"),
-        F.count(F.lit(1)).over(w).cast("bigint").alias("frame_n"),
+        (micros - F.lag(micros).over(w)).alias("gap_us"),
+        F.sum(money).over(wrun).cast("double").alias("running_total"),
+        F.sum(money).over(wslide).cast("double").alias("moving_sum3"),
+        F.count(F.lit(1)).over(wslide).cast("bigint").alias("frame_n"),
     )

@@ -41,13 +41,12 @@ HEADLINE = (
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
     "similarity_brute_topk",
-    "similarity_brute_topk_pandas",
-    "text_stats",
     "text_quality",
     "text_tfidf_topk",
-    "multimodal_decode",
-    "curation_chunks",
+    "multimodal_pipeline",
+    "curation_pack_batches",
     "window_sessionize",
+    "window_frames",
 )
 
 

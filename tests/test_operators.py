@@ -334,3 +334,74 @@ def test_components_over_lsh_refine_exact(spark, sf_dir):
         by_comp.setdefault(comp, []).append(node)
     for members in by_comp.values():
         assert len({exact[m] for m in members}) == 1, members
+
+
+def test_brute_topk_pandas_equals_jvm(spark, sf_dir):
+    """The Arrow-batched GEMM top-k (the pandas-UDF hot path) must rank
+    exactly like the JVM-fold baseline — this equality is what lets the
+    corpus carry a single similarity_brute_topk oracle entry for both
+    implementations (round-2 registry consolidation)."""
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def canon(df):
+        return sorted(
+            (r["query_id"], r["match_id"], r["rank"], round(r["score"], 6))
+            for r in df.collect()
+        )
+
+    jvm = canon(similarity.brute_force_topk(queries, emb, k=10))
+    pandas_ = canon(similarity.brute_force_topk_pandas(queries, emb, k=10))
+    assert jvm == pandas_
+
+
+def test_salted_distinct_equals_plain_on_real_data(spark, sf_dir):
+    """salted_distinct_count must be row-identical to the plain
+    COUNT(DISTINCT) aggregate on real data — this equality is what lets
+    agg_salted_distinct's oracle stand in for the former
+    agg_distinct_customers entry (round-2 registry consolidation)."""
+    from accounts_receivable_data_pipeline_api_spark.operators.skew import (
+        salted_distinct_count,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    salted = {
+        r["l_returnflag"]: r["n_distinct_l_orderkey"]
+        for r in salted_distinct_count(
+            lineitem, ["l_returnflag"], "l_orderkey", num_salts=32
+        ).collect()
+    }
+    plain = {
+        r["l_returnflag"]: r["n"]
+        for r in lineitem.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert salted == plain
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    """approx_count_distinct at rsd=0.01 stays within 5% of the exact
+    cardinality on real data (HLL++ guarantee holds at this scale) —
+    the value-level pin behind the rows-only agg_approx_distinct entry."""
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    approx = {
+        r["o_orderstatus"]: r["a"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.01).alias("a"))
+        .collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in orders.groupBy("o_orderstatus")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for status, n in exact.items():
+        assert abs(approx[status] - n) <= max(0.05 * n, 2), (status, approx[status], n)
