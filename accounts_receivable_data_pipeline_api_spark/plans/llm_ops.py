@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import dedup, similarity, text
-from ..operators.multimodal import attach_binary, decode_features, resize
+from ..operators.multimodal import attach_binary, decode_resize
 from ..sources.star import load_table
 from .registry import register
 
@@ -315,11 +315,14 @@ _DECODE_SQL = """
     "resize, max side 256, half-up rounding: numpy floor(x+0.5) == SQL "
     "floor(x+0.5)). Every stage's output columns flow through and are "
     "hash-checked in one entry (merged from the former "
-    "multimodal_metadata / multimodal_decode / multimodal_resize).",
+    "multimodal_metadata / multimodal_decode / multimodal_resize). Runs "
+    "the FUSED decode_resize kernel: one mapInPandas stage, one Arrow "
+    "boundary crossing (plan-gated in test_plans.py); fused == staged "
+    "equality pinned in test_operators.py.",
 )
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return resize(decode_features(attach_binary(docs)), max_side=256)
+    return decode_resize(attach_binary(docs), max_side=256)
 
 
 _BUCKET_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"

@@ -405,3 +405,21 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
     assert set(approx) == set(exact)
     for status, n in exact.items():
         assert abs(approx[status] - n) <= max(0.05 * n, 2), (status, approx[status], n)
+
+
+def test_decode_resize_fused_equals_staged(spark):
+    """The fused single-Arrow-crossing decode_resize must be
+    row-identical to the staged resize(decode_features(...)) pipeline."""
+    from accounts_receivable_data_pipeline_api_spark.operators.multimodal import (
+        decode_resize,
+        resize,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with some text") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    media = attach_binary(df)
+    staged = sorted(map(tuple, resize(decode_features(media)).collect()))
+    fused = sorted(map(tuple, decode_resize(media).collect()))
+    assert staged == fused

@@ -96,3 +96,25 @@ def test_approx_topk_paths_never_cross_join(spark, sf_dir):
     for plan in (plan_lsh, plan_ivf):
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_window_frames_single_shuffle_single_window(spark, sf_dir):
+    """window_frames evaluates lag + running + sliding frames over the
+    SAME window partition/order, so the plan must contain exactly one
+    Exchange, one Sort, and one Window operator — merging the three
+    former entries may not cost a second shuffle or sort."""
+    plan = _plan(spark, sf_dir, "window_frames")
+    ops = re.findall(r"\n\(\d+\) (\S+)", plan)
+    assert sum(1 for op in ops if op == "Exchange") == 1, ops
+    assert sum(1 for op in ops if op == "Window") == 1, ops
+    assert sum(1 for op in ops if op == "Sort") == 1, ops
+
+
+def test_multimodal_pipeline_single_python_stage(spark, sf_dir):
+    """The fused decode_resize kernel must cross the JVM<->Python Arrow
+    boundary exactly once — two MapInPandas stages would double the
+    serialization volume, the dominant cost of the Python batch path."""
+    plan = _plan(spark, sf_dir, "multimodal_pipeline")
+    ops = re.findall(r"\n\(\d+\) (\S+)", plan)
+    py = [op for op in ops if "MapInPandas" in op or "ArrowEval" in op]
+    assert len(py) == 1, ops
