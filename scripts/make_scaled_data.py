@@ -1,0 +1,77 @@
+"""Synthesize a larger scale factor by key-shifted replication of an
+existing testdata directory — so the scale probe can measure the data
+path beyond the largest driver-provided SF (sf0.1) without fabricating
+new distributions.
+
+Replication rules (FK-consistent by construction):
+- Fact tables are replicated N times with their PRIMARY key shifted by
+  copy * OFFSET: lineitem/orders share the same l_orderkey/o_orderkey
+  shift so their join lines up; events shifts event_id; documents
+  shifts doc_id and suffixes the text with a copy marker so content
+  stats/dedup see distinct documents rather than 10x exact clones.
+- Foreign keys into dimensions (o_custkey, user_id, nationkey...) are
+  left unchanged, and dimension tables (customer, supplier, part,
+  nation, region, embeddings) are copied verbatim — the realistic shape
+  of growth: facts accumulate, dims don't.
+
+Usage: python scripts/make_scaled_data.py [src_dir] [dst_dir] [factor]
+Defaults: /root/testdata/sf0.1 -> /tmp/sf1, factor 10.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from accounts_receivable_data_pipeline_api_spark.session import get_spark  # noqa: E402
+
+KEY_OFFSET = 1 << 40  # far above any real key, keeps bigints comfortable
+
+COPY_VERBATIM = ("region", "nation", "customer", "supplier", "part", "embeddings")
+SHIFT_COLS = {
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey",),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+}
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    spark = get_spark("make-scaled-data")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(dst, exist_ok=True)
+
+    for table in COPY_VERBATIM:
+        df = spark.read.parquet(f"{src}/{table}.parquet")
+        df.write.mode("overwrite").parquet(f"{dst}/{table}.parquet")
+        print(f"{table}: copied {df.count()} rows")
+
+    for table, keys in SHIFT_COLS.items():
+        df = spark.read.parquet(f"{src}/{table}.parquet")
+        copies = []
+        for i in range(factor):
+            c = df
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * KEY_OFFSET))
+            if table == "documents" and i > 0:
+                c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" [copy {i}]")))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{dst}/{table}.parquet")
+        print(f"{table}: {df.count()} x {factor} rows")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

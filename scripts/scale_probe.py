@@ -20,7 +20,17 @@ from accounts_receivable_data_pipeline_api_spark.plans import CORPUS  # noqa: E4
 from accounts_receivable_data_pipeline_api_spark.session import get_spark  # noqa: E402
 from accounts_receivable_data_pipeline_api_spark.sources.star import load_table  # noqa: E402
 
-SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+SFS = tuple(
+    d
+    for d in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+        # synthesized by scripts/make_scaled_data.py (10x key-shifted sf0.1)
+        "/tmp/sf1",
+    )
+    if os.path.isdir(d)
+)
 
 # query -> table whose row count defines "input rows"
 PROBES = {
