@@ -286,6 +286,15 @@ def simhash_near_pairs(
     64/(h+1)-bit chunk keys mean fewer distinct buckets, so candidate
     volume (~ n^2 / 2^chunk_bits per table) grows — the classic
     Manku-et-al precision/recall dial.
+
+    SCALE BOUND: unlike the minhash/embedding LSH operators (whose
+    bucket spaces grow with signature size or auto-sized plane count),
+    simhash blocking is capped by the 64-bit fingerprint — at most
+    2^chunk_bits buckets per chunk table. Random-pair collisions run
+    ~n^2 * num_chunks / 2^chunk_bits, so past n ~ 10^8 documents the
+    16-bit default's candidate volume dominates; at that scale prefer
+    minhash_lsh_pairs (hash-space buckets) or pre-partition by a
+    cheap content shard key before simhash blocking.
     """
     if not 1 <= num_chunks <= 64 or 64 % num_chunks != 0:
         raise ValueError("num_chunks must divide 64")

@@ -1,5 +1,6 @@
 from .pipeline import (
     dedup_invoice_stream,
+    enrich_events_with_dim,
     events_windowed_counts,
     invoice_csv_stream,
     read_snapshot_table,
@@ -9,6 +10,7 @@ from .pipeline import (
 
 __all__ = [
     "dedup_invoice_stream",
+    "enrich_events_with_dim",
     "events_windowed_counts",
     "invoice_csv_stream",
     "read_snapshot_table",

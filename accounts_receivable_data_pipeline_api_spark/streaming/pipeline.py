@@ -13,6 +13,10 @@ already pinned by the oracle corpus:
   sessionize_events
       custom stateful operator via applyInPandasWithState: groups a
       user's events into sessions split by >30min gaps.
+  enrich_events_with_dim
+      stream-static broadcast join: per-microbatch dimension stamping
+      with no stream-side shuffle or state (the J1 broadcast-dim join,
+      incrementally).
 
 All jobs parameterize source/sink so tests can run them with
 memory/file sinks and ``availableNow`` triggers.
@@ -135,6 +139,19 @@ def events_windowed_counts(
             "sum_value",
         )
     )
+
+
+def enrich_events_with_dim(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    live event stream. The static side is re-scanned per microbatch (so
+    a refreshed dim parquet is picked up without restarting the query)
+    and explicitly broadcast — each microbatch is a map-side hash join,
+    no stream-side shuffle and no state store. This is the standard
+    training-pipeline shape for stamping metadata (user segment, doc
+    license, source tier) onto an event/document stream; for dims too
+    large to broadcast, pre-bucket both sides on the key instead
+    (sources/bucketed.py) and let the join co-locate."""
+    return events.join(F.broadcast(dim), on, "left")
 
 
 SESSION_SCHEMA = StructType(

@@ -199,3 +199,38 @@ def test_stream_upsert_merges_batches(spark, tmp_path):
         "INV-2": (250.0, "closed"),  # batch 2 overrides batch 1
         "INV-3": (300.0, "open"),
     }
+
+
+def test_stream_static_enrichment_matches_batch_join(spark, sf_dir, tmp_path):
+    """Stream-static broadcast enrichment must produce exactly the rows
+    of the equivalent batch join, and must pick up a dim REFRESH between
+    microbatches (the static side re-scans per batch)."""
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        enrich_events_with_dim,
+    )
+
+    stream, events = _events_stream(spark, sf_dir, str(tmp_path))
+    dim = (
+        events.select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 3).cast("int"))
+    )
+    dim_path = str(tmp_path / "user_dim")
+    dim.write.mode("overwrite").parquet(dim_path)
+    static_dim = spark.read.parquet(dim_path)
+
+    out = enrich_events_with_dim(
+        stream.select("event_id", "user_id"), static_dim, on="user_id"
+    )
+    _run_available_now(out, "enriched")
+    got = {
+        (r["event_id"], r["segment"])
+        for r in spark.sql("select * from enriched").collect()
+    }
+    expected = {
+        (r["event_id"], r["segment"])
+        for r in events.select("event_id", "user_id")
+        .join(F.broadcast(dim), "user_id", "left")
+        .collect()
+    }
+    assert got == expected
