@@ -19,7 +19,14 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 
 
 def _as_double(arr: Column) -> Column:
@@ -150,9 +157,42 @@ def brute_force_topk_pandas(
     )
 
 
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid assignment as ONE Arrow-batched numpy GEMM:
+    argmax_c (2 * V @ C.T - ||c||^2) per batch, all input columns
+    passed through. Centroids travel in the task closure (k x dim
+    doubles, shipped once per task, never per row) and NEVER appear in
+    the plan — the previous literal-per-centroid expression hit janino's
+    64KB generated-method limit around k*dim ~ 10^4, which capped nlist.
+    Ties break to the lowest centroid index (np.argmax picks the first
+    maximum), matching exact-argmin semantics."""
+    import numpy as np
+
+    C = np.array(centroids, dtype=np.float64)
+    c_norm2 = (C * C).sum(axis=1)
+    out_schema = StructType(
+        df.schema.fields + [StructField(out_col, IntegerType())]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            scores = 2.0 * (V @ C.T) - c_norm2
+            yield pdf.assign(**{out_col: scores.argmax(axis=1).astype("int32")})
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
 def ivf_build(
     candidates: DataFrame,
-    k: int = 16,
+    k: int | None = 16,
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -160,27 +200,30 @@ def ivf_build(
     """Deterministic IVF coarse quantizer: k-means with the first k
     vectors (by id) as initial centroids and a fixed iteration count.
 
-    Each iteration is one Spark aggregation (assign + per-cluster mean);
-    centroids (k x dim floats) live on the driver — tiny. Determinism:
-    no RNG, fixed init, fixed iters, exact argmin with centroid-index
-    tie-break.
+    ``k=None`` sizes nlist from the corpus: clamp(8..4096,
+    round(sqrt(n))) — the standard IVF occupancy rule (per-list size
+    ~sqrt(n), probe cost nprobe*sqrt(n)); a FIXED nlist saturates as n
+    grows, per-list scans revert to O(n), and the index stops indexing.
 
-    Sizing note (round-2 VERDICT): centroids are embedded as plan
-    LITERALS (k arrays in ``_nearest_centroid``, dim per-component sums
-    here), which codegen handles comfortably at k=8/dim=64 but blows up
-    the generated method size as k*dim grows (janino 64KB method limit
-    territory around k*dim ~ 10^4). Before raising k: switch assignment
-    to a broadcast centroid TABLE cross-joined against vectors with a
-    groupBy-argmin (same math, data-side instead of plan-side), and
-    replace the per-dim sum columns with a vectorized mapInPandas
-    per-cluster mean — both shapes keep centroids off the plan.
+    Each iteration is one GEMM assignment pass (``assign_clusters`` —
+    centroids ride the task closure, not the plan, so nlist is no
+    longer codegen-bounded) plus one per-cluster mean aggregation
+    (dim sum columns — bounded by dim, not k). Centroids (k x dim
+    floats) live on the driver — tiny even at nlist=4096/dim=1024.
+    Determinism: no RNG, fixed init, fixed iters, exact argmin with
+    lowest-index tie-break.
     """
     vecs = candidates.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    if k is None:
+        import math
+
+        n = vecs.count()
+        k = max(8, min(4096, int(round(math.sqrt(max(n, 1))))))
     centroids = [
         list(r["v"]) for r in vecs.orderBy(id_col).limit(k).collect()
     ]
     for _ in range(iters):
-        assigned = vecs.withColumn("cluster", _nearest_centroid(F.col("v"), centroids))
+        assigned = assign_clusters(vecs, centroids, "v")
         dim = len(centroids[0])
         sums = assigned.groupBy("cluster").agg(
             F.count(F.lit(1)).alias("n"),
@@ -195,22 +238,6 @@ def ivf_build(
             new_centroids[c] = [row[f"s{i}"] / row["n"] for i in range(dim)]
         centroids = new_centroids
     return centroids
-
-
-def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
-    """argmin_c ||vec - centroid_c||^2 == argmax_c (2*dot - ||c||^2);
-    ties break to the LOWEST centroid index (struct-max on negated
-    index)."""
-    entries = []
-    for idx, c in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in c])
-        c_norm2 = float(sum(x * x for x in c))
-        score = 2.0 * dot(vec, carr) - F.lit(c_norm2)
-        entries.append(
-            F.struct(score.alias("score"), F.lit(-idx).alias("neg_idx"))
-        )
-    best = F.array_max(F.array(*entries))
-    return (-best["neg_idx"]).cast("int")
 
 
 def ivf_topk(
@@ -228,36 +255,55 @@ def ivf_topk(
     match is an equi-join on cluster id — the IVF shape that scales to
     billions of vectors (one shuffle on a small int key).
     """
+    import numpy as np
+    import pandas as pd
+
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    c = candidates.select(
-        F.col(id_col).alias("match_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cluster", _nearest_centroid(F.col("cv"), centroids))
-
-    # nprobe nearest centroids per query: explode scored centroid list,
-    # keep top-nprobe by the same argmax metric.
-    probe_entries = []
-    for idx, cent in enumerate(centroids):
-        carr = F.array(*[F.lit(float(x)) for x in cent])
-        c_norm2 = float(sum(x * x for x in cent))
-        probe_entries.append(
-            F.struct(
-                (2.0 * dot(F.col("qv"), carr) - F.lit(c_norm2)).alias("score"),
-                F.lit(idx).alias("cluster"),
-            )
-        )
-    probes = (
-        q.withColumn(
-            "probe",
-            F.explode(
-                F.slice(
-                    F.reverse(F.array_sort(F.array(*probe_entries))), 1, nprobe
-                )
-            ),
-        )
-        .select("query_id", "qv", F.col("probe.cluster").alias("cluster"))
+    c = assign_clusters(
+        candidates.select(
+            F.col(id_col).alias("match_id"), _as_double(F.col(vec_col)).alias("cv")
+        ),
+        centroids,
+        "cv",
     )
+
+    # nprobe nearest centroids per query, as a numpy top-k per Arrow
+    # batch (centroids in the closure — same no-literals rule as
+    # assign_clusters; the previous exploded literal list was
+    # codegen-bounded in nlist). Probe order within a query doesn't
+    # matter: probes only gate the equi-join.
+    C = np.array(centroids, dtype=np.float64)
+    c_norm2 = (C * C).sum(axis=1)
+    nprobe_eff = min(nprobe, len(centroids))
+    probe_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("qv", ArrayType(DoubleType())),
+            StructField("cluster", IntegerType()),
+        ]
+    )
+
+    def probe_kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(list(pdf["qv"]), dtype=np.float64)
+            scores = 2.0 * (V @ C.T) - c_norm2
+            # argpartition -> exact top-nprobe set (unordered), ties to
+            # lower index via stable argsort on (-score, idx)
+            top = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe_eff]
+            reps = np.repeat(np.arange(len(pdf)), nprobe_eff)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy()[reps],
+                    "qv": pdf["qv"].to_numpy()[reps],
+                    "cluster": top.ravel().astype("int32"),
+                }
+            )
+
+    probes = q.mapInPandas(probe_kernel, schema=probe_schema)
 
     scored = (
         F.broadcast(probes)

@@ -423,3 +423,26 @@ def test_decode_resize_fused_equals_staged(spark):
     staged = sorted(map(tuple, resize(decode_features(media)).collect()))
     fused = sorted(map(tuple, decode_resize(media).collect()))
     assert staged == fused
+
+
+def test_ivf_scales_nlist_beyond_codegen_limits(spark, sf_dir):
+    """nlist=256 at dim=64 (16k centroid components) — far past where
+    the old literal-embedded centroid expression hit janino's generated-
+    method limits. Closure-shipped GEMM assignment must build and query
+    fine, and auto-sizing (k=None) must pick ~sqrt(n) lists."""
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = similarity.ivf_build(emb, k=256, iters=1)
+    assert len(centroids) == 256
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = similarity.ivf_topk(queries, emb, centroids, k=5, nprobe=8)
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2}
+    assert all(1 <= r["rank"] <= 5 for r in rows)
+
+    auto = similarity.ivf_build(emb, k=None, iters=1)
+    import math
+
+    n = emb.count()
+    assert len(auto) == max(8, min(4096, int(round(math.sqrt(n)))))
