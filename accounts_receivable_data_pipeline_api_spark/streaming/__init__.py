@@ -3,6 +3,7 @@ from .pipeline import (
     enrich_events_with_dim,
     events_windowed_counts,
     invoice_csv_stream,
+    join_purchases_to_signups_stream,
     read_snapshot_table,
     sessionize_events,
     stream_upsert_invoices,
@@ -13,6 +14,7 @@ __all__ = [
     "enrich_events_with_dim",
     "events_windowed_counts",
     "invoice_csv_stream",
+    "join_purchases_to_signups_stream",
     "read_snapshot_table",
     "sessionize_events",
     "stream_upsert_invoices",

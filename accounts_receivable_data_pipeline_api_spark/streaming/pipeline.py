@@ -141,6 +141,47 @@ def events_windowed_counts(
     )
 
 
+def join_purchases_to_signups_stream(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    within: str = "1 hour",
+) -> DataFrame:
+    """Stream-STREAM inner join: purchases matched to the same user's
+    signup events that happened at most ``within`` before them.
+
+    Both sides carry a watermark and the join condition bounds event
+    time on BOTH streams (p.ts between s.ts and s.ts + within), which
+    is what lets Spark evict join state: a buffered signup can be
+    dropped once the watermark passes signup_ts + within, so state is
+    O(watermark window), not O(stream). An unbounded-time stream-stream
+    join would grow state forever — the condition IS the scale design.
+    Batch twin of the same shape: join_range_followups
+    (plans/temporal.py).
+    """
+    signups = (
+        events.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user_id"),
+            F.col("event_id").alias("signup_event_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_event_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (purchases.user_id == signups.s_user_id)
+        & (purchases.purchase_ts >= signups.signup_ts)
+        & (purchases.purchase_ts <= signups.signup_ts + F.expr(f"INTERVAL {within}"))
+    )
+    return purchases.join(signups, cond, "inner").select(
+        "user_id", "purchase_event_id", "purchase_ts", "signup_event_id", "signup_ts"
+    )
+
+
 def enrich_events_with_dim(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
     """Stream-static enrichment join: attach dimension attributes to a
     live event stream. The static side is re-scanned per microbatch (so

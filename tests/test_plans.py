@@ -118,3 +118,13 @@ def test_multimodal_pipeline_single_python_stage(spark, sf_dir):
     ops = re.findall(r"\n\(\d+\) (\S+)", plan)
     py = [op for op in ops if "MapInPandas" in op or "ArrowEval" in op]
     assert len(py) == 1, ops
+
+
+def test_range_join_is_equi_join_with_residual(spark, sf_dir):
+    """join_range_followups must execute as a hash/sort-merge equi-join
+    on user_id with the time-range predicate as residual filter — a
+    broadcast-nested-loop over the full fact would be the O(n*m) trap."""
+    plan = _plan(spark, sf_dir, "join_range_followups")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
