@@ -145,9 +145,10 @@ def join_purchases_to_signups_stream(
     events: DataFrame,
     watermark: str = "2 hours",
     within: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-STREAM inner join: purchases matched to the same user's
-    signup events that happened at most ``within`` before them.
+    """Stream-STREAM join: purchases matched to the same user's signup
+    events that happened at most ``within`` before them.
 
     Both sides carry a watermark and the join condition bounds event
     time on BOTH streams (p.ts between s.ts and s.ts + within), which
@@ -155,6 +156,13 @@ def join_purchases_to_signups_stream(
     dropped once the watermark passes signup_ts + within, so state is
     O(watermark window), not O(stream). An unbounded-time stream-stream
     join would grow state forever — the condition IS the scale design.
+
+    ``how="left_outer"`` makes signups the preserved side: a signup
+    with no purchase within the window emits once — with NULL purchase
+    columns — only when the watermark proves no future purchase can
+    match (passes signup_ts + within). Until then it is withheld, so
+    outer results are delayed by up to watermark + within; that delay
+    is the price of exactly-once null emission in append mode.
     Batch twin of the same shape: join_range_followups
     (plans/temporal.py).
     """
@@ -177,7 +185,17 @@ def join_purchases_to_signups_stream(
         & (purchases.purchase_ts >= signups.signup_ts)
         & (purchases.purchase_ts <= signups.signup_ts + F.expr(f"INTERVAL {within}"))
     )
-    return purchases.join(signups, cond, "inner").select(
+    if how == "left_outer":
+        # Signups preserved; purchase side nullable, so user_id must
+        # come from the signup side.
+        return signups.join(purchases, cond, "left_outer").select(
+            F.col("s_user_id").alias("user_id"),
+            "purchase_event_id",
+            "purchase_ts",
+            "signup_event_id",
+            "signup_ts",
+        )
+    return purchases.join(signups, cond, how).select(
         "user_id", "purchase_event_id", "purchase_ts", "signup_event_id", "signup_ts"
     )
 

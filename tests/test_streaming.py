@@ -268,3 +268,54 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
     # availableNow may withhold tail rows not yet past the watermark;
     # with a 30-day watermark nothing is withheld on this dataset.
     assert got == expected
+
+
+def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: an unmatched signup must emit
+    exactly once, with NULL purchase columns, and only after the
+    watermark proves no purchase can still match (passes
+    signup_ts + within). Three mtime-ordered microbatches:
+      b1: u1 signup 10:00 + purchase 10:30 (matches, emits inner row);
+          u2 signup 10:00 with no purchase (buffered)
+      b2: u99 signup 20:00 -> watermark advances to 19:00 > 11:00
+      b3: unrelated u98 purchase -> trigger fires, u2's evicted signup
+          emits with NULL purchase columns; u99 (still inside the
+          watermark horizon) stays withheld."""
+    import datetime as dt
+
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        join_purchases_to_signups_stream,
+    )
+
+    src = str(tmp_path / "ssj_lo_src")
+    os.makedirs(src)
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    cols = ["event_id", "ts", "user_id", "event_type"]
+    batches = [
+        [
+            (1, t(10, 0), 1, "signup"),
+            (2, t(10, 30), 1, "purchase"),
+            (3, t(10, 0), 2, "signup"),
+        ],
+        [(4, t(20, 0), 99, "signup")],
+        [(5, t(21, 0), 98, "purchase")],
+    ]
+    now = 2_000_000_000
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(f"{src}/b{i}")
+        for f in os.listdir(f"{src}/b{i}"):
+            os.utime(f"{src}/b{i}/{f}", (now + i * 60, now + i * 60))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{src}/b0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = join_purchases_to_signups_stream(
+        stream, watermark="1 hour", within="1 hour", how="left_outer"
+    )
+    _run_available_now(out, "ssj_lo")
+    got = {
+        (r["user_id"], r["signup_event_id"], r["purchase_event_id"])
+        for r in spark.sql("select * from ssj_lo").collect()
+    }
+    assert got == {(1, 1, 2), (2, 3, None)}, got
