@@ -122,12 +122,24 @@ def events_windowed_counts(
     events: DataFrame,
     window: str = "1 hour",
     watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window aggregation (the incremental twin of
-    the oracled batch query ``events_hourly_windows``)."""
+    """Watermarked windowed aggregation (the incremental twin of the
+    oracled batch query ``events_hourly_windows``).
+
+    ``slide=None`` gives tumbling windows; a ``slide`` shorter than
+    ``window`` gives overlapping (sliding) windows — each row lands in
+    window/slide window instances, so state and output scale by that
+    factor. The fan-out compiles to an Expand BEFORE the partial
+    aggregate (map-side, pre-shuffle), so shuffle bytes grow with the
+    number of live (window, key) groups, not raw rows × instances. A
+    window's state is evicted (and the row emitted in append mode) once
+    the watermark passes its end, same as tumbling.
+    """
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .groupBy(win.alias("win"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_value"),

@@ -319,3 +319,41 @@ def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
         for r in spark.sql("select * from ssj_lo").collect()
     }
     assert got == {(1, 1, 2), (2, 3, None)}, got
+
+
+def test_sliding_windowed_counts_match_batch(spark, sf_dir, tmp_path):
+    """Sliding (overlapping) windows: every emitted (window, type) row
+    must equal its batch twin, and only windows whose end is still
+    inside the watermark horizon may be withheld by availableNow."""
+    import datetime as dt
+
+    stream_src, events_batch = _events_stream(spark, sf_dir, str(tmp_path))
+    out = events_windowed_counts(
+        stream_src, window="1 hour", watermark="2 hours", slide="30 minutes"
+    )
+    _run_available_now(out, "slide_counts")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.sql("select * from slide_counts").collect()
+    }
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in (
+            events_batch.groupBy(
+                F.window("ts", "1 hour", "30 minutes").alias("win"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_value"),
+            )
+            .select(F.col("win.start").alias("window_start"), "event_type", "n", "sum_value")
+            .collect()
+        )
+    }
+    assert set(got) <= set(expected)
+    assert all(got[k] == expected[k] for k in got)
+    # withheld => window end (start + 1h) > watermark (max_ts - 2h)
+    max_ts = events_batch.agg(F.max("ts")).collect()[0][0]
+    horizon = max_ts - dt.timedelta(hours=3)
+    withheld = set(expected) - set(got)
+    assert all(ws > horizon for (ws, _et) in withheld), sorted(withheld)[:5]
