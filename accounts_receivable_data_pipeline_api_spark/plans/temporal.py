@@ -153,8 +153,11 @@ def window_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exact-microsecond gap (unix_micros), matching both the oracle's
     # `> INTERVAL 30 MINUTE` comparison and the streaming sessionizer's
     # kernel — a whole-second cast would misclassify gaps within ~1s of
-    # the 1800s boundary (round-2 ADVICE.md fix).
-    micros = F.unix_micros(F.col("ts"))
+    # the 1800s boundary (round-2 ADVICE.md fix). The parquet column is
+    # TIMESTAMP_NTZ (no tz annotation); unix_micros requires TIMESTAMP,
+    # and with the session TZ pinned to UTC the cast is a pure
+    # reinterpretation (gap differences are TZ-invariant regardless).
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
     marked = events.withColumn(
         "new_session",
         F.when(
@@ -208,7 +211,8 @@ def window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(*order)
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     wslide = w.rowsBetween(-2, Window.currentRow)
-    micros = F.unix_micros(F.col("ts"))
+    # NTZ-safe micros: see window_sessionize (UTC session => no shift).
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
     money = F.col("value").cast("decimal(18,2)")
     return events.select(
         "user_id",

@@ -136,6 +136,12 @@ def events_windowed_counts(
     window's state is evicted (and the row emitted in append mode) once
     the watermark passes its end, same as tumbling.
     """
+    # Event-time ops (watermark, window eviction) require an instant-typed
+    # TIMESTAMP; parquet sources written without a tz annotation arrive as
+    # TIMESTAMP_NTZ. With the session TZ pinned to UTC (session.py) the
+    # cast is a pure reinterpretation — normalize here so callers can feed
+    # either type.
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
@@ -178,18 +184,20 @@ def join_purchases_to_signups_stream(
     Batch twin of the same shape: join_range_followups
     (plans/temporal.py).
     """
+    # NTZ-safe event time: see events_windowed_counts (UTC session => no shift).
+    ts = F.col("ts").cast("timestamp")
     signups = (
         events.filter(F.col("event_type") == "signup")
         .select(
             F.col("user_id").alias("s_user_id"),
             F.col("event_id").alias("signup_event_id"),
-            F.col("ts").alias("signup_ts"),
+            ts.alias("signup_ts"),
         )
         .withWatermark("signup_ts", watermark)
     )
     purchases = (
         events.filter(F.col("event_type") == "purchase")
-        .select("user_id", F.col("event_id").alias("purchase_event_id"), F.col("ts").alias("purchase_ts"))
+        .select("user_id", F.col("event_id").alias("purchase_event_id"), ts.alias("purchase_ts"))
         .withWatermark("purchase_ts", watermark)
     )
     cond = (
