@@ -3,8 +3,8 @@
 ``entry(spark)`` smoke-runs the flagship query at sf0.001;
 ``queries()`` / ``oracle_sql()`` expose the operator corpus declared in
 ``accounts_receivable_data_pipeline_api_spark.plans`` (one entry per
-SURVEY §2 operator row; oracle omitted only for non-SQL-expressible
-hash-family operators, which the driver checks rows-only).
+SURVEY §2 operator row; every entry carries a DuckDB oracle —
+hash-family operators through driver-checkable invariant summaries).
 """
 
 from __future__ import annotations

@@ -386,7 +386,8 @@ def test_salted_distinct_equals_plain_on_real_data(spark, sf_dir):
 def test_approx_distinct_within_rsd(spark, sf_dir):
     """approx_count_distinct at rsd=0.01 stays within 5% of the exact
     cardinality on real data (HLL++ guarantee holds at this scale) —
-    the value-level pin behind the rows-only agg_approx_distinct entry."""
+    the value-level pin behind agg_approx_distinct's within_bound
+    invariant column."""
     from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
 
     orders = load_table(spark, sf_dir, "orders")

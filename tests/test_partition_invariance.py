@@ -8,6 +8,7 @@ order)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 import __spark_entry__ as entry_mod
 
@@ -24,8 +25,8 @@ QUERIES = (
     "similarity_brute_topk",
     "agg_percentiles",
     "window_sessionize",
-    # rows-only (non-oracled) entries: partition-invariance is their
-    # only cross-layout value check
+    # hash-family entries (now oracled as invariant summaries): the
+    # summary must not depend on layout either
     "dedup_minhash_lsh",
     "similarity_ivf_topk",
     "dedup_components_lsh",
@@ -46,6 +47,58 @@ def test_result_is_partition_invariant(spark, sf_dir, name):
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "7")
         again = _rows(fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert base == again
+
+
+def _raw_hash_family(spark, sf_dir, op):
+    """RAW output of one hash-family operator — since the corpus
+    entries now emit invariant SUMMARIES (round-2 VERDICT #1), the raw
+    pair/top-k/component sets need their own cross-layout value check
+    (a layout-dependent raw set could in principle hide behind a
+    layout-stable summary)."""
+    from accounts_receivable_data_pipeline_api_spark.operators import dedup, similarity
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    if op == "minhash_pairs":
+        return dedup.minhash_lsh_pairs(docs, verify_threshold=0.2)
+    if op == "simhash_pairs":
+        return dedup.simhash_near_pairs(docs, max_hamming=16)
+    if op == "embedding_lsh_pairs":
+        return dedup.embedding_cosine_pairs_lsh(emb, 64, 0.3)
+    if op == "lsh_topk":
+        return similarity.lsh_topk(queries, emb, dim=64, k=10)
+    if op == "ivf_topk":
+        centroids = similarity.ivf_build(emb, k=8, iters=3)
+        return similarity.ivf_topk(queries, emb, centroids, k=10, nprobe=4)
+    if op == "components_lsh":
+        return dedup.connected_components(
+            dedup.embedding_cosine_pairs_lsh(emb, 64, 0.3), nodes=emb.select("vec_id")
+        )
+    raise ValueError(op)
+
+
+@pytest.mark.parametrize(
+    "op",
+    [
+        "minhash_pairs",
+        "simhash_pairs",
+        "embedding_lsh_pairs",
+        "lsh_topk",
+        "ivf_topk",
+        "components_lsh",
+    ],
+)
+def test_raw_hash_family_output_is_partition_invariant(spark, sf_dir, op):
+    base = _rows(_raw_hash_family(spark, sf_dir, op))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        again = _rows(_raw_hash_family(spark, sf_dir, op))
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert base == again

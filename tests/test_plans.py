@@ -90,11 +90,26 @@ def test_approx_topk_paths_never_cross_join(spark, sf_dir):
     """Both approximate ANN paths replace the brute-force cross join
     with equi-joins (LSH: bucket key; IVF: probed cluster id). A
     cartesian/nested-loop operator in either plan is a scale
-    regression."""
-    plan_lsh = _plan(spark, sf_dir, "similarity_lsh_topk")
-    plan_ivf = _plan(spark, sf_dir, "similarity_ivf_topk")
+    regression. Gated on the raw OPERATORS (not the corpus entries):
+    the similarity_*_topk entries are verification harnesses that
+    deliberately compute the exact brute-force twin in-entry to emit
+    driver-checkable invariants (round-2 VERDICT #1), so their plans
+    legitimately contain the O(n*q) baseline."""
+    from accounts_receivable_data_pipeline_api_spark.operators import similarity
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    plan_lsh = _formatted(spark, similarity.lsh_topk(queries, emb, dim=64, k=10))
+    centroids = similarity.ivf_build(emb, k=8, iters=3)
+    plan_ivf = _formatted(
+        spark, similarity.ivf_topk(queries, emb, centroids, k=10, nprobe=4)
+    )
     for plan in (plan_lsh, plan_ivf):
         assert "CartesianProduct" not in plan, plan
+        # The 1-row probe/query side broadcast is expected; a nested-loop
+        # join of the CANDIDATE corpus is not. ivf/lsh join on equi keys.
         assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
