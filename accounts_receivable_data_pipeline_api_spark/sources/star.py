@@ -48,13 +48,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if cached is not None:
         return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # events.ts is TIMESTAMP(NANOS) in parquet; Spark has no nanos
-        # type, so the session reads it as long (nanosAsLong conf) and
-        # we truncate to a microsecond timestamp here — same truncation
-        # DuckDB applies, so oracle comparisons agree.
-        # integer division: ns values exceed 2^53, double math would lose precision
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        # Canonicalize event time ONCE at the source so every consumer
+        # (batch corpus entries AND their streaming twins) sees one
+        # timestamp type — TIMESTAMP_NTZ, the tz-independent choice:
+        # it collects as the naive wall clock on any driver host, which
+        # is also how DuckDB renders un-annotated parquet timestamps,
+        # so oracle comparisons agree without depending on the OS tz
+        # (round-3 ADVICE). Spark 4.x event-time ops (watermark,
+        # window) accept NTZ directly; the one LTZ-only function,
+        # unix_micros, casts locally at its use sites (plans/temporal).
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) parquet: Spark has no nanos type, so the
+            # session reads it as long (nanosAsLong conf); truncate to
+            # microseconds — same truncation DuckDB applies. Integer
+            # division: ns values exceed 2^53, double math would lose
+            # precision.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+            )
+        elif ts_type == "timestamp":
+            # tz-annotated source: with the session TZ pinned to UTC
+            # (session.py) this is a wall-clock-preserving
+            # reinterpretation.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     _TABLE_CACHE[key] = df
     return df
 

@@ -39,7 +39,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampType,
+    TimestampNTZType,
 )
 
 from ..functions.cleaning import money, nullif_blank, parse_mdy_date, terms_days_expr
@@ -68,7 +68,7 @@ RAW_INVOICE_SCHEMA = StructType(
 EVENT_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", TimestampType()),
+        StructField("ts", TimestampNTZType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -136,11 +136,15 @@ def events_windowed_counts(
     window's state is evicted (and the row emitted in append mode) once
     the watermark passes its end, same as tumbling.
     """
-    # Event-time ops (watermark, window eviction) require an instant-typed
-    # TIMESTAMP; parquet sources written without a tz annotation arrive as
-    # TIMESTAMP_NTZ. With the session TZ pinned to UTC (session.py) the
-    # cast is a pure reinterpretation — normalize here so callers can feed
-    # either type.
+    # withWatermark genuinely REQUIRES an instant-typed TIMESTAMP in
+    # Spark 4.1 (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ — verified;
+    # batch F.window accepts NTZ, the streaming watermark does not). So:
+    # cast the canonical NTZ event time up to TIMESTAMP for the
+    # watermark/window ops, then cast the emitted window bound BACK to
+    # NTZ so the streaming output is type-identical to the oracled batch
+    # twin events_hourly_windows and collects host-tz-independently.
+    # With the session TZ pinned to UTC (session.py) both casts preserve
+    # the wall clock.
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
@@ -151,7 +155,7 @@ def events_windowed_counts(
             F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(18,2)").alias("sum_value"),
         )
         .select(
-            F.col("win.start").alias("window_start"),
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
             "n",
             "sum_value",
@@ -184,7 +188,8 @@ def join_purchases_to_signups_stream(
     Batch twin of the same shape: join_range_followups
     (plans/temporal.py).
     """
-    # NTZ-safe event time: see events_windowed_counts (UTC session => no shift).
+    # Watermark requires TIMESTAMP (see events_windowed_counts); output
+    # event times are cast back to canonical NTZ in the final select.
     ts = F.col("ts").cast("timestamp")
     signups = (
         events.filter(F.col("event_type") == "signup")
@@ -211,12 +216,16 @@ def join_purchases_to_signups_stream(
         return signups.join(purchases, cond, "left_outer").select(
             F.col("s_user_id").alias("user_id"),
             "purchase_event_id",
-            "purchase_ts",
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
             "signup_event_id",
-            "signup_ts",
+            F.col("signup_ts").cast("timestamp_ntz").alias("signup_ts"),
         )
     return purchases.join(signups, cond, how).select(
-        "user_id", "purchase_event_id", "purchase_ts", "signup_event_id", "signup_ts"
+        "user_id",
+        "purchase_event_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "signup_event_id",
+        F.col("signup_ts").cast("timestamp_ntz").alias("signup_ts"),
     )
 
 
@@ -236,8 +245,10 @@ def enrich_events_with_dim(events: DataFrame, dim: DataFrame, on: str = "user_id
 SESSION_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),
-        StructField("session_start", TimestampType()),
-        StructField("session_end", TimestampType()),
+        # NTZ: type-identical to the oracled batch twin window_sessionize
+        # (min/max over the canonical NTZ event time)
+        StructField("session_start", TimestampNTZType()),
+        StructField("session_end", TimestampNTZType()),
         StructField("n_events", IntegerType()),
     ]
 )

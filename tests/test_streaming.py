@@ -43,6 +43,11 @@ def _events_stream(spark, sf_dir, out_dir):
 def test_windowed_counts_match_batch(spark, sf_dir, tmp_path):
     stream_src, events_batch = _events_stream(spark, sf_dir, str(tmp_path))
     out = events_windowed_counts(stream_src, window="1 hour", watermark="2 hours")
+    # Both twins emit the canonical TIMESTAMP_NTZ event time (round-3
+    # ADVICE): collected keys are naive wall-clock datetimes on BOTH
+    # sides, so the dict comparison below is host-timezone-independent.
+    assert dict(out.dtypes)["window_start"] == "timestamp_ntz"
+    assert dict(events_batch.dtypes)["ts"] == "timestamp_ntz"
     _run_available_now(out, "win_counts")
     got = {
         (r["window_start"], r["event_type"]): (r["n"], r["sum_value"])
