@@ -344,6 +344,14 @@ def embedding_cosine_pairs(
 
     a = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+    # CartesianProduct parallelism = left partitions x right partitions;
+    # a single-file parquet source arrives as ONE partition, which would
+    # run the whole O(n^2) scoring loop on one core (measured 23s for
+    # 2M pairs at 64 dims). Round-robin the left side across the
+    # session's shuffle width: a tiny shuffle of n rows buys full-width
+    # scoring.
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    a = a.repartition(width)
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
@@ -361,11 +369,12 @@ def embedding_cosine_pairs_lsh(
     dim: int,
     threshold: float = 0.3,
     band_planes: int | None = None,
-    num_tables: int = 8,
+    num_tables: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
     target_bucket_rows: int = 32,
+    target_recall: float = 0.67,
 ) -> DataFrame:
     """Approximate embedding near-dup pairs: banded multi-table
     hyperplane-LSH blocking, then exact cosine within buckets.
@@ -387,11 +396,20 @@ def embedding_cosine_pairs_lsh(
     20k random-ish vectors with b=4 (16 buckets): 40-60 s warm for zero
     result pairs; auto-sized b=10: see docquote below. Expected
     candidates under auto-sizing stay ~n * L * target_bucket_rows / 2.
-    The recall cost of a larger b falls on LOW-similarity pairs (p^b
-    shrinks fastest for small p) — the high-similarity regime that
-    near-dup detection actually targets keeps recall ~1-(1-p^b)^L with
-    p >= 0.8; callers chasing low thresholds must raise num_tables
-    explicitly (L ~ ln(1-recall)/ln(1-p^b)).
+
+    ``num_tables=None`` (default) SIZES THE TABLE COUNT FROM THE RECALL
+    TARGET: L = clamp(4..32, ceil(ln(1-target_recall) / ln(1-p^b)))
+    with p = 1 - arccos(threshold)/pi. A fixed L is the dual trap of a
+    fixed b: auto-sizing b up keeps buckets sparse but shrinks p^b, so
+    recall at the SAME threshold silently decays as the corpus grows
+    (measured: 0.70 at n=500/b=4/L=8 falling under 0.5 at n=2000/b=6 —
+    the round-3 sf0.1 regression). Auto-L restores the target at L
+    linear cost in candidate volume. The honest limit: once the clamp
+    (32) binds — low thresholds over huge corpora — recall degrades
+    below target; raise target_bucket_rows (larger, fewer-bit buckets
+    => larger p^b) or accept the standard LSH tradeoff. High-similarity
+    thresholds (the regime near-dup detection targets) keep p^b large
+    and L small.
 
     All band signatures are computed in ONE Arrow-batched numpy GEMM
     (signs of V @ P.T, bits packed per band): computing 32 plane dots
@@ -412,6 +430,14 @@ def embedding_cosine_pairs_lsh(
     if band_planes is None:
         n = df.count()
         band_planes = max(4, min(20, math.ceil(math.log2(max(n, 2) / target_bucket_rows))))
+    if num_tables is None:
+        p_collide = (1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi) ** band_planes
+        if p_collide >= 1.0:
+            num_tables = 4
+        else:
+            num_tables = max(
+                4, min(32, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_collide)))
+            )
 
     total_planes = band_planes * num_tables
     # Deterministic plane matrix: component (p, d) from md5(p, d) scaled

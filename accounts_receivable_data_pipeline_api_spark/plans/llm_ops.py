@@ -122,37 +122,37 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    lsh = dedup.minhash_lsh_pairs(docs, verify_threshold=0.2)
-    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.2).select(
-        "id_a", "id_b", F.col("jaccard").alias("ex_jaccard")
+    # ONE full-outer join + ONE aggregate produces every invariant: the
+    # LSH and exact pipelines each execute exactly once (a per-counter
+    # branch design re-ran both pipelines per 1-row aggregate and spent
+    # ~20s cold in stage codegen alone).
+    lsh = dedup.minhash_lsh_pairs(docs, verify_threshold=0.2).select(
+        "id_a", "id_b", "jaccard", F.lit(1).alias("is_lsh")
     )
-    checked = lsh.join(exact, ["id_a", "id_b"], "left")
-    lsh_stats = checked.agg(
-        F.coalesce(
-            F.sum(
-                F.when(
-                    F.col("ex_jaccard").isNull()
-                    | (F.abs(F.col("jaccard") - F.col("ex_jaccard")) > 1e-9),
-                    1,
-                ).otherwise(0)
-            ),
-            F.lit(0),
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.2).select(
+        "id_a", "id_b", F.col("jaccard").alias("ex_jaccard"), F.lit(1).alias("is_exact")
+    )
+    full = lsh.join(exact, ["id_a", "id_b"], "full_outer")
+    is_lsh = F.col("is_lsh").isNotNull()
+    is_exact = F.col("is_exact").isNotNull()
+    is_hi = is_exact & (F.col("ex_jaccard") >= 0.7)
+    n_hi = F.sum(F.when(is_hi, 1).otherwise(0))
+    n_hi_found = F.sum(F.when(is_hi & is_lsh, 1).otherwise(0))
+    return full.agg(
+        n_hi.cast("bigint").alias("n_exact_pairs_hi"),
+        F.sum(
+            F.when(
+                is_lsh
+                & (
+                    ~is_exact
+                    | (F.abs(F.col("jaccard") - F.col("ex_jaccard")) > 1e-9)
+                ),
+                1,
+            ).otherwise(0)
         )
         .cast("bigint")
         .alias("n_subset_violations"),
-    )
-    hi = exact.filter(F.col("ex_jaccard") >= 0.7)
-    hi_stats = hi.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_pairs_hi"))
-    hi_found = hi.join(lsh.select("id_a", "id_b"), ["id_a", "id_b"], "left_semi").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_hi_found"),
-    )
-    return _one_row(hi_stats, lsh_stats, hi_found).select(
-        "n_exact_pairs_hi",
-        "n_subset_violations",
-        (
-            F.col("n_hi_found")
-            >= F.ceil(F.lit(0.9) * F.col("n_exact_pairs_hi"))
-        ).alias("recall_hi_met"),
+        (n_hi_found >= F.ceil(F.lit(0.9) * n_hi)).alias("recall_hi_met"),
     )
 
 
@@ -278,44 +278,40 @@ _EXACT_COSINE_CTE = """
     "#1): every LSH pair must appear in the exact cosine>=0.3 graph "
     "with a matching score (subset soundness: in-bucket candidates are "
     "exact-cosine-verified), and recall vs the exact graph must be "
-    ">= 0.5 (banded OR-construction theory ~0.67 at cos 0.3; measured "
-    "0.69 at sf0.001 and 0.70 at sf0.01). n_exact_pairs is a real "
-    "cross-engine value (DuckDB recomputes the exact pair graph). The "
-    "O(n^2) exact side lives in this VERIFICATION entry only, never in "
-    "the operator.",
+    ">= 0.5 (the operator auto-sizes its table count to a 0.67 recall "
+    "target; measured 0.72/0.74/0.72 at sf0.001/0.01/0.1 — scale-"
+    "stable, unlike the fixed L=8 that decayed under 0.5 at sf0.1). "
+    "n_exact_pairs is a real cross-engine value (DuckDB recomputes the "
+    "exact pair graph). The O(n^2) exact side lives in this "
+    "VERIFICATION entry only, never in the operator.",
 )
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    lsh = dedup.embedding_cosine_pairs_lsh(emb, dim=64, threshold=0.3)
-    exact = dedup.embedding_cosine_pairs(emb, threshold=0.3).select(
-        "id_a", "id_b", F.col("score").alias("ex_score")
+    # Single full-outer join + single aggregate: LSH and exact pipelines
+    # each execute exactly once (see dedup_minhash_lsh).
+    lsh = dedup.embedding_cosine_pairs_lsh(emb, dim=64, threshold=0.3).select(
+        "id_a", "id_b", "score", F.lit(1).alias("is_lsh")
     )
-    checked = lsh.join(exact, ["id_a", "id_b"], "left")
-    subset = checked.agg(
-        F.coalesce(
-            F.sum(
-                F.when(
-                    F.col("ex_score").isNull()
-                    | (F.abs(F.col("score") - F.col("ex_score")) > 1e-6),
-                    1,
-                ).otherwise(0)
-            ),
-            F.lit(0),
+    exact = dedup.embedding_cosine_pairs(emb, threshold=0.3).select(
+        "id_a", "id_b", F.col("score").alias("ex_score"), F.lit(1).alias("is_exact")
+    )
+    full = lsh.join(exact, ["id_a", "id_b"], "full_outer")
+    is_lsh = F.col("is_lsh").isNotNull()
+    is_exact = F.col("is_exact").isNotNull()
+    n_exact = F.sum(F.when(is_exact, 1).otherwise(0))
+    n_found = F.sum(F.when(is_lsh & is_exact, 1).otherwise(0))
+    return full.agg(
+        n_exact.cast("bigint").alias("n_exact_pairs"),
+        F.sum(
+            F.when(
+                is_lsh
+                & (~is_exact | (F.abs(F.col("score") - F.col("ex_score")) > 1e-6)),
+                1,
+            ).otherwise(0)
         )
         .cast("bigint")
         .alias("n_subset_violations"),
-        F.count(F.lit(1)).cast("bigint").alias("n_lsh_pairs"),
-    )
-    n_exact = exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_exact_pairs"))
-    found = lsh.select("id_a", "id_b").join(exact, ["id_a", "id_b"], "left_semi").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_found")
-    )
-    return _one_row(n_exact, subset, found).select(
-        "n_exact_pairs",
-        "n_subset_violations",
-        (F.col("n_found") >= F.ceil(F.lit(0.5) * F.col("n_exact_pairs"))).alias(
-            "recall_floor_met"
-        ),
+        (n_found >= F.ceil(F.lit(0.5) * n_exact)).alias("recall_floor_met"),
     )
 
 
@@ -436,56 +432,55 @@ def _topk_invariants(approx: DataFrame, queries: DataFrame, emb: DataFrame, k: i
       and sf0.01; approximate operators are deterministic, so the
       boolean is stable).
     """
-    exact_scores = (
-        emb.select(F.col("vec_id").alias("match_id"), F.col("embedding").alias("cv"))
+    # Single full-outer join of the approximate and exact top-k sets,
+    # vectors attached once, ONE aggregate for every invariant — the
+    # approx and brute pipelines each execute exactly once (a
+    # per-counter branch design re-runs both per 1-row aggregate).
+    ap = approx.select("query_id", "match_id", "score", "rank", F.lit(1).alias("is_ap"))
+    br = similarity.brute_force_topk(queries, emb, k=k).select(
+        "query_id", "match_id", F.lit(1).alias("is_br")
     )
     qv = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
-    rescored = (
-        approx.join(F.broadcast(qv), "query_id")
-        .join(exact_scores, "match_id")
-        .select(
-            "query_id",
-            "match_id",
-            "score",
-            "rank",
+    cv = emb.select(F.col("vec_id").alias("match_id"), F.col("embedding").alias("cv"))
+    full = (
+        ap.join(br, ["query_id", "match_id"], "full_outer")
+        .join(F.broadcast(qv), "query_id")
+        .join(cv, "match_id")
+        .withColumn(
+            "true_score",
             similarity.cosine(
                 similarity._as_double(F.col("qv")), similarity._as_double(F.col("cv"))
-            ).alias("true_score"),
+            ),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("match_id"))
-    consistency = rescored.withColumn("expect_rank", F.row_number().over(w)).agg(
-        F.coalesce(
-            F.sum(F.when(F.abs(F.col("score") - F.col("true_score")) > 1e-9, 1).otherwise(0)),
-            F.lit(0),
+    is_ap = F.col("is_ap").isNotNull()
+    is_br = F.col("is_br").isNotNull()
+    # Approx rows sort first within each query, so row_number restricted
+    # to them reproduces the rank the operator should have assigned.
+    w = Window.partitionBy("query_id").orderBy(
+        F.when(is_ap, 0).otherwise(1),
+        F.col("score").desc_nulls_last(),
+        F.col("match_id"),
+    )
+    full = full.withColumn("expect_rank", F.row_number().over(w))
+    n_hits = F.sum(F.when(is_ap & is_br, 1).otherwise(0))
+    n_brute = F.sum(F.when(is_br, 1).otherwise(0))
+    return full.agg(
+        F.count_distinct("query_id").cast("bigint").alias("n_queries"),
+        F.sum(
+            F.when(is_ap & (F.abs(F.col("score") - F.col("true_score")) > 1e-9), 1).otherwise(0)
         )
         .cast("bigint")
         .alias("n_score_mismatches"),
-        F.coalesce(
-            F.sum(
-                F.when(
-                    (F.col("rank") != F.col("expect_rank")) | (F.col("rank") > k),
-                    1,
-                ).otherwise(0)
-            ),
-            F.lit(0),
+        F.sum(
+            F.when(
+                is_ap & ((F.col("rank") != F.col("expect_rank")) | (F.col("rank") > k)),
+                1,
+            ).otherwise(0)
         )
         .cast("bigint")
         .alias("n_rank_violations"),
-    )
-    brute = similarity.brute_force_topk(queries, emb, k=k).select("query_id", "match_id")
-    hits = brute.join(
-        approx.select("query_id", "match_id"), ["query_id", "match_id"], "left_semi"
-    ).agg(F.count(F.lit(1)).alias("n_hits"))
-    denom = brute.agg(F.count(F.lit(1)).alias("n_brute"))
-    n_queries = queries.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
-    return _one_row(n_queries, consistency, hits, denom).select(
-        "n_queries",
-        "n_score_mismatches",
-        "n_rank_violations",
-        (F.col("n_hits") >= F.lit(recall_floor) * F.col("n_brute")).alias(
-            "recall_floor_met"
-        ),
+        (n_hits >= F.lit(recall_floor) * n_brute).alias("recall_floor_met"),
     )
 
 

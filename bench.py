@@ -10,13 +10,18 @@ steady-state re-execution of the same prepared plan — the resident-engine
 serving latency (codegen JIT amortized), which is what the reference's
 in-process SQLite latency corresponds to. At sf0.1 the cold numbers are
 dominated by the fixed ~1s/query janino compile; the warm numbers show
-the actual data-path cost that scales with SF.
+the actual data-path cost that scales with SF. Warm is the MEDIAN of 3
+re-executions (round-2 VERDICT #4): single-run warm values under ~0.2 s
+showed ~2x run-to-run scheduler variance, which made round-over-round
+deltas unreadable; the median absorbs one-off GC/scheduler spikes
+without hiding a real slowdown.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import time
 
 from accounts_receivable_data_pipeline_api_spark.plans import CORPUS
@@ -69,9 +74,20 @@ def main() -> None:
         df = cq.build(spark, SF_DIR)
         df.collect()
         timings[name] = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        df.collect()  # full re-execution (no result cache), compiled plan
-        warm[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(3):
+            # Rebuild the DataFrame per sample: re-collect()ing the SAME
+            # plan instance lets AQE reuse its already-materialized
+            # shuffle stages, which fakes multi-stage queries down to
+            # the final stage only (measured 23s of real data path
+            # reported as 0.02s). A fresh build re-executes the full
+            # data path while the janino codegen cache keeps compile
+            # cost out — the honest steady-state serving latency.
+            fresh = cq.build(spark, SF_DIR)
+            t0 = time.perf_counter()
+            fresh.collect()
+            samples.append(time.perf_counter() - t0)
+        warm[name] = round(statistics.median(samples), 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
