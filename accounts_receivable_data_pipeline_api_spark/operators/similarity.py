@@ -207,12 +207,24 @@ def ivf_build(
 
     Each iteration is one GEMM assignment pass (``assign_clusters`` —
     centroids ride the task closure, not the plan, so nlist is no
-    longer codegen-bounded) plus one per-cluster mean aggregation
-    (dim sum columns — bounded by dim, not k). Centroids (k x dim
-    floats) live on the driver — tiny even at nlist=4096/dim=1024.
-    Determinism: no RNG, fixed init, fixed iters, exact argmin with
-    lowest-index tie-break.
+    longer codegen-bounded) plus one numpy partial-sum centroid update:
+    every partition reduces its rows to at most one (cluster, count,
+    sum-vector) row per cluster inside the assignment kernel (map-side
+    combine in the same Arrow stage), partials shuffle on the small
+    cluster key, and a per-cluster applyInPandas merge (pid-sorted, so
+    the float summation order is fixed for a given layout) emits k rows
+    of k x dim totals. The former per-dimension
+    sum(element_at(v, i)) aggregate generated dim codegen columns —
+    the same janino failure class as the centroid-literal bug, measured
+    minutes of compile at dim 1024 (round-2 VERDICT #6); the kernel
+    path is compile-free and BLAS-fast at any (k, dim). Centroids
+    (k x dim floats) live on the driver — tiny even at
+    nlist=4096/dim=1024. Determinism: no RNG, fixed init, fixed iters,
+    exact argmin with lowest-index tie-break, pid-ordered reduction.
     """
+    import numpy as np
+    import pandas as pd
+
     vecs = candidates.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     if k is None:
         import math
@@ -222,20 +234,73 @@ def ivf_build(
     centroids = [
         list(r["v"]) for r in vecs.orderBy(id_col).limit(k).collect()
     ]
+    dim = len(centroids[0])
+
+    partial_schema = StructType(
+        [
+            StructField("cluster", IntegerType()),
+            StructField("pid", IntegerType()),
+            StructField("n", LongType()),
+            StructField("s", ArrayType(DoubleType())),
+        ]
+    )
+    merged_schema = StructType(
+        [
+            StructField("cluster", IntegerType()),
+            StructField("n", LongType()),
+            StructField("s", ArrayType(DoubleType())),
+        ]
+    )
+
+    def _merge_fn(key, pdf):
+        total_n = 0
+        total_s = np.zeros(dim, dtype=np.float64)
+        for _, r in pdf.sort_values("pid").iterrows():
+            total_n += int(r["n"])
+            total_s += np.asarray(r["s"], dtype=np.float64)
+        return pd.DataFrame({"cluster": [key[0]], "n": [total_n], "s": [total_s]})
+
     for _ in range(iters):
-        assigned = assign_clusters(vecs, centroids, "v")
-        dim = len(centroids[0])
-        sums = assigned.groupBy("cluster").agg(
-            F.count(F.lit(1)).alias("n"),
-            *[
-                F.sum(F.element_at(F.col("v"), i + 1)).alias(f"s{i}")
-                for i in range(dim)
-            ],
-        )
+        C = np.array(centroids, dtype=np.float64)
+        c_norm2 = (C * C).sum(axis=1)
+
+        def partial_kernel(batches):
+            # assignment + map-side combine fused in one Arrow stage:
+            # rows never leave the partition, only k partial rows do
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            acc_n: dict[int, int] = {}
+            acc_s: dict[int, np.ndarray] = {}
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = np.array(list(pdf["v"]), dtype=np.float64)
+                cl = (2.0 * (V @ C.T) - c_norm2).argmax(axis=1)
+                for c in np.unique(cl):
+                    mask = cl == c
+                    c = int(c)
+                    acc_n[c] = acc_n.get(c, 0) + int(mask.sum())
+                    prev = acc_s.get(c)
+                    part = V[mask].sum(axis=0)
+                    acc_s[c] = part if prev is None else prev + part
+            if acc_n:
+                clusters = sorted(acc_n)
+                yield pd.DataFrame(
+                    {
+                        "cluster": np.array(clusters, dtype=np.int32),
+                        "pid": np.full(len(clusters), pid, dtype=np.int32),
+                        "n": [acc_n[c] for c in clusters],
+                        "s": [acc_s[c] for c in clusters],
+                    }
+                )
+
+        partials = vecs.mapInPandas(partial_kernel, schema=partial_schema)
+        merged = partials.groupBy("cluster").applyInPandas(_merge_fn, schema=merged_schema)
         new_centroids = list(centroids)
-        for row in sums.collect():
+        for row in merged.collect():
             c = row["cluster"]
-            new_centroids[c] = [row[f"s{i}"] / row["n"] for i in range(dim)]
+            new_centroids[c] = [x / row["n"] for x in row["s"]]
         centroids = new_centroids
     return centroids
 

@@ -517,3 +517,26 @@ def test_ivf_scales_nlist_beyond_codegen_limits(spark, sf_dir):
 
     n = emb.count()
     assert len(auto) == max(8, min(4096, int(round(math.sqrt(n)))))
+
+
+def test_ivf_build_wide_dim_and_nlist_in_seconds(spark):
+    """dim=1024 x nlist=256: the former per-dimension
+    sum(element_at(v, i)) centroid update generated 1024 codegen sum
+    columns (minutes of janino at this width); the numpy partial-sum
+    kernel must build promptly and deterministically at any (k, dim)
+    (round-2 VERDICT #6)."""
+    import time
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim, n, k = 1024, 1024, 256
+    data = [(i, rng.standard_normal(dim).tolist()) for i in range(n)]
+    df = spark.createDataFrame(data, ["vec_id", "embedding"]).repartition(8)
+    t0 = time.perf_counter()
+    centroids = similarity.ivf_build(df, k=k, iters=2)
+    elapsed = time.perf_counter() - t0
+    assert len(centroids) == k and len(centroids[0]) == dim
+    assert elapsed < 60, f"wide ivf_build took {elapsed:.1f}s"
+    again = similarity.ivf_build(df, k=k, iters=2)
+    assert centroids == again
