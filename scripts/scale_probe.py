@@ -1,7 +1,23 @@
-"""Scale probe: run headline queries at every available SF and report
-throughput (input rows/sec, warm plan) — evidence that the data-path
-cost scales linearly with input size, i.e. no operator hides an
-accidental O(n^2) or a driver-side loop.
+"""Scale probe: run headline queries AND the LLM-pipeline scale-path
+operators at every available SF and report throughput (input rows/sec,
+warm data path) — evidence that cost scales linearly with input size,
+i.e. no operator hides an accidental O(n^2) or a driver-side loop.
+
+Two probe families:
+- CORPUS probes: oracled corpus entries, timed via collect().
+- OPERATOR probes (round-2 VERDICT #7): the RAW dedup/ANN scale paths
+  (minhash LSH, embedding LSH, LSH components, LSH/IVF top-k) and the
+  streaming windowed-count rate. The corpus entries for these now
+  bundle exact-twin verification fixtures (O(n^2) by design), so
+  probing the entries would measure the fixture, not the operator —
+  the probe builds the operators directly.
+
+Warm timing REBUILDS the DataFrame per sample: re-collect()ing the same
+plan instance lets AQE reuse materialized shuffle stages and
+under-reports multi-stage queries (same fix as bench.py). Reported
+warm_sec is the median of 3 fresh-build runs; for the iterative
+connected-components probe the driver loop runs inside the build, so
+build+collect is the timed unit everywhere.
 
 Usage: python scripts/scale_probe.py
 Prints one JSON line per (query, sf).
@@ -11,11 +27,15 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F  # noqa: E402
+
+from accounts_receivable_data_pipeline_api_spark.operators import dedup, similarity  # noqa: E402
 from accounts_receivable_data_pipeline_api_spark.plans import CORPUS  # noqa: E402
 from accounts_receivable_data_pipeline_api_spark.session import get_spark  # noqa: E402
 from accounts_receivable_data_pipeline_api_spark.sources.star import load_table  # noqa: E402
@@ -32,7 +52,7 @@ SFS = tuple(
     if os.path.isdir(d)
 )
 
-# query -> table whose row count defines "input rows"
+# corpus entry -> table whose row count defines "input rows"
 PROBES = {
     "tpch_q1_pricing_summary": "lineitem",
     "ar_monthly_rollup": "orders",
@@ -43,30 +63,129 @@ PROBES = {
 }
 
 
+def _op_minhash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, verify_threshold=0.5)
+
+
+def _op_embedding_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs_lsh(emb, dim=64, threshold=0.3)
+
+
+def _op_components_lsh(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_cosine_pairs_lsh(emb, dim=64, threshold=0.3)
+    return dedup.connected_components(pairs, nodes=emb.select("vec_id"))
+
+
+def _op_lsh_topk(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(queries, emb, dim=64, k=10)
+
+
+_IVF_CENTROIDS: dict[str, list] = {}
+
+
+def _op_ivf_topk(spark, sf_dir):
+    # index build is the offline step — excluded from the query timing
+    # (built once per SF, auto-sized nlist ~ sqrt(n))
+    if sf_dir not in _IVF_CENTROIDS:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _IVF_CENTROIDS[sf_dir] = similarity.ivf_build(emb, k=None, iters=2)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(queries, emb, _IVF_CENTROIDS[sf_dir], k=10, nprobe=8)
+
+
+# operator probe -> (builder, input table)
+OPERATOR_PROBES = {
+    "op_minhash_lsh_pairs": (_op_minhash, "documents"),
+    "op_embedding_lsh_pairs": (_op_embedding_lsh, "embeddings"),
+    "op_components_lsh": (_op_components_lsh, "embeddings"),
+    "op_lsh_topk": (_op_lsh_topk, "embeddings"),
+    "op_ivf_topk": (_op_ivf_topk, "embeddings"),
+}
+
+
+def _timed(build, runs: int = 3) -> float:
+    samples = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        build().collect()
+        samples.append(time.perf_counter() - t0)
+    return statistics.median(samples)
+
+
+def _emit(name: str, sf_dir: str, n: int, dt: float) -> None:
+    print(
+        json.dumps(
+            {
+                "query": name,
+                "sf": sf_dir.rsplit("sf", 1)[-1],
+                "input_rows": n,
+                "warm_sec": round(dt, 4),
+                "rows_per_sec": int(n / dt) if dt > 0 else None,
+            }
+        ),
+        flush=True,
+    )
+
+
+def _probe_streaming_rate(spark, sf_dir: str) -> None:
+    """End-to-end availableNow rate of the watermarked windowed count:
+    stage events as a file-source stream, run one full pass into a
+    memory sink, report events/sec."""
+    import tempfile
+
+    from accounts_receivable_data_pipeline_api_spark.streaming.pipeline import (
+        events_windowed_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    n = events.count()
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "events_stream")
+        events.write.mode("overwrite").parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        out = events_windowed_counts(stream, window="1 hour", watermark="2 hours")
+        t0 = time.perf_counter()
+        q = (
+            out.writeStream.format("memory")
+            .queryName("probe_win")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        _emit("stream_windowed_counts", sf_dir, n, dt)
+        spark.catalog.dropTempView("probe_win")
+
+
 def main() -> None:
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     for name, table in PROBES.items():
         for sf_dir in SFS:
             n = load_table(spark, sf_dir, table).count()
-            df = CORPUS[name].build(spark, sf_dir)
-            df.collect()  # warm: compile once
-            t0 = time.perf_counter()
-            df.collect()
-            dt = time.perf_counter() - t0
-            print(
-                json.dumps(
-                    {
-                        "query": name,
-                        "sf": sf_dir.rsplit("sf", 1)[-1],
-                        "input_rows": n,
-                        "warm_sec": round(dt, 4),
-                        "rows_per_sec": int(n / dt) if dt > 0 else None,
-                    }
-                )
-            )
+            CORPUS[name].build(spark, sf_dir).collect()  # compile once
+            dt = _timed(lambda: CORPUS[name].build(spark, sf_dir))
+            _emit(name, sf_dir, n, dt)
+    for name, (builder, table) in OPERATOR_PROBES.items():
+        for sf_dir in SFS:
+            n = load_table(spark, sf_dir, table).count()
+            builder(spark, sf_dir).collect()  # compile once
+            dt = _timed(lambda: builder(spark, sf_dir))
+            _emit(name, sf_dir, n, dt)
+    for sf_dir in SFS:
+        _probe_streaming_rate(spark, sf_dir)
     spark.stop()
 
 
 if __name__ == "__main__":
     main()
+
+

@@ -368,6 +368,45 @@ def test_connected_components(spark):
     nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], ["doc_id"])
     out = {r.node: r.component for r in dedup.connected_components(pairs, nodes).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+    star = {
+        r.node: r.component
+        for r in dedup.connected_components(pairs, nodes, method="star").collect()
+    }
+    assert star == out
+
+
+def test_connected_components_star_equals_label_on_random_graphs(spark):
+    """Property: large-star/small-star and min-label propagation
+    produce the IDENTICAL (node, min-reachable-id) map on arbitrary
+    graphs — seeded random graphs across densities, plus the
+    adversarial long-chain case (high diameter, where the star variant
+    is the one that converges in few rounds)."""
+    import random
+
+    for seed, n, n_edges in [(1, 40, 15), (2, 60, 60), (3, 30, 200)]:
+        rng = random.Random(seed)
+        pairs = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(n_edges)
+        ]
+        pairs = [(a, b) for a, b in pairs if a != b] or [(0, 1)]
+        pdf = spark.createDataFrame(pairs, ["id_a", "id_b"])
+        nodes = spark.createDataFrame([(i,) for i in range(n)], ["node"])
+        label = {
+            r.node: r.component
+            for r in dedup.connected_components(pdf, nodes).collect()
+        }
+        star = {
+            r.node: r.component
+            for r in dedup.connected_components(pdf, nodes, method="star").collect()
+        }
+        assert star == label, (seed, {k: (v, star[k]) for k, v in label.items() if star[k] != v})
+
+    # long chain 0-1-2-...-29: diameter 29, star must converge well
+    # within max_iter (log^2 bound) and still match
+    chain = spark.createDataFrame([(i, i + 1) for i in range(29)], ["id_a", "id_b"])
+    label = {r.node: r.component for r in dedup.connected_components(chain, max_iter=40).collect()}
+    star = {r.node: r.component for r in dedup.connected_components(chain, method="star").collect()}
+    assert star == label == {i: 0 for i in range(30)}
 
 
 def test_components_over_lsh_refine_exact(spark, sf_dir):
