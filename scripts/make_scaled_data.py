@@ -66,7 +66,27 @@ def main() -> None:
             for k in keys:
                 c = c.withColumn(k, F.col(k) + F.lit(i * KEY_OFFSET))
             if table == "documents" and i > 0:
-                c = c.withColumn("text", F.concat(F.col("text"), F.lit(f" [copy {i}]")))
+                # Per-copy Caesar rotation of the letters: preserves
+                # length, token structure, and per-doc statistics, but
+                # DECORRELATES shingle sets across copies — without it,
+                # copies are jaccard~0.99 near-dups of each other and
+                # every pair-generating operator's OUTPUT grows
+                # quadratically with the copy factor (measuring result
+                # size, not engine scaling) — the text analogue of the
+                # embedding sign flips below.
+                src_a = "abcdefghijklmnopqrstuvwxyz"
+                src_b = src_a.upper()
+                rot = i % 25 + 1
+                c = c.withColumn(
+                    "text",
+                    F.translate(
+                        F.translate(
+                            F.col("text"), src_a, src_a[rot:] + src_a[:rot]
+                        ),
+                        src_b,
+                        src_b[rot:] + src_b[:rot],
+                    ),
+                )
             if table == "embeddings" and i > 0:
                 # Deterministic per-copy SIGN FLIPS (a diagonal +/-1
                 # rotation): cosine WITHIN a copy is unchanged (signs

@@ -19,8 +19,11 @@ warm_sec is the median of 3 fresh-build runs; for the iterative
 connected-components probe the driver loop runs inside the build, so
 build+collect is the timed unit everywhere.
 
-Usage: python scripts/scale_probe.py
-Prints one JSON line per (query, sf).
+Usage: python scripts/scale_probe.py [--only SUBSTR] [--runs N]
+Prints one JSON line per (query, sf). --only filters probe names by
+substring (so heavy operator probes can run in separate invocations);
+corpus probes default to median-of-3, operator probes to a single
+timed run (their multi-second runtimes don't need noise suppression).
 """
 
 from __future__ import annotations
@@ -166,22 +169,43 @@ def _probe_streaming_rate(spark, sf_dir: str) -> None:
 
 
 def main() -> None:
+    only = None
+    runs = None
+    args = sys.argv[1:]
+    while args:
+        if args[0] == "--only":
+            only = args[1]
+            args = args[2:]
+        elif args[0] == "--runs":
+            runs = int(args[1])
+            args = args[2:]
+        else:
+            raise SystemExit(f"unknown arg {args[0]}")
+
+    def wanted(name: str) -> bool:
+        return only is None or only in name
+
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     for name, table in PROBES.items():
+        if not wanted(name):
+            continue
         for sf_dir in SFS:
             n = load_table(spark, sf_dir, table).count()
             CORPUS[name].build(spark, sf_dir).collect()  # compile once
-            dt = _timed(lambda: CORPUS[name].build(spark, sf_dir))
+            dt = _timed(lambda: CORPUS[name].build(spark, sf_dir), runs or 3)
             _emit(name, sf_dir, n, dt)
     for name, (builder, table) in OPERATOR_PROBES.items():
+        if not wanted(name):
+            continue
         for sf_dir in SFS:
             n = load_table(spark, sf_dir, table).count()
             builder(spark, sf_dir).collect()  # compile once
-            dt = _timed(lambda: builder(spark, sf_dir))
+            dt = _timed(lambda: builder(spark, sf_dir), runs or 1)
             _emit(name, sf_dir, n, dt)
-    for sf_dir in SFS:
-        _probe_streaming_rate(spark, sf_dir)
+    if wanted("stream_windowed_counts"):
+        for sf_dir in SFS:
+            _probe_streaming_rate(spark, sf_dir)
     spark.stop()
 
 
