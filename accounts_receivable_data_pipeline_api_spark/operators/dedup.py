@@ -96,6 +96,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 5,
     threshold: float = 0.6,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by exact Jaccard over character n-gram sets.
 
@@ -104,15 +105,35 @@ def ngram_jaccard_pairs(
     jaccard = shared / (|A| + |B| - shared). Emits (id_a < id_b, jaccard).
 
     Scale: the shingle join is the hot spot; extremely common shingles
-    create skew. Production variant: drop shingles with document
-    frequency above a cap before the join (stop-shingle pruning) — the
-    minhash_lsh operator below is the asymptotically better path.
+    create skew AND quadratic candidate blowup (a shingle in d docs
+    contributes d^2/2 join rows). ``max_shingle_df`` enables
+    STOP-SHINGLE PRUNING: shingles whose document frequency exceeds the
+    cap are dropped from the JOIN side only (set sizes stay exact), so
+    the computed jaccard becomes a LOWER BOUND — shared can only be
+    undercounted while the union denominator stays >= exact. Surviving
+    pairs are therefore guaranteed >= threshold (soundness preserved,
+    zero false positives); the cost is recall on pairs whose overlap
+    lives mostly in stop-shingles — which for near-dup detection are
+    exactly the least-discriminative features. Join cost drops from
+    sum(d_i^2) to sum(min(d_i, cap)^2). The minhash_lsh operator below
+    is the asymptotically better path; pruning is the dial when exact
+    scores are still wanted.
     """
     sh = char_shingles(df, id_col, text_col, n).cache()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
 
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    join_sh = sh
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        join_sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+    a = join_sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = join_sh.select(F.col(id_col).alias("id_b"), "shingle")
     shared = (
         a.join(b, "shingle")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -184,8 +184,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    coarse = dedup.simhash_near_pairs(docs, max_hamming=16)
-    fine = dedup.simhash_near_pairs(docs, max_hamming=16, num_chunks=8)
+    # One three-way full-outer join + one aggregate: the coarse/fine
+    # blocking pipelines and the all-pairs ground truth each execute
+    # exactly once (see dedup_minhash_lsh for the branch-design cost).
+    coarse = dedup.simhash_near_pairs(docs, max_hamming=16).select(
+        "id_a", "id_b", "hamming", F.lit(1).alias("is_coarse")
+    )
+    fine = dedup.simhash_near_pairs(docs, max_hamming=16, num_chunks=8).select(
+        "id_a", "id_b", F.lit(1).alias("is_fine")
+    )
     fps = dedup.simhash(docs)
     a = fps.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
     b = fps.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
@@ -196,28 +203,42 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(a)
         .crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        .filter(
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= 3
         )
-        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", F.lit(1).alias("is_truth"))
+    )
+    full = coarse.join(fine, ["id_a", "id_b"], "full_outer").join(
+        truth_low, ["id_a", "id_b"], "full_outer"
+    )
+    is_coarse = F.col("is_coarse").isNotNull()
+    is_fine = F.col("is_fine").isNotNull()
+    is_truth = F.col("is_truth").isNotNull()
+    stats = full.agg(
+        F.sum(F.when(is_truth & ~is_coarse, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_guaranteed_missed"),
+        F.sum(
+            F.when(
+                is_coarse
+                & ~(
+                    (F.col("id_a") < F.col("id_b"))
+                    & (F.col("hamming") >= 0)
+                    & (F.col("hamming") <= 16)
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_invalid"),
+        F.sum(F.when(is_coarse & ~is_fine, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_chunk_monotonic_violations"),
     )
     n_docs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    missed = truth_low.join(
-        coarse.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_guaranteed_missed"))
-    invalid = coarse.filter(
-        ~(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("hamming") >= 0)
-            & (F.col("hamming") <= 16)
-        )
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_invalid"))
-    mono = coarse.select("id_a", "id_b").join(
-        fine.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_chunk_monotonic_violations"))
-    return _one_row(n_docs, missed, invalid, mono)
+    return _one_row(n_docs, stats).select(
+        "n_docs", "n_guaranteed_missed", "n_invalid", "n_chunk_monotonic_violations"
+    )
 
 
 @register(
@@ -497,23 +518,23 @@ _TOPK_INVARIANT_ORACLE = """
     "similarity_lsh_topk",
     oracle=_TOPK_INVARIANT_ORACLE,
     tags=("EXT", "SIM"),
-    doc="Hyperplane-LSH bucketed approximate top-k "
-    "(operators/similarity.py:lsh_topk — the operator's no-crossjoin "
-    "plan is gated directly in tests/test_plans.py), emitted as a "
-    "driver-checkable invariant summary: scores are exact cosine "
-    "(n_score_mismatches=0), ranks internally consistent, and overall "
-    "recall@10 vs brute force >= 0.05. The low floor is honest: "
-    "auto-sized planes target ~64-row buckets (high precision, narrow "
-    "candidate set); measured recall@10 is 0.12 at sf0.001 / 0.14 at "
-    "sf0.01 — in-bucket neighbors only, the standard single-table "
-    "hyperplane-LSH tradeoff (dedup_embedding_lsh shows the banded "
-    "multi-table construction that trades candidates for recall).",
+    doc="Hyperplane-LSH bucketed approximate top-k with graded "
+    "multi-probe (operators/similarity.py:lsh_topk — the operator's "
+    "no-crossjoin plan is gated directly in tests/test_plans.py), "
+    "emitted as a driver-checkable invariant summary: scores are exact "
+    "cosine (n_score_mismatches=0), ranks internally consistent, and "
+    "overall recall@10 vs brute force >= 0.5 (round-3 multi-probe: the "
+    "query probes its base bucket + all 1-bit flips + the 2-bit flip "
+    "ring, lifting measured recall from 0.12/0.14 to 0.82/0.86 at "
+    "sf0.001/sf0.01 and 0.74 at sf0.1; single-table decay at larger "
+    "corpora is documented in the operator, with the multi-table "
+    "pair-LSH and IVF operators as the high-recall scale paths).",
 )
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     approx = similarity.lsh_topk(queries, emb, dim=64, k=10)
-    return _topk_invariants(approx, queries, emb, k=10, recall_floor=0.05)
+    return _topk_invariants(approx, queries, emb, k=10, recall_floor=0.5)
 
 
 @register(

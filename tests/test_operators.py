@@ -47,6 +47,38 @@ def test_ngram_jaccard_finds_near_dup(docs):
     assert (1, 4) not in pairs
 
 
+def test_ngram_jaccard_stop_shingle_pruning(spark, sf_dir):
+    """Stop-shingle pruning is SOUND: with the df cap at/above the doc
+    count it is a no-op (identical pairs and scores); with a tight cap
+    the pruned jaccard is a lower bound of the exact one, so the
+    surviving pair set is a subset and every emitted score
+    under-estimates (never inflates) the true similarity."""
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    docs_df = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    n_docs = docs_df.count()
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs_df, threshold=0.2).collect()
+    }
+    nop = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs_df, threshold=0.2, max_shingle_df=n_docs
+        ).collect()
+    }
+    assert nop == exact
+    pruned = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs_df, threshold=0.2, max_shingle_df=10
+        ).collect()
+    }
+    assert set(pruned) <= set(exact)
+    for pair, j in pruned.items():
+        assert j <= exact[pair] + 1e-12, pair
+
+
 def test_minhash_lsh_finds_near_dup(docs):
     pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(docs, verify_threshold=0.5).collect()}
     assert (1, 2) in pairs
