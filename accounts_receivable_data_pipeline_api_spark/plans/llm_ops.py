@@ -442,7 +442,9 @@ def _topk_invariants(approx: DataFrame, queries: DataFrame, emb: DataFrame, k: i
     result (round-2 VERDICT #1). Checks, against ground truth computed
     in-entry:
 
-    - n_queries: real cross-engine value (count of the query set).
+    - n_queries: real cross-engine value — distinct query ids in the
+      combined result (= the query-set count, since brute force always
+      returns k rows per query).
     - n_score_mismatches = 0: every returned score equals the exact
       cosine of that (query, match) pair — approximate search may
       return the wrong NEIGHBORS, never the wrong SCORE.
