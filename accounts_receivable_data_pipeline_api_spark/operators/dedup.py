@@ -448,13 +448,13 @@ def embedding_cosine_pairs_lsh(
     n (the auto-b count() is a metadata-only parquet read under
     aggregate pushdown).
     """
-    import hashlib
     import math
 
     import numpy as np
     import pandas as pd
 
     from .similarity import _as_double, cosine
+    from .similarity import det_planes as _det_planes
 
     if band_planes is None:
         n = df.count()
@@ -468,16 +468,9 @@ def embedding_cosine_pairs_lsh(
                 4, min(32, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_collide)))
             )
 
-    total_planes = band_planes * num_tables
-    # Deterministic plane matrix: component (p, d) from md5(p, d) scaled
-    # to [-1, 1). Content-independent, reproducible across runs/engines.
-    planes = np.empty((total_planes, dim), dtype=np.float64)
-    for p in range(total_planes):
-        for d in range(dim):
-            h = int.from_bytes(
-                hashlib.md5(f"plane:{p}:{d}".encode()).digest()[:8], "big"
-            )
-            planes[p, d] = h / float(2**63) - 1.0
+    # Deterministic plane matrix shared with similarity.lsh_topk
+    # (md5-derived, content-independent, reproducible across engines).
+    planes = _det_planes(band_planes * num_tables, dim)
 
     bucket_schema = StructType(
         [

@@ -384,29 +384,49 @@ def ivf_topk(
     )
 
 
-def hyperplane(dim: int, plane: int) -> Column:
-    """Deterministic pseudo-random hyperplane: component d is
-    xxhash64(plane, d) scaled to [-1, 1). Content-independent and
-    reproducible across runs/engines."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda d: (
-            F.xxhash64(F.lit(plane), d).cast("double") / F.lit(float(2**63))
-        ),
+def det_planes(total: int, dim: int):
+    """Deterministic hyperplane matrix: component (p, d) is the top 8
+    md5 bytes of ``plane:{p}:{d}`` scaled to [-1, 1). Content- and
+    RNG-independent, reproducible across runs/engines; shared by the
+    pair-LSH blocker (dedup.embedding_cosine_pairs_lsh) and lsh_topk so
+    the two operators bucket identically for the same plane index."""
+    import hashlib
+
+    import numpy as np
+
+    planes = np.empty((total, dim), dtype=np.float64)
+    for p in range(total):
+        for d in range(dim):
+            h = int.from_bytes(
+                hashlib.md5(f"plane:{p}:{d}".encode()).digest()[:8], "big"
+            )
+            planes[p, d] = h / float(2**63) - 1.0
+    return planes
+
+
+def expected_lsh_topk_recall(
+    num_planes: int, radius: int, design_cos: float, num_tables: int = 1
+) -> float:
+    """Analytic retrieval probability of a neighbor at cosine
+    ``design_cos`` under multi-table hyperplane LSH with per-table
+    multi-probe of Hamming radius ``radius``.
+
+    Per-plane agreement probability p = 1 - arccos(s)/pi (Charikar,
+    STOC 2002); a table of b planes with all buckets within Hamming
+    distance r probed retrieves the neighbor with probability
+    P_1 = sum_{i<=r} C(b,i) p^(b-i) (1-p)^i, and L independent tables
+    (OR-construction) give 1 - (1 - P_1)^L. This is the sizing law
+    lsh_topk inverts to pick L — the same shape pair-LSH uses for its
+    auto-L, extended with the probe-ball term."""
+    import math
+
+    p = 1.0 - math.acos(max(min(design_cos, 1.0), -1.0)) / math.pi
+    p1 = sum(
+        math.comb(num_planes, i) * p ** (num_planes - i) * (1.0 - p) ** i
+        for i in range(min(radius, num_planes) + 1)
     )
-
-
-def lsh_bucket(vec: Column, dim: int, num_planes: int = 8, plane_offset: int = 0) -> Column:
-    """Random-hyperplane signature: bit p = sign(vec . plane_p),
-    packed into a long. ``plane_offset`` selects a disjoint plane family
-    (for banded multi-table LSH)."""
-    acc = F.lit(0).cast("long")
-    for p in range(num_planes):
-        bit = F.when(
-            dot(vec, hyperplane(dim, plane_offset + p)) >= 0, F.lit(1).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-        acc = acc + F.shiftleft(bit, p)
-    return acc
+    p1 = min(p1, 1.0)
+    return 1.0 - (1.0 - p1) ** num_tables
 
 
 def lsh_topk(
@@ -419,9 +439,14 @@ def lsh_topk(
     vec_col: str = "embedding",
     target_bucket_rows: int = 64,
     num_probes: int | None = None,
+    num_tables: int | None = None,
+    target_recall: float = 0.67,
+    design_cos: float = 0.5,
+    max_tables: int = 16,
 ) -> DataFrame:
     """Approximate cosine top-k: exact scoring restricted to candidates
-    in the query's probed hyperplane buckets.
+    sharing a probed hyperplane bucket with the query in ANY of
+    ``num_tables`` independent LSH tables.
 
     ``num_planes=None`` (default) sizes the bucket space from the
     candidate corpus: planes = clamp(4..20, ceil(log2(n /
@@ -431,89 +456,176 @@ def lsh_topk(
     and the per-query cost reverts to O(n) (same failure mode measured
     on the pair-LSH operator — see dedup.embedding_cosine_pairs_lsh).
 
-    MULTI-PROBE (Lv et al., VLDB 2007): the query probes its own bucket
-    PLUS every single-bit flip, PLUS the two-bit flips among the
-    ``num_planes//2 + 1`` planes with the smallest |dot| margin — the
-    planes the query sits closest to, i.e. the likeliest misses. The
-    probe count therefore GROWS with the auto-sized plane count
-    (1 + b + b(b-1)/2 buckets), which is what keeps recall useful as
-    the corpus (and with it b) grows — a fixed probe budget is the same
-    scale trap as a fixed plane count (measured: 8 fixed probes gave
-    recall@10 0.44 at n=500 decaying to 0.12 at n=20k; the 1+2-bit
-    scheme measures 0.82/0.86/0.74/0.28 at sf0.001/0.01/0.1/sf1).
-    The residual decay at large b (misses needing 3+ flips) is the
-    honest single-table limit: per-probe cost is pinned at
-    ~target_bucket_rows, so covering a growing Hamming ball exactly is
-    exponential — when recall at scale matters more than per-query
-    cost, use the banded multi-table construction
-    (dedup.embedding_cosine_pairs_lsh, recall-targeted L) or the IVF
-    path (ivf_topk, recall 0.96 on this corpus). Each probe costs
-    ~target_bucket_rows scored candidates, no extra tables, no
-    duplicate candidate storage, and the equi-join shape survives:
-    probes explode on the (tiny) query side only; candidates still
-    carry exactly one bucket. Everything stays JVM expressions:
-    per-plane dots are reused for the sign bits and the margins; probe
-    masks come from array_sort over (|margin|, mask) structs; 2-bit
-    combinations from a nested sequence transform.
-    ``num_probes=None`` (default) probes all planes; an explicit value
-    below num_planes caps the 1-bit probes (the 2-bit ring is then
-    skipped) for callers that want the cheap scheme — a FIXED cap is
-    exactly what re-introduced the decay (capping 9 auto-sized planes
-    at 8 probes silently reverted sf1 to 0.12).
-    """
-    if num_planes is None:
-        import math
+    MULTI-PROBE (Lv et al., VLDB 2007): per table the query probes its
+    own bucket PLUS every single-bit flip PLUS the FULL two-bit flip
+    ring over all plane pairs (1 + b + b(b-1)/2 buckets; flips are
+    ordered by |dot| margin so an explicit ``num_probes`` cap trims the
+    least-likely ones first). ``num_probes=None`` probes all planes; an
+    explicit value below num_planes caps the 1-bit probes and skips the
+    2-bit ring — a FIXED cap is exactly what re-introduced recall decay
+    in round 2 (capping 9 auto-sized planes at 8 probes reverted sf1
+    recall to 0.12), so the default budget grows with b.
 
+    RECALL-TARGETED AUTO-L (round-4 fix for the measured single-table
+    collapse: recall@10 fell 0.74 -> 0.28 from sf0.1 to sf1 because
+    auto-b keeps growing while a radius-2 probe ball covers a fixed
+    Hamming distance). ``num_tables=None`` inverts the analytic
+    retrieval law (expected_lsh_topk_recall: per-table
+    P_1 = sum_{i<=r} C(b,i) p^(b-i) (1-p)^i with p = 1 - arccos(
+    design_cos)/pi, OR-construction 1 - (1-P_1)^L) to the smallest L
+    meeting ``target_recall`` at the conservative design point
+    ``design_cos`` — the same sizing discipline as pair-LSH's auto-L,
+    so recall no longer silently decays as the corpus (and with it b)
+    grows; candidate storage and probe cost grow by the SAME L the
+    math says is necessary, never more. If even ``max_tables`` tables
+    cannot meet the target the operator RAISES with the sizing math
+    (loud, not a silent degrade); callers in that regime should use
+    ivf_topk (recall 0.96 here) or raise target_bucket_rows.
+
+    Plan shape (the 100 TB contract, gated in tests/test_plans.py): all
+    L signatures per row come from ONE Arrow-batched numpy GEMM against
+    a deterministic md5-derived plane matrix (det_planes — per-row JVM
+    dot folds were measured ~10x slower on the pair blocker); the probe
+    explosion happens on the tiny broadcast query side only; candidate
+    generation and cross-table dedup carry ONLY (query_id, match_id);
+    vectors re-join afterwards (id-only shuffle, same as pair-LSH) and
+    scores are the exact JVM cosine fold — approximate search may miss
+    neighbors, never mis-score them.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if num_planes is None:
         n = candidates.count()
         num_planes = max(4, min(20, math.ceil(math.log2(max(n, 2) / target_bucket_rows))))
     if num_probes is None:
         num_probes = num_planes
     num_probes = max(0, min(num_probes, num_planes))
+    full_ring = num_probes >= num_planes and num_planes >= 2
+    radius = 2 if full_ring else (1 if num_probes > 0 else 0)
+
+    if num_tables is None:
+        p1 = expected_lsh_topk_recall(num_planes, radius, design_cos, num_tables=1)
+        if p1 >= target_recall:
+            num_tables = 1
+        elif p1 <= 0.0:
+            raise ValueError(
+                f"lsh_topk cannot reach target_recall={target_recall} at "
+                f"design_cos={design_cos}: per-table retrieval probability is 0"
+            )
+        else:
+            need = math.ceil(
+                math.log(1.0 - target_recall) / math.log(1.0 - p1)
+            )
+            if need > max_tables:
+                raise ValueError(
+                    f"lsh_topk sizing: {need} tables needed for "
+                    f"target_recall={target_recall} at design_cos={design_cos} "
+                    f"(b={num_planes}, radius={radius}, per-table P_1={p1:.4f}) "
+                    f"exceeds max_tables={max_tables}. Use ivf_topk, raise "
+                    f"target_bucket_rows (fewer planes => larger P_1), or pass "
+                    f"num_tables explicitly to accept the lower recall."
+                )
+            num_tables = max(1, need)
+
+    b = num_planes
+    L = num_tables
+    planes = det_planes(L * b, dim)
+    weights = np.int64(1) << np.arange(b, dtype=np.int64)
+
+    bucket_schema = StructType(
+        [
+            StructField("match_id", LongType()),
+            StructField("table", IntegerType()),
+            StructField("bucket", LongType()),
+        ]
+    )
+
+    def cand_kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(list(pdf["cv"]), dtype=np.float64)
+            bits = (V @ planes.T) >= 0  # B x (L*b)
+            out = []
+            for t in range(L):
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "match_id": pdf["match_id"].to_numpy(),
+                            "table": np.full(len(pdf), t, dtype=np.int32),
+                            "bucket": bits[:, t * b : (t + 1) * b] @ weights,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    probe_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("table", IntegerType()),
+            StructField("bucket", LongType()),
+        ]
+    )
+
+    def probe_kernel(batches):
+        # queries are few (broadcast side); a per-row loop over the
+        # probe ring is driver-trivial next to the candidate-side GEMM
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(list(pdf["qv"]), dtype=np.float64)
+            dots = V @ planes.T  # Q x (L*b)
+            qids, tabs, bucks = [], [], []
+            for qi, qid in enumerate(pdf["query_id"].to_numpy()):
+                for t in range(L):
+                    d = dots[qi, t * b : (t + 1) * b]
+                    base = int(((d >= 0) @ weights))
+                    # masks ordered smallest |margin| first: the flips
+                    # most likely to recover a near-miss come first
+                    masks = weights[np.argsort(np.abs(d), kind="stable")]
+                    ring = [base]
+                    ring += [base ^ int(m) for m in masks[:num_probes]]
+                    if full_ring:
+                        ring += [
+                            base ^ int(masks[i]) ^ int(masks[j])
+                            for i in range(b)
+                            for j in range(i + 1, b)
+                        ]
+                    qids += [qid] * len(ring)
+                    tabs += [t] * len(ring)
+                    bucks += ring
+            yield pd.DataFrame(
+                {
+                    "query_id": np.array(qids, dtype=np.int64),
+                    "table": np.array(tabs, dtype=np.int32),
+                    "bucket": np.array(bucks, dtype=np.int64),
+                }
+            )
 
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
     )
-    # one dot per plane, reused by both the packed bucket and the margins
-    dots = [dot(F.col("qv"), hyperplane(dim, p)) for p in range(num_planes)]
-    base = F.lit(0).cast("long")
-    for p, d in enumerate(dots):
-        base = base + F.shiftleft(
-            F.when(d >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), p
-        )
-    margins = F.array(
-        *[
-            F.struct(
-                F.abs(d).alias("m"),
-                F.lit(1 << p).cast("long").alias("mask"),
-            )
-            for p, d in enumerate(dots)
-        ]
-    )
-    q = q.withColumn("base_bucket", base).withColumn(
-        "sm", F.transform(F.array_sort(margins), lambda s: s["mask"])
-    )
-    singles = F.expr("transform(slice(sm, 1, {n}), m -> base_bucket ^ m)".format(n=num_probes))
-    probes = F.array_union(F.array(F.col("base_bucket")), singles)
-    if num_probes >= num_planes and num_planes >= 2:
-        # full 2-bit ring: b(b-1)/2 extra probes — still ~b^2/2 *
-        # target_bucket_rows scored rows per query, vanishing relative
-        # to n as the corpus grows
-        h = num_planes
-        pairs = F.expr(
-            "flatten(transform(sequence(1, {h} - 1), i -> "
-            "transform(sequence(i + 1, {h}), j -> "
-            "base_bucket ^ element_at(sm, i) ^ element_at(sm, j))))".format(h=h)
-        )
-        probes = F.array_union(probes, pairs)
-    q = q.withColumn("bucket", F.explode(probes)).drop("sm", "base_bucket")
-
     c = candidates.select(
         F.col(id_col).alias("match_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), dim, num_planes))
-    scored = (
-        F.broadcast(q)
-        .join(c, "bucket")
+    )
+    probes = q.mapInPandas(probe_kernel, schema=probe_schema)
+    cand_buckets = c.mapInPandas(cand_kernel, schema=bucket_schema)
+    # id-only candidate generation + cross-table dedup, vectors re-join
+    # after (a candidate collides with a query in up to L tables; the
+    # dedup must precede scoring or duplicates would occupy ranks)
+    pairs = (
+        F.broadcast(probes)
+        .join(cand_buckets, ["table", "bucket"])
         .filter(F.col("query_id") != F.col("match_id"))
+        .select("query_id", "match_id")
+        .dropDuplicates(["query_id", "match_id"])
+    )
+    scored = (
+        pairs.join(c, "match_id")
+        .join(F.broadcast(q), "query_id")
         .select("query_id", "match_id", cosine(F.col("qv"), F.col("cv")).alias("score"))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("match_id"))

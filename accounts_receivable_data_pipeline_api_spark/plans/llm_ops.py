@@ -521,16 +521,18 @@ _TOPK_INVARIANT_ORACLE = """
     oracle=_TOPK_INVARIANT_ORACLE,
     tags=("EXT", "SIM"),
     doc="Hyperplane-LSH bucketed approximate top-k with graded "
-    "multi-probe (operators/similarity.py:lsh_topk — the operator's "
-    "no-crossjoin plan is gated directly in tests/test_plans.py), "
-    "emitted as a driver-checkable invariant summary: scores are exact "
-    "cosine (n_score_mismatches=0), ranks internally consistent, and "
-    "overall recall@10 vs brute force >= 0.5 (round-3 multi-probe: the "
-    "query probes its base bucket + all 1-bit flips + the 2-bit flip "
-    "ring, lifting measured recall from 0.12/0.14 to 0.82/0.86 at "
-    "sf0.001/sf0.01 and 0.74 at sf0.1; single-table decay at larger "
-    "corpora is documented in the operator, with the multi-table "
-    "pair-LSH and IVF operators as the high-recall scale paths).",
+    "multi-probe AND recall-targeted multi-table OR-construction "
+    "(operators/similarity.py:lsh_topk — the operator's no-crossjoin "
+    "plan is gated directly in tests/test_plans.py), emitted as a "
+    "driver-checkable invariant summary: scores are exact cosine "
+    "(n_score_mismatches=0), ranks internally consistent, and overall "
+    "recall@10 vs brute force >= 0.5. Round-4 auto-L inverts the "
+    "analytic retrieval law 1-(1-P_1)^L to size the table count from "
+    "the recall target, fixing the round-3 silent single-table "
+    "collapse at sf1 (0.28 -> 0.74 measured; small SFs stay at L=1 "
+    "and 0.82/0.80/0.74); past max_tables the operator raises with "
+    "the sizing math instead of degrading. Floors pinned at sf0.1 in "
+    "tests and sf1 in scripts/scale_probe.py.",
 )
 def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -74,17 +74,28 @@ def main() -> None:
                 # quadratically with the copy factor (measuring result
                 # size, not engine scaling) — the text analogue of the
                 # embedding sign flips below.
+                # Seeded per-copy alphabet PERMUTATION (26! space), not a
+                # rotation: rot = i % 25 + 1 has only 25 distinct values,
+                # so at factor > 25 copies i and i+25 would share a
+                # substitution and become jaccard~1 cross-copy near-dups,
+                # silently reintroducing the quadratic artifact.
+                import hashlib
+
                 src_a = "abcdefghijklmnopqrstuvwxyz"
-                src_b = src_a.upper()
-                rot = i % 25 + 1
+                perm = "".join(
+                    sorted(
+                        src_a,
+                        key=lambda ch: hashlib.md5(
+                            f"caesar:{i}:{ch}".encode()
+                        ).digest(),
+                    )
+                )
                 c = c.withColumn(
                     "text",
                     F.translate(
-                        F.translate(
-                            F.col("text"), src_a, src_a[rot:] + src_a[:rot]
-                        ),
-                        src_b,
-                        src_b[rot:] + src_b[:rot],
+                        F.translate(F.col("text"), src_a, perm),
+                        src_a.upper(),
+                        perm.upper(),
                     ),
                 )
             if table == "embeddings" and i > 0:

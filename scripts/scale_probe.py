@@ -88,6 +88,37 @@ def _op_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(queries, emb, dim=64, k=10)
 
 
+def _probe_lsh_topk_recall(spark, sf_dir: str) -> None:
+    """Measured recall@10 vs brute force, ASSERTED >= 0.5 at every SF —
+    the round-3 defect was a silent recall collapse that only appeared
+    at sf1 (0.28, single-table); the recall-targeted auto-L fix must
+    hold at the scale where the collapse happened, so the probe fails
+    loudly if it regresses (tests pin the same floor at sf0.1)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    lsh = {
+        (r["query_id"], r["match_id"])
+        for r in similarity.lsh_topk(queries, emb, dim=64, k=10).collect()
+    }
+    brute = {
+        (r["query_id"], r["match_id"])
+        for r in similarity.brute_force_topk(queries, emb, k=10).collect()
+    }
+    recall = len(lsh & brute) / len(brute)
+    print(
+        json.dumps(
+            {
+                "query": "op_lsh_topk_recall",
+                "sf": sf_dir.rsplit("sf", 1)[-1],
+                "input_rows": emb.count(),
+                "recall_at_10": round(recall, 3),
+            }
+        ),
+        flush=True,
+    )
+    assert recall >= 0.5, f"lsh_topk recall@10 {recall:.3f} < 0.5 at {sf_dir}"
+
+
 _IVF_CENTROIDS: dict[str, list] = {}
 
 
@@ -203,6 +234,9 @@ def main() -> None:
             builder(spark, sf_dir).collect()  # compile once
             dt = _timed(lambda: builder(spark, sf_dir), runs or 1)
             _emit(name, sf_dir, n, dt)
+    if wanted("op_lsh_topk_recall"):
+        for sf_dir in SFS:
+            _probe_lsh_topk_recall(spark, sf_dir)
     if wanted("stream_windowed_counts"):
         for sf_dir in SFS:
             _probe_streaming_rate(spark, sf_dir)

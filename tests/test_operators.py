@@ -138,6 +138,57 @@ def test_lsh_topk_subset_of_bruteforce(spark, sf_dir):
     assert len(lsh_pairs & brute_pairs) > 0
 
 
+def test_lsh_topk_recall_floor_sf01(spark):
+    """Recall floor at the LARGEST driver SF (n=2000, auto-b=5): the
+    round-3 regression was a silent recall collapse that only appeared
+    as the corpus grew (0.74 at sf0.1 -> 0.28 at sf1 single-table);
+    this pins the sf0.1 floor, scripts/scale_probe.py pins sf1."""
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    lsh = {
+        (r["query_id"], r["match_id"])
+        for r in similarity.lsh_topk(queries, emb, dim=64, k=10).collect()
+    }
+    brute = {
+        (r["query_id"], r["match_id"])
+        for r in similarity.brute_force_topk(queries, emb, k=10).collect()
+    }
+    assert len(lsh & brute) / len(brute) >= 0.5
+
+
+def test_lsh_topk_auto_table_sizing():
+    """The analytic sizing law: per-table retrieval probability falls as
+    auto-b grows, auto-L rises to compensate, and past max_tables the
+    operator raises instead of silently degrading."""
+    import math
+
+    # Charikar agreement probability at the design point
+    p = 1.0 - math.acos(0.5) / math.pi
+    # radius-2 ball over b=9 planes (the sf1 shape)
+    p1 = similarity.expected_lsh_topk_recall(9, 2, 0.5, num_tables=1)
+    expect = sum(math.comb(9, i) * p ** (9 - i) * (1 - p) ** i for i in range(3))
+    assert p1 == pytest.approx(expect)
+    # OR-construction: 3 tables lift 0.38 -> ~0.76
+    assert similarity.expected_lsh_topk_recall(9, 2, 0.5, num_tables=3) >= 0.67
+    # monotonicity: more planes => lower per-table recall
+    assert similarity.expected_lsh_topk_recall(12, 2, 0.5) < p1
+    # the loud-failure branch: a target no table count under the cap can
+    # reach must raise with the sizing math, not run at degraded recall
+    queries = object()  # never touched — sizing happens first
+    with pytest.raises(ValueError, match="max_tables"):
+        similarity.lsh_topk(
+            queries,
+            queries,
+            dim=64,
+            num_planes=20,
+            target_recall=0.99,
+            design_cos=0.2,
+            max_tables=4,
+        )
+
+
 def test_text_analyze(spark):
     df = spark.createDataFrame(
         [
