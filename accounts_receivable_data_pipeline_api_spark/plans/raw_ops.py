@@ -1,0 +1,71 @@
+"""Raw scale-path operator builders, shared by bench.py and
+scripts/scale_probe.py (round-3 VERDICT #1).
+
+The corpus entries for the hash-family operators (dedup_minhash_lsh,
+dedup_embedding_lsh, similarity_lsh_topk, ...) bundle exact-twin
+verification fixtures that are O(n^2) BY DESIGN — they exist so the
+driver's DuckDB oracle can value-check an approximate operator. Timing
+those entries therefore measures the fixture, not the operator: in the
+round-3 bench the dedup_minhash_lsh entry's 5.7 s warm was 31% of the
+whole suite and almost entirely the exact 5-gram-Jaccard twin + the
+full-outer invariant join. These builders construct the RAW operators
+the fixtures verify — the plans that actually run at 100 TB — so the
+bench and the regression gate guard operator cost, and the entries'
+fixture cost is reported separately (bench.py "verification" section).
+
+The IVF centroid build is the OFFLINE index step (built once per
+corpus, reused by every query), so it is cached per sf_dir and excluded
+from the query timing — the same accounting as every ANN system.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity
+from ..sources.star import load_table
+
+
+def op_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, verify_threshold=0.5)
+
+
+def op_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs_lsh(emb, dim=64, threshold=0.3)
+
+
+def op_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_cosine_pairs_lsh(emb, dim=64, threshold=0.3)
+    return dedup.connected_components(pairs, nodes=emb.select("vec_id"))
+
+
+def op_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.lsh_topk(queries, emb, dim=64, k=10)
+
+
+_IVF_CENTROIDS: dict[str, list] = {}
+
+
+def op_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    if sf_dir not in _IVF_CENTROIDS:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _IVF_CENTROIDS[sf_dir] = similarity.ivf_build(emb, k=None, iters=2)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_topk(queries, emb, _IVF_CENTROIDS[sf_dir], k=10, nprobe=8)
+
+
+# probe/bench name -> (builder, input table for rows/sec accounting)
+RAW_OPS = {
+    "op_minhash_lsh_pairs": (op_minhash_lsh_pairs, "documents"),
+    "op_embedding_lsh_pairs": (op_embedding_lsh_pairs, "embeddings"),
+    "op_components_lsh": (op_components_lsh, "embeddings"),
+    "op_lsh_topk": (op_lsh_topk, "embeddings"),
+    "op_ivf_topk": (op_ivf_topk, "embeddings"),
+}

@@ -38,8 +38,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from accounts_receivable_data_pipeline_api_spark.operators import dedup, similarity  # noqa: E402
+from accounts_receivable_data_pipeline_api_spark.operators import similarity  # noqa: E402
 from accounts_receivable_data_pipeline_api_spark.plans import CORPUS  # noqa: E402
+from accounts_receivable_data_pipeline_api_spark.plans.raw_ops import RAW_OPS  # noqa: E402
 from accounts_receivable_data_pipeline_api_spark.session import get_spark  # noqa: E402
 from accounts_receivable_data_pipeline_api_spark.sources.star import load_table  # noqa: E402
 
@@ -64,28 +65,6 @@ PROBES = {
     "events_hourly_windows": "events",
     "window_sessionize": "events",
 }
-
-
-def _op_minhash(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, verify_threshold=0.5)
-
-
-def _op_embedding_lsh(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_cosine_pairs_lsh(emb, dim=64, threshold=0.3)
-
-
-def _op_components_lsh(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
-    pairs = dedup.embedding_cosine_pairs_lsh(emb, dim=64, threshold=0.3)
-    return dedup.connected_components(pairs, nodes=emb.select("vec_id"))
-
-
-def _op_lsh_topk(spark, sf_dir):
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.lsh_topk(queries, emb, dim=64, k=10)
 
 
 def _probe_lsh_topk_recall(spark, sf_dir: str) -> None:
@@ -119,28 +98,8 @@ def _probe_lsh_topk_recall(spark, sf_dir: str) -> None:
     assert recall >= 0.5, f"lsh_topk recall@10 {recall:.3f} < 0.5 at {sf_dir}"
 
 
-_IVF_CENTROIDS: dict[str, list] = {}
-
-
-def _op_ivf_topk(spark, sf_dir):
-    # index build is the offline step — excluded from the query timing
-    # (built once per SF, auto-sized nlist ~ sqrt(n))
-    if sf_dir not in _IVF_CENTROIDS:
-        emb = load_table(spark, sf_dir, "embeddings")
-        _IVF_CENTROIDS[sf_dir] = similarity.ivf_build(emb, k=None, iters=2)
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.ivf_topk(queries, emb, _IVF_CENTROIDS[sf_dir], k=10, nprobe=8)
-
-
-# operator probe -> (builder, input table)
-OPERATOR_PROBES = {
-    "op_minhash_lsh_pairs": (_op_minhash, "documents"),
-    "op_embedding_lsh_pairs": (_op_embedding_lsh, "embeddings"),
-    "op_components_lsh": (_op_components_lsh, "embeddings"),
-    "op_lsh_topk": (_op_lsh_topk, "embeddings"),
-    "op_ivf_topk": (_op_ivf_topk, "embeddings"),
-}
+# raw operator builders are shared with bench.py (plans/raw_ops.py)
+OPERATOR_PROBES = RAW_OPS
 
 
 def _timed(build, runs: int = 3) -> float:

@@ -1,0 +1,86 @@
+"""Resident-engine memory hygiene (round-3 VERDICT #5): a long-lived
+serving session must not accumulate executor storage or driver-side
+catalog state as corpus builds repeat. Two past leaks are pinned here:
+ngram_jaccard_pairs cached its full shingle set and never unpersisted
+(one more pinned copy per build), and the load_table memo grew without
+bound across sf_dirs."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from accounts_receivable_data_pipeline_api_spark.operators import dedup
+from accounts_receivable_data_pipeline_api_spark.sources import star
+from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_repeated_dedup_builds_leave_no_pinned_storage(spark, sf_dir):
+    """Executor storage memory returns to baseline after N corpus
+    builds: the operators rely on ReusedExchange for intra-plan sharing,
+    never on cache()/persist() the caller can't release."""
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    baseline = _n_persistent(spark)
+    for _ in range(3):
+        dedup.ngram_jaccard_pairs(docs, threshold=0.6).collect()
+        dedup.minhash_lsh_pairs(docs, verify_threshold=0.5).collect()
+    assert _n_persistent(spark) == baseline
+
+
+import pytest
+
+
+@pytest.mark.parametrize("method", ["label", "star"])
+def test_components_checkpoints_are_released(spark, sf_dir, method):
+    """The iterative component operators localCheckpoint every round;
+    superseded rounds must be released DETERMINISTICALLY in-loop
+    (dedup._release_checkpoint), leaving at most the one checkpoint
+    backing the returned result — which driver GC then frees once the
+    caller drops it. Without the in-loop release a long component run
+    pins one RDD per round for the life of the session."""
+    import gc
+    import time
+
+    pairs = (
+        load_table(spark, sf_dir, "documents")
+        .limit(50)
+        .select(
+            (F.col("doc_id") % 10).alias("id_a"),
+            (F.col("doc_id") % 7).alias("id_b"),
+        )
+    )
+    baseline = _n_persistent(spark)
+    dedup.connected_components(pairs, method=method).collect()
+    # in-loop release: only the result-backing checkpoint may remain
+    assert _n_persistent(spark) <= baseline + 1
+    # result dropped -> ContextCleaner frees the last one after JVM GC
+    del pairs
+    for _ in range(30):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        if _n_persistent(spark) <= baseline:
+            break
+        time.sleep(0.5)
+    assert _n_persistent(spark) <= baseline
+
+
+def test_table_cache_is_lru_bounded(spark, sf_dir):
+    before = dict(star._TABLE_CACHE)
+    try:
+        star._TABLE_CACHE.clear()
+        for i in range(star._TABLE_CACHE_MAX * 2):
+            key = (f"app-{i}", sf_dir, "region")
+            star._TABLE_CACHE[key] = None
+            while len(star._TABLE_CACHE) > star._TABLE_CACHE_MAX:
+                star._TABLE_CACHE.popitem(last=False)
+        load_table(spark, sf_dir, "region")
+        assert len(star._TABLE_CACHE) <= star._TABLE_CACHE_MAX
+        # the real entry just inserted must have survived the eviction
+        key = (spark.sparkContext.applicationId, sf_dir, "region")
+        assert key in star._TABLE_CACHE
+    finally:
+        star._TABLE_CACHE.clear()
+        star._TABLE_CACHE.update(before)

@@ -458,6 +458,22 @@ def test_connected_components(spark):
     assert star == out
 
 
+def test_connected_components_self_loop_only_node(spark):
+    """A node appearing ONLY in a (x, x) self-loop pair must surface as
+    its own singleton component from BOTH variants even when nodes= is
+    not passed — the star variant used to drop it because self-loops
+    are filtered from its edge set (round-3 ADVICE)."""
+    pairs = spark.createDataFrame([(1, 2), (7, 7)], ["id_a", "id_b"])
+    expect = {1: 1, 2: 1, 7: 7}
+    label = {r.node: r.component for r in dedup.connected_components(pairs).collect()}
+    star = {
+        r.node: r.component
+        for r in dedup.connected_components(pairs, method="star").collect()
+    }
+    assert label == expect
+    assert star == expect
+
+
 def test_connected_components_star_equals_label_on_random_graphs(spark):
     """Property: large-star/small-star and min-label propagation
     produce the IDENTICAL (node, min-reachable-id) map on arbitrary
