@@ -34,10 +34,12 @@ from .endpoints import ApiError, Endpoints
 
 
 class _Invalid(Exception):
-    """Parameter validation failure -> 422, FastAPI-style detail list."""
+    """Parameter validation failure -> 422, FastAPI-style detail list.
+    ``where`` mirrors FastAPI's loc head: "query" for query params,
+    "path" for path params (round-3 ADVICE)."""
 
-    def __init__(self, loc: str, msg: str):
-        self.detail = [{"loc": ["query", loc], "msg": msg, "type": "value_error"}]
+    def __init__(self, loc: str, msg: str, where: str = "query"):
+        self.detail = [{"loc": [where, loc], "msg": msg, "type": "value_error"}]
 
 
 def _one(params: dict[str, list[str]], name: str) -> Optional[str]:
@@ -98,7 +100,10 @@ def make_handler(endpoints: Endpoints):
 
         def do_GET(self) -> None:  # noqa: N802 - http.server API
             url = urlparse(self.path)
-            params = parse_qs(url.query)
+            # keep_blank_values: FastAPI passes ?name= through as the
+            # empty string (customer_contact('') -> 404), it is not a
+            # missing parameter (round-3 ADVICE)
+            params = parse_qs(url.query, keep_blank_values=True)
             path = url.path.rstrip("/") or "/"
             try:
                 body = self._route(url.path, path, params)
@@ -142,7 +147,9 @@ def make_handler(endpoints: Endpoints):
                 try:
                     customer_id = int(parts[1])
                 except ValueError:
-                    raise _Invalid("customer_id", "value is not a valid integer")
+                    raise _Invalid(
+                        "customer_id", "value is not a valid integer", where="path"
+                    )
                 return endpoints.get_customer(customer_id)
             return _NOT_FOUND
 

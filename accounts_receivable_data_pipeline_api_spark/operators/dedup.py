@@ -463,17 +463,40 @@ def embedding_cosine_pairs_lsh(
     from .similarity import _as_double, cosine
     from .similarity import det_planes as _det_planes
 
+    auto_b = band_planes is None
     if band_planes is None:
         n = df.count()
         band_planes = max(4, min(20, math.ceil(math.log2(max(n, 2) / target_bucket_rows))))
     if num_tables is None:
-        p_collide = (1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi) ** band_planes
-        if p_collide >= 1.0:
-            num_tables = 4
-        else:
-            num_tables = max(
-                4, min(32, math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_collide)))
-            )
+        # JOINT (b, L) feasibility (round-4 fix, found by the sf1 oracle
+        # harness): at sf1 the occupancy-targeted b=10 with threshold
+        # 0.3 needs L=191 tables for the 0.67 target — the L<=32 clamp
+        # bound and recall silently degraded to ~0.17, failing the
+        # entry's recall floor. When auto-b's L lands over the cap,
+        # REDUCE b instead (larger buckets => larger p^b => fewer
+        # tables): recall stays contracted and the price is candidate-
+        # verification volume (~n * L * n/2^b), the honest cost of
+        # recall at low thresholds — never a silent miss. Explicit
+        # band_planes keeps the caller's b and the old clamped L.
+        p_agree = 1.0 - math.acos(max(min(threshold, 1.0), -1.0)) / math.pi
+        while True:
+            p_collide = p_agree ** band_planes
+            if p_collide >= 1.0:
+                num_tables = 4
+                break
+            need = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - p_collide))
+            if need <= 32 or not auto_b or band_planes <= 4:
+                if need > 32 and auto_b:
+                    raise ValueError(
+                        f"embedding_cosine_pairs_lsh sizing: {need} tables "
+                        f"needed at b=4 for target_recall={target_recall} at "
+                        f"threshold={threshold} exceeds the 32-table cap; "
+                        f"raise threshold or target_bucket_rows, or pass "
+                        f"band_planes/num_tables explicitly."
+                    )
+                num_tables = max(4, min(32, need))
+                break
+            band_planes -= 1
 
     # Deterministic plane matrix shared with similarity.lsh_topk
     # (md5-derived, content-independent, reproducible across engines).

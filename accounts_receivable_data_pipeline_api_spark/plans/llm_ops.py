@@ -584,38 +584,52 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         1, width * height * 6)) AS pixel_checksum,
              least(32.0 / greatest(width, height), 1.0) AS scale
       FROM dims
+    ),
+    both_codecs AS (
+      SELECT 'bmp' AS codec, doc_id, modality, n_bytes, width, height,
+             channels, pixel_checksum, scale
+      FROM geom
+      UNION ALL
+      -- PNG rows: n_bytes is NULL (zlib output length is not
+      -- SQL-predictable); every DECODED value must still match
+      SELECT 'png' AS codec, doc_id, modality, CAST(NULL AS BIGINT),
+             width, height, channels, pixel_checksum, scale
+      FROM geom
     )
-    SELECT doc_id, modality, n_bytes, width, height, channels,
+    SELECT codec, doc_id, modality, n_bytes, width, height, channels,
            pixel_checksum,
            CAST(greatest(floor(width * scale + 0.5), 1) AS INT) AS target_w,
            CAST(greatest(floor(height * scale + 0.5), 1) AS INT) AS target_h,
            scale
-    FROM geom
+    FROM both_codecs
     """,
     tags=("EXT", "MM"),
-    doc="Full multimodal pipeline with a REAL image decode (round-2 "
-    "VERDICT #2): synthesize_bmp builds genuine uncompressed 24-bit "
-    "BMP payloads per document (54-byte header, 4-byte row alignment, "
-    "bottom-up rows; geometry + pixels derived deterministically from "
-    "md5(text)) -> fused Arrow-batched decode_resize "
-    "(operators/multimodal.py): a dependency-free numpy BMP parser "
-    "reads the header fields little-endian, strips per-row padding, "
-    "undoes bottom-up row order, and checksums the logical pixel "
-    "stream; then aspect-preserving resize geometry (max side 32, "
-    "half-up rounding: numpy floor(x+0.5) == SQL floor(x+0.5)). The "
-    "oracle predicts every decoded value INDEPENDENTLY from the text "
-    "via SQL (no BMP parsing): file size from the padding formula, "
-    "pixel checksum as md5 of the repeated-digest hex stream — so a "
-    "parser bug (padding, row order, endianness) hash-mismatches. The "
-    "legacy checksum-derived stub remains only as decoder='stub' for "
+    doc="Full multimodal pipeline with REAL image decode over BOTH an "
+    "uncompressed and a COMPRESSED format (round-2 VERDICT #2 + "
+    "round-3 VERDICT #4): synthesize_bmp builds genuine 24-bit BI_RGB "
+    "BMPs (54-byte header, 4-byte row alignment, bottom-up rows) and "
+    "synthesize_png builds genuine non-interlaced 8-bit RGB PNGs "
+    "(IHDR/IDAT/IEND with CRCs, scanlines CYCLING THROUGH ALL FIVE "
+    "filter types, zlib-compressed), both deterministically from "
+    "md5(text); each runs through the fused Arrow-batched "
+    "decode_resize with its dependency-free decoder "
+    "(operators/multimodal.py: BMP = little-endian header + padding + "
+    "row-order parse; PNG = chunk walk + CRC validation + stdlib zlib "
+    "inflate + numpy unfiltering of None/Sub/Up/Average/Paeth), then "
+    "aspect-preserving resize geometry (max side 32, half-up "
+    "rounding). The oracle predicts every decoded value INDEPENDENTLY "
+    "from the text via SQL — for PNG the filter+compress layer is a "
+    "bijection the oracle never sees, so an inflate or unfilter bug "
+    "hash-mismatches; BMP n_bytes additionally pins the byte-layout "
+    "formula (PNG file size is not SQL-predictable: NULL). The legacy "
+    "checksum-derived stub remains only as decoder='stub' for "
     "codec-library formats this container cannot decode.",
 )
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import synthesize_bmp
+    from ..operators.multimodal import synthesize_bmp, synthesize_png
 
     docs = load_table(spark, sf_dir, "documents")
-    media = synthesize_bmp(docs)
-    return decode_resize(media, max_side=32, decoder="bmp").select(
+    cols = [
         "doc_id",
         "modality",
         "n_bytes",
@@ -626,7 +640,16 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_w",
         "target_h",
         "scale",
+    ]
+    bmp = decode_resize(synthesize_bmp(docs), max_side=32, decoder="bmp").select(
+        F.lit("bmp").alias("codec"), *cols
     )
+    png = (
+        decode_resize(synthesize_png(docs), max_side=32, decoder="png")
+        .withColumn("n_bytes", F.lit(None).cast("long"))
+        .select(F.lit("png").alias("codec"), *cols)
+    )
+    return bmp.unionByName(png)
 
 
 _BUCKET_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"

@@ -394,19 +394,25 @@ def ar_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q1_pricing_summary",
     oracle="""
+    -- decimal -> double conversions go through VARCHAR: DuckDB's direct
+    -- DECIMAL->DOUBLE cast multiplies the int128 payload by 10^-scale in
+    -- float arithmetic and is off by one ulp once the scaled integer
+    -- exceeds 2^53 (first seen at sf1: sum_charge 43579985256.939670
+    -- cast to ...674 while Spark's BigDecimal.doubleValue and Python
+    -- round correctly to ...67); the string parse is correctly rounded.
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                 * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))
-                AS DECIMAL(24,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                AS DECIMAL(24,4))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                 * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2)) AS DECIMAL(24,4))
                 * CAST(1 + CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(4,2))
-                AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
-           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
-           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_price,
-           CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_disc,
+                AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+           CAST(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_qty,
+           CAST(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_price,
+           CAST(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS DOUBLE) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
@@ -447,9 +453,9 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_top_orders",
     oracle="""
     SELECT l_orderkey,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                 * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))
-                AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+                AS DECIMAL(24,4))) AS VARCHAR) AS DOUBLE) AS revenue,
            CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
@@ -494,9 +500,9 @@ def tpch_q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_nation_revenue",
     oracle="""
     SELECT n_name,
-           CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+           CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                 * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))
-                AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+                AS DECIMAL(24,4))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey

@@ -123,6 +123,19 @@ def test_http_validation_422(base_url):
         assert isinstance(body["detail"], list), path
 
 
+def test_http_blank_query_value_and_path_loc(base_url):
+    # FastAPI parity (round-3 ADVICE): ?name= is the EMPTY STRING, not a
+    # missing parameter -> contact('') finds nothing -> 404, never 422
+    status, body = _get(base_url, "/customers/contact?name=")
+    assert status == 404, body
+    # path-param validation errors carry loc ["path", ...], query params
+    # keep loc ["query", ...]
+    status, body = _get(base_url, "/customers/abc")
+    assert status == 422 and body["detail"][0]["loc"] == ["path", "customer_id"]
+    status, body = _get(base_url, "/invoices/past-due?limit=abc")
+    assert status == 422 and body["detail"][0]["loc"] == ["query", "limit"]
+
+
 def test_http_list_customers(base_url):
     status, body = _get(base_url, "/customers/")
     assert status == 200 and len(body) == 135

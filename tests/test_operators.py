@@ -292,6 +292,90 @@ def test_bmp_decode_invalid_payload_yields_nulls(spark):
     assert r["width"] is None and r["height"] is None and r["pixel_checksum"] is None
 
 
+def test_png_decode_real_roundtrip(spark):
+    """REAL compressed decode: synthesized PNGs (zlib-compressed, rows
+    cycling through all five scanline filters) parse back to exactly
+    the geometry and pixel stream of the BMP twin — through the actual
+    Spark mapInPandas stage. A broken inflate or unfilter changes the
+    pixel checksum."""
+    import hashlib
+
+    from accounts_receivable_data_pipeline_api_spark.operators.multimodal import (
+        _bmp_dims_from_text,
+        synthesize_png,
+    )
+
+    texts = [(i, f"doc {i} body " * (i + 1)) for i in range(8)]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    decoded = {
+        r["doc_id"]: r
+        for r in decode_features(synthesize_png(df), decoder="png").collect()
+    }
+    assert set(decoded) == {i for i, _ in texts}
+    for i, text in texts:
+        seed, w, h = _bmp_dims_from_text(text)
+        r = decoded[i]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        npix = w * h * 3
+        digest = bytes.fromhex(seed)
+        stream = (digest * ((npix + 15) // 16))[:npix]
+        assert r["pixel_checksum"] == hashlib.md5(stream.hex().encode()).hexdigest()
+
+
+def test_png_parser_filters_crc_and_rejects():
+    """Every PNG filter type must round-trip (the synthesizer cycles
+    them per row), a corrupted IDAT byte must fail the CRC check, and
+    non-PNG/truncated payloads return None."""
+    import hashlib
+
+    from accounts_receivable_data_pipeline_api_spark.operators.multimodal import (
+        _parse_png,
+        _png_bytes,
+        _png_filter_for_row,
+    )
+
+    seed = "00112233445566778899aabbccddeeff"
+    # h=10 with any w covers filters {0..4} via (r + w) % 5
+    w, h = 3, 10
+    assert {_png_filter_for_row(r, w) for r in range(h)} == {0, 1, 2, 3, 4}
+    content = _png_bytes(seed, w, h)
+    parsed = _parse_png(content)
+    assert parsed is not None
+    pw, ph, ch, checksum = parsed
+    assert (pw, ph, ch) == (w, h, 3)
+    npix = w * h * 3
+    stream = (bytes.fromhex(seed) * ((npix + 15) // 16))[:npix]
+    assert checksum == hashlib.md5(stream.hex().encode()).hexdigest()
+    bad = bytearray(content)
+    bad[50] ^= 0x01  # inside IDAT payload -> CRC mismatch
+    assert _parse_png(bytes(bad)) is None
+    assert _parse_png(b"not a png") is None
+    assert _parse_png(None) is None
+    assert _parse_png(content[:20]) is None
+
+
+def test_decode_auto_sniffs_per_payload(spark):
+    """decoder='auto' routes each payload by magic bytes: a mixed frame
+    of BMP, PNG, and garbage decodes the two real formats identically
+    to their dedicated decoders and nulls the rest."""
+    from accounts_receivable_data_pipeline_api_spark.operators.multimodal import (
+        synthesize_bmp,
+        synthesize_png,
+    )
+
+    texts = [(1, "alpha doc"), (2, "beta doc")]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    mixed = (
+        synthesize_bmp(df.filter(F.col("doc_id") == 1))
+        .unionByName(synthesize_png(df.filter(F.col("doc_id") == 2)))
+        .unionByName(attach_binary(spark.createDataFrame([(3, "junk")], ["doc_id", "text"])))
+    )
+    rows = {r["doc_id"]: r for r in decode_features(mixed, decoder="auto").collect()}
+    assert rows[1]["pixel_checksum"] is not None
+    assert rows[2]["pixel_checksum"] is not None
+    assert rows[3]["pixel_checksum"] is None and rows[3]["width"] is None
+
+
 def test_decode_pil_gate_raises(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(NotImplementedError):

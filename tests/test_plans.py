@@ -130,8 +130,9 @@ def test_multimodal_pipeline_single_python_stage(spark, sf_dir):
     boundary exactly once — two MapInPandas stages would double the
     serialization volume, the dominant cost of the Python batch path.
     Gated on the operator (decode+resize over a media frame = exactly
-    one Python stage); the corpus entry gets one extra stage for the
-    BMP fixture synthesis, bounded at two total."""
+    one Python stage); the corpus entry unions a BMP and a PNG branch,
+    each with one synthesis + one fused decode stage, bounded at four
+    total."""
     from accounts_receivable_data_pipeline_api_spark.operators.multimodal import (
         attach_binary,
         decode_resize,
@@ -147,7 +148,7 @@ def test_multimodal_pipeline_single_python_stage(spark, sf_dir):
     plan_entry = _plan(spark, sf_dir, "multimodal_pipeline")
     ops_entry = re.findall(r"\n\(\d+\) (\S+)", plan_entry)
     py_entry = [op for op in ops_entry if "MapInPandas" in op or "ArrowEval" in op]
-    assert len(py_entry) == 2, ops_entry
+    assert len(py_entry) == 4, ops_entry
 
 
 def test_range_join_is_equi_join_with_residual(spark, sf_dir):
