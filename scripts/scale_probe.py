@@ -98,6 +98,42 @@ def _probe_lsh_topk_recall(spark, sf_dir: str) -> None:
     assert recall >= 0.5, f"lsh_topk recall@10 {recall:.3f} < 0.5 at {sf_dir}"
 
 
+def _probe_ivf_topk_recall(spark, sf_dir: str) -> None:
+    """Recall@10 of the DEFAULT-SIZED IVF path (ivf_build(k=None): the
+    sqrt(n) nlist rule; nprobe=8) vs brute force, asserted >= 0.5 at
+    every SF (round-3 VERDICT #8: the corpus entry pins k=8 explicitly,
+    so without this probe the auto-sizing branch real users get by
+    default was never the one measured)."""
+    from accounts_receivable_data_pipeline_api_spark.plans.raw_ops import (
+        _IVF_CENTROIDS,
+        op_ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ivf = {
+        (r["query_id"], r["match_id"]) for r in op_ivf_topk(spark, sf_dir).collect()
+    }
+    brute = {
+        (r["query_id"], r["match_id"])
+        for r in similarity.brute_force_topk(queries, emb, k=10).collect()
+    }
+    recall = len(ivf & brute) / len(brute)
+    print(
+        json.dumps(
+            {
+                "query": "op_ivf_topk_recall",
+                "sf": sf_dir.rsplit("sf", 1)[-1],
+                "input_rows": emb.count(),
+                "nlist": len(_IVF_CENTROIDS[sf_dir]),
+                "recall_at_10": round(recall, 3),
+            }
+        ),
+        flush=True,
+    )
+    assert recall >= 0.5, f"ivf_topk recall@10 {recall:.3f} < 0.5 at {sf_dir}"
+
+
 # raw operator builders are shared with bench.py (plans/raw_ops.py)
 OPERATOR_PROBES = RAW_OPS
 
@@ -196,6 +232,9 @@ def main() -> None:
     if wanted("op_lsh_topk_recall"):
         for sf_dir in SFS:
             _probe_lsh_topk_recall(spark, sf_dir)
+    if wanted("op_ivf_topk_recall"):
+        for sf_dir in SFS:
+            _probe_ivf_topk_recall(spark, sf_dir)
     if wanted("stream_windowed_counts"):
         for sf_dir in SFS:
             _probe_streaming_rate(spark, sf_dir)

@@ -326,6 +326,117 @@ def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
     assert got == {(1, 1, 2), (2, 3, None)}, got
 
 
+def _state_rows_per_batch(query) -> list[int]:
+    """Total state-store rows after each microbatch, from the query's
+    progress telemetry."""
+    import json
+
+    out = []
+    for p in query.recentProgress:
+        prog = json.loads(p.json) if hasattr(p, "json") else p
+        ops = prog.get("stateOperators") or []
+        if ops:
+            out.append(sum(op["numRowsTotal"] for op in ops))
+    return out
+
+
+def test_sessionize_state_plateaus_across_many_microbatches(spark, tmp_path):
+    """The claim streaming/pipeline.py makes but never measured (round-3
+    VERDICT #6): sessionize state is O(active users), NOT O(events).
+    Drive 8 microbatches of ever-new events for a fixed user set and
+    assert stateOperators.numRowsTotal plateaus at the user count — one
+    open-session row per user — while input keeps growing."""
+    import datetime as dt
+
+    n_batches, n_users = 8, 4
+    src = str(tmp_path / "sess_state_src")
+    os.makedirs(src)
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    now = 2_000_000_000
+    eid = 0
+    for b in range(n_batches):
+        rows = []
+        for u in range(n_users):
+            eid += 1
+            # 1 hour apart > 30 min gap: each batch closes the previous
+            # session and opens a new one — sessions EMIT continuously
+            # while state stays at one open session per user
+            rows.append((eid, u, base + dt.timedelta(hours=b), "click", 1.0))
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(f"{src}/b{b}")
+        for f in os.listdir(f"{src}/b{b}"):
+            os.utime(f"{src}/b{b}/{f}", (now + b * 60, now + b * 60))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{src}/b0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    query = _run_available_now(sessionize_events(stream), "sess_state")
+    states = _state_rows_per_batch(query)
+    assert len(states) >= n_batches - 1, states
+    # plateau: bounded by the user count at EVERY batch, never the
+    # event count (n_batches * n_users = 32 here)
+    assert max(states) <= n_users, states
+    assert states[-1] <= n_users, states
+    # and the operator actually emitted the closed sessions
+    emitted = spark.sql("select * from sess_state").count()
+    assert emitted >= n_users * (n_batches - 2)
+
+
+def test_stream_stream_join_state_plateaus_with_watermark(spark, tmp_path):
+    """Stream-stream join state must be O(watermark horizon), not
+    O(stream): with event time advancing one hour per microbatch and a
+    1-hour watermark, buffered rows older than watermark+within are
+    evicted, so numRowsTotal plateaus while total input grows linearly.
+    This is the measured form of the eviction argument in
+    join_purchases_to_signups_stream's docstring."""
+    import datetime as dt
+
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        join_purchases_to_signups_stream,
+    )
+
+    n_batches, n_users = 10, 3
+    src = str(tmp_path / "ssj_state_src")
+    os.makedirs(src)
+    cols = ["event_id", "user_id", "ts", "event_type", "value"]
+    base = dt.datetime(2024, 1, 1, 0, 0)
+    now = 2_000_000_000
+    eid = 0
+    for b in range(n_batches):
+        rows = []
+        t0 = base + dt.timedelta(hours=b)
+        for u in range(n_users):
+            eid += 1
+            rows.append((eid, u, t0, "signup", 0.0))
+            eid += 1
+            rows.append((eid, u, t0 + dt.timedelta(minutes=10), "purchase", 5.0))
+        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(f"{src}/b{b}")
+        for f in os.listdir(f"{src}/b{b}"):
+            os.utime(f"{src}/b{b}/{f}", (now + b * 60, now + b * 60))
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{src}/b0").schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    out = join_purchases_to_signups_stream(
+        stream, watermark="1 hour", within="30 minutes"
+    )
+    query = _run_available_now(out, "ssj_state")
+    states = _state_rows_per_batch(query)
+    assert len(states) >= n_batches - 1, states
+    total_rows = 2 * n_users * n_batches
+    # plateau: once the watermark starts evicting (a few batches in),
+    # state stops growing — the tail must not exceed the early maximum,
+    # and nothing ever approaches unbounded buffering of the stream
+    ramp, tail = states[: n_batches // 2], states[n_batches // 2 :]
+    assert max(tail) <= max(ramp), states
+    assert max(states) < total_rows, states
+    # every in-window purchase matched its signup
+    matched = spark.sql("select * from ssj_state").count()
+    assert matched >= n_users * (n_batches - 2)
+
+
 def test_sliding_windowed_counts_match_batch(spark, sf_dir, tmp_path):
     """Sliding (overlapping) windows: every emitted (window, type) row
     must equal its batch twin, and only windows whose end is still
