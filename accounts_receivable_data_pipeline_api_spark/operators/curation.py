@@ -132,3 +132,39 @@ def pack_batches(
     w = base.orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, -1)
     prefix = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
     return chunks.withColumn(out_col, F.floor(prefix / budget).cast("bigint"))
+
+
+def quota_sample(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    quota: int,
+    key_col: str,
+    rank_col: str = "sample_rank",
+) -> DataFrame:
+    """Cap rows per group at ``quota`` deterministically — the
+    per-domain / per-language quota a curation pipeline applies so no
+    single source dominates the training mix.
+
+    Selection is content-addressed: rows are ranked inside each group
+    by md5(key) (key ascending as total tie-break), so the kept set is
+    a pure function of the data — stable across runs, partitionings,
+    and engines — and UNBIASED within the group (hash order is
+    uncorrelated with any data attribute, unlike 'first N by id').
+
+    Plan shape at 100 TB: one shuffle on the group key + per-partition
+    window rank. Group count is bounded (domains/languages), but a hot
+    group lands on one task; when a single group's rows exceed an
+    executor's partition budget, pre-filter with
+    sample_by_hash(pct ~= quota/group_count) to shrink the window
+    input first — the hash order here and the hash bucket there use
+    the same md5, so the pre-filter keeps a superset of the final
+    sample (any pct with bucket-boundary slack) and exactness is
+    restored by this window.
+    """
+    order_key = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
+        order_key, F.col(key_col)
+    )
+    return df.withColumn(
+        rank_col, F.row_number().over(w).cast("bigint")
+    ).filter(F.col(rank_col) <= quota)

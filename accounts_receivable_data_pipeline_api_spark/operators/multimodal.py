@@ -133,6 +133,21 @@ def _bmp_bytes(seed: str, w: int, h: int) -> bytes:
     return header + body
 
 
+def _spread(src: DataFrame) -> DataFrame:
+    """Engage full parallelism for a Python-heavy kernel stage when the
+    upstream scan under-partitions (a single small parquet file reads
+    as ONE partition, serializing every downstream mapInPandas batch on
+    one core — measured 23 s for the sf0.1 multimodal entry vs ~1 s
+    spread). At 100 TB the scan already yields thousands of partitions
+    and this is a no-op; the repartition only fires when partitions <
+    cores, and shuffles just the (doc_id, text) projection."""
+    sc = src.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        return src.repartition(target)
+    return src
+
+
 def synthesize_bmp(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Fixture source: synthesize a real BMP payload per document,
     deterministically from its text (Arrow-batched kernel). Stands in
@@ -140,7 +155,7 @@ def synthesize_bmp(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     value (dims, byte count, pixel checksum) is independently
     SQL-predictable from the text, which is what lets the driver oracle
     check the REAL decoder cross-engine."""
-    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    src = _spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -181,13 +196,32 @@ def _paeth_vec(a, b, c):
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
+def _paeth_int(a: int, b: int, c: int) -> int:
+    """Paeth predictor on plain ints — the decode hot loop's flavor."""
+    p = a + b - c
+    pa = p - a if p >= a else a - p
+    pb = p - b if p >= b else b - p
+    pc = p - c if p >= c else c - p
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
 def _png_bytes(seed: str, w: int, h: int) -> bytes:
     """A genuine non-interlaced 8-bit RGB PNG: IHDR/IDAT/IEND chunks
     with CRCs, scanlines FILTERED per _png_filter_for_row and
     zlib-compressed. The logical pixel stream (rows top-down, 3 bytes
     per pixel) is the same repeated-digest rule as the BMP fixture, so
     the SQL oracle predicts the decoded pixel checksum identically —
-    without implementing zlib."""
+    without implementing zlib.
+
+    The filter pass is vectorized over the WHOLE image: PNG encoders
+    predict from RAW (unfiltered) neighbor bytes — reconstruction only
+    happens on the decode side — so left/up/up-left are plain array
+    shifts of the pixel block and all five candidate filters compute in
+    five numpy expressions, selected per row by the deterministic
+    filter cycle. (The original per-row Python loop was ~5x slower on
+    the 64x64 fixtures.)"""
     import struct
     import zlib
 
@@ -198,26 +232,26 @@ def _png_bytes(seed: str, w: int, h: int) -> bytes:
     stream = (digest * ((npix + len(digest) - 1) // len(digest)))[:npix]
     px = np.frombuffer(stream, dtype=np.uint8).reshape(h, w, 3).astype(np.int32)
 
-    raw = bytearray()
-    prev = np.zeros((w, 3), dtype=np.int32)
-    for r in range(h):
-        cur = px[r]
-        f = _png_filter_for_row(r, w)
-        left = np.vstack([np.zeros((1, 3), np.int32), cur[:-1]])
-        up_left = np.vstack([np.zeros((1, 3), np.int32), prev[:-1]])
-        if f == 0:
-            filt = cur
-        elif f == 1:
-            filt = cur - left
-        elif f == 2:
-            filt = cur - prev
-        elif f == 3:
-            filt = cur - ((left + prev) >> 1)
-        else:
-            filt = cur - _paeth_vec(left, prev, up_left)
-        raw.append(f)
-        raw += (filt % 256).astype(np.uint8).tobytes()
-        prev = cur
+    zero_col = np.zeros((h, 1, 3), np.int32)
+    zero_row = np.zeros((1, w, 3), np.int32)
+    left = np.concatenate([zero_col, px[:, :-1]], axis=1)
+    up = np.concatenate([zero_row, px[:-1]], axis=0)
+    up_left = np.concatenate([zero_col, up[:, :-1]], axis=1)
+    cand = np.stack(
+        [
+            px,
+            px - left,
+            px - up,
+            px - ((left + up) >> 1),
+            px - _paeth_vec(left, up, up_left),
+        ]
+    )
+    f_rows = (np.arange(h) + w) % 5
+    filt = cand[f_rows, np.arange(h)]  # (h, w, 3), one filter per row
+    lines = np.empty((h, 1 + 3 * w), dtype=np.uint8)
+    lines[:, 0] = f_rows
+    lines[:, 1:] = (filt % 256).astype(np.uint8).reshape(h, 3 * w)
+    raw = lines.tobytes()
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -231,7 +265,7 @@ def _png_bytes(seed: str, w: int, h: int) -> bytes:
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
 
@@ -241,7 +275,7 @@ def synthesize_png(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     payload per document, deterministically from its text. Same
     geometry/pixel rules as synthesize_bmp, so the oracle math carries
     over; the payload itself exercises inflate + all five unfilters."""
-    src = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    src = _spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -287,17 +321,31 @@ def _png_unfilter(raw: bytes, w: int, h: int):
         elif f == 2:
             rec = (line + prev) % 256
         elif f in (3, 4):
-            rec = np.empty((w, 3), dtype=np.int32)
-            left = np.zeros(3, dtype=np.int32)
-            up_left = np.zeros(3, dtype=np.int32)
+            # Sequential left-pixel recurrence — per-pixel loop, but in
+            # PURE-INT Python: tiny per-pixel numpy temporaries (the
+            # original _paeth_vec call per pixel) cost ~10x more than
+            # plain int arithmetic at these widths (measured 4.3 ->
+            # ~1.5 ms per 64x64 image).
+            line_l = line.tolist()
+            prev_l = prev.tolist()
+            rec_l = []
+            l0 = l1 = l2 = 0
+            u0 = u1 = u2 = 0  # up-left pixel
             for x in range(w):
+                p0, p1, p2 = prev_l[x]
+                c0, c1, c2 = line_l[x]
                 if f == 3:
-                    pred = (left + prev[x]) >> 1
+                    r0 = (c0 + ((l0 + p0) >> 1)) & 255
+                    r1 = (c1 + ((l1 + p1) >> 1)) & 255
+                    r2 = (c2 + ((l2 + p2) >> 1)) & 255
                 else:
-                    pred = _paeth_vec(left, prev[x], up_left)
-                rec[x] = (line[x] + pred) % 256
-                left = rec[x]
-                up_left = prev[x]
+                    r0 = (c0 + _paeth_int(l0, p0, u0)) & 255
+                    r1 = (c1 + _paeth_int(l1, p1, u1)) & 255
+                    r2 = (c2 + _paeth_int(l2, p2, u2)) & 255
+                rec_l.append((r0, r1, r2))
+                l0, l1, l2 = r0, r1, r2
+                u0, u1, u2 = p0, p1, p2
+            rec = np.array(rec_l, dtype=np.int32)
         else:
             return None
         out[r] = rec

@@ -278,3 +278,136 @@ def redact_pii(
         *[c.alias(f"n_{kind}") for c, kind in zip(counts, PII_PATTERNS)],
     )
     return out
+
+
+def word_ngrams_expr(text_col: str, n: int) -> Column:
+    """Word-level n-grams (space-joined) as an array column.
+
+    Guarded against Spark's descending-sequence gotcha: sequence(1, 0)
+    yields [1, 0], not [] — a document shorter than n words must map to
+    an EMPTY gram array, so the start-index sequence is wrapped in a
+    size guard.
+    """
+    toks = tokens_expr(text_col)
+    m = F.size(toks) - F.lit(n - 1)
+    starts = F.when(m >= 1, F.sequence(F.lit(1), m)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word-level n-gram with an evaluation/benchmark corpus (the standard
+    n-gram-overlap decontamination used when assembling LLM training
+    sets; 8-13 word grams in production, n=5 here because the synthetic
+    docs are short).
+
+    Returns one row per training document:
+      (id_col, n_grams BIGINT, n_hits BIGINT, contaminated BOOLEAN)
+    where n_grams counts the doc's DISTINCT n-grams and n_hits counts
+    how many of them appear anywhere in the benchmark corpus.
+
+    Plan shape at 100 TB: the benchmark side is eval sets — thousands
+    to millions of grams, bounded and small relative to the training
+    corpus — so its distinct gram set BROADCASTS and the per-doc gram
+    stream never shuffles: scan -> gram explode -> broadcast hash join
+    -> per-doc hash agg (map-side combinable on doc_id). If the
+    reference side ever outgrows broadcast (cross-corpus dedup rather
+    than decontamination), drop the broadcast() hint and Spark falls
+    back to a shuffle join on the gram key; AQE re-plans skewed grams.
+    explode_outer keeps zero-gram (shorter-than-n) documents in the
+    audit output with n_grams = 0.
+    """
+    grams = F.array_distinct(word_ngrams_expr(text_col, n))
+    t = train.select(F.col(id_col), F.explode_outer(grams).alias("gram"))
+    b = (
+        benchmark.select(F.explode(grams).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    joined = t.join(F.broadcast(b), "gram", "left")
+    return joined.groupBy(id_col).agg(
+        F.count("gram").alias("n_grams"),
+        F.count("_hit").alias("n_hits"),
+        (F.count("_hit") > 0).alias("contaminated"),
+    )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document repetition metrics (Gopher-style repetition
+    filters, word flavor): duplicate-word fraction and the fraction of
+    word-bigrams taken by the single most frequent bigram.
+
+    Returns (id_col, n_tokens BIGINT, dup_word_frac DOUBLE,
+    top_bigram STRING, top_bigram_frac DOUBLE); fractions rounded to
+    6 dp for engine portability; top_bigram is NULL (frac 0.0) for
+    documents with fewer than two words. Ties on the top bigram break
+    to the lexicographically SMALLEST gram.
+
+    Plan shape at 100 TB: ZERO shuffle. The per-doc bigram mode is the
+    natural explode -> groupBy(doc, gram) -> window-max recipe, but
+    that shuffles one row per token of the corpus just to compute a
+    per-document scalar. Instead the bigram array is array_sort()ed
+    in-row and the longest run of equal adjacent elements is folded
+    with F.aggregate — the whole operator is a single projection at
+    scan parallelism (the HOF fold is interpreted per-element, not
+    codegen, but there is no exchange and no skew surface at all;
+    sorting ascending makes 'first strictly-longer run wins' exactly
+    the lexicographic tie-break).
+    """
+    toks = tokens_expr(text_col)
+    grams = F.array_sort(word_ngrams_expr(text_col, 2))
+
+    def _fold(acc: Column, x: Column) -> Column:
+        run_new = F.when(x == acc["prev"], acc["run"] + F.lit(1)).otherwise(F.lit(1))
+        better = run_new > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run_new.alias("run"),
+            F.when(better, run_new).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["best_gram"]).alias("best_gram"),
+        )
+
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit("").alias("best_gram"),
+    )
+    staged = df.select(
+        F.col(id_col),
+        toks.alias("_tok"),
+        F.aggregate(grams, init, _fold).alias("_top"),
+        F.size(grams).alias("_n_bg"),
+    )
+    n_tok = F.size("_tok").cast("bigint")
+    dup_frac = F.round(
+        (n_tok - F.size(F.array_distinct("_tok"))).cast("double")
+        / F.greatest(n_tok, F.lit(1)).cast("double"),
+        6,
+    )
+    best = F.col("_top")["best"]
+    return staged.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        dup_frac.alias("dup_word_frac"),
+        F.when(best > 0, F.col("_top")["best_gram"]).alias("top_bigram"),
+        F.round(
+            F.when(
+                best > 0,
+                best.cast("double") / F.col("_n_bg").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("top_bigram_frac"),
+    )

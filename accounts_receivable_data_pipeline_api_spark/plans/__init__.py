@@ -22,6 +22,12 @@ from . import temporal  # noqa: E402,F401
 #
 # Ordering: oracled entries first (hash rows), rows-only entries last —
 # if the driver window ever shrinks, hash rows are the ones kept.
+#
+# Round 4 additions stayed inside the window the same way: ar_ci_lookup
+# + ar_key_lookup merged into ar_lookup_gauntlet, join_semi_* +
+# join_anti_* merged into join_semi_anti (each former entry's semantics
+# remains a hash-checked row group of the merged entry), freeing two
+# slots for text_repetition_decontaminate and curation_quota_sample.
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW = 50

@@ -933,3 +933,135 @@ def dedup_components_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "component_count_ge_exact"
         ),
     )
+
+
+# Word-token CTE shared by the decontamination and repetition oracles:
+# same normalization as _NORM_SQL, then whitespace split with empties
+# filtered (mirrors operators/text.py:tokens_expr exactly).
+_WORD_TOK_CTE = f"""
+    norm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+    tok AS (
+      SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS w
+      FROM norm
+    )
+"""
+
+
+@register(
+    "text_repetition_decontaminate",
+    oracle=f"""
+    WITH {_WORD_TOK_CTE},
+    base AS (
+      SELECT doc_id, w, len(w) AS n_tok, greatest(len(w) - 1, 0) AS n_bg
+      FROM tok
+    ),
+    ng2 AS (
+      SELECT doc_id,
+             concat_ws(' ', w[CAST(i AS INT)], w[CAST(i AS INT) + 1]) AS g
+      FROM (
+        SELECT doc_id, w, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS i
+        FROM base
+      )
+    ),
+    cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM ng2 GROUP BY doc_id, g),
+    top AS (
+      SELECT doc_id, g, c,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY c DESC, g ASC) AS rn
+      FROM cnt
+    ),
+    ng5 AS (
+      SELECT DISTINCT doc_id,
+             concat_ws(' ', w[CAST(i AS INT)], w[CAST(i AS INT) + 1],
+                       w[CAST(i AS INT) + 2], w[CAST(i AS INT) + 3],
+                       w[CAST(i AS INT) + 4]) AS g
+      FROM (
+        SELECT doc_id, w, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS i
+        FROM tok
+      )
+    ),
+    bench AS (SELECT DISTINCT g FROM ng5 WHERE doc_id % 37 = 0),
+    decon AS (
+      SELECT d.doc_id,
+             COUNT(t.g) AS n_grams,
+             COUNT(b.g) AS n_hits,
+             COUNT(b.g) > 0 AS contaminated
+      FROM (SELECT doc_id FROM norm WHERE doc_id % 37 <> 0) d
+        LEFT JOIN (SELECT doc_id, g FROM ng5 WHERE doc_id % 37 <> 0) t
+          ON t.doc_id = d.doc_id
+        LEFT JOIN bench b ON t.g = b.g
+      GROUP BY d.doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_tok AS BIGINT) AS n_tokens,
+           ROUND(CAST(b.n_tok - len(list_distinct(b.w)) AS DOUBLE)
+                 / greatest(b.n_tok, 1), 6) AS dup_word_frac,
+           t.g AS top_bigram,
+           ROUND(COALESCE(CAST(t.c AS DOUBLE) / b.n_bg, 0.0), 6)
+             AS top_bigram_frac,
+           dc.n_grams, dc.n_hits, dc.contaminated,
+           CASE WHEN b.doc_id % 37 = 0 THEN 'benchmark' ELSE 'train' END
+             AS role
+    FROM base b
+      LEFT JOIN top t ON t.doc_id = b.doc_id AND t.rn = 1
+      LEFT JOIN decon dc ON dc.doc_id = b.doc_id
+    """,
+    tags=("EXT", "TEXT", "DEDUP"),
+    doc="Per-document corpus-audit entry: Gopher-style repetition "
+    "metrics for EVERY doc (operators/text.py:repetition_metrics — "
+    "duplicate-word fraction + top-bigram fraction, computed with ZERO "
+    "shuffle via array_sort + run-length fold in a single projection, "
+    "while the oracle uses the natural explode/group/window recipe: "
+    "two independent algorithms, same answer, ties broken to the "
+    "lexicographically smallest gram) joined with benchmark "
+    "DECONTAMINATION columns for training docs "
+    "(operators/text.py:decontaminate — word 5-gram overlap against "
+    "the held-out benchmark corpus, played here by docs with "
+    "doc_id % 37 = 0; the benchmark gram set broadcasts because eval "
+    "sets are tiny next to a 100 TB training corpus, so the training "
+    "gram stream never shuffles: scan -> explode -> broadcast join -> "
+    "map-side-combinable per-doc agg). Benchmark docs carry NULL "
+    "decontamination columns and role='benchmark'.",
+)
+def text_repetition_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    rep = text.repetition_metrics(docs)
+    dec = text.decontaminate(train, bench, n=5)
+    return rep.join(dec, "doc_id", "left").withColumn(
+        "role",
+        F.when(F.col("doc_id") % 37 == 0, F.lit("benchmark")).otherwise(
+            F.lit("train")
+        ),
+    )
+
+
+@register(
+    "curation_quota_sample",
+    oracle="""
+    SELECT doc_id, lang, source, sample_rank FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 7
+    """,
+    tags=("EXT", "CURATION"),
+    doc="Per-(lang, source) quota sampling "
+    "(operators/curation.py:quota_sample): cap each group at 7 docs, "
+    "selected by content-addressed md5(doc_id) rank — deterministic, "
+    "engine-portable, and unbiased within the group (hash order is "
+    "uncorrelated with data attributes, unlike 'first N by id'). One "
+    "group-key shuffle + window; the docstring documents the "
+    "sample_by_hash pre-filter for hot groups at 100 TB.",
+)
+def curation_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import quota_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quota_sample(docs, ("lang", "source"), quota=7, key_col="doc_id").select(
+        "doc_id", "lang", "source", "sample_rank"
+    )

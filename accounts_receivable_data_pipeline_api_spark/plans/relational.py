@@ -303,51 +303,60 @@ def ar_quarantine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ar_ci_lookup",
+    "ar_lookup_gauntlet",
     oracle="""
-    SELECT c_custkey, c_name, c_mktsegment,
-           c_acctbal AS acctbal
+    SELECT 'ci_name' AS lookup_kind,
+           CAST(c_custkey AS BIGINT) AS lookup_key,
+           c_name AS name, c_mktsegment AS detail,
+           CAST(c_acctbal AS DOUBLE) AS amount,
+           CAST(NULL AS DATE) AS order_date,
+           CAST(NULL AS VARCHAR) AS priority
     FROM customer WHERE LOWER(c_name) = LOWER('Customer#000000042')
-    """,
-    tags=("P6", "F1"),
-    doc="Case-insensitive exact-name match (reference app/api/customers.py:68).",
-)
-def ar_ci_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    return customer.filter(
-        F.lower(F.col("c_name")) == F.lit("Customer#000000042".lower())
-    ).select(
-        "c_custkey", "c_name", "c_mktsegment", F.col("c_acctbal").alias("acctbal")
-    )
-
-
-@register(
-    "ar_key_lookup",
-    oracle="""
-    SELECT o_orderkey, c_name AS customer_name, o_orderstatus,
-           o_totalprice AS total,
-           CAST(o_orderdate AS DATE) AS order_date, o_orderpriority
+    UNION ALL
+    SELECT 'order_key', CAST(o_orderkey AS BIGINT), c_name, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE), CAST(o_orderdate AS DATE),
+           o_orderpriority
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE o_orderkey = 1042
     """,
-    tags=("P7", "J1"),
-    doc="Exact-key single-row lookup + dim join (reference app/api/invoices.py:141-174).",
+    tags=("P6", "P7", "F1", "J1"),
+    doc="Point-lookup gauntlet, merged from the former ar_ci_lookup + "
+    "ar_key_lookup entries (round-4 corpus consolidation to stay inside "
+    "the 50-entry driver window): the 'ci_name' row pins "
+    "case-insensitive exact-name match (reference "
+    "app/api/customers.py:68), the 'order_key' row pins exact-key "
+    "single-row lookup + broadcast dim join (reference "
+    "app/api/invoices.py:141-174). Both semantics remain hash-checked "
+    "as distinct rows of one normalized schema.",
 )
-def ar_key_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+def ar_lookup_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
-    return (
+    orders = load_table(spark, sf_dir, "orders")
+    ci = customer.filter(
+        F.lower(F.col("c_name")) == F.lit("Customer#000000042".lower())
+    ).select(
+        F.lit("ci_name").alias("lookup_kind"),
+        F.col("c_custkey").cast("bigint").alias("lookup_key"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("detail"),
+        F.col("c_acctbal").cast("double").alias("amount"),
+        F.lit(None).cast("date").alias("order_date"),
+        F.lit(None).cast("string").alias("priority"),
+    )
+    ky = (
         orders.filter(F.col("o_orderkey") == 1042)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey, "inner")
         .select(
-            "o_orderkey",
-            F.col("c_name").alias("customer_name"),
-            "o_orderstatus",
-            F.col("o_totalprice").alias("total"),
+            F.lit("order_key").alias("lookup_kind"),
+            F.col("o_orderkey").cast("bigint").alias("lookup_key"),
+            F.col("c_name").alias("name"),
+            F.col("o_orderstatus").alias("detail"),
+            F.col("o_totalprice").cast("double").alias("amount"),
             F.col("o_orderdate").cast("date").alias("order_date"),
-            "o_orderpriority",
+            F.col("o_orderpriority").alias("priority"),
         )
     )
+    return ci.unionByName(ky)
 
 
 @register(
@@ -551,43 +560,39 @@ def tpch_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_semi_customers_with_orders",
+    "join_semi_anti",
     oracle="""
-    SELECT c_custkey, c_name FROM customer
+    SELECT 'semi' AS op, c_custkey, c_name FROM customer
     WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       AND c_custkey < 500
-    """,
-    tags=("EXT", "J"),
-    doc="Left-semi join (EXISTS shape) — needed by dedup candidate filtering.",
-)
-def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        customer.filter(F.col("c_custkey") < 500)
-        .join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
-        .select("c_custkey", "c_name")
-    )
-
-
-@register(
-    "join_anti_customers_without_orders",
-    oracle="""
-    SELECT c_custkey, c_name FROM customer
+    UNION ALL
+    SELECT 'anti', c_custkey, c_name FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
     """,
     tags=("EXT", "J"),
-    doc="Left-anti join (NOT EXISTS shape): customers with no order in "
-    "'P' status — the FK-audit pattern (SURVEY §1.3) with a predicate "
-    "that keeps the result non-trivial at every SF.",
+    doc="Semi + anti join gauntlet, merged from the former "
+    "join_semi_customers_with_orders + join_anti_customers_without_orders "
+    "entries (round-4 corpus consolidation to stay inside the 50-entry "
+    "driver window). 'semi' rows: left-semi join (EXISTS shape, dedup "
+    "candidate filtering); 'anti' rows: left-anti join (NOT EXISTS "
+    "shape) — the FK-audit pattern (SURVEY §1.3) with a status "
+    "predicate that keeps the result non-trivial at every SF. Both "
+    "join types remain hash-checked as distinct row groups.",
 )
-def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
-    return customer.join(
-        orders, customer.c_custkey == orders.o_custkey, "left_anti"
-    ).select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders")
+    semi = (
+        customer.filter(F.col("c_custkey") < 500)
+        .join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
+        .select(F.lit("semi").alias("op"), "c_custkey", "c_name")
+    )
+    p_orders = orders.filter(F.col("o_orderstatus") == "P")
+    anti = customer.join(
+        p_orders, customer.c_custkey == p_orders.o_custkey, "left_anti"
+    ).select(F.lit("anti").alias("op"), "c_custkey", "c_name")
+    return semi.unionByName(anti)
 
 
 @register(

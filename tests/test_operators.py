@@ -762,3 +762,103 @@ def test_ivf_build_wide_dim_and_nlist_in_seconds(spark):
     assert elapsed < 60, f"wide ivf_build took {elapsed:.1f}s"
     again = similarity.ivf_build(df, k=k, iters=2)
     assert centroids == again
+
+
+# ---------------------------------------------------------------------------
+# Round 4: repetition metrics, decontamination, quota sampling
+# ---------------------------------------------------------------------------
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+
+
+def test_word_ngrams_short_doc_guard(spark):
+    """sequence(1, 0) yields [1, 0] in Spark — a doc shorter than n must
+    still produce an EMPTY gram array, not a phantom gram."""
+    df = _docs_df(spark, ["one two", "one", "", "a b c"])
+    out = df.select(
+        F.col("doc_id"), text.word_ngrams_expr("text", 3).alias("g")
+    ).collect()
+    by_id = {r.doc_id: r.g for r in out}
+    assert by_id[0] == []
+    assert by_id[1] == []
+    assert by_id[2] == []
+    assert by_id[3] == ["a b c"]
+
+
+def test_repetition_metrics_known_values(spark):
+    df = _docs_df(
+        spark,
+        [
+            "a b a b a",  # 5 tokens, 2 distinct; bigram tie a-b/b-a -> 'a b'
+            "x",  # single word: no bigram
+            "",  # empty: no tokens at all
+            "q q q q",  # all same: dup 3/4, top bigram 'q q' 3/3
+        ],
+    )
+    rows = {r.doc_id: r for r in text.repetition_metrics(df).collect()}
+    r0 = rows[0]
+    assert r0.n_tokens == 5
+    assert abs(r0.dup_word_frac - 0.6) < 1e-9
+    assert r0.top_bigram == "a b"  # tie with 'b a' breaks lexicographically
+    assert abs(r0.top_bigram_frac - 0.5) < 1e-9
+    r1 = rows[1]
+    assert r1.n_tokens == 1 and r1.top_bigram is None and r1.top_bigram_frac == 0.0
+    r2 = rows[2]
+    assert r2.n_tokens == 0 and r2.dup_word_frac == 0.0 and r2.top_bigram is None
+    r3 = rows[3]
+    assert r3.n_tokens == 4
+    assert abs(r3.dup_word_frac - 0.75) < 1e-9
+    assert r3.top_bigram == "q q" and abs(r3.top_bigram_frac - 1.0) < 1e-9
+
+
+def test_decontaminate_flags_exact_overlap_only(spark):
+    bench = _docs_df(spark, ["one two three four five six"])
+    train = spark.createDataFrame(
+        [
+            (10, "zzz one two three four five end"),  # shares a 5-gram
+            (11, "alpha beta gamma delta epsilon zeta"),  # disjoint vocab
+            (12, "too short"),  # < 5 words: zero grams
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in text.decontaminate(train, bench, n=5).collect()}
+    assert rows[10].contaminated and rows[10].n_hits == 1
+    assert not rows[11].contaminated and rows[11].n_hits == 0
+    assert rows[11].n_grams == 2
+    assert rows[12].n_grams == 0 and rows[12].n_hits == 0
+    assert not rows[12].contaminated
+
+
+def test_quota_sample_caps_every_group(spark, sf_dir):
+    from accounts_receivable_data_pipeline_api_spark.operators.curation import (
+        quota_sample,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    quota = 3
+    out = quota_sample(docs, ("lang", "source"), quota=quota, key_col="doc_id")
+    sizes = {
+        (r.lang, r.source): r.n
+        for r in out.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()
+    }
+    orig = {
+        (r.lang, r.source): r.n
+        for r in docs.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()
+    }
+    assert sizes, "no groups sampled"
+    for grp, n in sizes.items():
+        assert n == min(quota, orig[grp]), (grp, n, orig[grp])
+    # content-addressed: identical selection on re-run
+    a = sorted(r.doc_id for r in out.collect())
+    b = sorted(
+        r.doc_id
+        for r in quota_sample(
+            docs, ("lang", "source"), quota=quota, key_col="doc_id"
+        ).collect()
+    )
+    assert a == b

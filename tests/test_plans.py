@@ -159,3 +159,44 @@ def test_range_join_is_equi_join_with_residual(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_repetition_metrics_zero_shuffle(spark, sf_dir):
+    """The per-doc bigram mode folds in-row (array_sort + run-length
+    aggregate) — the whole operator must stay a single projection with
+    NO Exchange, unlike the natural explode/group/window recipe that
+    shuffles one row per token of the corpus."""
+    from accounts_receivable_data_pipeline_api_spark.operators.text import (
+        repetition_metrics,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    df = repetition_metrics(load_table(spark, sf_dir, "documents"))
+    df.collect()
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert plan.count("Exchange") == 0, plan
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
+    """The benchmark gram set must broadcast (eval sets are bounded);
+    the training gram stream must never sort-merge."""
+    from accounts_receivable_data_pipeline_api_spark.operators.text import (
+        decontaminate,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    df = decontaminate(
+        docs.filter(F.col("doc_id") % 37 != 0),
+        docs.filter(F.col("doc_id") % 37 == 0),
+        n=5,
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
