@@ -69,3 +69,47 @@ RAW_OPS = {
     "op_lsh_topk": (op_lsh_topk, "embeddings"),
     "op_ivf_topk": (op_ivf_topk, "embeddings"),
 }
+
+
+def _parallel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with the partition count a real deployment's scan would
+    have. The testdata documents table is ONE small parquet file -> one
+    partition, which serializes per-doc expression work on a single
+    core and times the scheduler, not the operator (the same effect
+    fixed for the multimodal kernel in operators/multimodal.py:_spread).
+    The operators themselves stay zero-extra-shuffle — the repartition
+    lives HERE, in the probe/bench builder, standing in for the
+    many-partition input that is automatic at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        return docs.repartition(target)
+    return docs
+
+
+def op_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text
+
+    return text.repetition_metrics(_parallel_docs(spark, sf_dir))
+
+
+def op_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text
+
+    docs = _parallel_docs(spark, sf_dir)
+    return text.decontaminate(
+        docs.filter(F.col("doc_id") % 37 != 0),
+        docs.filter(F.col("doc_id") % 37 == 0),
+        n=5,
+    )
+
+
+RAW_OPS.update(
+    {
+        # round-4 text-curation operators: per-doc cost must stay flat
+        # with corpus growth (repetition is a zero-shuffle projection;
+        # decontamination is a broadcast join over the benchmark grams)
+        "op_text_repetition": (op_text_repetition, "documents"),
+        "op_decontaminate": (op_decontaminate, "documents"),
+    }
+)

@@ -56,6 +56,8 @@ HEADLINE = (
     "op_embedding_lsh_pairs",
     "op_lsh_topk",
     "op_ivf_topk",
+    "op_text_repetition",
+    "op_decontaminate",
     "similarity_brute_topk",
     "text_quality",
     "text_tfidf_topk",

@@ -32,6 +32,10 @@ QUERIES = (
     "dedup_components_lsh",
     # sharded prefix-sum packing: per-shard windows must not leak layout
     "curation_pack_batches",
+    # round-4 entries: in-row bigram fold + broadcast gram join must not
+    # see layout; quota rank is content-addressed by construction
+    "text_repetition_decontaminate",
+    "curation_quota_sample",
 )
 
 
