@@ -140,6 +140,7 @@ def quota_sample(
     quota: int,
     key_col: str,
     rank_col: str = "sample_rank",
+    skew_safe: bool = False,
 ) -> DataFrame:
     """Cap rows per group at ``quota`` deterministically — the
     per-domain / per-language quota a curation pipeline applies so no
@@ -153,15 +154,33 @@ def quota_sample(
 
     Plan shape at 100 TB: one shuffle on the group key + per-partition
     window rank. Group count is bounded (domains/languages), but a hot
-    group lands on one task; when a single group's rows exceed an
-    executor's partition budget, pre-filter with
-    sample_by_hash(pct ~= quota/group_count) to shrink the window
-    input first — the hash order here and the hash bucket there use
-    the same md5, so the pre-filter keeps a superset of the final
-    sample (any pct with bucket-boundary slack) and exactness is
-    restored by this window.
+    group lands on one task; pass ``skew_safe=True`` when a single
+    group's rows exceed an executor's partition budget — the two-stage
+    variant below keeps the result EXACTLY identical with no hot task.
+
+    skew_safe=True plan (classic two-stage top-k per group): stage 1
+    ranks within (group, input-partition-id) — a key space as wide as
+    the scan, so no task ever sees more than one partition's share of a
+    hot group — and keeps each subgroup's local top-quota, a provable
+    superset of the group's global top-quota (any row in the global
+    top-quota is also in the top-quota of whatever subgroup it landed
+    in). Stage 2 re-ranks the survivors (at most quota * n_partitions
+    rows per group) with the plain window. The final result is a pure
+    function of the data (the pid column only partitions stage-1 work;
+    any assignment yields the same stage-2 input superset), asserted
+    equal to the one-stage path in tests.
     """
     order_key = F.md5(F.col(key_col).cast("string"))
+    if skew_safe:
+        w1 = Window.partitionBy(
+            *[F.col(c) for c in group_cols], F.col("_pid")
+        ).orderBy(order_key, F.col(key_col))
+        df = (
+            df.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_r1", F.row_number().over(w1))
+            .filter(F.col("_r1") <= quota)
+            .drop("_pid", "_r1")
+        )
     w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(
         order_key, F.col(key_col)
     )

@@ -407,3 +407,41 @@ def stream_upsert_invoices(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def decontaminate_doc_stream(
+    docs_stream: DataFrame,
+    benchmark: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    n: int = 5,
+):
+    """Streaming benchmark decontamination: documents arrive
+    continuously (the incremental-crawl ingest shape) and each
+    microbatch is flagged against the STATIC benchmark gram set before
+    it ever reaches the training corpus sink.
+
+    foreachBatch rather than a direct streaming aggregation, on
+    purpose: the per-document hit count groups the exploded grams by
+    doc_id, and a document's grams never span microbatches (explode
+    happens inside the batch), so cross-batch state would buy nothing —
+    running the BATCH operator (operators/text.py:decontaminate, scan ->
+    explode -> broadcast join -> map-side-combinable agg) per microbatch
+    keeps the exact oracle-checked plan, zero state store, and
+    exactly-once sink semantics via the checkpointed batch_id. The
+    benchmark side re-scans per batch, so a refreshed benchmark parquet
+    is picked up without restarting the query — same property as
+    enrich_events_with_dim.
+    """
+    from ..operators.text import decontaminate
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        decontaminate(batch_df, benchmark, n=n).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(out_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -862,3 +862,26 @@ def test_quota_sample_caps_every_group(spark, sf_dir):
         ).collect()
     )
     assert a == b
+
+
+def test_quota_sample_skew_safe_equals_plain(spark, sf_dir):
+    """The two-stage skew-proof variant must select the IDENTICAL rows
+    and ranks as the one-stage window, regardless of input layout."""
+    from accounts_receivable_data_pipeline_api_spark.operators.curation import (
+        quota_sample,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plain = quota_sample(docs, ("lang",), quota=5, key_col="doc_id")
+    key = lambda r: (r.lang, r.sample_rank, r.doc_id)  # noqa: E731
+    expected = sorted(
+        (r.lang, r.sample_rank, r.doc_id) for r in plain.collect()
+    )
+    for parts in (1, 8, 32):
+        safe = quota_sample(
+            docs.repartition(parts), ("lang",), quota=5, key_col="doc_id",
+            skew_safe=True,
+        )
+        got = sorted((r.lang, r.sample_rank, r.doc_id) for r in safe.collect())
+        assert got == expected, f"parts={parts}"

@@ -67,3 +67,100 @@ def test_identical_texts_are_near_dups(spark, doc):
     assert [(r.id_a, r.id_b, r.jaccard) for r in jac] == [(0, 1, 1.0)]
     sh = dedup.simhash_near_pairs(df, max_hamming=0).collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in sh] == [(0, 1, 0)]
+
+
+# Tiny vocabulary => dense token/gram collisions, and every character is
+# ASCII so Java and Python lowercase/regex semantics provably agree —
+# these tests compare VALUES against independent pure-Python references.
+word_docs = st.lists(
+    st.sampled_from(["a", "b", "ab", "ba", "q"]), min_size=0, max_size=30
+).map(" ".join)
+
+
+def _py_tokens(s: str) -> list[str]:
+    import re
+
+    return [t for t in re.sub(r"\s+", " ", s.lower()).strip().split(" ") if t]
+
+
+@settings(**SETTINGS)
+@given(st.lists(word_docs, min_size=1, max_size=6))
+def test_repetition_metrics_match_python_reference(spark, docs):
+    from collections import Counter
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    rows = {r.doc_id: r for r in text.repetition_metrics(df).collect()}
+    for i, s in enumerate(docs):
+        toks = _py_tokens(s)
+        n = len(toks)
+        grams = [" ".join(toks[j : j + 2]) for j in range(n - 1)]
+        r = rows[i]
+        assert r.n_tokens == n
+        assert abs(r.dup_word_frac - round((n - len(set(toks))) / max(n, 1), 6)) < 1e-9
+        if grams:
+            c = Counter(grams)
+            m = max(c.values())
+            best = min(g for g, v in c.items() if v == m)
+            assert r.top_bigram == best
+            assert abs(r.top_bigram_frac - round(m / len(grams), 6)) < 1e-9
+        else:
+            assert r.top_bigram is None and r.top_bigram_frac == 0.0
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(word_docs, min_size=1, max_size=5),
+    st.lists(word_docs, min_size=1, max_size=3),
+)
+def test_decontaminate_matches_python_set_intersection(spark, train_docs, bench_docs):
+    n = 3
+    train = spark.createDataFrame(list(enumerate(train_docs)), ["doc_id", "text"])
+    bench = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(bench_docs)], ["doc_id", "text"]
+    )
+
+    def grams(s):
+        toks = _py_tokens(s)
+        return {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+
+    bench_all = set().union(*[grams(t) for t in bench_docs])
+    rows = {r.doc_id: r for r in text.decontaminate(train, bench, n=n).collect()}
+    assert set(rows) == set(range(len(train_docs)))
+    for i, s in enumerate(train_docs):
+        g = grams(s)
+        r = rows[i]
+        assert r.n_grams == len(g)
+        assert r.n_hits == len(g & bench_all)
+        assert r.contaminated == (len(g & bench_all) > 0)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.sampled_from(["g1", "g2", "g3"])),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 5),
+)
+def test_quota_sample_matches_python_md5_rank(spark, rows_in, quota):
+    import hashlib
+
+    from accounts_receivable_data_pipeline_api_spark.operators.curation import (
+        quota_sample,
+    )
+
+    df = spark.createDataFrame(rows_in, ["k", "grp"])
+    got = {
+        (r.k, r.grp, r.sample_rank)
+        for r in quota_sample(df, ("grp",), quota=quota, key_col="k").collect()
+    }
+    expect = set()
+    for grp in {g for _, g in rows_in}:
+        members = sorted(
+            (k for k, g in rows_in if g == grp),
+            key=lambda k: (hashlib.md5(str(k).encode()).hexdigest(), k),
+        )
+        expect.update((k, grp, rank + 1) for rank, k in enumerate(members[:quota]))
+    assert got == expect

@@ -473,3 +473,48 @@ def test_sliding_windowed_counts_match_batch(spark, sf_dir, tmp_path):
     horizon = max_ts - dt.timedelta(hours=3)
     withheld = set(expected) - set(got)
     assert all(ws > horizon for (ws, _et) in withheld), sorted(withheld)[:5]
+
+
+def test_stream_decontaminate_matches_batch(spark, sf_dir, tmp_path):
+    """Documents fed as multiple microbatches through the streaming
+    decontamination sink must produce the exact batch-operator result:
+    per-doc contamination is batch-local (grams never span rows), so
+    streaming == batch row-for-row."""
+    from accounts_receivable_data_pipeline_api_spark.operators.text import (
+        decontaminate,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+    from accounts_receivable_data_pipeline_api_spark.streaming.pipeline import (
+        decontaminate_doc_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+
+    src_dir = str(tmp_path / "docs_in")
+    # three chunks -> three microbatches (maxFilesPerTrigger=1)
+    for i in range(3):
+        train.filter(F.col("doc_id") % 3 == i).write.mode("append").parquet(src_dir)
+    stream = (
+        spark.readStream.schema(train.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out_dir = str(tmp_path / "decon_out")
+    q = decontaminate_doc_stream(
+        stream, bench, out_dir, str(tmp_path / "ckpt"), n=5
+    ).start()
+    q.awaitTermination(120)
+
+    got = {
+        r.doc_id: (r.n_grams, r.n_hits, r.contaminated)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    expected = {
+        r.doc_id: (r.n_grams, r.n_hits, r.contaminated)
+        for r in decontaminate(train, bench, n=5).collect()
+    }
+    assert got == expected
+    batches = {r.batch_id for r in spark.read.parquet(out_dir).collect()}
+    assert len(batches) >= 2  # genuinely ran as multiple microbatches
