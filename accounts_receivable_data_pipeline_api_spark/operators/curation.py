@@ -187,3 +187,48 @@ def quota_sample(
     return df.withColumn(
         rank_col, F.row_number().over(w).cast("bigint")
     ).filter(F.col(rank_col) <= quota)
+
+
+def assemble_batches(
+    packed: DataFrame,
+    text_col: str = "chunk_text",
+    token_col: str = "n_tokens",
+    order_cols: tuple[str, ...] = ("doc_id", "chunk_idx"),
+    batch_cols: tuple[str, ...] = ("batch_id",),
+    sep: str = "",
+) -> DataFrame:
+    """Materialize training text per batch: concatenate each batch's
+    chunks in the PINNED pack order (the same order_cols pack_batches
+    used) into one training sequence, with the chunk/token counts a
+    data-loader manifest needs.
+
+    One row per batch: (batch_cols..., batch_text, n_chunks,
+    sum_tokens). Deterministic despite collect_list's arrival-order
+    nondeterminism: the list collects (order_cols..., text) STRUCTS and
+    array_sort orders them by the struct fields before concat — the
+    result is a pure function of the data, never of partition layout.
+
+    Plan shape at 100 TB: one shuffle on the batch key (map-side
+    combinable collect_list partials); batch size is bounded by the
+    pack budget, so no group outgrows a task. This is the final hop of
+    the chunk -> pack -> assemble pipeline that turns a document corpus
+    into loader-ready sequences.
+    """
+    struct_cols = [F.col(c) for c in order_cols] + [F.col(text_col).alias("__t")]
+    tok = F.col(token_col)
+    return (
+        packed.groupBy(*[F.col(c) for c in batch_cols])
+        .agg(
+            F.array_sort(F.collect_list(F.struct(*struct_cols))).alias("__chunks"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(tok).cast("bigint").alias("sum_tokens"),
+        )
+        .select(
+            *batch_cols,
+            F.concat_ws(
+                sep, F.transform(F.col("__chunks"), lambda s: s["__t"])
+            ).alias("batch_text"),
+            "n_chunks",
+            "sum_tokens",
+        )
+    )

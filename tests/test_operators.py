@@ -885,3 +885,75 @@ def test_quota_sample_skew_safe_equals_plain(spark, sf_dir):
         )
         got = sorted((r.lang, r.sample_rank, r.doc_id) for r in safe.collect())
         assert got == expected, f"parts={parts}"
+
+
+def test_quantize_embeddings_error_bound_and_cosine(spark, sf_dir):
+    """int8 quantization must honor the worst-case reconstruction bound
+    |x - q*scale| <= scale/2 on every element, preserve cosine to
+    ~1e-3 on real embeddings, and handle zero vectors exactly."""
+    import math
+
+    from accounts_receivable_data_pipeline_api_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    orig = {r.vec_id: r.embedding for r in emb.collect()}
+    q = quantize_embeddings(emb)
+    qrows = {r.vec_id: r for r in q.collect()}
+    deq = {r.vec_id: r.embedding for r in dequantize_embeddings(q).collect()}
+    assert set(deq) == set(orig)
+    for vid, x in orig.items():
+        qr = qrows[vid]
+        assert all(-127 <= e <= 127 for e in qr.qvec)
+        for a, b in zip(x, deq[vid]):
+            assert abs(a - b) <= qr.q_scale / 2 + 1e-6
+        dot = sum(a * b for a, b in zip(x, deq[vid]))
+        na = math.sqrt(sum(a * a for a in x))
+        nb = math.sqrt(sum(b * b for b in deq[vid]))
+        if na > 0 and nb > 0:
+            assert dot / (na * nb) > 0.999
+
+    zero = spark.createDataFrame([(1, [0.0] * 8)], ["vec_id", "embedding"])
+    zr = quantize_embeddings(zero).collect()[0]
+    assert zr.q_scale == 0.0 and all(e == 0 for e in zr.qvec)
+
+
+def test_assemble_batches_deterministic_concat(spark, sf_dir):
+    """Batch text must equal the chunks concatenated in pack order —
+    independent of partition layout (collect_list arrival order)."""
+    from accounts_receivable_data_pipeline_api_spark.operators.curation import (
+        assemble_batches,
+        chunk_documents,
+        pack_batches,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    chunks = chunk_documents(docs, chunk_chars=128, overlap=16).withColumn(
+        "n_tokens", F.length("chunk_text")
+    )
+    packed = pack_batches(chunks, "n_tokens", budget=1000)
+    rows = sorted(
+        packed.select("doc_id", "chunk_idx", "chunk_text", "batch_id").collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    expect = {}
+    for r in rows:
+        b = expect.setdefault(r.batch_id, {"text": [], "n": 0, "tok": 0})
+        b["text"].append(r.chunk_text)
+        b["n"] += 1
+        b["tok"] += len(r.chunk_text)
+
+    for parts in (1, 16):
+        out = {
+            r.batch_id: r
+            for r in assemble_batches(packed.repartition(parts)).collect()
+        }
+        assert set(out) == set(expect)
+        for bid, e in expect.items():
+            r = out[bid]
+            assert r.batch_text == "".join(e["text"]), bid
+            assert r.n_chunks == e["n"] and r.sum_tokens == e["tok"]
