@@ -957,3 +957,30 @@ def test_assemble_batches_deterministic_concat(spark, sf_dir):
             r = out[bid]
             assert r.batch_text == "".join(e["text"]), bid
             assert r.n_chunks == e["n"] and r.sum_tokens == e["tok"]
+
+
+def test_topk_over_quantized_embeddings_preserves_neighbors(spark, sf_dir):
+    """The int8 serving path end-to-end: quantize the embedding table,
+    dequantize, and run top-k — the neighbor sets must match the
+    float-precision baseline almost exactly (quantization noise is
+    ~q_scale/2 per element, far below typical neighbor margins)."""
+    from accounts_receivable_data_pipeline_api_spark.operators.similarity import (
+        brute_force_topk,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    deq = dequantize_embeddings(quantize_embeddings(emb))
+    base = {
+        (r.query_id, r.match_id)
+        for r in brute_force_topk(queries, emb, k=10).collect()
+    }
+    quant = {
+        (r.query_id, r.match_id)
+        for r in brute_force_topk(queries, deq, k=10).collect()
+    }
+    overlap = len(base & quant) / len(base)
+    assert overlap >= 0.9, overlap
