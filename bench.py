@@ -95,6 +95,15 @@ def main() -> None:
     from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
 
     load_table(spark, SF_DIR, "region").count()
+    # Spawn the Python worker pool before timing: the first mapInPandas
+    # stage otherwise pays ~10 s of fork + numpy/pandas import across 32
+    # workers inside whichever query hits it first (startup cost, not
+    # query cost — the same accounting as the JVM/codegen warmup above).
+    import pandas as _pd  # noqa: F401
+
+    spark.range(0, 64, 1, 64).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
