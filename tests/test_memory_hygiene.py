@@ -56,9 +56,14 @@ def test_components_checkpoints_are_released(spark, sf_dir, method):
     dedup.connected_components(pairs, method=method).collect()
     # in-loop release: only the result-backing checkpoint may remain
     assert _n_persistent(spark) <= baseline + 1
-    # result dropped -> ContextCleaner frees the last one after JVM GC
+    # result dropped -> ContextCleaner frees the last one after JVM GC.
+    # Patience matters: this half tests Spark's ASYNC cleaner, not our
+    # in-loop release (already asserted above) — under a full-suite run
+    # the JVM heap is large and System.gc() hints can take tens of
+    # seconds to actually collect the py4j-referenced RDD, which made a
+    # 15 s window flake while the standalone run freed in <1 s.
     del pairs
-    for _ in range(30):
+    for _ in range(90):
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         if _n_persistent(spark) <= baseline:
