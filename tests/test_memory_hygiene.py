@@ -27,7 +27,11 @@ def test_repeated_dedup_builds_leave_no_pinned_storage(spark, sf_dir):
     for _ in range(3):
         dedup.ngram_jaccard_pairs(docs, threshold=0.6).collect()
         dedup.minhash_lsh_pairs(docs, verify_threshold=0.5).collect()
-    assert _n_persistent(spark) == baseline
+    # <=, not ==: the leak symptom is GROWTH. In a full-suite run the
+    # baseline can include earlier modules' pending-cleanup checkpoints
+    # that the async ContextCleaner frees DURING the builds, legally
+    # dropping the count below baseline.
+    assert _n_persistent(spark) <= baseline
 
 
 import pytest
