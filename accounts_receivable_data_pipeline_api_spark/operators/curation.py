@@ -232,3 +232,114 @@ def assemble_batches(
             "sum_tokens",
         )
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    total: int,
+    key_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled domain-mixture sampling: pick ~``total`` rows
+    with per-group quotas proportional to n_g^alpha — the standard
+    mixture-reweighting recipe for assembling a training set from
+    skewed sources (alpha < 1 upsamples small domains relative to their
+    natural share; alpha = 1 is proportional; alpha = 0 is uniform
+    across groups).
+
+    Quotas use largest-remainder apportionment so they sum exactly to
+    ``total`` (when the corpus has enough rows): quota_g =
+    floor(total * w_g) plus one for the groups with the largest
+    fractional remainders (ties break by group name ascending). A group
+    smaller than its quota contributes all its rows — the result is
+    then < total, never padded. Selection inside a group is
+    content-addressed md5(key) rank, unbiased and engine-portable (same
+    idiom as quota_sample).
+
+    Determinism: alpha = 0.5 (the default and the oracle-pinned value)
+    uses IEEE sqrt — correctly rounded, bit-identical across engines;
+    other alphas go through pow(), which libm does NOT guarantee
+    correctly rounded, so cross-engine checks pin 0.5. Weight terms are
+    rounded to 6 dp and the weight denominator sums through
+    DECIMAL(28,6) (order-free); remainders/floors are then plain IEEE
+    double ops — identical in any engine.
+
+    Plan shape at 100 TB: the group stats are one map-side-combinable
+    agg over a BOUNDED key space (domains/languages); the quota table
+    is a broadcast join back onto the ranked rows (one shuffle on the
+    group key for the rank window — quota_sample's skew_safe two-stage
+    variant applies verbatim when a single group outruns a task). The
+    quota computation's unpartitioned window runs over the GROUP table
+    (bounded rows), not the corpus.
+    """
+    if alpha == 0.5:
+        weight = F.round(F.sqrt(F.col("n").cast("double")), 6)
+    else:
+        weight = F.round(F.pow(F.col("n").cast("double"), F.lit(float(alpha))), 6)
+    stats = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select("grp", "n", weight.alias("sg"))
+    denom = stats.agg(
+        F.sum(F.col("sg").cast("decimal(28,6)")).cast("double").alias("s_total")
+    )
+    raw = F.lit(int(total)) * F.col("sg") / F.col("s_total")
+    q0 = stats.crossJoin(F.broadcast(denom)).select(
+        "grp",
+        F.floor(raw).alias("q0"),
+        (raw - F.floor(raw)).alias("rem"),
+    )
+    deficit = q0.agg((F.lit(int(total)) - F.sum("q0")).cast("bigint").alias("deficit"))
+    w_rem = Window.orderBy(F.col("rem").desc(), F.col("grp"))
+    quotas = (
+        q0.crossJoin(F.broadcast(deficit))
+        .withColumn("_rk", F.row_number().over(w_rem))
+        .select(
+            "grp",
+            (
+                F.col("q0") + F.when(F.col("_rk") <= F.col("deficit"), 1).otherwise(0)
+            ).cast("bigint").alias("quota"),
+        )
+    )
+    order_key = F.md5(F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(order_key, F.col(key_col))
+    ranked = df.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+    return (
+        ranked.join(
+            F.broadcast(quotas), ranked[group_col] == quotas["grp"], "inner"
+        )
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .drop("grp")
+    )
+
+
+def shard_order(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: str = "42",
+    shard_col: str = "shard",
+    pos_col: str = "shard_pos",
+) -> DataFrame:
+    """Deterministic global training-order shuffle WITHOUT a global
+    sort: shard = md5(seed:key) bucket, position-in-shard = md5 rank
+    within the shard. Together (shard, pos) define a reproducible
+    pseudo-random total order over the corpus — the order a data
+    loader consumes — as a pure function of (data, seed): re-runs,
+    retries, and different cluster sizes yield the identical order,
+    and changing the seed gives an independent permutation per epoch.
+
+    Plan shape at 100 TB: one shuffle on the shard key + per-shard
+    window rank. No global sort and no single-partition window: shards
+    are uniform md5 buckets, so every task gets ~1/n_shards of the
+    corpus regardless of data skew. n_shards sizes to the number of
+    output files the loader wants (thousands at corpus scale — each
+    shard's rank window then fits one task comfortably).
+    """
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    ).alias(shard_col)
+    out = df.withColumn(shard_col, shard)
+    w = Window.partitionBy(shard_col).orderBy(h, F.col(key_col))
+    return out.withColumn(pos_col, F.row_number().over(w).cast("bigint"))

@@ -115,8 +115,19 @@ def fingerprint(text_col: str, prefix_chars: int = 256) -> Column:
     return F.md5(F.substring(norm, 1, prefix_chars))
 
 
-def analyze(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def analyze(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    include_redaction: bool = False,
+) -> DataFrame:
     """One-pass text-analysis projection: all metrics as columns.
+
+    ``include_redaction=True`` appends redact_pii's four columns
+    (redacted_text, n_email, n_phone, n_ipv4) to the SAME projection —
+    analysis + PII scrub in one scan pass, no second read and no join
+    (the shape a curation pipeline wants: every per-doc scalar from one
+    pass over the corpus).
 
     Tokenization and the punctuation count are materialized ONCE in an
     inner projection and shared by every metric — the naive form
@@ -183,7 +194,7 @@ def analyze(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     best = F.array_max(F.array(*lang_entries))
     lang_pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
 
-    return staged.select(
+    out_cols = [
         F.col(id_col),
         n_tok.alias("n_tokens"),
         (n_tok + F.col("_n_punct")).cast("bigint").alias("n_tokens_bpe"),
@@ -193,7 +204,16 @@ def analyze(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         quality.alias("quality"),
         lang_pred.alias("lang_pred"),
         F.md5(F.substring(F.col("_norm"), 1, 256)).alias("fingerprint"),
-    )
+    ]
+    if include_redaction:
+        redacted = F.col(text_col)
+        for kind, pat in PII_PATTERNS.items():
+            out_cols.append(
+                (F.size(F.split(F.col(text_col), pat)).cast("bigint") - 1).alias(f"n_{kind}")
+            )
+            redacted = F.regexp_replace(redacted, pat, f"<{kind.upper()}>")
+        out_cols.append(redacted.alias("redacted_text"))
+    return staged.select(*out_cols)
 
 
 def top_terms(
@@ -410,4 +430,243 @@ def repetition_metrics(
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("top_bigram_frac"),
+    )
+
+
+def ngram_lm_score(
+    train: DataFrame,
+    score: DataFrame,
+    k: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram language-model scoring with add-k smoothing — the
+    perplexity-style quality filter an LLM data pipeline runs to rank
+    documents against an in-domain reference corpus (the classic
+    KenLM-filter recipe, reduced to a bigram model so the whole thing
+    is expressible as joins + aggregations; reference has no LM surface
+    — [EXT] north-star operator).
+
+    Model: P(w | c) = (count(c, w) + k) / (count(c) + k * V), where
+    (c, w) ranges over word bigrams of ``train`` and V = distinct
+    unigram vocabulary size of ``train`` + 1 (the +1 reserves smoothed
+    mass for unseen words). Unseen context => P = 1 / V exactly.
+
+    Returns one row per ``score`` document:
+      (id_col, n_bigrams BIGINT, sum_logprob DOUBLE, nll_per_token
+      DOUBLE) where sum_logprob sums ln P over the doc's bigrams and
+    nll_per_token = -sum_logprob / n_bigrams (NULL when the doc has
+    fewer than two words). Perplexity is exp(nll_per_token); the
+    operator reports the log domain because IEEE exp() is not
+    correctly-rounded and therefore not engine-portable, while
+    ln/round/sum-of-decimals are (registry determinism rules).
+
+    Determinism: per-bigram ln P is rounded to 6 dp and summed through
+    DECIMAL(28, 6) — exact and order-free regardless of partition
+    layout — then the final columns convert to DOUBLE (correctly
+    rounded, bit-identical across engines).
+
+    Plan shape at 100 TB: three shuffles total, each on a bounded key
+    space. (1) bigram counts: explode -> hash agg on the gram (map-side
+    combinable; output is bounded by OBSERVED vocab^2, far below corpus
+    size); (2) context totals: second hash agg derived from (1), not
+    from the corpus; (3) per-doc re-agg of scored grams on id_col
+    (map-side combinable). The score-side probability lookup is a join
+    on the gram key — AQE picks broadcast when the model fits (bigram
+    models from a reference corpus are typically 10^6..10^8 rows), and
+    falls back to a shuffle join with skew handling when it doesn't.
+    V is a 1-row aggregate combined via broadcast, never collect()ed.
+    """
+    gram = F.explode(word_ngrams_expr(text_col, 2)).alias("gram")
+    ctx = F.substring_index("gram", " ", 1).alias("ctx")
+    w = F.substring_index("gram", " ", -1).alias("w")
+
+    counts = (
+        train.select(gram)
+        .select(ctx, w)
+        .groupBy("ctx", "w")
+        .agg(F.count(F.lit(1)).alias("cnt_cw"))
+    )
+    ctx_tot = counts.groupBy("ctx").agg(F.sum("cnt_cw").alias("cnt_c"))
+    vocab = train.select(F.explode(tokens_expr(text_col)).alias("tok")).agg(
+        (F.count_distinct(F.col("tok")) + F.lit(1)).cast("double").alias("v_size")
+    )
+
+    s = score.select(
+        F.col(id_col),
+        F.explode_outer(word_ngrams_expr(text_col, 2)).alias("gram"),
+    ).select(
+        id_col,
+        "gram",
+        F.substring_index("gram", " ", 1).alias("ctx"),
+        F.substring_index("gram", " ", -1).alias("w"),
+    )
+    scored = (
+        s.join(counts, ["ctx", "w"], "left")
+        .join(ctx_tot, ["ctx"], "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    logp = F.round(
+        F.log(
+            (F.coalesce(F.col("cnt_cw"), F.lit(0)).cast("double") + F.lit(float(k)))
+            / (
+                F.coalesce(F.col("cnt_c"), F.lit(0)).cast("double")
+                + F.lit(float(k)) * F.col("v_size")
+            )
+        ),
+        6,
+    )
+    out = scored.groupBy(id_col).agg(
+        F.count("gram").alias("n_bigrams"),
+        F.sum(
+            F.when(F.col("gram").isNotNull(), logp).cast("decimal(28,6)")
+        ).alias("_sum_dec"),
+    )
+    n_bg = F.col("n_bigrams")
+    sum_lp = F.coalesce(F.col("_sum_dec"), F.lit(0).cast("decimal(28,6)"))
+    return out.select(
+        F.col(id_col),
+        n_bg,
+        sum_lp.cast("double").alias("sum_logprob"),
+        F.when(
+            n_bg > 0,
+            F.round((-sum_lp).cast("double") / n_bg.cast("double"), 6),
+        ).alias("nll_per_token"),
+    )
+
+
+def _bloom_positions(gram: Column, m_bits: int, n_hashes: int) -> Column:
+    """The ``n_hashes`` bit positions of a gram: md5(gram || ':' || i)
+    first-8-hex-chars mod m — the same engine-portable hash-bucket
+    idiom as operators/curation.py:hash_bucket, so a DuckDB oracle can
+    recompute the exact bit set (false positives included) and the
+    bloom path is hash-checkable, not just invariant-checkable."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(F.md5(F.concat(gram, F.lit(f":{i}"))), 1, 8), 16, 10
+            ).cast("long")
+            % m_bits
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    benchmark: DataFrame,
+    n: int = 5,
+    m_bits: int = 1 << 17,
+    n_hashes: int = 3,
+    text_col: str = "text",
+) -> bytes:
+    """Build a Bloom-filter bitmap over the benchmark corpus's word
+    n-grams — the offline index step of bloom decontamination (built
+    once per benchmark release, reused for every training shard; the
+    same accounting as ivf_build).
+
+    Plan: gram explode + distinct (one shuffle over the BENCHMARK side
+    only — eval sets, bounded), positions JVM-side, then one bitmap per
+    partition via an Arrow-batched kernel, OR-reduced on the driver.
+    The driver reduce is bounded: numPartitions x m_bits/8 bytes (a
+    16 KiB bitmap per partition at the default m), never corpus-sized.
+
+    Sizing: classic FP bound fp ~ (1 - e^(-h*n/m))^h. The default
+    m = 2^17, h = 3 holds fp < 0.1% up to ~5k distinct grams and
+    degrades gracefully; size m ~ 14.4 bits/gram for fp = 0.1% at
+    larger benchmark suites (still MBs for 10^7 grams — broadcastable
+    where the exact gram-set broadcast of text.decontaminate would be
+    GBs of strings).
+    """
+    import numpy as np
+    import pandas as pd
+
+    grams = benchmark.select(
+        F.explode(F.array_distinct(word_ngrams_expr(text_col, n))).alias("gram")
+    ).distinct()
+    pos = grams.select(F.explode(_bloom_positions(F.col("gram"), m_bits, n_hashes)).alias("p"))
+
+    n_bytes = m_bits // 8
+
+    def _partition_bitmap(batches):
+        bitmap = np.zeros(n_bytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if len(pdf):
+                seen = True
+                p = pdf["p"].to_numpy()
+                np.bitwise_or.at(bitmap, p >> 3, np.uint8(1) << (p & 7).astype(np.uint8))
+        if seen:
+            yield pd.DataFrame({"bitmap": [bitmap.tobytes()]})
+
+    parts = pos.mapInPandas(_partition_bitmap, schema="bitmap binary").collect()
+    out = np.zeros(n_bytes, dtype=np.uint8)
+    for row in parts:
+        out |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+    return out.tobytes()
+
+
+def decontaminate_bloom(
+    train: DataFrame,
+    bitmap: bytes,
+    n: int = 5,
+    m_bits: int = 1 << 17,
+    n_hashes: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination against a Bloom bitmap: flag training
+    documents whose word n-grams hit the filter. The scale path of
+    text.decontaminate — the broadcast payload is the BITMAP (MBs),
+    not the benchmark gram strings (GBs for large eval suites), at the
+    price of a bounded, deterministic false-positive rate (a flagged
+    doc is re-checked exactly downstream or simply dropped; a clean
+    verdict is exact — blooms have no false negatives).
+
+    Returns one row per training document:
+      (id_col, n_grams BIGINT, n_hits_bloom BIGINT, flagged BOOLEAN)
+    over the doc's DISTINCT grams, mirroring text.decontaminate's
+    accounting.
+
+    Plan shape at 100 TB: scan -> gram explode -> JVM position
+    projection -> Arrow-batched bit lookup (the only Python crossing:
+    three numpy gathers per batch against the broadcast bitmap — no
+    hashing in Python, no per-row loop; mapInPandas, the house Arrow
+    idiom) -> per-doc hash agg (map-side combinable). Zero shuffle
+    before the final doc_id agg.
+    """
+    import numpy as np
+
+    bm = np.frombuffer(bitmap, dtype=np.uint8)
+    h = n_hashes
+
+    def _bloom_hit(batches):
+        for pdf in batches:
+            has_gram = pdf["positions"].notna()
+            hit = np.zeros(len(pdf), dtype=bool)
+            if has_gram.any():
+                flat = np.concatenate(
+                    pdf.loc[has_gram, "positions"].to_numpy()
+                ).astype(np.int64)
+                bits = (bm[flat >> 3] >> (flat & 7).astype(np.uint8)) & 1
+                hit[has_gram.to_numpy()] = bits.reshape(-1, h).all(axis=1)
+            out = pdf[[id_col]].copy()
+            out["has_gram"] = has_gram
+            out["hit"] = hit
+            yield out
+
+    grams = F.array_distinct(word_ngrams_expr(text_col, n))
+    t = train.select(F.col(id_col), F.explode_outer(grams).alias("gram")).select(
+        F.col(id_col),
+        F.when(
+            F.col("gram").isNotNull(),
+            _bloom_positions(F.col("gram"), m_bits, n_hashes),
+        ).alias("positions"),
+    )
+    hits = t.mapInPandas(
+        _bloom_hit, schema=f"{id_col} long, has_gram boolean, hit boolean"
+    )
+    return hits.groupBy(id_col).agg(
+        F.sum(F.when(F.col("has_gram"), 1).otherwise(0)).cast("bigint").alias("n_grams"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("bigint").alias("n_hits_bloom"),
+        (F.sum(F.when(F.col("hit"), 1).otherwise(0)) > 0).alias("flagged"),
     )

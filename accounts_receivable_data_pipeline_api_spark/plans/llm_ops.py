@@ -23,6 +23,10 @@ from .registry import register
 
 _NORM_SQL = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE = "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]"
+_IPV4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
 
 def _one_row(*dfs: DataFrame) -> DataFrame:
     """Combine single-row aggregate frames into one row. Each input is a
@@ -378,20 +382,33 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
                 WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
                 ELSE 'de' END AS lang_pred,
-           md5(substr(t, 1, 256)) AS fingerprint
+           md5(substr(t, 1, 256)) AS fingerprint,
+           CAST(len(regexp_split_to_array(text, '{_EMAIL}')) - 1 AS BIGINT) AS n_email,
+           CAST(len(regexp_split_to_array(text, '{_PHONE}')) - 1 AS BIGINT) AS n_phone,
+           CAST(len(regexp_split_to_array(text, '{_IPV4}')) - 1 AS BIGINT) AS n_ipv4,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g'),
+               '{_PHONE}', '<PHONE>', 'g'),
+             '{_IPV4}', '<IPV4>', 'g') AS redacted_text
     FROM m
     """,
     tags=("EXT", "TEXT"),
-    doc="Quality scoring + stopword ratio + language ID heuristic "
-    "(operators/text.py:analyze). Subsumes the former text_stats entry: "
-    "n_tokens / n_chars_measured / punct_ratio / fingerprint are all "
-    "output (and hash-checked) here, from the same single-projection "
-    "plan. Language argmax tie-break: lexicographically last "
-    "(struct-max ordering), pinned in both engines.",
+    doc="Quality scoring + stopword ratio + language ID heuristic + PII "
+    "scrub (operators/text.py:analyze with include_redaction). Subsumes "
+    "the former text_stats entry (n_tokens / n_chars_measured / "
+    "punct_ratio / fingerprint) AND the former text_redact_pii entry "
+    "(round-5 corpus consolidation to stay inside the 50-entry driver "
+    "window): redacted_text + per-kind audit counts join the same "
+    "single-projection plan — analysis + scrub in one scan pass, no "
+    "second read. PII patterns are lookaround-free so Java regex and "
+    "RE2 parse them identically. Language argmax tie-break: "
+    "lexicographically last (struct-max ordering), pinned in both "
+    "engines.",
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return text.analyze(docs)
+    return text.analyze(docs, include_redaction=True)
 
 
 @register(
@@ -783,33 +800,10 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.top_terms(docs, k=5)
 
 
-_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PHONE = "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]"
-_IPV4 = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
-
-
-@register(
-    "text_redact_pii",
-    oracle=f"""
-    SELECT doc_id,
-           regexp_replace(
-             regexp_replace(
-               regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g'),
-               '{_PHONE}', '<PHONE>', 'g'),
-             '{_IPV4}', '<IPV4>', 'g') AS redacted_text,
-           CAST(len(regexp_split_to_array(text, '{_EMAIL}')) - 1 AS BIGINT) AS n_email,
-           CAST(len(regexp_split_to_array(text, '{_PHONE}')) - 1 AS BIGINT) AS n_phone,
-           CAST(len(regexp_split_to_array(text, '{_IPV4}')) - 1 AS BIGINT) AS n_ipv4
-    FROM documents
-    """,
-    tags=("EXT", "TEXT"),
-    doc="PII scrub (emails/phones/IPv4s) with per-kind audit counts "
-    "(operators/text.py:redact_pii). Patterns are lookaround-free so "
-    "Java regex and RE2 parse them identically.",
-)
-def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return text.redact_pii(docs)
+# text_redact_pii is merged into text_quality (round-5 consolidation):
+# the redaction columns are hash-checked there from the same
+# single-projection plan; the standalone operator remains
+# operators/text.py:redact_pii, pinned in tests/test_operators.py.
 
 
 @register(
@@ -1064,4 +1058,236 @@ def curation_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return quota_sample(docs, ("lang", "source"), quota=7, key_col="doc_id").select(
         "doc_id", "lang", "source", "sample_rank"
+    )
+
+
+_GRAMS2_SQL = """
+    SELECT doc_id, bucket,
+           list_transform(range(1, greatest(len(tok), 1)),
+                          i -> tok[i] || ' ' || tok[i + 1]) AS gs,
+           tok
+    FROM (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 100 AS bucket,
+             list_filter(string_split({norm}, ' '), x -> x != '') AS tok
+      FROM documents
+    )
+""".format(norm=_NORM_SQL)
+
+
+@register(
+    "text_lm_perplexity",
+    oracle=f"""
+    WITH grams AS ({_GRAMS2_SQL}),
+    tr_pairs AS (
+      SELECT string_split(g, ' ')[1] AS ctx, string_split(g, ' ')[2] AS w
+      FROM (SELECT unnest(gs) AS g FROM grams WHERE bucket >= 20)
+    ),
+    counts AS (SELECT ctx, w, COUNT(*) AS cnt_cw FROM tr_pairs GROUP BY ctx, w),
+    ctot AS (SELECT ctx, SUM(cnt_cw) AS cnt_c FROM counts GROUP BY ctx),
+    voc AS (
+      SELECT CAST(COUNT(DISTINCT t) + 1 AS DOUBLE) AS v_size
+      FROM (SELECT unnest(tok) AS t FROM grams WHERE bucket >= 20)
+    ),
+    sdocs AS (SELECT doc_id FROM grams WHERE bucket < 20),
+    sgrams AS (
+      SELECT doc_id, g,
+             string_split(g, ' ')[1] AS ctx,
+             string_split(g, ' ')[2] AS w
+      FROM (SELECT doc_id, unnest(gs) AS g FROM grams WHERE bucket < 20)
+    ),
+    scored AS (
+      SELECT s.doc_id,
+             round(ln((coalesce(c.cnt_cw, 0) + 0.5)
+                      / (coalesce(t.cnt_c, 0) + 0.5 * v.v_size)), 6) AS lp
+      FROM sgrams s
+      LEFT JOIN counts c ON s.ctx = c.ctx AND s.w = c.w
+      LEFT JOIN ctot t ON s.ctx = t.ctx
+      CROSS JOIN voc v
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+             SUM(CAST(lp AS DECIMAL(28, 6))) AS sum_dec
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(coalesce(a.sum_dec, 0) AS DOUBLE) AS sum_logprob,
+           CASE WHEN coalesce(a.n_bigrams, 0) > 0
+                THEN round(-CAST(a.sum_dec AS DOUBLE) / a.n_bigrams, 6) END
+             AS nll_per_token
+    FROM sdocs d LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("EXT", "TEXT", "LM"),
+    doc="Bigram-LM quality scoring with add-0.5 smoothing "
+    "(operators/text.py:ngram_lm_score) — the KenLM-style perplexity "
+    "filter: train bigram counts on the md5-bucket>=20 split of the "
+    "corpus, score the bucket<20 split, report per-doc total logprob "
+    "and NLL/token (log domain; exp() is not engine-portable). "
+    "Per-gram ln P rounds to 6 dp and sums through DECIMAL(28,6), so "
+    "the result is order-free and hash-stable. Model lookup is a gram "
+    "join (AQE broadcasts when the model fits); V is a broadcast 1-row "
+    "aggregate, never collect()ed.",
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id").cast("string"))
+    return text.ngram_lm_score(
+        docs.filter(b >= 20), docs.filter(b < 20), k=0.5
+    )
+
+
+@register(
+    "text_bloom_decontaminate",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 37 = 0 AS is_bench,
+             list_filter(string_split({_NORM_SQL}, ' '), x -> x != '') AS tok
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, is_bench,
+             list_distinct(list_transform(range(1, greatest(len(tok) - 3, 1)),
+               i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2] || ' ' ||
+                    tok[i+3] || ' ' || tok[i+4])) AS gs
+      FROM d
+    ),
+    bench_grams AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE is_bench),
+    bench_pos AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5(gram || ':' || i), 1, 8) AS BIGINT)
+               % 131072 AS p
+      FROM bench_grams, (SELECT unnest([0, 1, 2]) AS i)
+    ),
+    td AS (SELECT doc_id FROM g WHERE NOT is_bench),
+    tg AS (SELECT doc_id, unnest(gs) AS gram FROM g WHERE NOT is_bench),
+    tgp AS (
+      SELECT doc_id, gram,
+             CAST('0x' || substr(md5(gram || ':' || i), 1, 8) AS BIGINT)
+               % 131072 AS p
+      FROM tg, (SELECT unnest([0, 1, 2]) AS i)
+    ),
+    hits AS (
+      SELECT doc_id, gram, COUNT(bp.p) = 3 AS hit
+      FROM tgp LEFT JOIN bench_pos bp USING (p)
+      GROUP BY doc_id, gram
+    ),
+    ex AS (
+      SELECT t.doc_id, t.gram, bg.gram IS NOT NULL AS exact_hit
+      FROM tg t LEFT JOIN bench_grams bg ON t.gram = bg.gram
+    ),
+    agg AS (
+      SELECT h.doc_id,
+             COUNT(*) AS n_grams,
+             SUM(CASE WHEN h.hit THEN 1 ELSE 0 END) AS n_hits_bloom,
+             SUM(CASE WHEN e.exact_hit THEN 1 ELSE 0 END) AS n_hits_exact
+      FROM hits h JOIN ex e ON h.doc_id = e.doc_id AND h.gram = e.gram
+      GROUP BY h.doc_id
+    )
+    SELECT td.doc_id,
+           CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(a.n_hits_bloom, 0) AS BIGINT) AS n_hits_bloom,
+           COALESCE(a.n_hits_bloom, 0) > 0 AS flagged,
+           CAST(COALESCE(a.n_hits_exact, 0) AS BIGINT) AS n_hits_exact,
+           COALESCE(a.n_hits_exact, 0) > 0 AS contaminated
+    FROM td LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("EXT", "TEXT", "DEDUP"),
+    doc="Bloom-filter benchmark decontamination "
+    "(operators/text.py:bloom_build + decontaminate_bloom), the scale "
+    "path of text.decontaminate: the broadcast payload is a 16 KiB "
+    "bitmap (m=2^17, h=3) instead of the benchmark gram strings. The "
+    "bit positions use the md5 hash-bucket idiom, so the DuckDB oracle "
+    "recomputes the EXACT bloom semantics — false positives included — "
+    "making the approximate operator fully hash-checkable, not just "
+    "invariant-checkable. The entry runs the real bitmap path (per-"
+    "partition Arrow bitmap kernels OR-reduced on the driver, then an "
+    "Arrow bit-lookup kernel per train gram) side by side with the "
+    "exact gram-join audit columns (n_hits_exact / contaminated); the "
+    "no-false-negative contract is the cross-column invariant "
+    "n_hits_bloom >= n_hits_exact on every row.",
+)
+def text_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    bitmap = text.bloom_build(bench, n=5, m_bits=1 << 17, n_hashes=3)
+    bloom = text.decontaminate_bloom(train, bitmap, n=5, m_bits=1 << 17, n_hashes=3)
+    exact = text.decontaminate(train, bench, n=5).select(
+        "doc_id",
+        F.col("n_hits").alias("n_hits_exact"),
+        F.col("contaminated"),
+    )
+    return bloom.join(exact, "doc_id")
+
+
+@register(
+    "curation_mixture_shards",
+    oracle="""
+    WITH c AS (SELECT source AS grp, COUNT(*) AS n FROM documents GROUP BY source),
+    s AS (SELECT grp, n, round(sqrt(CAST(n AS DOUBLE)), 6) AS sg FROM c),
+    tot AS (SELECT CAST(SUM(CAST(sg AS DECIMAL(28,6))) AS DOUBLE) AS s_total FROM s),
+    q0 AS (
+      SELECT grp,
+             floor(200 * sg / s_total) AS q0,
+             200 * sg / s_total - floor(200 * sg / s_total) AS rem
+      FROM s, tot
+    ),
+    d AS (SELECT CAST(200 - SUM(q0) AS BIGINT) AS deficit FROM q0),
+    qf AS (
+      SELECT grp,
+             CAST(q0 + CASE WHEN row_number() OVER (ORDER BY rem DESC, grp)
+                            <= deficit THEN 1 ELSE 0 END AS BIGINT) AS quota
+      FROM q0, d
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    ),
+    sel AS (
+      SELECT r.doc_id, r.source, CAST(r.sample_rank AS BIGINT) AS sample_rank,
+             q.quota
+      FROM ranked r JOIN qf q ON r.source = q.grp
+      WHERE r.sample_rank <= q.quota
+    ),
+    sh AS (
+      SELECT *,
+             CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 8 AS shard
+      FROM sel
+    )
+    SELECT doc_id, source, sample_rank, quota, shard,
+           CAST(row_number() OVER (
+             PARTITION BY shard
+             ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS BIGINT) AS shard_pos
+    FROM sh
+    """,
+    tags=("EXT", "CURATION"),
+    doc="Temperature-scaled domain-mixture sampling composed with the "
+    "deterministic shard shuffle (operators/curation.py:mixture_sample "
+    "+ shard_order) — the assemble-a-training-mix pipeline: per-source "
+    "quotas proportional to sqrt(n_source) via largest-remainder "
+    "apportionment (sums exactly to 200), content-addressed md5 "
+    "selection within each source, then a seeded md5 shard/position "
+    "order over the selected set (8 shards, seed '42') — a reproducible "
+    "global shuffle with NO global sort. Every arithmetic step is "
+    "engine-portable (sqrt is IEEE correctly-rounded; the weight "
+    "denominator sums through DECIMAL), so quotas, membership, shard "
+    "assignment AND within-shard order all hash-check exactly.",
+)
+def curation_mixture_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.curation import mixture_sample, shard_order
+
+    docs = load_table(spark, sf_dir, "documents")
+    picked = mixture_sample(docs, "source", total=200, key_col="doc_id", alpha=0.5)
+    return shard_order(picked, "doc_id", n_shards=8, seed="42").select(
+        "doc_id", "source", "sample_rank", "quota", "shard", "shard_pos"
     )

@@ -94,25 +94,49 @@ def ar_past_due_page(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ar_monthly_summary",
+    "ar_monthly_rollup",
     oracle="""
-    SELECT '1996-03' AS month,
-           COALESCE(MIN(o_orderpriority), 'NONE') AS top_priority,
-           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE) AS sum_total,
-           COUNT(*) AS count_orders
+    SELECT 'month' AS kind,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
+           COUNT(*) AS count_orders,
+           MIN(o_orderpriority) AS top_priority
+    FROM orders
+    GROUP BY month
+    UNION ALL
+    SELECT 'summary', '1996-03',
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE),
+           COUNT(*),
+           COALESCE(MIN(o_orderpriority), 'NONE')
     FROM orders JOIN customer ON o_custkey = c_custkey
     WHERE CAST(o_orderdate AS DATE) >= DATE '1996-03-01'
       AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
     """,
     tags=("P5", "A2", "A3", "A4", "F2", "F7", "Q2"),
-    doc="Monthly summary: half-open month window, global agg, min() pick + "
-    "coalesce defaults (reference app/api/invoices.py:176-233, quirk Q2).",
+    doc="Monthly summary family, merged from the former ar_monthly_summary "
+    "+ ar_monthly_rollup entries (round-5 corpus consolidation to stay "
+    "inside the 50-entry driver window). 'month' rows: grouped-by-month "
+    "rollup over the full date range — the scale path for the summary "
+    "endpoint (partition-pruned by month). The 'summary' row: the "
+    "reference endpoint shape — half-open month window, customer join, "
+    "global agg, min() pick + coalesce defaults (reference "
+    "app/api/invoices.py:176-233, quirk Q2). Both remain hash-checked "
+    "as distinct row groups.",
 )
-def ar_monthly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ar_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     d = F.col("o_orderdate").cast("date")
-    return (
+    rollup = (
+        orders.groupBy(F.date_format(d, "yyyy-MM").alias("month"))
+        .agg(
+            F.sum(_money("o_totalprice")).cast("double").alias("sum_total"),
+            F.count(F.lit(1)).alias("count_orders"),
+            F.min("o_orderpriority").alias("top_priority"),
+        )
+        .select(F.lit("month").alias("kind"), "month", "sum_total", "count_orders", "top_priority")
+    )
+    summary = (
         orders.join(
             F.broadcast(customer.select("c_custkey")),
             orders.o_custkey == F.col("c_custkey"),
@@ -120,38 +144,14 @@ def ar_monthly_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((d >= F.lit("1996-03-01").cast("date")) & (d < F.lit("1996-04-01").cast("date")))
         .agg(
+            F.lit("summary").alias("kind"),
             F.lit("1996-03").alias("month"),
-            F.coalesce(F.min("o_orderpriority"), F.lit("NONE")).alias("top_priority"),
             F.coalesce(F.sum(_money("o_totalprice")), F.lit(0)).cast("double").alias("sum_total"),
             F.count(F.lit(1)).alias("count_orders"),
+            F.coalesce(F.min("o_orderpriority"), F.lit("NONE")).alias("top_priority"),
         )
     )
-
-
-@register(
-    "ar_monthly_rollup",
-    oracle="""
-    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
-           COUNT(*) AS count_orders,
-           MIN(o_orderpriority) AS top_priority
-    FROM orders
-    GROUP BY month
-    """,
-    tags=("A2", "A3", "A4", "F7"),
-    doc="Grouped variant of the monthly summary over the full date range — "
-    "the scale path for the summary endpoint (partition-pruned by month).",
-)
-def ar_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.groupBy(F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("month"))
-        .agg(
-            F.sum(_money("o_totalprice")).cast("double").alias("sum_total"),
-            F.count(F.lit(1)).alias("count_orders"),
-            F.min("o_orderpriority").alias("top_priority"),
-        )
-    )
+    return rollup.unionByName(summary)
 
 
 @register(
@@ -562,64 +562,68 @@ def tpch_q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_semi_anti",
     oracle="""
-    SELECT 'semi' AS op, c_custkey, c_name FROM customer
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+         b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    SELECT 'semi' AS op, c_custkey, c_name, CAST(NULL AS BIGINT) AS n
+    FROM customer
     WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       AND c_custkey < 500
     UNION ALL
-    SELECT 'anti', c_custkey, c_name FROM customer
+    SELECT 'anti', c_custkey, c_name, NULL FROM customer
     WHERE NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    UNION ALL
+    SELECT 'union', NULL, NULL, COUNT(*)
+      FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
+    UNION ALL
+    SELECT 'intersect', NULL, NULL, COUNT(*)
+      FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+    UNION ALL
+    SELECT 'except', NULL, NULL, COUNT(*)
+      FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
     """,
-    tags=("EXT", "J"),
-    doc="Semi + anti join gauntlet, merged from the former "
-    "join_semi_customers_with_orders + join_anti_customers_without_orders "
-    "entries (round-4 corpus consolidation to stay inside the 50-entry "
-    "driver window). 'semi' rows: left-semi join (EXISTS shape, dedup "
-    "candidate filtering); 'anti' rows: left-anti join (NOT EXISTS "
-    "shape) — the FK-audit pattern (SURVEY §1.3) with a status "
-    "predicate that keeps the result non-trivial at every SF. Both "
-    "join types remain hash-checked as distinct row groups.",
+    tags=("EXT", "J", "SET"),
+    doc="Key-set membership gauntlet: semi + anti joins (merged "
+    "join_semi_customers_with_orders + join_anti_customers_without_orders, "
+    "round 4) plus UNION/INTERSECT/EXCEPT set-op counts (merged "
+    "set_ops_custkeys, round-5 corpus consolidation to stay inside the "
+    "50-entry driver window — §2.7). 'semi' rows: left-semi join "
+    "(EXISTS shape, dedup candidate filtering); 'anti' rows: left-anti "
+    "join (NOT EXISTS shape) — the FK-audit pattern (SURVEY §1.3) with "
+    "a status predicate that keeps the result non-trivial at every SF; "
+    "'union'/'intersect'/'except' rows: distinct-key set algebra over "
+    "two order-status slices. All five remain hash-checked as distinct "
+    "row groups.",
 )
 def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    null_n = F.lit(None).cast("bigint").alias("n")
     semi = (
         customer.filter(F.col("c_custkey") < 500)
         .join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
-        .select(F.lit("semi").alias("op"), "c_custkey", "c_name")
+        .select(F.lit("semi").alias("op"), "c_custkey", "c_name", null_n)
     )
     p_orders = orders.filter(F.col("o_orderstatus") == "P")
     anti = customer.join(
         p_orders, customer.c_custkey == p_orders.o_custkey, "left_anti"
-    ).select(F.lit("anti").alias("op"), "c_custkey", "c_name")
-    return semi.unionByName(anti)
-
-
-@register(
-    "set_ops_custkeys",
-    oracle="""
-    WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'),
-         b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
-    SELECT 'union' AS op, COUNT(*) AS n
-      FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
-    UNION ALL
-    SELECT 'intersect', COUNT(*)
-      FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
-    UNION ALL
-    SELECT 'except', COUNT(*)
-      FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
-    """,
-    tags=("EXT", "SET"),
-    doc="UNION/INTERSECT/EXCEPT coverage (§2.7).",
-)
-def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
+    ).select(F.lit("anti").alias("op"), "c_custkey", "c_name", null_n)
     a = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
     b = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
-    union_n = a.union(b).distinct().agg(F.count(F.lit(1)).alias("n")).select(F.lit("union").alias("op"), "n")
-    inter_n = a.intersect(b).agg(F.count(F.lit(1)).alias("n")).select(F.lit("intersect").alias("op"), "n")
-    except_n = a.exceptAll(b).distinct().agg(F.count(F.lit(1)).alias("n")).select(F.lit("except").alias("op"), "n")
-    return union_n.unionByName(inter_n).unionByName(except_n)
+    null_key = F.lit(None).cast("bigint").alias("c_custkey")
+    null_name = F.lit(None).cast("string").alias("c_name")
+
+    def _n(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(op).alias("op"), null_key, null_name, "n"
+        )
+
+    sets = (
+        _n(a.union(b).distinct(), "union")
+        .unionByName(_n(a.intersect(b), "intersect"))
+        .unionByName(_n(a.exceptAll(b).distinct(), "except"))
+    )
+    return semi.unionByName(anti).unionByName(sets)
 
 
 # ---------------------------------------------------------------------------
@@ -663,46 +667,57 @@ def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_rollup_nation_segment",
+    "agg_cube_status_priority",
     oracle="""
-    SELECT n_name, c_mktsegment, COUNT(*) AS n,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+    SELECT 'cube' AS kind, o_orderstatus AS k1, o_orderpriority AS k2,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    UNION ALL
+    SELECT 'rollup', n_name, c_mktsegment, COUNT(*),
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY ROLLUP (n_name, c_mktsegment)
     """,
     tags=("EXT", "A"),
-    doc="ROLLUP grouping sets.",
+    doc="CUBE + ROLLUP grouping sets, merged from the former "
+    "agg_cube_status_priority + agg_rollup_nation_segment entries "
+    "(round-5 corpus consolidation to stay inside the 50-entry driver "
+    "window). 'cube' rows: CUBE(status, priority) over orders; 'rollup' "
+    "rows: ROLLUP(nation, segment) over customer join broadcast nation. "
+    "Both remain hash-checked as distinct row groups.",
 )
-def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    return (
+    cube = orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_money("o_totalprice")).cast("double").alias("sum_val"),
+    ).select(
+        F.lit("cube").alias("kind"),
+        F.col("o_orderstatus").alias("k1"),
+        F.col("o_orderpriority").alias("k2"),
+        "n",
+        "sum_val",
+    )
+    rollup = (
         customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .rollup("n_name", "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(_money("c_acctbal")).cast("double").alias("sum_bal"),
+            F.sum(_money("c_acctbal")).cast("double").alias("sum_val"),
+        )
+        .select(
+            F.lit("rollup").alias("kind"),
+            F.col("n_name").alias("k1"),
+            F.col("c_mktsegment").alias("k2"),
+            "n",
+            "sum_val",
         )
     )
-
-
-@register(
-    "agg_cube_status_priority",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-    tags=("EXT", "A"),
-    doc="CUBE grouping sets.",
-)
-def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    return orders.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(_money("o_totalprice")).cast("double").alias("sum_total"),
-    )
+    return cube.unionByName(rollup)
 
 
 # Plain COUNT(DISTINCT) (former agg_distinct_customers) is pinned by
@@ -717,9 +732,9 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "scalar_string_gauntlet",
+    "scalar_gauntlet",
     oracle="""
-    SELECT p_partkey,
+    SELECT 'string' AS kind, p_partkey AS key,
            LOWER(p_type) AS lo_type,
            UPPER(p_name) AS up_name,
            CONCAT_WS('-', p_brand, p_type) AS brand_type,
@@ -728,17 +743,46 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
            LENGTH(p_name) AS name_len,
            COALESCE(NULLIF(p_type, 'ECONOMY'), 'STANDARD') AS type_std,
            GREATEST(p_size, 25) AS size_clamped,
-           REGEXP_REPLACE(p_name, ' ', '_') AS name_snake
+           REGEXP_REPLACE(p_name, ' ', '_') AS name_snake,
+           CAST(NULL AS DATE) AS d, CAST(NULL AS DATE) AS plus30,
+           CAST(NULL AS DATE) AS plus2mo, CAST(NULL AS BIGINT) AS days_to_y2k,
+           CAST(NULL AS DATE) AS month_start, CAST(NULL AS INT) AS yr,
+           CAST(NULL AS INT) AS mo, CAST(NULL AS DATE) AS month_end,
+           CAST(NULL AS VARCHAR) AS ym
     FROM part WHERE p_partkey < 500
+    UNION ALL
+    SELECT 'date', o_orderkey,
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           CAST(o_orderdate AS DATE),
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE),
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE),
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01'),
+           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE),
+           CAST(year(o_orderdate) AS INT),
+           CAST(month(o_orderdate) AS INT),
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE),
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+    FROM orders WHERE o_orderkey % 97 = 0
     """,
-    tags=("F1", "F2", "F4", "F10", "F12"),
-    doc="String/regex scalar coverage: lower/upper/concat_ws/regexp_extract/"
-    "substr/length/nullif-coalesce/greatest/regexp_replace (F-rows of §2.8).",
+    tags=("F1", "F2", "F4", "F5", "F6", "F7", "F10", "F11", "F12"),
+    doc="Scalar-function gauntlet, merged from the former "
+    "scalar_string_gauntlet + scalar_date_gauntlet entries (round-5 "
+    "corpus consolidation to stay inside the 50-entry driver window). "
+    "'string' rows (NULL date columns): lower/upper/concat_ws/"
+    "regexp_extract/substr/length/nullif-coalesce/greatest/"
+    "regexp_replace over part (F1/F2/F4/F10/F12 of §2.8). 'date' rows "
+    "(NULL string columns): date_add/add_months/datediff/date_trunc/"
+    "extract/last_day/format over orders (F5-F7, F11). Every scalar "
+    "remains hash-checked; the NULL padding is schema alignment only.",
 )
-def scalar_string_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+def scalar_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    return part.filter(F.col("p_partkey") < 500).select(
-        "p_partkey",
+    orders = load_table(spark, sf_dir, "orders")
+    null_str = lambda n: F.lit(None).cast("string").alias(n)  # noqa: E731
+    null_date = lambda n: F.lit(None).cast("date").alias(n)  # noqa: E731
+    strings = part.filter(F.col("p_partkey") < 500).select(
+        F.lit("string").alias("kind"),
+        F.col("p_partkey").alias("key"),
         F.lower("p_type").alias("lo_type"),
         F.upper("p_name").alias("up_name"),
         F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
@@ -748,43 +792,40 @@ def scalar_string_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.nullif("p_type", F.lit("ECONOMY")), F.lit("STANDARD")).alias("type_std"),
         F.greatest("p_size", F.lit(25)).alias("size_clamped"),
         F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        null_date("d"),
+        null_date("plus30"),
+        null_date("plus2mo"),
+        F.lit(None).cast("bigint").alias("days_to_y2k"),
+        null_date("month_start"),
+        F.lit(None).cast("int").alias("yr"),
+        F.lit(None).cast("int").alias("mo"),
+        null_date("month_end"),
+        null_str("ym"),
     )
-
-
-@register(
-    "scalar_date_gauntlet",
-    oracle="""
-    SELECT o_orderkey,
-           CAST(o_orderdate AS DATE) AS d,
-           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus30,
-           CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2mo,
-           date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
-           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start,
-           CAST(year(o_orderdate) AS INT) AS yr,
-           CAST(month(o_orderdate) AS INT) AS mo,
-           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
-           strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS ym
-    FROM orders WHERE o_orderkey % 97 = 0
-    """,
-    tags=("F5", "F6", "F7", "F11"),
-    doc="Date scalar coverage: date_add/add_months/datediff/date_trunc/"
-    "extract/last_day/format (F5-F7, F11 of §2.8).",
-)
-def scalar_date_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
-    return orders.filter(F.col("o_orderkey") % 97 == 0).select(
-        "o_orderkey",
+    dates = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        F.lit("date").alias("kind"),
+        F.col("o_orderkey").alias("key"),
+        null_str("lo_type"),
+        null_str("up_name"),
+        null_str("brand_type"),
+        null_str("brand_num"),
+        null_str("name4"),
+        F.lit(None).cast("int").alias("name_len"),
+        null_str("type_std"),
+        F.lit(None).cast("int").alias("size_clamped"),
+        null_str("name_snake"),
         d.alias("d"),
         F.date_add(d, 30).alias("plus30"),
         F.add_months(d, 2).alias("plus2mo"),
-        F.datediff(F.lit("2000-01-01").cast("date"), d).alias("days_to_y2k"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d).cast("bigint").alias("days_to_y2k"),
         F.date_trunc("month", d).cast("date").alias("month_start"),
         F.year(d).alias("yr"),
         F.month(d).alias("mo"),
         F.last_day(d).alias("month_end"),
         F.date_format(d, "yyyy-MM").alias("ym"),
     )
+    return strings.unionByName(dates)
 
 
 @register(
