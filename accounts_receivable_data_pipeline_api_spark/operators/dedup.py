@@ -777,3 +777,252 @@ def connected_components_star(
     return universe.join(out, "node", "left").select(
         "node", F.coalesce(F.col("component"), F.col("node")).alias("component")
     )
+
+
+def incremental_exact(
+    new: DataFrame,
+    old: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: classify each NEW document against an
+    already-deduplicated corpus — the refresh path of a training-data
+    pipeline, where a crawl delta must dedup against petabytes of
+    existing corpus WITHOUT rescanning old-vs-old pairs.
+
+    Returns one row per new document:
+      (id_col, content_hash STRING, status STRING) with status in
+      'dup_of_old'  — normalized-md5 already present in ``old``
+                      (existing corpus wins; the new copy drops),
+      'dup_in_new'  — first seen inside this delta, but a lower-id
+                      twin exists in the delta (min-id wins, matching
+                      exact_dedup's keeper rule),
+      'kept'        — genuinely novel content.
+
+    Plan shape at 100 TB: the old side reduces to its DISTINCT
+    content-hash set — a 32-hex-char fingerprint table the pipeline
+    persists and bucket-partitions BY content_hash across refreshes, so
+    the new-vs-old probe is a co-located (zero-exchange on the old
+    side) left join keyed on uniform md5s: no skew, and the delta (the
+    small side) is the one that shuffles. The within-delta twin check
+    is a window over the delta only. A bloom/bitmap prefilter over the
+    old fingerprints (text.bloom_build) cheaply discards the ~all-novel
+    majority before the join when the delta is tiny relative to the
+    corpus.
+    """
+    hashed = new.select(F.col(id_col), F.md5(normalized(text_col)).alias("content_hash"))
+    old_hashes = (
+        old.select(F.md5(normalized(text_col)).alias("content_hash"))
+        .distinct()
+        .withColumn("_in_old", F.lit(1))
+    )
+    w = Window.partitionBy("content_hash")
+    return (
+        hashed.join(old_hashes, "content_hash", "left")
+        .withColumn("_min_new", F.min(id_col).over(w))
+        .select(
+            id_col,
+            "content_hash",
+            F.when(F.col("_in_old").isNotNull(), "dup_of_old")
+            .when(F.col(id_col) > F.col("_min_new"), "dup_in_new")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
+
+
+def ngram_jaccard_pairs_incremental(
+    new: DataFrame,
+    old: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.6,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Incremental near-dup pairs: exact n-gram Jaccard restricted to
+    pairs with at least one NEW endpoint — new-vs-old and new-vs-new,
+    never old-vs-old (already deduplicated in previous refreshes; at
+    corpus scale old-vs-old is ~all the quadratic cost).
+
+    Returns (id_a, id_b, jaccard, is_cross BOOLEAN) where is_cross marks
+    new-vs-old pairs (id_a is the old endpoint) and cross=FALSE marks
+    new-vs-new pairs (id_a < id_b). Ids must be disjoint across the two
+    inputs (enforce upstream; first-seen ordinal ids guarantee it).
+
+    Plan shape: the inverted-index join probes new-side shingles
+    against the UNION of both sides' shingle postings, then drops
+    old-old combinations by construction (the left side of the join is
+    new-only). Shared-shingle counts and set sizes follow
+    ngram_jaccard_pairs exactly, so emitted jaccard values are
+    bit-identical to the full-corpus operator's on the same pairs —
+    asserted in tests: incremental(new, old) == full(new+old) minus
+    old-old pairs.
+    """
+    new_sh = char_shingles(new, id_col, text_col, n)
+    old_sh = char_shingles(old, id_col, text_col, n)
+    all_sh = new_sh.withColumn("_is_new", F.lit(True)).unionByName(
+        old_sh.withColumn("_is_new", F.lit(False))
+    )
+    # Set sizes come from the UNPRUNED shingle sets — exactly like
+    # ngram_jaccard_pairs, where stop-shingle pruning drops hot
+    # shingles from the JOIN side only and jaccard stays a sound
+    # lower bound.
+    sizes = all_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_set_size"))
+    if max_shingle_df is not None:
+        hot = (
+            all_sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_shingle_df)
+            .select("shingle")
+        )
+        all_sh = all_sh.join(F.broadcast(hot), "shingle", "left_anti")
+        new_probe = new_sh.join(F.broadcast(hot), "shingle", "left_anti")
+    else:
+        new_probe = new_sh
+
+    a = new_probe.select(F.col("shingle"), F.col(id_col).alias("_id_new"))
+    b = all_sh.select(
+        F.col("shingle"), F.col(id_col).alias("_id_other"), F.col("_is_new")
+    )
+    # new-vs-new pairs would otherwise appear twice (once from each
+    # endpoint's probe); keep the probe-id-smaller orientation for
+    # new-new and every new-old pair exactly once.
+    cand = a.join(b, "shingle").filter(
+        (~F.col("_is_new")) | (F.col("_id_new") < F.col("_id_other"))
+    )
+    shared = cand.groupBy("_id_new", "_id_other", "_is_new").agg(
+        F.count(F.lit(1)).alias("_shared")
+    )
+    sa = sizes.select(F.col(id_col).alias("_id_new"), F.col("_set_size").alias("_size_new"))
+    sb = sizes.select(F.col(id_col).alias("_id_other"), F.col("_set_size").alias("_size_other"))
+    scored = (
+        shared.join(sa, "_id_new")
+        .join(sb, "_id_other")
+        .withColumn(
+            "jaccard",
+            F.col("_shared").cast("double")
+            / (F.col("_size_new") + F.col("_size_other") - F.col("_shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    cross = ~F.col("_is_new")
+    return scored.select(
+        F.when(cross, F.col("_id_other")).otherwise(F.col("_id_new")).alias("id_a"),
+        F.when(cross, F.col("_id_new")).otherwise(F.col("_id_other")).alias("id_b"),
+        "jaccard",
+        cross.alias("is_cross"),
+    )
+
+
+def assign_nearest_seed(
+    df: DataFrame,
+    seeds: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_id_col: str = "seed_id",
+    seed_vec_col: str = "seed_vec",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Nearest-seed (canopy) cluster assignment by cosine: each vector
+    joins the seed it is most similar to. The EXACT, engine-portable
+    twin of similarity.assign_clusters (whose numpy GEMM argmin is the
+    scale path for k-means centroids): scores fold in index order
+    (similarity.dot), round to ``round_dp``, and ties break to the
+    lowest seed id — every step reproducible in SQL, so cluster
+    membership itself hash-checks cross-engine.
+
+    Returns (id_col, cluster_id, score): the winning seed id and the
+    rounded cosine to it.
+
+    Plan shape at 100 TB: seeds broadcast (bounded — canopy seeds or
+    coarse centroids), scoring is a broadcast nested-loop over
+    n x n_seeds JVM-side folds, argmin is a per-vector window on the
+    id key. No shuffle of the corpus until the window's hash exchange.
+    """
+    from .similarity import _as_double, cosine
+
+    v = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    s = seeds.select(
+        F.col(seed_id_col).alias("__sid"), _as_double(F.col(seed_vec_col)).alias("__sv")
+    )
+    scored = v.crossJoin(F.broadcast(s)).select(
+        F.col(id_col),
+        F.col("__sid"),
+        F.round(cosine(F.col("__v"), F.col("__sv")), round_dp).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("__sid"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(F.col(id_col), F.col("__sid").alias("cluster_id"), "score")
+    )
+
+
+def semantic_prune(
+    df: DataFrame,
+    assignment: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: within each cluster of an
+    embedding-space partition, prune every vector that has a LOWER-id
+    in-cluster neighbor with cosine >= threshold. The kept set is
+    provably near-dup-free (two kept vectors in a cluster are < T by
+    the dominance rule), and pruning never crosses cluster boundaries
+    — the clustering is what makes the quadratic affordable, exactly
+    the SemDeDup trade (cross-cluster near-dups are accepted misses;
+    tighten by raising cluster count or adding an LSH pass).
+
+    ``assignment`` is any (id_col, cluster_id) frame: k-means
+    (similarity.ivf_build + assign_clusters) at scale, or
+    assign_nearest_seed for the engine-portable exact path.
+
+    Dominance vs sequential-greedy: prune-if-ANY-lower-id-neighbor is
+    a superset of the keep-against-kept-only greedy (a chain a~b, b~c,
+    a!~c prunes both b and c here; the greedy would re-keep c). The
+    dominance form is one self-join — no per-cluster sequential scan —
+    and its kept set is still pairwise-dissimilar; the over-prune is
+    bounded by chained near-dups, which for dedup is the conservative
+    direction.
+
+    Returns one row per input vector: (id_col, cluster_id, pruned
+    BOOLEAN).
+
+    Plan shape at 100 TB: one shuffle of (id, vector) on cluster_id,
+    then a within-cluster self equi-join (quadratic in CLUSTER size,
+    not corpus size; ~n * avg_cluster_size pair-scores with sqrt(n)
+    clusters). A runaway cluster is the skew surface: cap occupancy by
+    raising the cluster count (auto-nlist = sqrt(n)) or sub-salt the
+    hot cluster and union a cross-salt pass, same dial as the LSH
+    bucket caps.
+    """
+    from .similarity import _as_double, cosine
+
+    av = assignment.join(
+        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v")), id_col
+    )
+    x = av.select(
+        F.col(id_col).alias("__idx"), F.col("cluster_id"), F.col("__v").alias("__vx")
+    )
+    y = av.select(
+        F.col(id_col).alias("__idy"), F.col("cluster_id"), F.col("__v").alias("__vy")
+    )
+    dominated = (
+        x.join(y, "cluster_id")
+        .filter(F.col("__idy") < F.col("__idx"))
+        .filter(F.round(cosine(F.col("__vx"), F.col("__vy")), round_dp) >= threshold)
+        .select(F.col("__idx").alias(id_col))
+        .distinct()
+        .withColumn("__dom", F.lit(1))
+    )
+    return (
+        assignment.join(dominated, id_col, "left")
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            F.col("__dom").isNotNull().alias("pruned"),
+        )
+    )

@@ -1291,3 +1291,140 @@ def curation_mixture_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_order(picked, "doc_id", n_shards=8, seed="42").select(
         "doc_id", "source", "sample_rank", "quota", "shard", "shard_pos"
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+    WITH {_EXACT_JACCARD_CTE},
+    nd AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS content_hash
+      FROM documents WHERE doc_id % 3 != 0
+    ),
+    od AS (
+      SELECT DISTINCT md5({_NORM_SQL}) AS content_hash
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    mn AS (
+      SELECT content_hash, MIN(doc_id) AS min_new FROM nd GROUP BY content_hash
+    )
+    SELECT 'exact' AS part, nd.doc_id, nd.content_hash,
+           CASE WHEN od.content_hash IS NOT NULL THEN 'dup_of_old'
+                WHEN nd.doc_id > mn.min_new THEN 'dup_in_new'
+                ELSE 'kept' END AS status,
+           CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+           CAST(NULL AS DOUBLE) AS jaccard, CAST(NULL AS BOOLEAN) AS is_cross
+    FROM nd LEFT JOIN od USING (content_hash) JOIN mn USING (content_hash)
+    UNION ALL
+    SELECT 'near', NULL, NULL, NULL,
+           CASE WHEN id_b % 3 = 0 THEN id_b ELSE id_a END,
+           CASE WHEN id_b % 3 = 0 THEN id_a ELSE id_b END,
+           jaccard,
+           (id_a % 3 = 0) <> (id_b % 3 = 0)
+    FROM ex
+    WHERE jaccard >= 0.2 AND NOT (id_a % 3 = 0 AND id_b % 3 = 0)
+    """,
+    tags=("EXT", "DEDUP"),
+    doc="Incremental (new-vs-old) dedup — the corpus-refresh path "
+    "(operators/dedup.py:incremental_exact + "
+    "ngram_jaccard_pairs_incremental): a crawl delta dedups against the "
+    "existing corpus without rescanning old-vs-old pairs. 'exact' rows: "
+    "every delta doc (doc_id % 3 != 0) classified kept / dup_of_old / "
+    "dup_in_new against the persisted fingerprint set of the old corpus "
+    "(doc_id % 3 = 0) — old wins, then min-id wins within the delta. "
+    "'near' rows: exact 5-gram-Jaccard>=0.2 pairs over the doc_id<200 "
+    "slice restricted to pairs with >=1 new endpoint (is_cross marks "
+    "new-vs-old, oriented old-id-first); jaccard values are "
+    "bit-identical to the full-corpus operator's on the same pairs. "
+    "Both row groups hash-check exactly.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    old = docs.filter(F.col("doc_id") % 3 == 0)
+    nulls = [
+        F.lit(None).cast("bigint").alias("id_a"),
+        F.lit(None).cast("bigint").alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+        F.lit(None).cast("boolean").alias("is_cross"),
+    ]
+    exact = dedup.incremental_exact(new, old).select(
+        F.lit("exact").alias("part"), "doc_id", "content_hash", "status", *nulls
+    )
+    near = dedup.ngram_jaccard_pairs_incremental(
+        new.filter(F.col("doc_id") < 200),
+        old.filter(F.col("doc_id") < 200),
+        threshold=0.2,
+    ).select(
+        F.lit("near").alias("part"),
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.lit(None).cast("string").alias("content_hash"),
+        F.lit(None).cast("string").alias("status"),
+        "id_a",
+        "id_b",
+        "jaccard",
+        "is_cross",
+    )
+    return exact.unionByName(near)
+
+
+@register(
+    "dedup_semantic",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    seeds AS (SELECT vec_id AS seed_id, v AS sv FROM v WHERE vec_id < 16),
+    scored AS (
+      SELECT a.vec_id, s.seed_id,
+             round(list_dot_product(a.v, s.sv) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(s.sv, s.sv))), 6) AS score
+      FROM v a, seeds s
+    ),
+    assign AS (
+      SELECT vec_id, seed_id AS cluster_id, score FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, seed_id
+        ) AS rk FROM scored
+      ) WHERE rk = 1
+    ),
+    av AS (SELECT a.vec_id, a.cluster_id, x.v FROM assign a JOIN v x USING (vec_id)),
+    dom AS (
+      SELECT DISTINCT x.vec_id
+      FROM av x JOIN av y
+        ON x.cluster_id = y.cluster_id AND y.vec_id < x.vec_id
+      WHERE round(list_dot_product(x.v, y.v) /
+                  (sqrt(list_dot_product(x.v, x.v)) *
+                   sqrt(list_dot_product(y.v, y.v))), 6) >= 0.3
+    )
+    SELECT a.vec_id, a.cluster_id, a.score,
+           d.vec_id IS NOT NULL AS pruned
+    FROM assign a LEFT JOIN dom d USING (vec_id)
+    """,
+    tags=("EXT", "DEDUP", "SIM"),
+    doc="SemDeDup-style semantic dedup "
+    "(operators/dedup.py:assign_nearest_seed + semantic_prune): "
+    "cluster the embedding space, then prune within-cluster vectors "
+    "with a lower-id neighbor at cosine >= 0.3 — the kept set is "
+    "pairwise-dissimilar inside every cluster, and the quadratic is "
+    "bounded by cluster size, not corpus size. The entry pins the "
+    "engine-portable exact path: 16 seed vectors (vec_id < 16) as the "
+    "canopy, index-order cosine folds rounded to 6 dp, lowest-seed-id "
+    "tie-break — cluster membership, winning score AND the pruned flag "
+    "all hash-check exactly. The k-means scale path (ivf_build + "
+    "assign_clusters GEMM) reuses semantic_prune unchanged and is "
+    "probed raw in scripts/scale_probe.py.",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
+    )
+    assignment = dedup.assign_nearest_seed(emb, seeds)
+    pruned = dedup.semantic_prune(
+        emb, assignment.select("vec_id", "cluster_id"), threshold=0.3
+    )
+    return assignment.select("vec_id", "score").join(pruned, "vec_id").select(
+        "vec_id", "cluster_id", "score", "pruned"
+    )

@@ -984,3 +984,232 @@ def test_topk_over_quantized_embeddings_preserves_neighbors(spark, sf_dir):
     }
     overlap = len(base & quant) / len(base)
     assert overlap >= 0.9, overlap
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operators: LM scoring, bloom decontamination, mixture/shards,
+# incremental dedup, semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def test_ngram_lm_score_known_values(spark):
+    train = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c")], ["doc_id", "text"]
+    )
+    score = spark.createDataFrame(
+        [(10, "a b"), (11, "z z"), (12, "solo")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in text.ngram_lm_score(train, score, k=0.5).collect()}
+    # train bigrams: "a b a b" -> (a,b),(b,a),(a,b); "a b c" -> (a,b),(b,c)
+    # so cnt(a->b)=3, cnt(ctx a)=3; vocab {a,b,c} -> V=4.
+    # P(b|a) = (3 + .5) / (3 + .5*4) = 0.7 -> ln = -0.356675
+    import math
+
+    assert rows[10].n_bigrams == 1
+    assert abs(rows[10].sum_logprob - round(math.log(0.7), 6)) < 1e-9
+    assert rows[10].nll_per_token == round(-round(math.log(0.7), 6), 6)
+    # unseen context z: P = k / (0 + k*V) = 1/V = 0.25
+    assert abs(rows[11].sum_logprob - round(math.log(0.25), 6)) < 1e-9
+    # single-word doc: zero bigrams, NULL nll, zero sum
+    assert rows[12].n_bigrams == 0
+    assert rows[12].sum_logprob == 0.0
+    assert rows[12].nll_per_token is None
+
+
+def test_ngram_lm_score_orders_quality(spark):
+    """A doc made of training-frequent bigrams must score lower NLL
+    than vocabulary soup."""
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat and the dog sat on the rug") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    score = spark.createDataFrame(
+        [(100, "the cat sat on the rug"), (101, "qqq www eee rrr ttt yyy")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in text.ngram_lm_score(train, score).collect()}
+    assert rows[100].nll_per_token < rows[101].nll_per_token
+
+
+def test_bloom_no_false_negatives_and_fp_bound(spark):
+    bench = spark.createDataFrame(
+        [(i, f"marker{i} alpha beta gamma delta epsilon{i}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    train_rows = [(100 + i, f"zz{i} yy{i} xx{i} ww{i} vv{i} uu{i}") for i in range(50)]
+    train_rows += [(200, "marker3 alpha beta gamma delta epsilon3 tail words here")]
+    train = spark.createDataFrame(train_rows, ["doc_id", "text"])
+    bitmap = text.bloom_build(bench, n=5, m_bits=1 << 17, n_hashes=3)
+    bloom = {
+        r.doc_id: r
+        for r in text.decontaminate_bloom(
+            train, bitmap, n=5, m_bits=1 << 17, n_hashes=3
+        ).collect()
+    }
+    exact = {r.doc_id: r for r in text.decontaminate(train, bench, n=5).collect()}
+    # no false negatives: every exact hit is a bloom hit, per doc
+    for did, ex in exact.items():
+        assert bloom[did].n_hits_bloom >= ex.n_hits, did
+        assert bloom[did].n_grams == ex.n_grams, did
+        if ex.contaminated:
+            assert bloom[did].flagged, did
+    assert bloom[200].flagged
+    # fp bound: with ~100 benchmark grams in 2^17 bits the fp rate is
+    # ~(3*100/131072)^3 ~ 1e-8; 300 clean grams should all read clean
+    false_pos = sum(
+        bloom[did].n_hits_bloom - ex.n_hits for did, ex in exact.items()
+    )
+    assert false_pos == 0
+
+
+def test_mixture_sample_quota_math(spark):
+    # groups: a=90, b=10 docs. alpha=0.5 -> weights 3:1 of sqrt(90)~9.487, sqrt(10)~3.162
+    rows = [(i, "a") for i in range(90)] + [(100 + i, "b") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    from accounts_receivable_data_pipeline_api_spark.operators.curation import (
+        mixture_sample,
+        shard_order,
+    )
+
+    out = mixture_sample(df, "source", total=40, key_col="doc_id").collect()
+    per = {}
+    for r in out:
+        per[r.source] = per.get(r.source, 0) + 1
+    assert sum(per.values()) == 40
+    # w_a = 9.4868/(9.4868+3.1623) = 0.75 -> 30; w_b -> 10
+    assert per["a"] == 30 and per["b"] == 10
+    # alpha upsamples small groups vs proportional (which would be 36/4)
+    assert per["b"] > 4
+    # determinism across repartitionings
+    out2 = mixture_sample(df.repartition(7), "source", total=40, key_col="doc_id").collect()
+    assert sorted(r.doc_id for r in out2) == sorted(r.doc_id for r in out)
+    # group smaller than quota contributes all rows, result < total
+    tiny = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], ["doc_id", "source"]
+    )
+    got = mixture_sample(tiny, "source", total=10, key_col="doc_id").count()
+    assert got == 3
+
+
+def test_shard_order_is_stable_total_order(spark):
+    from accounts_receivable_data_pipeline_api_spark.operators.curation import (
+        shard_order,
+    )
+
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = shard_order(df, "doc_id", n_shards=8, seed="s1").collect()
+    assert len(out) == 500
+    # positions are 1..count(shard) dense within each shard
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), shard
+    assert len(by_shard) == 8
+    # same seed reproducible regardless of partitioning; different seed permutes
+    out2 = shard_order(df.repartition(13), "doc_id", n_shards=8, seed="s1").collect()
+    assert {(r.doc_id, r.shard, r.shard_pos) for r in out2} == {
+        (r.doc_id, r.shard, r.shard_pos) for r in out
+    }
+    out3 = shard_order(df, "doc_id", n_shards=8, seed="s2").collect()
+    assert {(r.doc_id, r.shard) for r in out3} != {(r.doc_id, r.shard) for r in out}
+
+
+def test_incremental_exact_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "existing corpus document one"), (2, "existing corpus document two")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "EXISTING  corpus document one"),  # dup of old after norm
+            (11, "fresh delta content a"),
+            (12, "fresh delta content a"),  # dup within delta, higher id
+            (13, "fresh delta content b"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r.status for r in dedup.incremental_exact(new, old).collect()}
+    assert rows == {
+        10: "dup_of_old",
+        11: "kept",
+        12: "dup_in_new",
+        13: "kept",
+    }
+
+
+def test_incremental_jaccard_equals_full_minus_old_old(spark, sf_dir):
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    old = docs.filter(F.col("doc_id") % 3 == 0)
+    inc = dedup.ngram_jaccard_pairs_incremental(new, old, threshold=0.2).collect()
+    full = dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in full
+        if not (r.id_a % 3 == 0 and r.id_b % 3 == 0)
+    }
+    got = {}
+    for r in inc:
+        key = (min(r.id_a, r.id_b), max(r.id_a, r.id_b))
+        got[key] = r.jaccard
+        # orientation: old endpoint first on cross pairs
+        if r.is_cross:
+            assert r.id_a % 3 == 0 and r.id_b % 3 != 0
+        else:
+            assert r.id_a % 3 != 0 and r.id_b % 3 != 0 and r.id_a < r.id_b
+    assert got == want  # bit-identical jaccard on the identical pair set
+
+
+def test_semantic_prune_kept_set_is_dissimilar(spark, sf_dir):
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    seeds = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
+    )
+    assign = dedup.assign_nearest_seed(emb, seeds)
+    out = dedup.semantic_prune(
+        emb, assign.select("vec_id", "cluster_id"), threshold=0.3
+    )
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    pruned = {r.vec_id for r in rows if r.pruned}
+    kept = {r.vec_id: r.cluster_id for r in rows if not r.pruned}
+    # every pruned vector has a lower-id in-cluster neighbor >= threshold;
+    # kept vectors have NO lower-id kept neighbor >= threshold in-cluster
+    exact = dedup.embedding_cosine_pairs(emb, threshold=0.3).collect()
+    sim = {(r.id_a, r.id_b) for r in exact}
+    cluster = {r.vec_id: r.cluster_id for r in rows}
+    for a, b in sim:
+        if cluster[a] == cluster[b]:
+            assert b in pruned, (a, b)  # higher id of an in-cluster pair never kept
+    # seeds exist in assignment and clusters are seed ids
+    assert set(cluster.values()) <= set(range(16))
+
+
+def test_semantic_prune_accepts_kmeans_assignment(spark, sf_dir):
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    cents = similarity.ivf_build(emb, k=8, iters=2)
+    assign = similarity.assign_clusters(
+        emb.select("vec_id", "embedding"), cents, "embedding"
+    ).select("vec_id", F.col("cluster").alias("cluster_id"))
+    out = dedup.semantic_prune(emb, assign, threshold=0.3)
+    rows = out.collect()
+    assert len(rows) == 200
+    # structural: pruned set only contains vectors with an in-cluster
+    # lower-id neighbor at >= threshold (soundness on the kmeans path)
+    exact = {(r.id_a, r.id_b) for r in dedup.embedding_cosine_pairs(
+        emb, threshold=0.3
+    ).collect()}
+    cl = {r.vec_id: r.cluster_id for r in rows}
+    for r in rows:
+        if r.pruned:
+            assert any(
+                (a, r.vec_id) in exact and cl[a] == cl[r.vec_id]
+                for a in range(r.vec_id)
+            ), r.vec_id
