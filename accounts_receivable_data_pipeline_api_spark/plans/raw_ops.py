@@ -113,3 +113,70 @@ RAW_OPS.update(
         "op_decontaminate": (op_decontaminate, "documents"),
     }
 )
+
+
+def op_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text
+    from ..operators.curation import hash_bucket
+
+    docs = _parallel_docs(spark, sf_dir)
+    b = hash_bucket(F.col("doc_id").cast("string"))
+    return text.ngram_lm_score(docs.filter(b >= 20), docs.filter(b < 20), k=0.5)
+
+
+# bloom bitmaps are the OFFLINE index step (built once per benchmark
+# release, reused by every training shard) — cached per sf_dir and
+# excluded from query timing, same accounting as the IVF centroids.
+_BLOOM_BITMAPS: dict[str, bytes] = {}
+
+
+def op_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text
+
+    docs = _parallel_docs(spark, sf_dir)
+    if sf_dir not in _BLOOM_BITMAPS:
+        _BLOOM_BITMAPS[sf_dir] = text.bloom_build(
+            docs.filter(F.col("doc_id") % 37 == 0), n=5
+        )
+    return text.decontaminate_bloom(
+        docs.filter(F.col("doc_id") % 37 != 0), _BLOOM_BITMAPS[sf_dir], n=5
+    )
+
+
+def op_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    docs = _parallel_docs(spark, sf_dir)
+    return dedup.incremental_exact(
+        docs.filter(F.col("doc_id") % 3 != 0), docs.filter(F.col("doc_id") % 3 == 0)
+    )
+
+
+def op_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The kmeans scale path of semantic dedup: sqrt(n) IVF centroids
+    (offline, cached) + GEMM cluster assignment + within-cluster
+    dominance prune."""
+    from ..operators import dedup
+
+    if sf_dir not in _IVF_CENTROIDS:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _IVF_CENTROIDS[sf_dir] = similarity.ivf_build(emb, k=None, iters=2)
+    emb = load_table(spark, sf_dir, "embeddings")
+    assignment = similarity.assign_clusters(
+        emb.select("vec_id", "embedding"), _IVF_CENTROIDS[sf_dir], "embedding"
+    ).select("vec_id", F.col("cluster").alias("cluster_id"))
+    return dedup.semantic_prune(emb, assignment, threshold=0.3)
+
+
+RAW_OPS.update(
+    {
+        # round-5 operators: LM scoring and bloom decontamination are
+        # scan-speed per-doc paths (one gram shuffle / zero shuffle
+        # before the doc agg); incremental dedup is the delta-refresh
+        # join; semantic prune is cluster-bounded quadratic.
+        "op_lm_score": (op_lm_score, "documents"),
+        "op_bloom_decontaminate": (op_bloom_decontaminate, "documents"),
+        "op_incremental_exact": (op_incremental_exact, "documents"),
+        "op_semantic_prune": (op_semantic_prune, "embeddings"),
+    }
+)

@@ -58,6 +58,11 @@ HEADLINE = (
     "op_ivf_topk",
     "op_text_repetition",
     "op_decontaminate",
+    "op_lm_score",
+    "op_bloom_decontaminate",
+    "op_incremental_exact",
+    "op_semantic_prune",
+    "curation_mixture_shards",
     "similarity_brute_topk",
     "text_quality",
     "text_tfidf_topk",
@@ -75,6 +80,11 @@ VERIFICATION = (
     "dedup_simhash_pairs",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
+    # round-5 entries that bundle exact-twin audit columns next to the
+    # operator output (the raw operators are in HEADLINE as op_*)
+    "text_bloom_decontaminate",
+    "dedup_incremental",
+    "dedup_semantic",
 )
 
 

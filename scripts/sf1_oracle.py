@@ -49,6 +49,11 @@ HEAVY_ORACLE = {
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "dedup_simhash_pairs",
+    # dedup_semantic pins the FIXED-16-seed exact path, so cluster size
+    # (and the within-cluster quadratic) grows linearly with the corpus
+    # on both engines; the kmeans scale path keeps sqrt(n) clusters and
+    # is probed raw at sf1 (op_semantic_prune).
+    "dedup_semantic",
 }
 
 # Quadratic BY CONSTRUCTION at sf1 on both sides: the exact O(n^2)

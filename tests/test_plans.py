@@ -200,3 +200,68 @@ def test_decontaminate_broadcasts_benchmark_side(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Round-5 operators
+# ---------------------------------------------------------------------------
+
+
+def test_lm_score_no_cartesian_and_partial_aggs(spark, sf_dir):
+    """The LM scorer's V scalar rides a 1-row broadcast (never a real
+    cartesian), and both count aggregations split partial/final so raw
+    gram rows never ship to a single reducer unreduced."""
+    plan = _plan(spark, sf_dir, "text_lm_perplexity")
+    assert "CartesianProduct" not in plan, plan
+    assert len(re.findall(r"HashAggregate", plan)) >= 4, plan
+
+
+def test_bloom_single_python_crossing_single_shuffle(spark, sf_dir):
+    """decontaminate_bloom: ONE Arrow crossing (the bit lookup) and ONE
+    exchange (the final doc_id agg) — positions are computed JVM-side
+    and nothing shuffles before the per-doc reduction."""
+    import accounts_receivable_data_pipeline_api_spark.operators.text as text
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    bitmap = text.bloom_build(bench, n=5)
+    plan = _formatted(spark, text.decontaminate_bloom(train, bitmap, n=5))
+    ops = re.findall(r"\n\(\d+\) (\S+)", plan)
+    assert sum(1 for op in ops if op == "MapInPandas") == 1, ops
+    assert sum(1 for op in ops if op == "Exchange") == 1, ops
+
+
+def test_mixture_shards_windows_are_partitioned(spark, sf_dir):
+    """The corpus-wide windows partition on real keys (source for the
+    sample rank, shard for the position rank); the only unpartitioned
+    window runs over the bounded GROUP table (quota apportionment),
+    never the corpus."""
+    plan = _plan(spark, sf_dir, "curation_mixture_shards")
+    assert re.search(r"hashpartitioning\(source", plan), plan
+    assert re.search(r"hashpartitioning\(shard", plan), plan
+
+
+def test_semantic_prune_broadcasts_seeds_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_semantic")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # n x n_seeds scoring
+
+
+def test_incremental_exact_shuffles_on_content_hash(spark, sf_dir):
+    """The delta-vs-corpus probe joins and windows on the uniform md5
+    key — no cartesian, no single-partition window."""
+    import accounts_receivable_data_pipeline_api_spark.operators.dedup as dedup
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = dedup.incremental_exact(
+        docs.filter(F.col("doc_id") % 3 != 0), docs.filter(F.col("doc_id") % 3 == 0)
+    )
+    plan = _formatted(spark, out)
+    assert "CartesianProduct" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert re.search(r"hashpartitioning\(content_hash", plan), plan
