@@ -2,6 +2,7 @@ from .pipeline import (
     dedup_invoice_stream,
     enrich_events_with_dim,
     events_windowed_counts,
+    incremental_dedup_stream,
     invoice_csv_stream,
     join_purchases_to_signups_stream,
     read_snapshot_table,
@@ -13,6 +14,7 @@ __all__ = [
     "dedup_invoice_stream",
     "enrich_events_with_dim",
     "events_windowed_counts",
+    "incremental_dedup_stream",
     "invoice_csv_stream",
     "join_purchases_to_signups_stream",
     "read_snapshot_table",

@@ -29,7 +29,7 @@ from typing import Iterable
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
@@ -439,6 +439,80 @@ def decontaminate_doc_stream(
         decontaminate(batch_df, benchmark, n=n).withColumn(
             "batch_id", F.lit(batch_id)
         ).write.mode("append").parquet(out_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def incremental_dedup_stream(
+    docs_stream: DataFrame,
+    fingerprints_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Streaming incremental dedup: the continuous-crawl twin of
+    operators/dedup.py:incremental_exact. Each microbatch classifies
+    its documents against the PERSISTED fingerprint table (every
+    content hash ever accepted), appends the verdicts to ``out_dir``,
+    and writes the batch's NOVEL fingerprints back to
+    ``fingerprints_dir`` — so a duplicate arriving in a later batch is
+    caught no matter how far apart in time the copies land.
+
+    foreachBatch, not a stateful streaming agg, on purpose: the dedup
+    state is the full corpus-lifetime hash set, which belongs in a
+    persisted, bucketable table (at 100 TB: bucketed BY content_hash so
+    the per-batch probe join is co-located), not in one query's state
+    store (state-store contents are checkpoint-coupled, per-query, and
+    rebuilt on topology change; the fingerprint TABLE is shared by
+    every consumer, compactable, and survives pipeline rewrites — the
+    same reasoning as stream_upsert_invoices' snapshot table). Within a
+    batch, lower-id wins (dup_in_new), exactly like the batch operator;
+    across batches, earlier batches win (dup_of_old).
+
+    Exactly-once: verdicts append keyed by the checkpointed batch_id,
+    and the fingerprint write uses dynamic partition overwrite ON the
+    batch_id partition — a replayed batch rewrites its own partition
+    instead of appending duplicate hashes, so retries cannot poison
+    the hash set.
+    """
+    from ..operators.dedup import normalized
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            old = spark.read.parquet(fingerprints_dir).select("content_hash").distinct()
+        except Exception:
+            # first batch: the fingerprint table does not exist yet
+            old = spark.createDataFrame([], "content_hash string")
+        hashed = batch_df.select(
+            F.col("doc_id"), F.md5(normalized("text")).alias("content_hash")
+        )
+        w = Window.partitionBy("content_hash")
+        verdicts = (
+            hashed.join(old.withColumn("_in_old", F.lit(1)), "content_hash", "left")
+            .withColumn("_min_new", F.min("doc_id").over(w))
+            .select(
+                "doc_id",
+                "content_hash",
+                F.when(F.col("_in_old").isNotNull(), "dup_of_old")
+                .when(F.col("doc_id") > F.col("_min_new"), "dup_in_new")
+                .otherwise("kept")
+                .alias("status"),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        verdicts.write.mode("append").parquet(out_dir)
+        (
+            verdicts.filter(F.col("status") == "kept")
+            .select("content_hash", "batch_id")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(fingerprints_dir)
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(apply_batch)

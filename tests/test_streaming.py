@@ -518,3 +518,61 @@ def test_stream_decontaminate_matches_batch(spark, sf_dir, tmp_path):
     assert got == expected
     batches = {r.batch_id for r in spark.read.parquet(out_dir).collect()}
     assert len(batches) >= 2  # genuinely ran as multiple microbatches
+
+
+def test_incremental_dedup_stream_catches_cross_batch_dups(spark, tmp_path):
+    """Three microbatches through the streaming incremental dedup: a
+    duplicate WITHIN a batch is dup_in_new (min-id wins), a duplicate
+    of ANY earlier batch is dup_of_old (caught via the persisted
+    fingerprint table, arbitrarily far apart in time), and the
+    fingerprint table ends holding exactly the kept hashes."""
+    import os
+
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        incremental_dedup_stream,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    batches = [
+        [(1, "alpha content"), (2, "beta content"), (3, "ALPHA   content")],
+        [(10, "alpha content"), (11, "gamma content")],
+        [(20, "gamma content"), (21, "delta content"), (22, "delta content")],
+    ]
+    schema = "doc_id long, text string"
+    now = 2_000_000_000
+    for i, rows in enumerate(batches):
+        d = f"{src}/b{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            os.utime(f"{d}/{f}", (now + i * 60, now + i * 60))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+    fp_dir = str(tmp_path / "fingerprints")
+    out_dir = str(tmp_path / "verdicts")
+    q = incremental_dedup_stream(
+        stream, fp_dir, out_dir, str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    got = {
+        r.doc_id: (r.status, r.batch_id)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {
+        1: ("kept", 0),
+        2: ("kept", 0),
+        3: ("dup_in_new", 0),  # normalization: ALPHA   content == alpha content
+        10: ("dup_of_old", 1),  # caught against batch 0's fingerprints
+        11: ("kept", 1),
+        20: ("dup_of_old", 2),  # caught against batch 1's fingerprints
+        21: ("kept", 2),
+        22: ("dup_in_new", 2),
+    }
+    fps = spark.read.parquet(fp_dir)
+    assert fps.count() == 4  # alpha, beta, gamma, delta — kept hashes only
+    assert fps.select("content_hash").distinct().count() == 4
