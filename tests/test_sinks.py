@@ -82,3 +82,100 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+# ---------------------------------------------------------------------------
+# Round-5 corpus I/O: JSONL source + WebDataset-style tar shards
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_roundtrip_documents(spark, sf_dir, tmp_path):
+    from accounts_receivable_data_pipeline_api_spark.sources.corpus_io import (
+        DOCUMENTS_JSONL_SCHEMA,
+        read_jsonl,
+        write_jsonl,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, DOCUMENTS_JSONL_SCHEMA).collect()
+    # (collected first: Spark disallows queries referencing ONLY the
+    # corrupt-record column, so corrupt accounting happens driver-side)
+    assert sum(1 for r in back if r._corrupt_record is not None) == 0
+    a = {tuple(r) for r in docs.collect()}
+    b = {tuple(r)[:-1] for r in back}
+    assert a == b  # lossless round-trip, text bytes included
+
+
+def test_jsonl_quarantines_corrupt_lines(spark, tmp_path):
+    import os
+
+    from accounts_receivable_data_pipeline_api_spark.sources.corpus_io import (
+        DOCUMENTS_JSONL_SCHEMA,
+        read_jsonl,
+    )
+
+    p = str(tmp_path / "mixed")
+    os.makedirs(p)
+    with open(f"{p}/part-0.json", "w") as f:
+        f.write('{"doc_id": 1, "text": "good line", "lang": "en", "source": "web", "n_chars": 9}\n')
+        f.write("this is not json\n")
+        f.write('{"doc_id": 2, "text": "also good", "lang": "en", "source": "web", "n_chars": 9}\n')
+    back = read_jsonl(spark, p, DOCUMENTS_JSONL_SCHEMA).collect()
+    assert len(back) == 3
+    assert sum(1 for r in back if r._corrupt_record is not None) == 1
+    good = [r for r in back if r._corrupt_record is None]
+    assert {r.doc_id for r in good} == {1, 2}
+
+
+def test_tar_shards_roundtrip_in_training_order(spark, sf_dir, tmp_path):
+    """shard_order -> write_tar_shards -> read_tar_shards: every doc
+    comes back byte-identical, member order inside each tar IS the
+    stamped training order, and shard bytes are reproducible."""
+    from accounts_receivable_data_pipeline_api_spark.operators.curation import (
+        shard_order,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.corpus_io import (
+        read_tar_shards,
+        write_tar_shards,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sharded = shard_order(docs, "doc_id", n_shards=4, seed="io")
+    out = str(tmp_path / "shards")
+    manifest = {r.shard: r for r in write_tar_shards(sharded, out).collect()}
+    assert set(manifest) == {0, 1, 2, 3}
+    n_docs = docs.count()
+    assert sum(m.n_members for m in manifest.values()) == n_docs
+
+    back = read_tar_shards(spark, out).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    assert len(back) == n_docs
+    for r in back:
+        doc_id = int(r.member.split(".")[0])
+        assert r.payload.decode("utf-8") == texts[doc_id], doc_id
+
+    # member order within each tar == stamped training order
+    import io as _io
+    import tarfile as _tarfile
+
+    order = {
+        (r.shard, r.doc_id): r.shard_pos for r in sharded.collect()
+    }
+    for shard, m in manifest.items():
+        with _tarfile.open(m.path) as tar:
+            names = [int(n.split(".")[0]) for n in tar.getnames()]
+        poss = [order[(shard, d)] for d in names]
+        assert poss == sorted(poss), shard
+
+    # reproducibility: a second write yields byte-identical shards
+    out2 = str(tmp_path / "shards2")
+    write_tar_shards(sharded, out2).collect()
+    for shard, m in manifest.items():
+        with open(m.path, "rb") as f1, open(
+            m.path.replace(str(out), str(out2)), "rb"
+        ) as f2:
+            assert f1.read() == f2.read(), shard
