@@ -1213,3 +1213,25 @@ def test_semantic_prune_accepts_kmeans_assignment(spark, sf_dir):
                 (a, r.vec_id) in exact and cl[a] == cl[r.vec_id]
                 for a in range(r.vec_id)
             ), r.vec_id
+
+
+def test_mixture_sample_alpha_extremes(spark):
+    """alpha=1 is proportional allocation; alpha=0 splits evenly across
+    groups (temperature extremes of the mixture dial, via the pow()
+    path rather than the oracle-pinned sqrt)."""
+    from accounts_receivable_data_pipeline_api_spark.operators.curation import (
+        mixture_sample,
+    )
+
+    rows = [(i, "a") for i in range(80)] + [(100 + i, "b") for i in range(20)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    per = {}
+    for r in mixture_sample(df, "source", total=50, key_col="doc_id", alpha=1.0).collect():
+        per[r.source] = per.get(r.source, 0) + 1
+    assert per == {"a": 40, "b": 10}
+    per0 = {}
+    for r in mixture_sample(df, "source", total=50, key_col="doc_id", alpha=0.0).collect():
+        per0[r.source] = per0.get(r.source, 0) + 1
+    # even split targets 25/25, but group b only has 20 rows — it
+    # contributes all of them and the result lands under total
+    assert per0 == {"a": 25, "b": 20}

@@ -36,6 +36,15 @@ QUERIES = (
     # see layout; quota rank is content-addressed by construction
     "text_repetition_decontaminate",
     "curation_quota_sample",
+    # round-5 entries: decimal-summed logprobs (reduce order), bloom
+    # Arrow kernel, largest-remainder quotas + shard ranks, delta
+    # status window, within-cluster dominance prune — none may see
+    # layout
+    "text_lm_perplexity",
+    "text_bloom_decontaminate",
+    "curation_mixture_shards",
+    "dedup_incremental",
+    "dedup_semantic",
 )
 
 
