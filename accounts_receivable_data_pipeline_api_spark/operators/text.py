@@ -464,7 +464,14 @@ def ngram_lm_score(
     Determinism: per-bigram ln P is rounded to 6 dp and summed through
     DECIMAL(28, 6) — exact and order-free regardless of partition
     layout — then the final columns convert to DOUBLE (correctly
-    rounded, bit-identical across engines).
+    rounded, bit-identical across engines). nll_per_token is the RAW
+    IEEE quotient, deliberately NOT re-rounded: identical double
+    operands divide bit-identically everywhere, whereas round(sum/n, 6)
+    hits exact decimal half-way ties (a 6-dp decimal divided by a
+    doc's bigram count lands on ...5 at the 7th place routinely —
+    found by the sf1 oracle at n=46) where Spark's
+    BigDecimal-of-double HALF_UP and DuckDB's multiply-then-round
+    disagree by one ulp of the last digit.
 
     Plan shape at 100 TB: three shuffles total, each on a bounded key
     space. (1) bigram counts: explode -> hash agg on the gram (map-side
@@ -530,7 +537,7 @@ def ngram_lm_score(
         sum_lp.cast("double").alias("sum_logprob"),
         F.when(
             n_bg > 0,
-            F.round((-sum_lp).cast("double") / n_bg.cast("double"), 6),
+            (-sum_lp).cast("double") / n_bg.cast("double"),
         ).alias("nll_per_token"),
     )
 

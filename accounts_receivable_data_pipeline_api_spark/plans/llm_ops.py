@@ -1115,7 +1115,7 @@ _GRAMS2_SQL = """
            CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
            CAST(coalesce(a.sum_dec, 0) AS DOUBLE) AS sum_logprob,
            CASE WHEN coalesce(a.n_bigrams, 0) > 0
-                THEN round(-CAST(a.sum_dec AS DOUBLE) / a.n_bigrams, 6) END
+                THEN -CAST(a.sum_dec AS DOUBLE) / a.n_bigrams END
              AS nll_per_token
     FROM sdocs d LEFT JOIN agg a USING (doc_id)
     """,

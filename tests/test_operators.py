@@ -1007,7 +1007,7 @@ def test_ngram_lm_score_known_values(spark):
 
     assert rows[10].n_bigrams == 1
     assert abs(rows[10].sum_logprob - round(math.log(0.7), 6)) < 1e-9
-    assert rows[10].nll_per_token == round(-round(math.log(0.7), 6), 6)
+    assert rows[10].nll_per_token == -round(math.log(0.7), 6) / 1
     # unseen context z: P = k / (0 + k*V) = 1/V = 0.25
     assert abs(rows[11].sum_logprob - round(math.log(0.25), 6)) < 1e-9
     # single-word doc: zero bigrams, NULL nll, zero sum
