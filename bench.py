@@ -62,6 +62,7 @@ HEADLINE = (
     "op_bloom_decontaminate",
     "op_incremental_exact",
     "op_semantic_prune",
+    "op_bpe_apply",
     "curation_mixture_shards",
     "similarity_brute_topk",
     "text_quality",

@@ -1235,3 +1235,78 @@ def test_mixture_sample_alpha_extremes(spark):
     # even split targets 25/25, but group b only has 20 rows — it
     # contributes all of them and the result lands under total
     assert per0 == {"a": 25, "b": 20}
+
+
+def test_bpe_train_known_merges(spark):
+    """On a corpus where 'ab' dominates, the first merges build it."""
+    from accounts_receivable_data_pipeline_api_spark.operators.tokenize import (
+        EOW,
+        bpe_train,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "abab abab cd") for i in range(10)], ["doc_id", "text"]
+    )
+    merges = bpe_train(df, num_merges=5)
+    assert merges[0] == ("a", "b")  # most frequent pair
+    # composition: within 3 merges the whole word 'abab' becomes ONE
+    # token (tie at count 20 resolves lexicographically: (ab,</w>)
+    # precedes (ab,ab), then (ab, ab</w>) completes the word)
+    from accounts_receivable_data_pipeline_api_spark.operators.tokenize import (
+        _encode_word,
+    )
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    assert _encode_word("abab", ranks) == ["abab" + EOW]
+
+
+def test_bpe_roundtrip_and_determinism(spark, sf_dir):
+    """Detokenization reconstructs the normalized text of EVERY doc;
+    token streams are identical across partition layouts."""
+    from accounts_receivable_data_pipeline_api_spark.operators.tokenize import (
+        EOW,
+        bpe_apply,
+        bpe_train,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(docs, num_merges=100)
+    assert len(merges) > 10
+    out = bpe_apply(docs, merges).select("doc_id", "text", "bpe_tokens").collect()
+    import re as _re
+
+    for r in out:
+        norm = _re.sub(r"\s+", " ", r.text.lower()).strip()
+        detok = "".join(r.bpe_tokens).replace(EOW, " ").rstrip()
+        assert detok == norm, r.doc_id
+    again = {
+        r.doc_id: tuple(r.bpe_tokens)
+        for r in bpe_apply(docs.repartition(7), merges).select(
+            "doc_id", "bpe_tokens"
+        ).collect()
+    }
+    first = {r.doc_id: tuple(r.bpe_tokens) for r in out}
+    assert again == first
+    # retrain reproducibility: identical merge table from identical bytes
+    assert bpe_train(docs, num_merges=100) == merges
+
+
+def test_bpe_compresses_relative_to_chars(spark, sf_dir):
+    """More merges => fewer tokens, bounded below by word count."""
+    from accounts_receivable_data_pipeline_api_spark.operators.tokenize import (
+        bpe_apply,
+        bpe_train,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+    from accounts_receivable_data_pipeline_api_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    m50 = bpe_train(docs, num_merges=50)
+    m200 = bpe_train(docs, num_merges=200)
+    t50 = bpe_apply(docs, m50).agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    t200 = bpe_apply(docs, m200).agg(F.sum("n_bpe_tokens")).collect()[0][0]
+    n_words = docs.select(F.sum(token_count("text"))).collect()[0][0]
+    n_chars = docs.select(F.sum(F.length("text"))).collect()[0][0]
+    assert t200 < t50 < n_chars  # merges compress below character count
+    assert t200 >= n_words  # a word never tokenizes below 1 token
