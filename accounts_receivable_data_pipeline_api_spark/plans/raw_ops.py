@@ -28,8 +28,12 @@ from ..sources.star import load_table
 
 
 def op_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, verify_threshold=0.5)
+    # _parallel_docs (defined below): the single-file local documents
+    # table otherwise reads as ONE partition and the 5M-row shingle
+    # explode serializes on one core — measured 3.1 s of the operator's
+    # 7.5 s warm at sf0.1 doing per-row transforms single-threaded
+    # (round-5 profile); a many-partition input is automatic at 100 TB.
+    return dedup.minhash_lsh_pairs(_parallel_docs(spark, sf_dir), verify_threshold=0.5)
 
 
 def op_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
