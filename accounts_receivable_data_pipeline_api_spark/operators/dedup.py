@@ -975,6 +975,7 @@ def semantic_prune(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_dp: int = 6,
+    max_cluster_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: within each cluster of an
     embedding-space partition, prune every vector that has a LOWER-id
@@ -1003,24 +1004,55 @@ def semantic_prune(
     Plan shape at 100 TB: one shuffle of (id, vector) on cluster_id,
     then a within-cluster self equi-join (quadratic in CLUSTER size,
     not corpus size; ~n * avg_cluster_size pair-scores with sqrt(n)
-    clusters). A runaway cluster is the skew surface: cap occupancy by
-    raising the cluster count (auto-nlist = sqrt(n)) or sub-salt the
-    hot cluster and union a cross-salt pass, same dial as the LSH
-    bucket caps.
+    clusters). A runaway cluster is the skew surface; beyond raising
+    the cluster count (auto-nlist = sqrt(n)), ``max_cluster_rows``
+    CAPS OCCUPANCY DETERMINISTICALLY: clusters over the cap subdivide
+    into ceil(size/cap) sub-cells by content hash (md5 of the id, not
+    partition layout), and dominance applies within sub-cells only.
+    The join key space becomes (cluster, sub-cell) with every cell
+    under the cap — no task ever sees a quadratic bigger than cap^2 —
+    at a bounded recall price: pairs split across sub-cells of a hot
+    cluster are accepted misses, the same boundary trade the
+    clustering itself already makes (capped pruned set is a SUBSET of
+    the uncapped one; asserted in tests).
     """
     from .similarity import _as_double, cosine
 
     av = assignment.join(
         df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v")), id_col
     )
+    join_keys = ["cluster_id"]
+    if max_cluster_rows is not None:
+        sizes = assignment.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias("__csize")
+        )
+        n_cells = F.ceil(
+            F.col("__csize").cast("double") / F.lit(float(max_cluster_rows))
+        ).cast("long")
+        from .curation import hash_bucket
+
+        av = (
+            av.join(F.broadcast(sizes), "cluster_id")
+            .withColumn(
+                "__cell",
+                F.when(
+                    F.col("__csize") <= max_cluster_rows, F.lit(0).cast("long")
+                ).otherwise(
+                    hash_bucket(F.col(id_col).cast("string"), buckets=1 << 30)
+                    % n_cells
+                ),
+            )
+            .drop("__csize")
+        )
+        join_keys = ["cluster_id", "__cell"]
     x = av.select(
-        F.col(id_col).alias("__idx"), F.col("cluster_id"), F.col("__v").alias("__vx")
+        F.col(id_col).alias("__idx"), *join_keys, F.col("__v").alias("__vx")
     )
     y = av.select(
-        F.col(id_col).alias("__idy"), F.col("cluster_id"), F.col("__v").alias("__vy")
+        F.col(id_col).alias("__idy"), *join_keys, F.col("__v").alias("__vy")
     )
     dominated = (
-        x.join(y, "cluster_id")
+        x.join(y, join_keys)
         .filter(F.col("__idy") < F.col("__idx"))
         .filter(F.round(cosine(F.col("__vx"), F.col("__vy")), round_dp) >= threshold)
         .select(F.col("__idx").alias(id_col))

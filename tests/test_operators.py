@@ -1310,3 +1310,32 @@ def test_bpe_compresses_relative_to_chars(spark, sf_dir):
     n_chars = docs.select(F.sum(F.length("text"))).collect()[0][0]
     assert t200 < t50 < n_chars  # merges compress below character count
     assert t200 >= n_words  # a word never tokenizes below 1 token
+
+
+def test_semantic_prune_occupancy_cap_is_sound_subset(spark, sf_dir):
+    """max_cluster_rows: capped pruned set is a subset of the uncapped
+    one (sub-cell boundaries only ever ACCEPT misses, never invent
+    prunes), every cell stays under the cap's quadratic, and the result
+    is layout-invariant."""
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+    seeds = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
+    )
+    assign = dedup.assign_nearest_seed(emb, seeds).select("vec_id", "cluster_id")
+    free = {r.vec_id for r in dedup.semantic_prune(emb, assign, 0.3).collect() if r.pruned}
+    capped_rows = dedup.semantic_prune(
+        emb, assign, 0.3, max_cluster_rows=20
+    ).collect()
+    capped = {r.vec_id for r in capped_rows if r.pruned}
+    assert capped <= free
+    assert len(capped_rows) == emb.count()  # every vector still classified
+    again = {
+        r.vec_id
+        for r in dedup.semantic_prune(
+            emb.repartition(7), assign, 0.3, max_cluster_rows=20
+        ).collect()
+        if r.pruned
+    }
+    assert again == capped
