@@ -134,18 +134,12 @@ def _bmp_bytes(seed: str, w: int, h: int) -> bytes:
 
 
 def _spread(src: DataFrame) -> DataFrame:
-    """Engage full parallelism for a Python-heavy kernel stage when the
-    upstream scan under-partitions (a single small parquet file reads
-    as ONE partition, serializing every downstream mapInPandas batch on
-    one core — measured 23 s for the sf0.1 multimodal entry vs ~1 s
-    spread). At 100 TB the scan already yields thousands of partitions
-    and this is a no-op; the repartition only fires when partitions <
-    cores, and shuffles just the (doc_id, text) projection."""
-    sc = src.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if src.rdd.getNumPartitions() < target:
-        return src.repartition(target)
-    return src
+    """Full parallelism for a Python-heavy kernel stage (measured 23 s
+    -> ~1 s for the sf0.1 multimodal entry); shared implementation in
+    sources/star.py:spread_to_cores."""
+    from ..sources.star import spread_to_cores
+
+    return spread_to_cores(src)
 
 
 def synthesize_bmp(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

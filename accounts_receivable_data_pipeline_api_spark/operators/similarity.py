@@ -405,7 +405,11 @@ def det_planes(total: int, dim: int):
 
 
 def expected_lsh_topk_recall(
-    num_planes: int, radius: int, design_cos: float, num_tables: int = 1
+    num_planes: int,
+    radius: int,
+    design_cos: float,
+    num_tables: int = 1,
+    num_probes: int | None = None,
 ) -> float:
     """Analytic retrieval probability of a neighbor at cosine
     ``design_cos`` under multi-table hyperplane LSH with per-table
@@ -417,14 +421,26 @@ def expected_lsh_topk_recall(
     P_1 = sum_{i<=r} C(b,i) p^(b-i) (1-p)^i, and L independent tables
     (OR-construction) give 1 - (1 - P_1)^L. This is the sizing law
     lsh_topk inverts to pick L — the same shape pair-LSH uses for its
-    auto-L, extended with the probe-ball term."""
+    auto-L, extended with the probe-ball term.
+
+    ``num_probes`` (when < num_planes) caps the radius-1 term at the
+    number of one-bit flips actually probed: C(b,1) becomes
+    num_probes, the FIXED-SUBSET bound — valid because any k probed
+    flips capture at most k of the b single-disagreement events, and
+    conservative because the kernel ranks flips by margin (the
+    adaptive choice captures the disagreeing plane with probability
+    >= k/b, never less than a fixed subset). Without this cap the
+    sizing assumed the full radius-1 ball and silently undersized L
+    for capped probe budgets (round-5 review finding)."""
     import math
 
     p = 1.0 - math.acos(max(min(design_cos, 1.0), -1.0)) / math.pi
-    p1 = sum(
-        math.comb(num_planes, i) * p ** (num_planes - i) * (1.0 - p) ** i
-        for i in range(min(radius, num_planes) + 1)
-    )
+    p1 = 0.0
+    for i in range(min(radius, num_planes) + 1):
+        c = math.comb(num_planes, i)
+        if i == 1 and num_probes is not None and num_probes < num_planes:
+            c = num_probes
+        p1 += c * p ** (num_planes - i) * (1.0 - p) ** i
     p1 = min(p1, 1.0)
     return 1.0 - (1.0 - p1) ** num_tables
 
@@ -507,7 +523,9 @@ def lsh_topk(
     radius = 2 if full_ring else (1 if num_probes > 0 else 0)
 
     if num_tables is None:
-        p1 = expected_lsh_topk_recall(num_planes, radius, design_cos, num_tables=1)
+        p1 = expected_lsh_topk_recall(
+            num_planes, radius, design_cos, num_tables=1, num_probes=num_probes
+        )
         if p1 >= target_recall:
             num_tables = 1
         elif p1 <= 0.0:

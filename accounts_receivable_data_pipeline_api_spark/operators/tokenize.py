@@ -29,9 +29,15 @@ from pyspark.sql import functions as F
 
 from .text import tokens_expr
 
-# End-of-word sentinel, kept out of the byte alphabet by using a
-# multi-char marker that cannot appear inside a whitespace-split token.
-EOW = "</w>"
+# End-of-word sentinel. A Unicode private-use codepoint, NOT the
+# conventional "</w>": crawl corpora are full of literal HTML/XML
+# fragments, so '</w>' CAN occur inside a whitespace-split token and
+# would make detokenization (replace EOW with space) lossy exactly on
+# the documents most worth keeping intact (round-5 review finding).
+# U+E000 never occurs in real text (private-use area, unassigned
+# semantics); a corpus that does contain it should strip PUA
+# codepoints at ingest, the standard normalization step.
+EOW = ""
 
 
 def _word_freqs(

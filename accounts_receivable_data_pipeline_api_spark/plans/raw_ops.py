@@ -77,18 +77,13 @@ RAW_OPS = {
 
 def _parallel_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with the partition count a real deployment's scan would
-    have. The testdata documents table is ONE small parquet file -> one
-    partition, which serializes per-doc expression work on a single
-    core and times the scheduler, not the operator (the same effect
-    fixed for the multimodal kernel in operators/multimodal.py:_spread).
-    The operators themselves stay zero-extra-shuffle — the repartition
-    lives HERE, in the probe/bench builder, standing in for the
-    many-partition input that is automatic at 100 TB."""
-    docs = load_table(spark, sf_dir, "documents")
-    target = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < target:
-        return docs.repartition(target)
-    return docs
+    have (the testdata table is ONE parquet file -> one partition, which
+    would time the scheduler, not the operator). The operators stay
+    zero-extra-shuffle — the repartition lives HERE, in the probe/bench
+    builder; shared implementation in sources/star.py:spread_to_cores."""
+    from ..sources.star import spread_to_cores
+
+    return spread_to_cores(load_table(spark, sf_dir, "documents"))
 
 
 def op_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:

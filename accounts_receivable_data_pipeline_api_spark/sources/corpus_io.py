@@ -98,12 +98,16 @@ def write_tar_shards(
     exist.
 
     Plan shape at 100 TB: one shuffle on the shard key, then each task
-    streams ONE shard's members through a tarfile writer — memory is
-    bounded by the largest single member, not the shard (tarfile
-    appends incrementally), and no two tasks touch the same file.
-    ``out_dir`` must be shared storage in a real deployment (object
-    store / DFS); tar timestamps are pinned to 0 so shard bytes are
-    bit-reproducible run over run.
+    writes ONE shard's members through a tarfile writer; no two tasks
+    touch the same file. Task MEMORY IS O(SHARD): applyInPandas
+    materializes the whole group as one pandas frame before the tar
+    loop runs, so the shard-size dial (n_shards in shard_order) must
+    keep shards inside an executor's memory budget — the same "a shard
+    is the streaming unit" contract WebDataset loaders assume on the
+    read side. (A constant-memory writer needs an iterator-based group
+    API; Spark's applyInPandas is not one.) ``out_dir`` must be shared
+    storage in a real deployment (object store / DFS); tar timestamps
+    are pinned to 0 so shard bytes are bit-reproducible run over run.
 
     stdlib tarfile only — no codec or formats libraries — matching the
     container constraint and the multimodal decoder's dependency-free

@@ -95,3 +95,19 @@ def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
     can run against them by name."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
+
+
+def spread_to_cores(src):
+    """Engage full parallelism for a compute-heavy stage when the
+    upstream scan under-partitions (a single small parquet file reads
+    as ONE partition, serializing every downstream batch on one core).
+    At 100 TB the scan already yields thousands of partitions and this
+    is a no-op: the repartition only fires when partitions < cores.
+    Shared by the multimodal kernels and the probe/bench builders
+    (formerly duplicated as multimodal._spread / raw_ops._parallel_docs
+    — round-5 review finding)."""
+    sc = src.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if src.rdd.getNumPartitions() < target:
+        return src.repartition(target)
+    return src

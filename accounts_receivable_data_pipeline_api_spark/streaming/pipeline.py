@@ -427,8 +427,12 @@ def decontaminate_doc_stream(
     happens inside the batch), so cross-batch state would buy nothing —
     running the BATCH operator (operators/text.py:decontaminate, scan ->
     explode -> broadcast join -> map-side-combinable agg) per microbatch
-    keeps the exact oracle-checked plan, zero state store, and
-    exactly-once sink semantics via the checkpointed batch_id. The
+    keeps the exact oracle-checked plan, zero state store, and an
+    IDEMPOTENT sink: output partitions by the checkpointed batch_id
+    with dynamic partition overwrite, so a crash between the write and
+    the streaming commit replays the batch into its own partition
+    instead of appending a second copy (plain append would be
+    at-least-once). The
     benchmark side re-scans per batch, so a refreshed benchmark parquet
     is picked up without restarting the query — same property as
     enrich_events_with_dim.
@@ -436,9 +440,14 @@ def decontaminate_doc_stream(
     from ..operators.text import decontaminate
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        decontaminate(batch_df, benchmark, n=n).withColumn(
-            "batch_id", F.lit(batch_id)
-        ).write.mode("append").parquet(out_dir)
+        (
+            decontaminate(batch_df, benchmark, n=n)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
 
     return (
         docs_stream.writeStream.foreachBatch(apply_batch)
@@ -472,20 +481,38 @@ def incremental_dedup_stream(
     batch, lower-id wins (dup_in_new), exactly like the batch operator;
     across batches, earlier batches win (dup_of_old).
 
-    Exactly-once: verdicts append keyed by the checkpointed batch_id,
-    and the fingerprint write uses dynamic partition overwrite ON the
-    batch_id partition — a replayed batch rewrites its own partition
-    instead of appending duplicate hashes, so retries cannot poison
-    the hash set.
+    Replay safety (a crash can land between this function's writes and
+    the streaming commit, so batch N may run twice): (a) BOTH sinks
+    partition by the checkpointed batch_id and use dynamic partition
+    overwrite — a replay rewrites its own partitions, never appends a
+    second copy; (b) the fingerprint read EXCLUDES the current
+    batch_id's partition, so a replayed batch never sees its own
+    first-attempt hashes as "old" (which would flip its kept docs to
+    dup_of_old); (c) only the missing-table error is treated as
+    "first batch" — any other read failure (storage blip, permission)
+    raises and lets the engine retry the batch, instead of silently
+    deduping against an empty corpus and poisoning the hash set with
+    duplicates classified as kept.
     """
     from ..operators.dedup import normalized
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
         spark = batch_df.sparkSession
         try:
-            old = spark.read.parquet(fingerprints_dir).select("content_hash").distinct()
-        except Exception:
-            # first batch: the fingerprint table does not exist yet
+            old = (
+                spark.read.parquet(fingerprints_dir)
+                # replay safety (b): never dedup against our own
+                # first attempt's partition
+                .filter(F.col("batch_id") != batch_id)
+                .select("content_hash")
+                .distinct()
+            )
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            # genuinely the first batch: the table does not exist yet
             old = spark.createDataFrame([], "content_hash string")
         hashed = batch_df.select(
             F.col("doc_id"), F.md5(normalized("text")).alias("content_hash")
@@ -504,7 +531,12 @@ def incremental_dedup_stream(
             )
             .withColumn("batch_id", F.lit(batch_id))
         )
-        verdicts.write.mode("append").parquet(out_dir)
+        (
+            verdicts.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
         (
             verdicts.filter(F.col("status") == "kept")
             .select("content_hash", "batch_id")

@@ -31,6 +31,8 @@ import subprocess
 import sys
 import time
 
+import duckdb
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
@@ -128,7 +130,17 @@ def main() -> None:
                 try:
                     con.execute(f"SELECT count(*) FROM ({cq.oracle})").fetchall()
                     interrupted = False
-                except Exception:
+                except Exception as e:
+                    # Only a budget interrupt may downgrade to a skip.
+                    # A binder/SQL error in the oracle must FAIL the
+                    # harness, not silently stop checking the entry —
+                    # otherwise a broken oracle reads as green overall.
+                    timer.cancel()
+                    is_interrupt = isinstance(
+                        e, duckdb.InterruptException
+                    ) or "INTERRUPT" in str(e).upper()
+                    if not is_interrupt and time.perf_counter() - t_orc < budget:
+                        raise
                     interrupted = True
                 finally:
                     timer.cancel()

@@ -63,3 +63,14 @@ def test_coverage_doc_references_are_real():
     words = set(re.findall(r"[A-Za-z0-9_]+", text))
     unmentioned = set(CORPUS) - words
     assert not unmentioned, f"corpus queries undocumented: {sorted(unmentioned)}"
+
+
+def test_corpus_window_is_exact():
+    """The driver checks exactly the first DRIVER_WINDOW corpus entries.
+    The package assert can be relaxed via SPARK_GRAFT_CORPUS_WIP for
+    interactive mid-edit checks — but the SUITE must never pass with a
+    mis-sized corpus even if that env var leaks into the test
+    environment (round-5 review finding)."""
+    from accounts_receivable_data_pipeline_api_spark.plans import CORPUS, DRIVER_WINDOW
+
+    assert len(CORPUS) == DRIVER_WINDOW

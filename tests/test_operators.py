@@ -1339,3 +1339,22 @@ def test_semantic_prune_occupancy_cap_is_sound_subset(spark, sf_dir):
         if r.pruned
     }
     assert again == capped
+
+
+def test_lsh_topk_sizing_respects_probe_budget():
+    """A capped probe budget shrinks the per-table radius-1 ball, so
+    the analytic P_1 must shrink (fixed-subset bound) and the inverted
+    table count must GROW — the sizing can no longer assume flips it
+    will never probe (round-5 review finding)."""
+    import math
+
+    full = similarity.expected_lsh_topk_recall(9, 1, 0.5, 1)
+    capped = similarity.expected_lsh_topk_recall(9, 1, 0.5, 1, num_probes=2)
+    assert capped < full
+    p = 1.0 - math.acos(0.5) / math.pi
+    assert capped == pytest.approx(p**9 + 2 * p**8 * (1 - p))
+
+    def tables_needed(p1, target=0.67):
+        return math.ceil(math.log(1 - target) / math.log(1 - p1))
+
+    assert tables_needed(capped) > tables_needed(full)

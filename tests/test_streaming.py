@@ -576,3 +576,50 @@ def test_incremental_dedup_stream_catches_cross_batch_dups(spark, tmp_path):
     fps = spark.read.parquet(fp_dir)
     assert fps.count() == 4  # alpha, beta, gamma, delta — kept hashes only
     assert fps.select("content_hash").distinct().count() == 4
+
+
+def test_incremental_dedup_stream_replay_is_idempotent(spark, tmp_path):
+    """Replay simulation: process one batch, wipe the streaming
+    checkpoint (so the same files re-run as the same batch_id 0), and
+    re-run. The replayed batch must overwrite its own partitions — not
+    append a second copy of the verdicts — and must NOT see its own
+    first-attempt fingerprints as 'old' (which would flip its kept
+    docs to dup_of_old)."""
+    import os
+    import shutil
+
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        incremental_dedup_stream,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "alpha content"), (2, "beta content"), (3, "alpha content")], schema
+    ).coalesce(1).write.parquet(f"{src}/b0")
+
+    fp_dir = str(tmp_path / "fingerprints")
+    out_dir = str(tmp_path / "verdicts")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(f"{src}/*")
+        q = incremental_dedup_stream(stream, fp_dir, out_dir, ckpt).start()
+        q.awaitTermination(120)
+
+    run()
+    first = sorted(
+        (r.doc_id, r.status, r.batch_id)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert [s for _, s, _ in first] == ["kept", "kept", "dup_in_new"]
+    shutil.rmtree(ckpt)  # lose the commit log -> batch 0 replays
+    run()
+    again = sorted(
+        (r.doc_id, r.status, r.batch_id)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    assert again == first  # no duplicate rows, no status flips
+    fps = spark.read.parquet(fp_dir)
+    assert fps.count() == 2  # alpha, beta — still exactly the kept set
