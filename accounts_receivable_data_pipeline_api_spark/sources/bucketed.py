@@ -51,3 +51,26 @@ def colocated_join(
     left = spark.table(left_table)
     right = spark.table(right_table)
     return left.join(right, left[left_key] == right[right_key], how)
+
+
+def point_lookup(spark: SparkSession, table: str, key: str, value) -> DataFrame:
+    """Index-like point lookup on a bucketed table — the 100 TB answer
+    to the reference's UNIQUE b-tree index (SURVEY §4: Spark has no
+    secondary index; the layout IS the index). An equality predicate on
+    the bucket key prunes the scan to ONE bucket before any I/O — the
+    executed plan shows ``SelectedBucketsCount: 1 out of N`` (asserted
+    in tests) — and within the bucket the sortBy(key) layout gives the
+    parquet reader tight row-group min/max stats, so the pushed filter
+    skips row groups too. Lookup cost is O(bucket), independent of
+    table size as buckets scale with data.
+
+    Requires ``spark.sql.sources.bucketing.autoBucketedScan.enabled``
+    = false, set here for the session: the auto heuristic disables
+    bucketed reading for scans with no join/agg (it optimizes for full
+    scan parallelism), which also forfeits bucket pruning — exactly
+    backwards for a point lookup. A serving session wants the bucketed
+    layout honored everywhere (co-located joins want it too); batch
+    sessions that prefer the heuristic can flip it back.
+    """
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    return spark.table(table).filter(spark.table(table)[key] == value)

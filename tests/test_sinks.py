@@ -179,3 +179,38 @@ def test_tar_shards_roundtrip_in_training_order(spark, sf_dir, tmp_path):
             m.path.replace(str(out), str(out2)), "rb"
         ) as f2:
             assert f1.read() == f2.read(), shard
+
+
+def test_bucketed_point_lookup_prunes_to_one_bucket(spark, sf_dir):
+    """The bucketed layout serves index-like point lookups: an equality
+    filter on the bucket key must prune the scan to a single bucket
+    (SelectedBucketsCount in the executed plan), the engine's answer to
+    the reference's UNIQUE index at scale."""
+    import re
+
+    from accounts_receivable_data_pipeline_api_spark.sources.bucketed import (
+        point_lookup,
+        write_bucketed,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    customer = load_table(spark, sf_dir, "customer")
+    write_bucketed(customer, "pl_customer", "c_custkey", num_buckets=8)
+    prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try:
+        df = point_lookup(spark, "pl_customer", "c_custkey", 7)
+        rows = df.collect()
+        assert len(rows) == 1 and rows[0]["c_custkey"] == 7
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, plan
+        assert m.group(1) == "1" and m.group(2) == "8"
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
+        )
+        spark.sql("DROP TABLE IF EXISTS pl_customer")
