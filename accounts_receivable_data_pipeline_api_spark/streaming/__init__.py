@@ -5,9 +5,11 @@ from .pipeline import (
     incremental_dedup_stream,
     invoice_csv_stream,
     join_purchases_to_signups_stream,
+    read_sketch,
     read_snapshot_table,
     sessionize_events,
     stream_upsert_invoices,
+    token_frequency_sketch_stream,
 )
 
 __all__ = [
@@ -17,7 +19,9 @@ __all__ = [
     "incremental_dedup_stream",
     "invoice_csv_stream",
     "join_purchases_to_signups_stream",
+    "read_sketch",
     "read_snapshot_table",
     "sessionize_events",
     "stream_upsert_invoices",
+    "token_frequency_sketch_stream",
 ]

@@ -551,3 +551,61 @@ def incremental_dedup_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def token_frequency_sketch_stream(
+    docs_stream: DataFrame,
+    sketch_dir: str,
+    checkpoint_dir: str,
+    depth: int = 4,
+    width: int = 2048,
+):
+    """Streaming corpus-lifetime token frequencies in bounded memory:
+    each microbatch builds a count-min sketch PARTIAL over its tokens
+    and writes it to ``sketch_dir`` partitioned by the checkpointed
+    batch_id (dynamic partition overwrite — a replayed batch rewrites
+    its own partial, so retries never double-count). The lifetime
+    sketch is the elementwise SUM of the partials (CMS additivity makes
+    the merge exact), read back with ``read_sketch``.
+
+    This is the state-as-a-table pattern again (incremental_dedup_
+    stream, stream_upsert_invoices): the accumulating state is depth x
+    width counters per batch — bounded, compactable (sum old partials
+    into one), shared by any consumer — rather than a query-private
+    state store. Per-batch cost: one Arrow kernel over the batch's
+    tokens; nothing corpus-proportional anywhere.
+    """
+    from ..operators.sketch import cms_build
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tokens = batch_df.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+        ).filter(F.col("token") != "")
+        block = cms_build(tokens, "token", depth=depth, width=width)
+        (
+            spark.createDataFrame(
+                [(bytes(block.tobytes()),)], "block binary"
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(sketch_dir)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def read_sketch(spark: SparkSession, sketch_dir: str, depth: int = 4, width: int = 2048):
+    """Sum the per-batch CMS partials into the lifetime sketch."""
+    import numpy as np
+
+    out = np.zeros((depth, width), dtype=np.int64)
+    for row in spark.read.parquet(sketch_dir).select("block").collect():
+        out += np.frombuffer(row["block"], dtype=np.int64).reshape(depth, width)
+    return out

@@ -1358,3 +1358,56 @@ def test_lsh_topk_sizing_respects_probe_budget():
         return math.ceil(math.log(1 - target) / math.log(1 - p1))
 
     assert tables_needed(capped) > tables_needed(full)
+
+
+def test_cms_one_sided_and_additive(spark, sf_dir):
+    """CMS contract on real corpus tokens: estimate >= exact for every
+    queried token (one-sided, always), within eps*N at the default
+    sizing, and sketches merge EXACTLY (cms(A)+cms(B) == cms(A++B))."""
+    import numpy as np
+
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import (
+        cms_build,
+        cms_merge,
+        cms_query,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    exact = {
+        r.token: r.c
+        for r in tokens.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc())
+        .limit(20)
+        .collect()
+    }
+    n_total = tokens.count()
+    sk = cms_build(tokens, "token")
+    est = cms_query(sk, list(exact))
+    eps = 2.718281828 / 2048
+    for tok, true_c in exact.items():
+        assert est[tok] >= true_c, tok  # never undercounts
+        assert est[tok] <= true_c + eps * n_total * 4, tok  # loose 4x slack
+    assert int(sk.sum()) == n_total * 4  # every item hits every row once
+
+    a = cms_build(tokens.filter(F.md5("token").startswith("a")), "token")
+    b = cms_build(tokens.filter(~F.md5("token").startswith("a")), "token")
+    assert np.array_equal(cms_merge(a, b), sk)  # exact additivity
+
+
+def test_cms_layout_invariant(spark, sf_dir):
+    import numpy as np
+
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import cms_build
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    assert np.array_equal(
+        cms_build(tokens, "token"), cms_build(tokens.repartition(7), "token")
+    )

@@ -623,3 +623,66 @@ def test_incremental_dedup_stream_replay_is_idempotent(spark, tmp_path):
     assert again == first  # no duplicate rows, no status flips
     fps = spark.read.parquet(fp_dir)
     assert fps.count() == 2  # alpha, beta — still exactly the kept set
+
+
+def test_token_frequency_sketch_stream_matches_batch(spark, tmp_path):
+    """Streaming CMS: per-batch partials sum to EXACTLY the batch
+    sketch of the whole corpus (additivity), and a replayed batch
+    overwrites its own partial instead of double-counting."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import (
+        cms_build,
+        cms_query,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        read_sketch,
+        token_frequency_sketch_stream,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, "spark spark shuffle"), (2, "spark join")],
+        [(10, "shuffle shuffle partition")],
+    ]
+    now = 2_000_000_000
+    for i, rows in enumerate(batches):
+        d = f"{src}/b{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            os.utime(f"{d}/{f}", (now + i * 60, now + i * 60))
+
+    sk_dir = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        q = token_frequency_sketch_stream(stream, sk_dir, ckpt).start()
+        q.awaitTermination(120)
+
+    run()
+    lifetime = read_sketch(spark, sk_dir)
+    all_docs = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    tokens = all_docs.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    assert np.array_equal(lifetime, cms_build(tokens, "token"))
+    est = cms_query(lifetime, ["spark", "shuffle", "partition", "absent"])
+    assert est["spark"] == 3 and est["shuffle"] == 3 and est["partition"] == 1
+    assert est["absent"] == 0
+
+    # replay: wipe checkpoint, rerun -> partials rewritten, sums equal
+    shutil.rmtree(ckpt)
+    run()
+    assert np.array_equal(read_sketch(spark, sk_dir), lifetime)
