@@ -677,3 +677,81 @@ def decontaminate_bloom(
         F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("bigint").alias("n_hits_bloom"),
         (F.sum(F.when(F.col("hit"), 1).otherwise(0)) > 0).alias("flagged"),
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_df: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style cross-document boilerplate removal: drop every line
+    that occurs (normalized) in at least ``min_df`` DISTINCT documents
+    — navigation bars, cookie banners, license footers — while keeping
+    each document's unique content in its original line order.
+
+    Returns (id_col, cleaned_text STRING, n_lines BIGINT, n_removed
+    BIGINT). A document of pure boilerplate survives with
+    cleaned_text = '' (the length-0 row is the downstream quality
+    filter's signal — dropping rows here would silently change corpus
+    membership, which is the curator's decision, not this operator's).
+
+    Determinism: line identity is the normalized form (lowercase,
+    collapsed whitespace, trimmed) so cosmetic variants count as the
+    same boilerplate; reassembly collects (line_pos, line) structs and
+    array_sorts before concat, a pure function of the data regardless
+    of partition layout (collect_list arrival order is not).
+
+    Plan shape at 100 TB: posexplode at scan parallelism -> the
+    line-DF aggregation is one shuffle on the normalized-line key
+    (map-side combinable count over DISTINCT (doc, line) pairs) ->
+    membership join back on the same key (AQE broadcasts the
+    boilerplate set when small — it usually is: boilerplate is by
+    definition high-df, so the DISTINCT high-df line set is tiny
+    relative to the corpus) -> one shuffle on id_col to reassemble.
+    Hot lines skew the join key; the boilerplate SET side is
+    deduplicated before the join so the skew surface is the corpus
+    side's own line distribution, handled by AQE skew-join.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("line_pos", "line"),
+    ).withColumn(
+        "norm_line", F.trim(F.regexp_replace(F.lower(F.col("line")), r"\s+", " "))
+    )
+    line_df = (
+        lines.filter(F.col("norm_line") != "")
+        .select(id_col, "norm_line")
+        .distinct()
+        .groupBy("norm_line")
+        .agg(F.count(F.lit(1)).alias("line_docs"))
+        .filter(F.col("line_docs") >= min_df)
+        .select("norm_line")
+        .withColumn("_bp", F.lit(1))
+    )
+    tagged = lines.join(line_df, "norm_line", "left")
+    kept = F.col("_bp").isNull()
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        kept,
+                        F.struct(F.col("line_pos"), F.col("line").alias("l")),
+                    )
+                )
+            ).alias("_kept"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.when(kept, 0).otherwise(1)).cast("bigint").alias("n_removed"),
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(sep, F.transform(F.col("_kept"), lambda s: s["l"])).alias(
+                "cleaned_text"
+            ),
+            "n_lines",
+            "n_removed",
+        )
+    )

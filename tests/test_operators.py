@@ -1411,3 +1411,41 @@ def test_cms_layout_invariant(spark, sf_dir):
     assert np.array_equal(
         cms_build(tokens, "token"), cms_build(tokens.repartition(7), "token")
     )
+
+
+def test_remove_boilerplate_lines(spark):
+    header = "COOKIE BANNER: accept all cookies"
+    footer = "(c) 2024 Example Corp - all rights reserved"
+    rows = [
+        (1, f"{header}\nunique content one\n{footer}"),
+        (2, f"{header}\nsome other words\nmore words here\n{footer}"),
+        (3, f"{header.lower()}\nthird doc body\n{footer.upper()}"),  # cosmetic variants
+        (4, f"{header}\n{footer}"),  # pure boilerplate
+        (5, "completely standalone document"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in text.remove_boilerplate_lines(df, min_df=3).collect()}
+    assert out[1].cleaned_text == "unique content one"
+    assert out[2].cleaned_text == "some other words\nmore words here"  # order kept
+    assert out[3].cleaned_text == "third doc body"
+    assert out[4].cleaned_text == "" and out[4].n_removed == 2
+    assert out[5].cleaned_text == "completely standalone document"
+    assert out[5].n_removed == 0
+    assert out[2].n_lines == 4 and out[2].n_removed == 2
+    # idempotence: a second pass removes nothing further
+    cleaned = spark.createDataFrame(
+        [(k, v.cleaned_text) for k, v in out.items()], ["doc_id", "text"]
+    )
+    out2 = {
+        r.doc_id: r
+        for r in text.remove_boilerplate_lines(cleaned, min_df=3).collect()
+    }
+    for k in out:
+        assert out2[k].cleaned_text == out[k].cleaned_text
+        assert out2[k].n_removed == 0
+    # layout invariance
+    outr = {
+        r.doc_id: r.cleaned_text
+        for r in text.remove_boilerplate_lines(df.repartition(5), min_df=3).collect()
+    }
+    assert outr == {k: v.cleaned_text for k, v in out.items()}
