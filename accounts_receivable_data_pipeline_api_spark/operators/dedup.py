@@ -341,26 +341,41 @@ def simhash_near_pairs(
     minhash_lsh_pairs (hash-space buckets) or pre-partition by a
     cheap content shard key before simhash blocking.
     """
+    fp = simhash(df, id_col, text_col)
+    return hamming_near_pairs(fp, "simhash", id_col, max_hamming, num_chunks)
+
+
+def hamming_near_pairs(
+    fp: DataFrame,
+    fp_col: str,
+    id_col: str = "doc_id",
+    max_hamming: int = 8,
+    num_chunks: int = 4,
+) -> DataFrame:
+    """Near pairs over ANY 64-bit fingerprint column by chunk-blocked
+    hamming distance — the blocking engine behind simhash_near_pairs,
+    factored out (round-5) so other fingerprint families reuse it
+    verbatim (image dHash in operators/multimodal.py). Same pigeonhole
+    guarantee and 2^chunk_bits scale bound as documented above."""
     if not 1 <= num_chunks <= 64 or 64 % num_chunks != 0:
         raise ValueError("num_chunks must divide 64")
     chunk_bits = 64 // num_chunks
     mask = (1 << chunk_bits) - 1
-    fp = simhash(df, id_col, text_col)
     chunks = fp.select(
         id_col,
-        "simhash",
+        fp_col,
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(c).alias("chunk"),
-                    F.shiftright("simhash", c * chunk_bits).bitwiseAND(F.lit(mask)).alias("key"),
+                    F.shiftright(fp_col, c * chunk_bits).bitwiseAND(F.lit(mask)).alias("key"),
                 )
                 for c in range(num_chunks)
             ])
         ).alias("ck"),
-    ).select(id_col, "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
-    a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "key")
-    b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "key")
+    ).select(id_col, fp_col, F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"))
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col(fp_col).alias("sh_a"), "chunk", "key")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col(fp_col).alias("sh_b"), "chunk", "key")
     return (
         a.join(b, ["chunk", "key"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -347,12 +347,12 @@ def _png_unfilter(raw: bytes, w: int, h: int):
     return out.tobytes()
 
 
-def _parse_png(content: bytes) -> tuple[int, int, int, str] | None:
-    """Real PNG parse: signature + chunk walk with CRC validation, IHDR
-    geometry, concatenated-IDAT zlib inflate, scanline unfilter, and a
-    checksum over the logical top-down pixel stream (md5 of its
-    lowercase hex — same rule as the BMP parser). Returns None for
-    anything that is not a non-interlaced 8-bit RGB PNG."""
+def _png_pixels(content: bytes) -> tuple[int, int, bytes] | None:
+    """Real PNG decode to the logical top-down RGB pixel stream:
+    signature + chunk walk with CRC validation, IHDR geometry,
+    concatenated-IDAT zlib inflate, scanline unfilter. Returns
+    (w, h, stream) or None for anything that is not a non-interlaced
+    8-bit RGB PNG."""
     import zlib
 
     if content is None or len(content) < 8 + 25 or not content.startswith(_PNG_SIG):
@@ -393,15 +393,25 @@ def _parse_png(content: bytes) -> tuple[int, int, int, str] | None:
     stream = _png_unfilter(raw, w, h)
     if stream is None:
         return None
+    return w, h, bytes(stream)
+
+
+def _parse_png(content: bytes) -> tuple[int, int, int, str] | None:
+    """_png_pixels + the checksum contract (md5 of the stream's
+    lowercase hex — same rule as the BMP parser)."""
+    px = _png_pixels(content)
+    if px is None:
+        return None
+    w, h, stream = px
     return w, h, 3, hashlib.md5(stream.hex().encode()).hexdigest()
 
 
-def _parse_bmp(content: bytes) -> tuple[int, int, int, str] | None:
-    """Real BMP parse: validate magic/compression, read little-endian
-    header fields, strip per-row padding, undo bottom-up storage, and
-    checksum the logical top-down pixel stream (md5 of its lowercase
-    hex). Returns None for payloads that are not uncompressed 24-bit
-    BMP."""
+def _bmp_pixels(content: bytes) -> tuple[int, int, bytes] | None:
+    """Real BMP decode to the logical top-down BGR pixel stream:
+    validate magic/compression, read little-endian header fields,
+    strip per-row padding, undo bottom-up storage. Returns
+    (w, h, stream) or None for payloads that are not uncompressed
+    24-bit BMP."""
     if content is None or len(content) < 54 or content[:2] != b"BM":
         return None
     data_offset = int.from_bytes(content[10:14], "little")
@@ -422,8 +432,17 @@ def _parse_bmp(content: bytes) -> tuple[int, int, int, str] | None:
     ]
     if bottom_up:
         rows.reverse()
-    stream = b"".join(rows)
-    return width, h, bpp // 8, hashlib.md5(stream.hex().encode()).hexdigest()
+    return width, h, b"".join(rows)
+
+
+def _parse_bmp(content: bytes) -> tuple[int, int, int, str] | None:
+    """_bmp_pixels + the checksum contract (md5 of the stream's
+    lowercase hex)."""
+    px = _bmp_pixels(content)
+    if px is None:
+        return None
+    w, h, stream = px
+    return w, h, 3, hashlib.md5(stream.hex().encode()).hexdigest()
 
 
 def _decode_media_pdf(pdf: pd.DataFrame, parser) -> pd.DataFrame:
@@ -620,3 +639,107 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         "checksum",
         F.explode(offsets).alias("frame_offset"),
     )
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+
+def _dhash_from_stream(stream: bytes, w: int, h: int, hash_size: int = 8) -> int:
+    """64-bit difference hash of an RGB/BGR pixel stream: grayscale by
+    channel mean, area-mean downsample to hash_size x (hash_size + 1),
+    bit i*8+j = cell[i, j+1] > cell[i, j] (row-major). Deterministic:
+    integer pixel sums, fixed bin boundaries, no resampling library.
+    Channel order is irrelevant by construction (the mean is
+    permutation-invariant), so BMP's BGR and PNG's RGB hash alike."""
+    import numpy as np
+
+    px = np.frombuffer(stream, dtype=np.uint8).reshape(h, w, 3)
+    gray = px.astype(np.int64).sum(axis=2)  # 3x grayscale, order-free
+    rows = np.linspace(0, h, hash_size + 1, dtype=np.int64)
+    cols = np.linspace(0, w, hash_size + 2, dtype=np.int64)
+    cells = np.empty((hash_size, hash_size + 1), dtype=np.float64)
+    for i in range(hash_size):
+        band = gray[rows[i] : max(rows[i + 1], rows[i] + 1)]
+        for j in range(hash_size + 1):
+            block = band[:, cols[j] : max(cols[j + 1], cols[j] + 1)]
+            cells[i, j] = block.mean()
+    bits = (cells[:, 1:] > cells[:, :-1]).flatten()
+    v = 0
+    for bit in bits:
+        v = (v << 1) | int(bit)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def dhash_images(media: DataFrame, hash_size: int = 8) -> DataFrame:
+    """Perceptual (difference) hash per image over the REAL decoded
+    pixels — the image-modality member of the dedup family: near-
+    duplicate images (rescued thumbnails, re-encodes, brightness
+    shifts) land within a few hamming bits, and
+    dedup.hamming_near_pairs blocks the pair search exactly as for
+    text SimHash. Payload sniffing matches decoder='auto' (BMP magic /
+    PNG signature); undecodable payloads yield NULL dhash
+    (quarantine-style, never a task failure).
+
+    dHash compares ADJACENT CELL mean brightness, so it is invariant
+    to uniform brightness/contrast shifts (gradients survive) and to
+    channel order (grayscale mean), robust to small re-encodes
+    (area-mean downsample), and 64 bits regardless of resolution.
+
+    Plan shape at 100 TB: one Arrow crossing at scan parallelism; the
+    downsample is O(pixels) per image with a fixed output size, so
+    cost tracks corpus bytes exactly like decode_features.
+    """
+    import numpy as np  # noqa: F401  (kernel dependency, imported eagerly)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, hashes = [], [], [], []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                px = None
+                if content is not None and content[:2] == b"BM":
+                    px = _bmp_pixels(content)
+                elif content is not None and content[: len(_PNG_SIG)] == _PNG_SIG:
+                    px = _png_pixels(content)
+                ids.append(doc_id)
+                if px is None:
+                    ws.append(None)
+                    hs.append(None)
+                    hashes.append(None)
+                else:
+                    w, h, stream = px
+                    ws.append(w)
+                    hs.append(h)
+                    hashes.append(_dhash_from_stream(stream, w, h, hash_size))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "dhash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return media.select("doc_id", "content").mapInPandas(kernel, schema=DHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 10,
+    num_chunks: int = 4,
+    hash_size: int = 8,
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs: dHash fingerprints + the shared
+    chunk-blocked hamming join (operators/dedup.py:hamming_near_pairs
+    — same pigeonhole guarantee and 2^chunk_bits scale bound as text
+    SimHash). Returns (id_a, id_b, hamming)."""
+    from .dedup import hamming_near_pairs
+
+    fp = dhash_images(media, hash_size).filter(F.col("dhash").isNotNull())
+    return hamming_near_pairs(fp, "dhash", "doc_id", max_hamming, num_chunks)

@@ -1449,3 +1449,119 @@ def test_remove_boilerplate_lines(spark):
         for r in text.remove_boilerplate_lines(df.repartition(5), min_df=3).collect()
     }
     assert outr == {k: v.cleaned_text for k, v in out.items()}
+
+
+def _mk_bmp(px) -> bytes:
+    """Minimal 24-bit bottom-up BMP from an (h, w, 3) uint8 array."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = px.shape
+    row_size = (3 * w + 3) // 4 * 4
+    pad = b"\x00" * (row_size - 3 * w)
+    body = b"".join(px[j].tobytes() + pad for j in range(h - 1, -1, -1))
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    return header + info + body
+
+
+def test_dhash_brightness_invariant_and_near_pairs(spark):
+    import numpy as np
+
+    from accounts_receivable_data_pipeline_api_spark.operators.multimodal import (
+        dhash_images,
+        image_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng  # noqa: F841 — no RNG: gradients are deterministic
+    base = np.zeros((32, 48, 3), dtype=np.uint8)
+    for j in range(48):
+        base[:, j, :] = 4 * j  # horizontal gradient
+    brighter = np.clip(base.astype(np.int32) + 40, 0, 255).astype(np.uint8)
+    perturbed = base.copy()
+    perturbed[0:4, 0:6, :] = 255  # one corner cell flipped hard
+    inverse = base[:, ::-1, :].copy()  # reversed gradient: far
+
+    rows = [
+        (1, bytes(_mk_bmp(base))),
+        (2, bytes(_mk_bmp(brighter))),
+        (3, bytes(_mk_bmp(perturbed))),
+        (4, bytes(_mk_bmp(inverse))),
+        (5, b"not an image"),
+    ]
+    media = spark.createDataFrame(rows, "doc_id long, content binary")
+    hashes = {r.doc_id: r for r in dhash_images(media).collect()}
+    assert hashes[1].width == 48 and hashes[1].height == 32
+    # uniform brightness shift preserves every gradient comparison
+    assert hashes[2].dhash == hashes[1].dhash
+    # local perturbation: nearby, not identical
+    d13 = bin((hashes[1].dhash ^ hashes[3].dhash) & (2**64 - 1)).count("1")
+    assert 1 <= d13 <= 10
+    # reversed gradient flips (almost) every comparison: far
+    d14 = bin((hashes[1].dhash ^ hashes[4].dhash) & (2**64 - 1)).count("1")
+    assert d14 > 32
+    assert hashes[5].dhash is None  # quarantined, not failed
+
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in image_near_dup_pairs(media, max_hamming=10).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs and pairs[(1, 3)] == d13
+    assert (1, 4) not in pairs
+
+
+def test_dhash_on_synthesized_corpus_images(spark, sf_dir):
+    """End-to-end over the real synthesize->decode path: every
+    synthesized BMP and PNG hashes (no NULLs), and exact payload
+    duplicates collide exactly."""
+    from accounts_receivable_data_pipeline_api_spark.operators.multimodal import (
+        attach_binary,
+        dhash_images,
+        synthesize_bmp,
+        synthesize_png,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    for synth in (synthesize_bmp, synthesize_png):
+        media = synth(docs)
+        out = dhash_images(media).collect()
+        assert len(out) == 60
+        assert all(r.dhash is not None for r in out)
+
+
+def test_compression_ratio_separates_repetition_from_entropy(spark):
+    import hashlib
+
+    # deterministic "high-entropy" soup: chained sha256 hex
+    h, soup = b"seed", []
+    for _ in range(50):
+        h = hashlib.sha256(h).digest()
+        soup.append(h.hex())
+    prose = (
+        "The quarterly report outlines revenue growth across several "
+        "distinct market segments, with notable regional variation. "
+        "Management attributes the shift to changed customer behavior, "
+        "while analysts point instead at pricing and channel mix. "
+    ) * 8  # long enough that the zlib header is negligible
+    rows = [
+        (1, "spam spam spam " * 200),  # hyper-repetitive: compresses hard
+        (2, prose),
+        (3, "".join(soup)),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in text.compression_ratio(df).collect()}
+    assert out[1].compression_ratio < 0.05
+    # repeated prose still compresses (repetition + English structure)
+    assert out[1].compression_ratio < out[2].compression_ratio < out[3].compression_ratio
+    assert out[3].compression_ratio > 0.4  # hex soup barely compresses
+    assert out[4].compression_ratio is None and out[4].n_bytes == 0
+    # deterministic across layouts
+    again = {
+        r.doc_id: r.n_compressed
+        for r in text.compression_ratio(df.repartition(3)).collect()
+    }
+    assert again == {k: v.n_compressed for k, v in out.items()}
