@@ -743,3 +743,162 @@ def image_near_dup_pairs(
 
     fp = dhash_images(media, hash_size).filter(F.col("dhash").isNotNull())
     return hamming_near_pairs(fp, "dhash", "doc_id", max_hamming, num_chunks)
+
+
+# ---------------------------------------------------------------------------
+# Audio modality: REAL 16-bit PCM WAV (RIFF) — synthesized, parsed, and
+# feature-extracted with the same dependency-free discipline as BMP/PNG.
+# ---------------------------------------------------------------------------
+
+
+def _wav_params_from_text(text: str) -> tuple[str, int, int]:
+    """Deterministic fixture audio: (md5 seed, sample_rate, n_samples).
+    Engine-mirrorable like _bmp_dims_from_text:
+    hx = int(md5(text)[:8], 16); rate = 8000 + (hx % 4) * 4000;
+    n_samples = hx % 1500 + 100."""
+    seed = hashlib.md5(text.encode("utf-8")).hexdigest()
+    hx = int(seed[:8], 16)
+    return seed, 8000 + (hx % 4) * 4000, hx % 1500 + 100
+
+
+def _wav_bytes(seed: str, sample_rate: int, n_samples: int) -> bytes:
+    """A genuine mono 16-bit PCM WAV file (RIFF/fmt/data chunks). The
+    sample stream is the md5 digest of the seed repeated, read as
+    little-endian int16 — so an independent engine can predict every
+    decoded value without a WAV parser."""
+    n_bytes = n_samples * 2
+    digest = bytes.fromhex(seed)
+    pcm = (digest * ((n_bytes + len(digest) - 1) // len(digest)))[:n_bytes]
+    fmt = (
+        b"fmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits per sample
+    )
+    data = b"data" + n_bytes.to_bytes(4, "little") + pcm
+    riff_size = 4 + len(fmt) + len(data)
+    return b"RIFF" + riff_size.to_bytes(4, "little") + b"WAVE" + fmt + data
+
+
+def synthesize_wav(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Fixture source for the audio modality: a real PCM WAV payload
+    per document, deterministically from its text (same contract as
+    synthesize_bmp/synthesize_png — stands in for the object-store
+    read; every decoded value is independently predictable)."""
+    src = _spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                seed, rate, n = _wav_params_from_text(text)
+                payloads.append(_wav_bytes(seed, rate, n))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": "audio",
+                    "content": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                    "checksum": [hashlib.md5(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return src.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+def _wav_samples(content: bytes) -> tuple[int, int, bytes] | None:
+    """Real WAV parse: RIFF/WAVE magic, chunk walk to fmt + data,
+    mono 16-bit PCM only. Returns (sample_rate, n_samples, pcm bytes)
+    or None (quarantine) for anything else."""
+    if content is None or len(content) < 44 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    pos = 12
+    rate = None
+    pcm = None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        ln = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        body = content[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            return None
+        if cid == b"fmt ":
+            if ln < 16:
+                return None
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                return None
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + ln + (ln & 1)  # RIFF chunks are 2-byte aligned
+    if rate is None or pcm is None or len(pcm) % 2 != 0:
+        return None
+    return rate, len(pcm) // 2, pcm
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", IntegerType()),
+        StructField("sample_checksum", StringType()),
+    ]
+)
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio decode + feature extraction in one Arrow crossing:
+    RIFF parse, then duration / RMS / peak over the int16 samples plus
+    a checksum of the raw sample stream (md5 of its lowercase hex —
+    the same cross-engine rule as the image pixel checksums, so a SQL
+    oracle can predict it from the synthesis contract). Undecodable or
+    non-PCM payloads yield NULL features (quarantine, never a task
+    failure). duration_ms floors (n_samples * 1000) / rate in integer
+    arithmetic; rms = round(sqrt(mean(x^2)), 6) — both engine-stable.
+
+    Plan shape at 100 TB: identical cost class to decode_features —
+    one Python stage at scan parallelism, O(bytes) per payload, no
+    shuffle.
+    """
+    import numpy as np
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k.name: [] for k in AUDIO_SCHEMA.fields}
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                out["doc_id"].append(doc_id)
+                parsed = _wav_samples(content)
+                if parsed is None:
+                    for k in ("sample_rate", "n_samples", "duration_ms", "rms", "peak", "sample_checksum"):
+                        out[k].append(None)
+                    continue
+                rate, n, pcm = parsed
+                x = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // rate)
+                out["rms"].append(round(float(np.sqrt(np.mean(x * x))), 6) if n else None)
+                out["peak"].append(int(np.max(np.abs(x))) if n else None)
+                out["sample_checksum"].append(hashlib.md5(pcm.hex().encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "sample_rate": pd.array(out["sample_rate"], dtype="Int32"),
+                    "n_samples": pd.array(out["n_samples"], dtype="Int64"),
+                    "duration_ms": pd.array(out["duration_ms"], dtype="Int64"),
+                    "rms": pd.array(out["rms"], dtype="Float64"),
+                    "peak": pd.array(out["peak"], dtype="Int32"),
+                    "sample_checksum": out["sample_checksum"],
+                }
+            )
+
+    return media.select("doc_id", "content").mapInPandas(kernel, schema=AUDIO_SCHEMA)

@@ -612,13 +612,52 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'png' AS codec, doc_id, modality, CAST(NULL AS BIGINT),
              width, height, channels, pixel_checksum, scale
       FROM geom
+    ),
+    images AS (
+      SELECT codec, doc_id, modality, n_bytes, width, height, channels,
+             pixel_checksum,
+             CAST(greatest(floor(width * scale + 0.5), 1) AS INT) AS target_w,
+             CAST(greatest(floor(height * scale + 0.5), 1) AS INT) AS target_h,
+             scale
+      FROM both_codecs
+    ),
+    awav AS (
+      SELECT doc_id,
+             CAST(8000 + (hx % 4) * 4000 AS INT) AS sample_rate,
+             CAST(hx % 1500 + 100 AS BIGINT) AS n_samples,
+             substr(repeat(seed, CAST((4 * (hx % 1500 + 100) + 31) // 32 AS INT)),
+                    1, CAST(4 * (hx % 1500 + 100) AS INT)) AS hexstream
+      FROM m
+    ),
+    avals AS (
+      SELECT doc_id,
+             CAST('0x' || substr(hexstream, CAST(4 * i + 3 AS INT), 2)
+                       || substr(hexstream, CAST(4 * i + 1 AS INT), 2)
+                  AS BIGINT) AS u
+      FROM (SELECT doc_id, hexstream, unnest(range(0, n_samples)) AS i FROM awav)
+    ),
+    astat AS (
+      SELECT doc_id,
+             round(sqrt(avg(CASE WHEN u >= 32768
+                                 THEN (u - 65536.0) * (u - 65536.0)
+                                 ELSE u * u * 1.0 END)), 6) AS rms,
+             CAST(max(CASE WHEN u >= 32768 THEN 65536 - u ELSE u END) AS INT)
+               AS peak
+      FROM avals GROUP BY doc_id
     )
     SELECT codec, doc_id, modality, n_bytes, width, height, channels,
-           pixel_checksum,
-           CAST(greatest(floor(width * scale + 0.5), 1) AS INT) AS target_w,
-           CAST(greatest(floor(height * scale + 0.5), 1) AS INT) AS target_h,
-           scale
-    FROM both_codecs
+           pixel_checksum, target_w, target_h, scale,
+           CAST(NULL AS INT) AS sample_rate, CAST(NULL AS BIGINT) AS n_samples,
+           CAST(NULL AS BIGINT) AS duration_ms, CAST(NULL AS DOUBLE) AS rms,
+           CAST(NULL AS INT) AS peak, CAST(NULL AS VARCHAR) AS sample_checksum
+    FROM images
+    UNION ALL
+    SELECT 'wav', a.doc_id, 'audio', 44 + 2 * a.n_samples,
+           NULL, NULL, CAST(1 AS INT), NULL, NULL, NULL, CAST(NULL AS DOUBLE),
+           a.sample_rate, a.n_samples,
+           a.n_samples * 1000 // a.sample_rate,
+           t.rms, t.peak, md5(a.hexstream)
+    FROM awav a JOIN astat t USING (doc_id)
     """,
     tags=("EXT", "MM"),
     doc="Full multimodal pipeline with REAL image decode over BOTH an "
@@ -640,10 +679,24 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash-mismatches; BMP n_bytes additionally pins the byte-layout "
     "formula (PNG file size is not SQL-predictable: NULL). The legacy "
     "checksum-derived stub remains only as decoder='stub' for "
-    "codec-library formats this container cannot decode.",
+    "codec-library formats this container cannot decode. Round 5 adds "
+    "the AUDIO row group ('wav' codec): synthesize_wav builds genuine "
+    "mono 16-bit PCM RIFF/WAVE files and decode_audio_features parses "
+    "them back dependency-free (chunk walk, fmt validation) and "
+    "extracts duration / RMS / peak / sample checksum — every value "
+    "again SQL-predicted from md5(text) (the oracle re-derives the "
+    "int16 stream from the digest hex and recomputes RMS/peak "
+    "numerically: squares of int16s sum exactly in doubles, so the "
+    "aggregate is order-free), making all three modalities "
+    "hash-checked by the driver.",
 )
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.multimodal import synthesize_bmp, synthesize_png
+    from ..operators.multimodal import (
+        decode_audio_features,
+        synthesize_bmp,
+        synthesize_png,
+        synthesize_wav,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     cols = [
@@ -658,15 +711,42 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_h",
         "scale",
     ]
+    audio_nulls = [
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("bigint").alias("n_samples"),
+        F.lit(None).cast("bigint").alias("duration_ms"),
+        F.lit(None).cast("double").alias("rms"),
+        F.lit(None).cast("int").alias("peak"),
+        F.lit(None).cast("string").alias("sample_checksum"),
+    ]
     bmp = decode_resize(synthesize_bmp(docs), max_side=32, decoder="bmp").select(
-        F.lit("bmp").alias("codec"), *cols
+        F.lit("bmp").alias("codec"), *cols, *audio_nulls
     )
     png = (
         decode_resize(synthesize_png(docs), max_side=32, decoder="png")
         .withColumn("n_bytes", F.lit(None).cast("long"))
-        .select(F.lit("png").alias("codec"), *cols)
+        .select(F.lit("png").alias("codec"), *cols, *audio_nulls)
     )
-    return bmp.unionByName(png)
+    wav = decode_audio_features(synthesize_wav(docs)).select(
+        F.lit("wav").alias("codec"),
+        "doc_id",
+        F.lit("audio").alias("modality"),
+        (F.lit(44) + F.lit(2) * F.col("n_samples")).cast("bigint").alias("n_bytes"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(1).cast("int").alias("channels"),
+        F.lit(None).cast("string").alias("pixel_checksum"),
+        F.lit(None).cast("int").alias("target_w"),
+        F.lit(None).cast("int").alias("target_h"),
+        F.lit(None).cast("double").alias("scale"),
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        "rms",
+        "peak",
+        "sample_checksum",
+    )
+    return bmp.unionByName(png).unionByName(wav)
 
 
 _BUCKET_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"

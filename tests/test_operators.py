@@ -1565,3 +1565,65 @@ def test_compression_ratio_separates_repetition_from_entropy(spark):
         for r in text.compression_ratio(df.repartition(3)).collect()
     }
     assert again == {k: v.n_compressed for k, v in out.items()}
+
+
+def test_wav_roundtrip_and_features(spark, sf_dir):
+    """Real audio path end-to-end: synthesized PCM WAVs parse back with
+    the synthesis contract's exact parameters, features are
+    independently recomputable from the md5-digest sample stream, and
+    garbage payloads quarantine to NULLs."""
+    import hashlib
+
+    import numpy as np
+
+    from accounts_receivable_data_pipeline_api_spark.operators.multimodal import (
+        _wav_params_from_text,
+        decode_audio_features,
+        synthesize_wav,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    media = synthesize_wav(docs)
+    feats = {r.doc_id: r for r in decode_audio_features(media).collect()}
+    assert len(feats) == 40
+    for r in docs.collect():
+        seed, rate, n = _wav_params_from_text(r.text)
+        f = feats[r.doc_id]
+        assert (f.sample_rate, f.n_samples) == (rate, n), r.doc_id
+        assert f.duration_ms == n * 1000 // rate
+        # independent recompute from the synthesis contract
+        digest = bytes.fromhex(seed)
+        pcm = (digest * ((n * 2 + len(digest) - 1) // len(digest)))[: n * 2]
+        x = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+        assert f.rms == round(float(np.sqrt(np.mean(x * x))), 6)
+        assert f.peak == int(np.max(np.abs(x)))
+        assert f.sample_checksum == hashlib.md5(pcm.hex().encode()).hexdigest()
+
+    junk = spark.createDataFrame(
+        [(900, b"RIFFxxxxWAVEnot really"), (901, b"plainly not audio")],
+        "doc_id long, content binary",
+    )
+    bad = {r.doc_id: r for r in decode_audio_features(junk).collect()}
+    assert bad[900].sample_rate is None and bad[901].rms is None
+
+
+def test_wav_parser_rejects_non_pcm_and_odd_chunks():
+    from accounts_receivable_data_pipeline_api_spark.operators.multimodal import (
+        _wav_bytes,
+        _wav_samples,
+    )
+
+    good = _wav_bytes("ab" * 16, 16000, 64)
+    rate, n, pcm = _wav_samples(good)
+    assert (rate, n) == (16000, 64) and len(pcm) == 128
+    # flip audio format to 3 (IEEE float): rejected
+    bad = bytearray(good)
+    bad[20] = 3
+    assert _wav_samples(bytes(bad)) is None
+    # stereo: rejected
+    bad = bytearray(good)
+    bad[22] = 2
+    assert _wav_samples(bytes(bad)) is None
+    # truncated data chunk: rejected
+    assert _wav_samples(good[:-10]) is None
