@@ -644,20 +644,50 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(max(CASE WHEN u >= 32768 THEN 65536 - u ELSE u END) AS INT)
                AS peak
       FROM avals GROUP BY doc_id
+    ),
+    vgeom AS (
+      SELECT doc_id, seed,
+             CAST(hx % 16 + 4 AS INT) AS vw,
+             CAST((hx // 16) % 16 + 4 AS INT) AS vh,
+             CAST(hx % 5 + 2 AS INT) AS n_frames
+      FROM m
+    ),
+    vframes AS (
+      SELECT doc_id, seed, vw, vh, n_frames,
+             CAST(f AS INT) AS frame_idx,
+             ((3 * vw + 3) // 4) * 4 AS row_size
+      FROM (SELECT *, unnest(range(0, n_frames, 2)) AS f FROM vgeom)
+    ),
+    video AS (
+      SELECT doc_id, vw, vh, n_frames, frame_idx,
+             CAST(224 + n_frames * (8 + row_size * vh) AS BIGINT) AS n_bytes,
+             md5(substr(repeat(md5(seed || '-' || CAST(frame_idx AS VARCHAR)),
+                               CAST((vw * vh * 6 + 31) // 32 AS INT)),
+                        1, CAST(vw * vh * 6 AS INT))) AS frame_checksum
+      FROM vframes
     )
     SELECT codec, doc_id, modality, n_bytes, width, height, channels,
            pixel_checksum, target_w, target_h, scale,
            CAST(NULL AS INT) AS sample_rate, CAST(NULL AS BIGINT) AS n_samples,
            CAST(NULL AS BIGINT) AS duration_ms, CAST(NULL AS DOUBLE) AS rms,
-           CAST(NULL AS INT) AS peak, CAST(NULL AS VARCHAR) AS sample_checksum
+           CAST(NULL AS INT) AS peak, CAST(NULL AS VARCHAR) AS sample_checksum,
+           CAST(NULL AS INT) AS frame_idx, CAST(NULL AS INT) AS n_frames,
+           CAST(NULL AS VARCHAR) AS frame_checksum
     FROM images
     UNION ALL
     SELECT 'wav', a.doc_id, 'audio', 44 + 2 * a.n_samples,
            NULL, NULL, CAST(1 AS INT), NULL, NULL, NULL, CAST(NULL AS DOUBLE),
            a.sample_rate, a.n_samples,
            a.n_samples * 1000 // a.sample_rate,
-           t.rms, t.peak, md5(a.hexstream)
+           t.rms, t.peak, md5(a.hexstream),
+           NULL, NULL, NULL
     FROM awav a JOIN astat t USING (doc_id)
+    UNION ALL
+    SELECT 'avi', doc_id, 'video', n_bytes,
+           vw, vh, CAST(3 AS INT), NULL, NULL, NULL, CAST(NULL AS DOUBLE),
+           NULL, NULL, NULL, CAST(NULL AS DOUBLE), NULL, NULL,
+           frame_idx, n_frames, frame_checksum
+    FROM video
     """,
     tags=("EXT", "MM"),
     doc="Full multimodal pipeline with REAL image decode over BOTH an "
@@ -687,12 +717,20 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "again SQL-predicted from md5(text) (the oracle re-derives the "
     "int16 stream from the digest hex and recomputes RMS/peak "
     "numerically: squares of int16s sum exactly in doubles, so the "
-    "aggregate is order-free), making all three modalities "
+    "aggregate is order-free), and the VIDEO row group ('avi' codec): "
+    "synthesize_avi builds genuine RIFF AVI containers (hdrl/avih/"
+    "strl/strf headers + movi '00db' uncompressed 24-bit DIB frames, "
+    "BMP row discipline) and sample_video_frames decodes and emits "
+    "every 2nd frame with its pixel-stream checksum — per-frame "
+    "checksums and the container byte-layout formula both "
+    "SQL-predicted. Image, compressed image, audio AND video are all "
     "hash-checked by the driver.",
 )
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import (
         decode_audio_features,
+        sample_video_frames,
+        synthesize_avi,
         synthesize_bmp,
         synthesize_png,
         synthesize_wav,
@@ -711,6 +749,11 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "target_h",
         "scale",
     ]
+    frame_nulls = [
+        F.lit(None).cast("int").alias("frame_idx"),
+        F.lit(None).cast("int").alias("n_frames"),
+        F.lit(None).cast("string").alias("frame_checksum"),
+    ]
     audio_nulls = [
         F.lit(None).cast("int").alias("sample_rate"),
         F.lit(None).cast("bigint").alias("n_samples"),
@@ -720,12 +763,12 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("sample_checksum"),
     ]
     bmp = decode_resize(synthesize_bmp(docs), max_side=32, decoder="bmp").select(
-        F.lit("bmp").alias("codec"), *cols, *audio_nulls
+        F.lit("bmp").alias("codec"), *cols, *audio_nulls, *frame_nulls
     )
     png = (
         decode_resize(synthesize_png(docs), max_side=32, decoder="png")
         .withColumn("n_bytes", F.lit(None).cast("long"))
-        .select(F.lit("png").alias("codec"), *cols, *audio_nulls)
+        .select(F.lit("png").alias("codec"), *cols, *audio_nulls, *frame_nulls)
     )
     wav = decode_audio_features(synthesize_wav(docs)).select(
         F.lit("wav").alias("codec"),
@@ -745,8 +788,31 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rms",
         "peak",
         "sample_checksum",
+        *frame_nulls,
     )
-    return bmp.unionByName(png).unionByName(wav)
+    row_size = F.expr("((3 * width + 3) div 4) * 4")
+    avi = sample_video_frames(synthesize_avi(docs), every_k=2).select(
+        F.lit("avi").alias("codec"),
+        "doc_id",
+        F.lit("video").alias("modality"),
+        (
+            F.lit(224)
+            + F.col("n_frames").cast("bigint")
+            * (F.lit(8) + row_size.cast("bigint") * F.col("height"))
+        ).alias("n_bytes"),
+        "width",
+        "height",
+        F.lit(3).cast("int").alias("channels"),
+        F.lit(None).cast("string").alias("pixel_checksum"),
+        F.lit(None).cast("int").alias("target_w"),
+        F.lit(None).cast("int").alias("target_h"),
+        F.lit(None).cast("double").alias("scale"),
+        *audio_nulls,
+        "frame_idx",
+        "n_frames",
+        "frame_checksum",
+    )
+    return bmp.unionByName(png).unionByName(wav).unionByName(avi)
 
 
 _BUCKET_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"

@@ -1627,3 +1627,41 @@ def test_wav_parser_rejects_non_pcm_and_odd_chunks():
     assert _wav_samples(bytes(bad)) is None
     # truncated data chunk: rejected
     assert _wav_samples(good[:-10]) is None
+
+
+def test_avi_roundtrip_frame_sampling(spark, sf_dir):
+    """Real video path: synthesized AVIs parse back with the synthesis
+    contract's geometry, every-k sampling emits the right frame
+    indexes, and frame checksums are independently recomputable from
+    the per-frame digest rule."""
+    import hashlib
+
+    from accounts_receivable_data_pipeline_api_spark.operators.multimodal import (
+        _avi_params_from_text,
+        sample_video_frames,
+        synthesize_avi,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    media = synthesize_avi(docs)
+    frames = {}
+    for r in sample_video_frames(media, every_k=2).collect():
+        frames.setdefault(r.doc_id, []).append(r)
+    assert len(frames) == 30
+    for d in docs.collect():
+        seed, w, h, n = _avi_params_from_text(d.text)
+        rows = sorted(frames[d.doc_id], key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in rows] == list(range(0, n, 2))
+        for r in rows:
+            assert (r.width, r.height, r.n_frames) == (w, h, n)
+            npix = w * h * 3
+            digest = hashlib.md5(f"{seed}-{r.frame_idx}".encode()).digest()
+            stream = (digest * ((npix + len(digest) - 1) // len(digest)))[:npix]
+            assert r.frame_checksum == hashlib.md5(stream.hex().encode()).hexdigest()
+
+    junk = spark.createDataFrame(
+        [(900, b"RIFFxxxxAVI not really")], "doc_id long, content binary"
+    )
+    bad = sample_video_frames(junk).collect()
+    assert len(bad) == 1 and bad[0].frame_checksum is None
