@@ -206,3 +206,64 @@ RAW_OPS.update(
         "op_bpe_apply": (op_bpe_apply, "documents"),
     }
 )
+
+
+# Media payload synthesis is the FIXTURE step (a real deployment reads
+# payloads from the object store) — written to a per-sf_dir parquet
+# cache once, so the probe times the DECODERS, not the synthesizers
+# (the same fixture-vs-operator accounting the round-4 bench
+# restructure established for the exact-twin oracles).
+_MEDIA_CACHE: dict[str, str] = {}
+
+
+def _media_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    if sf_dir not in _MEDIA_CACHE:
+        from ..operators.multimodal import (
+            synthesize_avi,
+            synthesize_bmp,
+            synthesize_png,
+            synthesize_wav,
+        )
+
+        tag = sf_dir.strip("/").replace("/", "_")
+        path = f"/tmp/spark_graft_media_{tag}"
+        if not os.path.isdir(path):
+            docs = load_table(spark, sf_dir, "documents")
+            media = (
+                synthesize_bmp(docs)
+                .unionByName(synthesize_png(docs))
+                .unionByName(synthesize_wav(docs))
+                .unionByName(synthesize_avi(docs))
+            )
+            media.write.mode("overwrite").parquet(path)
+        _MEDIA_CACHE[sf_dir] = path
+    return spark.read.parquet(_MEDIA_CACHE[sf_dir])
+
+
+def op_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode throughput across all four REAL codecs: sniffing image
+    decode+resize (BMP/PNG), WAV feature extraction, AVI keyframe
+    sampling — one row per decoded artifact, payloads from the cached
+    media source."""
+    from ..operators.multimodal import (
+        decode_audio_features,
+        decode_resize,
+        sample_video_frames,
+    )
+
+    media = _media_source(spark, sf_dir)
+    images = decode_resize(
+        media.filter(F.col("modality") == "image"), max_side=32, decoder="auto"
+    ).select("doc_id")
+    audio = decode_audio_features(media.filter(F.col("modality") == "audio")).select(
+        "doc_id"
+    )
+    video = sample_video_frames(media.filter(F.col("modality") == "video")).select(
+        "doc_id"
+    )
+    return images.unionByName(audio).unionByName(video)
+
+
+RAW_OPS.update({"op_media_decode": (op_media_decode, "documents")})

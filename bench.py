@@ -67,7 +67,7 @@ HEADLINE = (
     "similarity_brute_topk",
     "text_quality",
     "text_tfidf_topk",
-    "multimodal_pipeline",
+    "op_media_decode",
     "curation_pack_batches",
     "window_sessionize",
     "window_frames",
@@ -83,6 +83,7 @@ VERIFICATION = (
     "similarity_ivf_topk",
     # round-5 entries that bundle exact-twin audit columns next to the
     # operator output (the raw operators are in HEADLINE as op_*)
+    "multimodal_pipeline",
     "text_bloom_decontaminate",
     "dedup_incremental",
     "dedup_semantic",
