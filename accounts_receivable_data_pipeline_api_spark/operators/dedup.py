@@ -1082,3 +1082,57 @@ def semantic_prune(
             F.col("__dom").isNotNull().alias("pruned"),
         )
     )
+
+
+def canonical_keep(
+    df: DataFrame,
+    pairs: DataFrame,
+    quality,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end dedup decision map: cluster the near-dup pair graph
+    into connected components, then keep ONE canonical document per
+    component — the highest-``quality`` member, ties to the lowest id.
+    Everything else in the component is dropped in favor of it.
+
+    This is the selection stage every production dedup pipeline ends
+    with (pair generation alone doesn't say WHICH copy survives);
+    composing it from the pair graph keeps the policy — quality-argmax
+    with a total tie-break — in one place for exact, minhash, simhash,
+    and embedding pair sources alike.
+
+    ``pairs`` is any (id_a, id_b) frame (extra columns ignored);
+    ``quality`` is a Column over ``df``'s columns (e.g.
+    text.quality_score("text")). Documents outside every pair are
+    singleton components and keep themselves.
+
+    Returns one row per input document:
+    (id_col, component, quality DOUBLE, group_size, canonical_id, keep)
+    — a total map, so downstream filters are a semi-join on keep=true
+    and provenance (which survivor replaced me) rides along.
+
+    Plan shape at 100 TB: components via the iterative min-label
+    propagation (diameter-bounded shuffles on the small edge list), one
+    broadcast-or-hash join back to the corpus, and a per-component
+    window — no quadratic stage beyond the pair input itself.
+    """
+    comp = connected_components(pairs, nodes=df.select(F.col(id_col)))
+    scored = df.select(F.col(id_col), quality.cast("double").alias("quality")).join(
+        comp, F.col(id_col) == F.col("node")
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality").desc(), F.col(id_col)
+    )
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        scored.withColumn("group_size", F.count(F.lit(1)).over(w_all))
+        .withColumn("canonical_id", F.first(F.col(id_col)).over(w_all))
+        .select(
+            F.col(id_col),
+            F.col("component"),
+            F.col("quality"),
+            F.col("group_size").cast("bigint").alias("group_size"),
+            F.col("canonical_id"),
+            (F.col(id_col) == F.col("canonical_id")).alias("keep"),
+        )
+    )

@@ -305,6 +305,95 @@ def ivf_build(
     return centroids
 
 
+def kmeans_portable(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Engine-portable spherical k-means: Lloyd iterations whose FINAL
+    ASSIGNMENT MAP is bit-reproducible in ANSI SQL, so cluster
+    membership itself hash-checks cross-engine (the ``embed_kmeans``
+    corpus entry unrolls the same iterations as DuckDB CTEs).
+
+    ``ivf_build`` is the scale path for the same algorithm (numpy GEMM
+    assignment, partition-ordered float partial sums — fast but its
+    summation order is layout-dependent); this is the ORACLE-PARITY
+    twin, deterministic at every step:
+
+    - init: the first ``k`` vectors by id are the centroids
+      (ivf_build's rule), cluster ids 0..k-1 in that id order;
+    - assignment: cosine to each centroid via the index-order fold
+      (``dot``), rounded to ``round_dp``, argmax with ties to the
+      LOWEST cluster id;
+    - update: per-dimension mean through an order-free decimal sum
+      (elements rounded to ``round_dp`` then summed as DECIMAL(28,6));
+      the mean itself is the raw IEEE quotient CAST(sum AS DOUBLE)/n,
+      never re-rounded. Empty clusters keep their previous centroid;
+    - ``iters`` assignment passes total; the update after the final
+      assignment is skipped, so the returned map reflects the last
+      centroids both engines computed identically.
+
+    Returns (id_col, cluster_id INT, score DOUBLE) — one row per input
+    vector, score = rounded cosine to the winning centroid.
+
+    Plan shape at 100 TB: centroids are a k-row broadcast (k x dim
+    doubles), assignment is a broadcast nested-loop + per-id window —
+    the corpus shuffles once per iteration on the window's hash
+    exchange; the update aggregates (cluster, dim) partial decimal sums
+    map-side before a k*dim-row shuffle. Driver state is k centroids
+    per iteration, independent of corpus size.
+    """
+    spark = df.sparkSession
+    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
+    seed_rows = vecs.orderBy(id_col).limit(k).collect()
+    centroids: dict[int, list[float]] = {
+        i: list(r["__v"]) for i, r in enumerate(seed_rows)
+    }
+    assign = None
+    for it in range(max(int(iters), 1)):
+        cdf = spark.createDataFrame(
+            sorted(centroids.items()),
+            schema="cluster_id INT, __c ARRAY<DOUBLE>",
+        )
+        scored = vecs.crossJoin(F.broadcast(cdf)).select(
+            F.col(id_col),
+            F.col("cluster_id"),
+            F.col("__v"),
+            F.round(cosine(F.col("__v"), F.col("__c")), round_dp).alias("score"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.col("score").desc(), F.col("cluster_id")
+        )
+        assign = (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .select(F.col(id_col), F.col("cluster_id"), F.col("score"), F.col("__v"))
+        )
+        if it == max(int(iters), 1) - 1:
+            break
+        means = (
+            assign.select("cluster_id", F.posexplode("__v").alias("__i", "__x"))
+            .groupBy("cluster_id", "__i")
+            .agg(
+                (
+                    F.sum(F.round(F.col("__x"), round_dp).cast("decimal(28,6)"))
+                    .cast("double")
+                    / F.count(F.lit(1)).cast("double")
+                ).alias("__m")
+            )
+            .groupBy("cluster_id")
+            .agg(F.array_sort(F.collect_list(F.struct("__i", "__m"))).alias("__ms"))
+        )
+        new_c = {
+            r["cluster_id"]: [s["__m"] for s in r["__ms"]] for r in means.collect()
+        }
+        centroids = {cid: new_c.get(cid, old) for cid, old in centroids.items()}
+    return assign.select(F.col(id_col), F.col("cluster_id"), F.col("score"))
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,

@@ -86,18 +86,50 @@ _EXACT_JACCARD_CTE = f"""
 
 
 @register(
-    "dedup_ngram_jaccard",
+    "dedup_near_pairs",
     oracle=f"""
-    WITH {_EXACT_JACCARD_CTE}
-    SELECT id_a, id_b, jaccard FROM ex WHERE jaccard >= 0.2
+    WITH {_EXACT_JACCARD_CTE},
+    v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    cos AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.e, b.e) /
+                   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                   6) AS score
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT 'ngram_jaccard' AS method, id_a, id_b, jaccard AS score
+    FROM ex WHERE jaccard >= 0.2
+    UNION ALL
+    SELECT 'embedding_cosine' AS method, id_a, id_b, score
+    FROM cos WHERE score >= 0.3
     """,
     tags=("EXT", "DEDUP"),
-    doc="Near-dup pairs by exact 5-gram Jaccard with inverted-index "
-    "blocking (operators/dedup.py:ngram_jaccard_pairs).",
+    doc="Exact near-dup PAIR gauntlet, one row group per method "
+    "(round-5 corpus consolidation; both groups keep their full "
+    "per-pair hash check): method='ngram_jaccard' — 5-gram Jaccard "
+    "pairs with inverted-index blocking over documents "
+    "(operators/dedup.py:ngram_jaccard_pairs, formerly the standalone "
+    "dedup_ngram_jaccard entry); method='embedding_cosine' — exact "
+    "embedding-cosine pairs at threshold 0.3 over embeddings "
+    "(operators/dedup.py:embedding_cosine_pairs, formerly "
+    "dedup_embedding_cosine; scores rounded to 6 dp before the "
+    "threshold so boundary values agree across engines).",
 )
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+    emb = load_table(spark, sf_dir, "embeddings")
+    ngram = dedup.ngram_jaccard_pairs(docs, threshold=0.2).select(
+        F.lit("ngram_jaccard").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("jaccard").alias("score"),
+    )
+    cos = dedup.embedding_cosine_pairs(emb, threshold=0.3).select(
+        F.lit("embedding_cosine").alias("method"), "id_a", "id_b", "score"
+    )
+    return ngram.unionByName(cos)
 
 
 @register(
@@ -246,28 +278,73 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_embedding_cosine",
-    oracle="""
-    WITH v AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    "dedup_canonical",
+    oracle=f"""
+    WITH RECURSIVE {_EXACT_JACCARD_CTE},
+    p AS (SELECT id_a, id_b FROM ex WHERE jaccard >= 0.2),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM p
+      UNION
+      SELECT id_b, id_a FROM p
+    ),
+    reach(a, b) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+      UNION
+      SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+    ),
+    comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a),
+    q AS (
+      SELECT doc_id,
+             list_filter(string_split({_NORM_SQL}, ' '), x -> x != '') AS tok,
+             CAST(length(text) -
+                  length(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                  AS DOUBLE) / greatest(length(text), 1) AS punct,
+             CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+               AS n_nonspace
+      FROM documents
     ),
     scored AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round(list_dot_product(a.e, b.e) /
-                   (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
-                   6) AS score
-      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS component,
+             ((CASE WHEN len(q.tok) BETWEEN 5 AND 100000 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN q.n_nonspace / greatest(len(q.tok), 1)
+                        BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+              + (CASE WHEN q.punct <= 0.3 THEN 1.0 ELSE 0.0 END)) / 3.0
+               AS quality
+      FROM documents d
+        LEFT JOIN comp c ON c.node = d.doc_id
+        JOIN q ON q.doc_id = d.doc_id
     )
-    SELECT id_a, id_b, score FROM scored WHERE score >= 0.3
+    SELECT doc_id, component, quality,
+           CAST(COUNT(*) OVER w_all AS BIGINT) AS group_size,
+           first_value(doc_id) OVER w_ord AS canonical_id,
+           doc_id = first_value(doc_id) OVER w_ord AS keep
+    FROM scored
+    WINDOW
+      w_all AS (PARTITION BY component),
+      w_ord AS (PARTITION BY component ORDER BY quality DESC, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     """,
-    tags=("EXT", "DEDUP", "SIM"),
-    doc="Exact embedding-cosine near-dup pairs at threshold 0.3 "
-    "(operators/dedup.py:embedding_cosine_pairs). Scores rounded to "
-    "6 dp before the threshold so boundary values agree across engines.",
+    tags=("EXT", "DEDUP"),
+    doc="End-to-end dedup SELECTION: near-dup pair graph (exact 5-gram "
+    "Jaccard >= 0.2, doc_id < 200 pair domain) -> connected components "
+    "(iterative min-label propagation vs the recursive reachability "
+    "closure) -> ONE canonical survivor per component by quality-argmax "
+    "(operators/dedup.py:canonical_keep; quality = "
+    "operators/text.py:quality_score, ties to the lowest doc_id). "
+    "Documents outside every pair are singletons that keep themselves "
+    "(nodes= passes the full corpus), so the output is a TOTAL per-"
+    "document decision map with provenance: (doc_id, component, "
+    "quality, group_size, canonical_id, keep) — the stage every "
+    "production dedup pipeline ends with, hash-checked row-for-row "
+    "cross-engine including which copy survives.",
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    return dedup.embedding_cosine_pairs(emb, threshold=0.3)
+def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs.filter(F.col("doc_id") < 200), threshold=0.2
+    )
+    return dedup.canonical_keep(docs, pairs, text.quality_score("text"))
 
 
 _EXACT_COSINE_CTE = """
@@ -525,58 +602,140 @@ def _topk_invariants(approx: DataFrame, queries: DataFrame, emb: DataFrame, k: i
 
 
 _TOPK_INVARIANT_ORACLE = """
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+    SELECT 'lsh' AS method,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
            CAST(0 AS BIGINT) AS n_score_mismatches,
            CAST(0 AS BIGINT) AS n_rank_violations,
            TRUE AS recall_floor_met
+    FROM embeddings WHERE vec_id < 5
+    UNION ALL
+    SELECT 'ivf',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT),
+           TRUE
     FROM embeddings WHERE vec_id < 5
 """
 
 
 @register(
-    "similarity_lsh_topk",
+    "similarity_ann_topk",
     oracle=_TOPK_INVARIANT_ORACLE,
     tags=("EXT", "SIM"),
-    doc="Hyperplane-LSH bucketed approximate top-k with graded "
-    "multi-probe AND recall-targeted multi-table OR-construction "
-    "(operators/similarity.py:lsh_topk — the operator's no-crossjoin "
-    "plan is gated directly in tests/test_plans.py), emitted as a "
-    "driver-checkable invariant summary: scores are exact cosine "
-    "(n_score_mismatches=0), ranks internally consistent, and overall "
-    "recall@10 vs brute force >= 0.5. Round-4 auto-L inverts the "
-    "analytic retrieval law 1-(1-P_1)^L to size the table count from "
-    "the recall target, fixing the round-3 silent single-table "
-    "collapse at sf1 (0.28 -> 0.74 measured; small SFs stay at L=1 "
-    "and 0.82/0.80/0.74); past max_tables the operator raises with "
-    "the sizing math instead of degrading. Floors pinned at sf0.1 in "
-    "tests and sf1 in scripts/scale_probe.py.",
+    doc="ANN top-k gauntlet, one invariant-summary row per index family "
+    "(round-5 corpus consolidation of the former similarity_lsh_topk + "
+    "similarity_ivf_topk entries; both raw operators' no-crossjoin "
+    "plans stay gated in tests/test_plans.py and benched as op_lsh_topk "
+    "/ op_ivf_topk). method='lsh': hyperplane-LSH bucketed approximate "
+    "top-k with graded multi-probe AND recall-targeted multi-table "
+    "OR-construction (operators/similarity.py:lsh_topk) — round-4 "
+    "auto-L inverts the analytic retrieval law 1-(1-P_1)^L to size the "
+    "table count from the recall target, fixing the round-3 silent "
+    "single-table collapse at sf1 (0.28 -> 0.74 measured); past "
+    "max_tables the operator raises with the sizing math instead of "
+    "degrading; recall floor 0.5, pinned at sf0.1 in tests and sf1 in "
+    "scripts/scale_probe.py. method='ivf': IVF-bucketed top-k via the "
+    "deterministic k-means coarse quantizer "
+    "(operators/similarity.py:ivf_build/ivf_topk), nprobe=4 of k=8 "
+    "clusters, recall floor 0.8 (measured 0.96 at sf0.001/sf0.01). "
+    "Both rows assert exact cosine scores (n_score_mismatches=0) and "
+    "internally consistent ranks against the brute-force twin.",
 )
-def similarity_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    approx = similarity.lsh_topk(queries, emb, dim=64, k=10)
-    return _topk_invariants(approx, queries, emb, k=10, recall_floor=0.5)
+    lsh = similarity.lsh_topk(queries, emb, dim=64, k=10)
+    lsh_row = _topk_invariants(lsh, queries, emb, k=10, recall_floor=0.5).select(
+        F.lit("lsh").alias("method"), "*"
+    )
+    centroids = similarity.ivf_build(emb, k=8, iters=3)
+    ivf = similarity.ivf_topk(queries, emb, centroids, k=10, nprobe=4)
+    ivf_row = _topk_invariants(ivf, queries, emb, k=10, recall_floor=0.8).select(
+        F.lit("ivf").alias("method"), "*"
+    )
+    return lsh_row.unionByName(ivf_row)
+
+
+# Engine-portable spherical k-means, k=8, TWO assignment passes
+# unrolled as CTEs: a0 assigns to the first-8-by-id seed centroids, m1
+# is the order-free decimal per-dimension mean of a0's clusters
+# (elements rounded to 6 dp, summed through DECIMAL(28,6), divided as
+# the raw IEEE quotient), c1 falls back to the seed centroid for empty
+# clusters, a1 re-assigns against c1 — bit-identical to
+# operators/similarity.py:kmeans_portable(k=8, iters=2).
+_KMEANS_ORACLE = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    seeds AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, e AS c
+      FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8)
+    ),
+    s0 AS (
+      SELECT v.vec_id, s.cid,
+             round(list_dot_product(v.e, s.c) /
+                   (sqrt(list_dot_product(v.e, v.e)) *
+                    sqrt(list_dot_product(s.c, s.c))), 6) AS score
+      FROM v CROSS JOIN seeds s
+    ),
+    a0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, cid) AS rk
+        FROM s0
+      ) WHERE rk = 1
+    ),
+    m1 AS (
+      SELECT a0.cid, d.i,
+             CAST(SUM(CAST(round(v.e[d.i], 6) AS DECIMAL(28,6))) AS DOUBLE)
+               / COUNT(*) AS m
+      FROM a0
+        JOIN v USING (vec_id)
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+      GROUP BY a0.cid, d.i
+    ),
+    c1 AS (
+      SELECT s.cid,
+             CASE WHEN COUNT(m1.i) = 0 THEN s.c
+                  ELSE list(m1.m ORDER BY m1.i) END AS c
+      FROM seeds s LEFT JOIN m1 ON m1.cid = s.cid
+      GROUP BY s.cid, s.c
+    ),
+    s1 AS (
+      SELECT v.vec_id, t.cid,
+             round(list_dot_product(v.e, t.c) /
+                   (sqrt(list_dot_product(v.e, v.e)) *
+                    sqrt(list_dot_product(t.c, t.c))), 6) AS score
+      FROM v CROSS JOIN c1 t
+    )
+    SELECT vec_id, cid AS cluster_id, score FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY score DESC, cid) AS rk
+      FROM s1
+    ) WHERE rk = 1
+"""
 
 
 @register(
-    "similarity_ivf_topk",
-    oracle=_TOPK_INVARIANT_ORACLE,
+    "embed_kmeans",
+    oracle=_KMEANS_ORACLE,
     tags=("EXT", "SIM"),
-    doc="IVF-bucketed approximate top-k: deterministic k-means coarse "
-    "quantizer (operators/similarity.py:ivf_build/ivf_topk), nprobe=4 "
-    "of k=8 clusters (the operator's no-crossjoin plan is gated "
-    "directly in tests/test_plans.py). Emitted as a driver-checkable "
-    "invariant summary: scores are exact cosine, ranks internally "
-    "consistent, and overall recall@10 vs brute force >= 0.8 (measured "
-    "0.96 at both sf0.001 and sf0.01; probing half the clusters covers "
-    "nearly all true neighbors on this corpus).",
+    doc="Distributed ITERATIVE k-means whose final assignment map "
+    "hash-checks cross-engine (operators/similarity.py:kmeans_portable, "
+    "k=8, iters=2): deterministic first-k-by-id init, cosine assignment "
+    "via the index-order fold rounded to 6 dp with lowest-cluster "
+    "tie-break, centroid update through order-free decimal sums and a "
+    "raw-IEEE-quotient mean, empty clusters keep their centroid. The "
+    "DuckDB oracle unrolls the same two Lloyd passes as CTEs and "
+    "reproduces every (vec_id, cluster_id, score) row bit-for-bit — "
+    "an iterative algorithm under the FULL hash gate, not a rows-only "
+    "check. ivf_build is the GEMM scale path for the same algorithm "
+    "(benched as op_ivf_topk; its layout-ordered float partials trade "
+    "portability for speed).",
 )
-def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    centroids = similarity.ivf_build(emb, k=8, iters=3)
-    approx = similarity.ivf_topk(queries, emb, centroids, k=10, nprobe=4)
-    return _topk_invariants(approx, queries, emb, k=10, recall_floor=0.8)
+    return similarity.kmeans_portable(emb, k=8, iters=2)
 
 
 @register(

@@ -2,7 +2,7 @@
 scripts/scale_probe.py (round-3 VERDICT #1).
 
 The corpus entries for the hash-family operators (dedup_minhash_lsh,
-dedup_embedding_lsh, similarity_lsh_topk, ...) bundle exact-twin
+dedup_embedding_lsh, similarity_ann_topk, ...) bundle exact-twin
 verification fixtures that are O(n^2) BY DESIGN — they exist so the
 driver's DuckDB oracle can value-check an approximate operator. Timing
 those entries therefore measures the fixture, not the operator: in the

@@ -64,6 +64,8 @@ HEADLINE = (
     "op_semantic_prune",
     "op_bpe_apply",
     "curation_mixture_shards",
+    "embed_kmeans",
+    "dedup_canonical",
     "similarity_brute_topk",
     "text_quality",
     "text_tfidf_topk",
@@ -79,8 +81,7 @@ VERIFICATION = (
     "dedup_minhash_lsh",
     "dedup_embedding_lsh",
     "dedup_simhash_pairs",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
+    "similarity_ann_topk",
     # round-5 entries that bundle exact-twin audit columns next to the
     # operator output (the raw operators are in HEADLINE as op_*)
     "multimodal_pipeline",

@@ -46,9 +46,11 @@ SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1")
 # the per-entry budget treatment (Spark side still executes; only the
 # DuckDB comparison may be skipped when over budget).
 HEAVY_ORACLE = {
-    "dedup_ngram_jaccard",
+    # dedup_near_pairs inherits BOTH former pair entries' oracle
+    # sides: the bounded doc_id<200 jaccard CTE plus the FULL n^2
+    # cosine pair graph over embeddings
+    "dedup_near_pairs",
     "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
     "dedup_embedding_lsh",
     "dedup_simhash_pairs",
     # dedup_semantic pins the FIXED-16-seed exact path, so cluster size

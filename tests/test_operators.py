@@ -1665,3 +1665,73 @@ def test_avi_roundtrip_frame_sampling(spark, sf_dir):
     )
     bad = sample_video_frames(junk).collect()
     assert len(bad) == 1 and bad[0].frame_checksum is None
+
+
+def test_kmeans_portable_iter1_is_seed_assignment(spark):
+    # iters=1 must be a pure nearest-seed pass: cluster ids are the
+    # first-k-by-id vectors' ranks, every vector lands on its cosine
+    # argmax with ties to the lowest cluster id.
+    rows = [
+        (10, [1.0, 0.0]),
+        (20, [0.0, 1.0]),
+        (30, [1.0, 0.1]),   # nearer seed 0
+        (40, [0.1, 1.0]),   # nearer seed 1
+        (50, [-1.0, 0.0]),  # anti-parallel to seed 0 -> seed 1 wins at 0.0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["score"])
+        for r in similarity.kmeans_portable(df, k=2, iters=1).collect()
+    }
+    assert out[10] == (0, 1.0) and out[20] == (1, 1.0)
+    assert out[30][0] == 0 and out[40][0] == 1
+    assert out[50][0] == 1 and out[50][1] == 0.0
+
+
+def test_kmeans_portable_converges_and_keeps_empty_cluster(spark):
+    # Two tight bundles, k=2 seeded from the SAME bundle (ids 1,2): the
+    # update pass must pull one centroid across to the far bundle while
+    # the vacated cluster keeps its seed centroid (no crash, no NaN).
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.99, 0.01]),
+        (3, [0.98, 0.02]),
+        (4, [0.0, 1.0]),
+        (5, [0.01, 0.99]),
+        (6, [0.02, 0.98]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["cluster_id"] for r in similarity.kmeans_portable(df, k=2, iters=3).collect()}
+    # Bundle membership must be coherent: 1-3 together, 4-6 together.
+    assert out[1] == out[2] == out[3]
+    assert out[4] == out[5] == out[6]
+    assert len(set(out.values())) <= 2
+
+
+def test_canonical_keep_quality_argmax_and_singletons(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "short"),                                # low quality (n_tok < 5)
+            (2, "the quick brown fox jumps clean text"), # high quality
+            (3, "another fine sentence with words here"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    out = {r["doc_id"]: r for r in dedup.canonical_keep(docs, pairs, text.quality_score("text")).collect()}
+    # 1 and 2 share a component; 2 has higher quality and survives.
+    assert out[1]["component"] == out[2]["component"] == 1
+    assert out[1]["canonical_id"] == 2 and not out[1]["keep"]
+    assert out[2]["keep"] and out[2]["group_size"] == 2
+    # 3 is a singleton keeping itself.
+    assert out[3]["keep"] and out[3]["canonical_id"] == 3 and out[3]["group_size"] == 1
+
+
+def test_canonical_keep_tie_breaks_to_lowest_id(spark):
+    docs = spark.createDataFrame(
+        [(7, "the quick brown fox jumps today"), (8, "the quick brown fox jumps today")],
+        ["doc_id", "text"],
+    )
+    pairs = spark.createDataFrame([(7, 8)], ["id_a", "id_b"])
+    out = {r["doc_id"]: r for r in dedup.canonical_keep(docs, pairs, text.quality_score("text")).collect()}
+    assert out[7]["keep"] and not out[8]["keep"] and out[8]["canonical_id"] == 7

@@ -28,7 +28,7 @@ QUERIES = (
     # hash-family entries (now oracled as invariant summaries): the
     # summary must not depend on layout either
     "dedup_minhash_lsh",
-    "similarity_ivf_topk",
+    "similarity_ann_topk",
     "dedup_components_lsh",
     # sharded prefix-sum packing: per-shard windows must not leak layout
     "curation_pack_batches",
@@ -43,6 +43,10 @@ QUERIES = (
     "text_lm_perplexity",
     "text_bloom_decontaminate",
     "curation_mixture_shards",
+    # round-5b entries: iterative k-means decimal centroid sums and
+    # component/window canonical selection must not see layout
+    "embed_kmeans",
+    "dedup_canonical",
     "dedup_incremental",
     "dedup_semantic",
 )
