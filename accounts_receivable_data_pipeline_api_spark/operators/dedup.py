@@ -61,11 +61,24 @@ def drop_exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     return df.join(keepers, id_col, "left_semi")
 
 
-def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> DataFrame:
-    """Distinct character n-gram shingles per document: (id, shingle).
+def char_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, distinct: bool = True
+) -> DataFrame:
+    """Character n-gram shingles per document: (id, shingle).
 
     Built with sequence+transform+explode — all JVM expressions. The
     distinct() collapses repeated shingles so Jaccard is set-based.
+    Pass ``distinct=False`` when the consumer is multiplicity-
+    insensitive — min(hash(s)) over a multiset equals the min over its
+    set, so the MinHash signature path skips the full-width exchange
+    that distinct() costs: shingles are mostly unique per document, so
+    the distinct's map-side partial barely reduces and the exchange
+    ships nearly the whole exploded stream; without it the explode
+    feeds straight into the map-side partial MIN aggregation, which
+    reduces to n_docs x num_hashes rows BEFORE the shuffle. At sf0.1
+    local[32] the stage is sub-second either way (the local shuffle is
+    memory-speed); the win is the removed network-width shuffle at
+    cluster scale.
 
     The normalization (lower + regexp_replace + trim) is materialized
     ONCE per row in its own projection. Inlining it into the transform
@@ -79,11 +92,10 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 5) -> Data
         f"transform(sequence(1, greatest(length(__norm_text) - {n - 1}, 1)), "
         f"i -> substr(__norm_text, i, {n}))"
     )
-    return (
-        norm.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-        .filter(F.length("shingle") == n)
-        .distinct()
+    out = norm.select(F.col(id_col), F.explode(shingles).alias("shingle")).filter(
+        F.length("shingle") == n
     )
+    return out.distinct() if distinct else out
 
 
 def _norm_sql(text_col: str) -> str:
@@ -178,7 +190,7 @@ def minhash_signatures(
     hash family; everything is content-derived and deterministic. One
     aggregation pass over the exploded shingles.
     """
-    sh = char_shingles(df, id_col, text_col, n)
+    sh = char_shingles(df, id_col, text_col, n, distinct=False)
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -211,7 +223,7 @@ def minhash_lsh_pairs(
     # Spark reuses the shuffle output (ReusedExchange) where subtrees
     # match. An explicit persist() was measured SLOWER here (adds a
     # materialization barrier + memory pressure) — do not re-add.
-    sh_all = char_shingles(df, id_col, text_col, n)
+    sh_all = char_shingles(df, id_col, text_col, n, distinct=False)
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -238,6 +250,18 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # The final plan references `candidates` THREE times (the shared
+    # join plus both arms of the cand_ids union); without a
+    # materialization point Spark re-executes the whole signature +
+    # bucket-join subtree per reference — measured 3 x 0.9 s of the
+    # operator's 5.3 s warm at sf0.1. A LAZY localCheckpoint
+    # materializes the candidate set (O(true dup pairs) — tiny relative
+    # to the corpus) on first action and reuses it across references,
+    # without triggering a job at plan-construction time (entries are
+    # built for .explain without execution). On a cluster, swap for
+    # checkpoint(dir) to survive executor loss, same as
+    # connected_components.
+    candidates = candidates.localCheckpoint(eager=False)
 
     # Exact-Jaccard verification restricted to candidate ids. The
     # semi-join applies to the DOCUMENTS before re-shingling (not to an
