@@ -267,3 +267,22 @@ def op_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RAW_OPS.update({"op_media_decode": (op_media_decode, "documents")})
+
+
+def op_canonical_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END scale dedup pipeline a 100 TB corpus actually
+    runs: MinHash-LSH candidate pairs over the full document set (no
+    doc_id<200 oracle cap, no exact-Jaccard-vs-everything fixture) ->
+    connected components -> quality-argmax canonical survivor per
+    component. The dedup_canonical corpus entry pins the SELECTION
+    semantics against DuckDB on the exact pair graph; this composition
+    is the same policy on the LSH scale path, probed for throughput at
+    every sf (scripts/scale_probe.py)."""
+    from ..operators import text
+
+    docs = _parallel_docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, verify_threshold=0.5)
+    return dedup.canonical_keep(docs, pairs, text.quality_score("text"))
+
+
+RAW_OPS.update({"op_canonical_pipeline": (op_canonical_pipeline, "documents")})

@@ -178,3 +178,21 @@ def read_tar_shards(spark: SparkSession, out_dir: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(
         _expand, schema=TAR_MEMBER_SCHEMA
     )
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write a corpus table as ORC — the columnar interchange format of
+    Hive-lineage warehouses (parquet's sibling; some upstream lakes
+    deliver ORC and some downstream engines prefer ingesting it).
+    Spark's native writer: per-task part files, zlib-by-default striping,
+    min/max stripe statistics for predicate pushdown on re-read."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Read ORC with Spark's native vectorized reader. Unlike JSON, ORC
+    is self-describing (schema travels in the file footer), so no
+    explicit schema is required and there is no inference pass; filters
+    and column pruning push into the stripe reader exactly as with
+    parquet (gated in tests/test_sinks.py)."""
+    return spark.read.orc(path)

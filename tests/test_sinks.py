@@ -214,3 +214,36 @@ def test_bucketed_point_lookup_prunes_to_one_bucket(spark, sf_dir):
             "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
         )
         spark.sql("DROP TABLE IF EXISTS pl_customer")
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC roundtrip preserves values exactly, and the re-read scan
+    pushes filters + prunes columns into the stripe reader (the same
+    plan properties the parquet scans are gated on)."""
+    import re
+
+    from accounts_receivable_data_pipeline_api_spark.sources.corpus_io import (
+        read_orc,
+        write_orc,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path)
+    back = read_orc(spark, path)
+    assert back.schema == docs.schema
+    a = sorted(docs.select("doc_id", "n_chars").collect())
+    b = sorted(back.select("doc_id", "n_chars").collect())
+    assert a == b
+
+    pruned = back.filter(back.doc_id < 10).select("doc_id", "lang")
+    plan = pruned._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert re.search(r"PushedFilters: \[[^\]]*doc_id", plan), plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and set(c.split(":")[0] for c in schemas[0].split(",")) == {
+        "doc_id",
+        "lang",
+    }, plan
