@@ -164,3 +164,60 @@ def test_quota_sample_matches_python_md5_rank(spark, rows_in, quota):
         )
         expect.update((k, grp, rank + 1) for rank, k in enumerate(members[:quota]))
     assert got == expect
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 50)),
+        min_size=0,
+        max_size=12,
+    ),
+    st.integers(2, 8),
+)
+def test_canonical_keep_partitions_and_selects_one_per_component(spark, raw_pairs, n_docs):
+    """For ANY pair graph over ANY corpus: the decision map is total
+    (one row per doc), every component keeps EXACTLY one doc, the
+    canonical id is a member of its own component, and every dropped
+    doc points at its component's survivor."""
+    from accounts_receivable_data_pipeline_api_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} with several plain words") for i in range(n_docs)],
+        ["doc_id", "text"],
+    )
+    pairs = [(a % n_docs, b % n_docs) for a, b in raw_pairs if a % n_docs != b % n_docs]
+    pairs_df = spark.createDataFrame(pairs or [(0, 0)], ["id_a", "id_b"])
+    if not pairs:
+        pairs_df = pairs_df.filter("id_a != id_a")  # empty graph
+    out = dd.canonical_keep(docs, pairs_df, text.quality_score("text")).collect()
+    assert len(out) == n_docs and len({r["doc_id"] for r in out}) == n_docs
+    by_comp: dict = {}
+    for r in out:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, rows in by_comp.items():
+        keeps = [r for r in rows if r["keep"]]
+        assert len(keeps) == 1
+        canon = keeps[0]["doc_id"]
+        assert all(r["canonical_id"] == canon for r in rows)
+        assert all(r["group_size"] == len(rows) for r in rows)
+        # canonical is max-quality (ties to lowest id) within the component
+        best = sorted(rows, key=lambda r: (-r["quality"], r["doc_id"]))[0]
+        assert canon == best["doc_id"]
+
+
+@settings(**SETTINGS)
+@given(st.integers(2, 5), st.integers(1, 3))
+def test_kmeans_portable_is_a_total_partition(spark, k, iters):
+    """Every vector gets exactly one cluster in [0, k); the map is
+    total at any (k, iters)."""
+    from accounts_receivable_data_pipeline_api_spark.operators import similarity as sim
+
+    n = 23
+    rows = [
+        (i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(4)]) for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sim.kmeans_portable(df, k=k, iters=iters).collect()
+    assert len(out) == n and len({r["vec_id"] for r in out}) == n
+    assert all(0 <= r["cluster_id"] < k for r in out)
