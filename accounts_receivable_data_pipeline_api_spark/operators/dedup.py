@@ -131,9 +131,9 @@ def ngram_jaccard_pairs(
     is the asymptotically better path; pruning is the dial when exact
     scores are still wanted.
 
-    The shingle subplan feeds sizes and both join sides UNCACHED, same
-    as minhash_lsh_pairs: Spark reuses matching shuffle outputs
-    (ReusedExchange), while an explicit cache() pinned the full shingle
+    The shingle subplan feeds sizes and both join sides UNCACHED:
+    Spark reuses matching shuffle outputs across the three identical
+    subtrees (ReusedExchange), while an explicit cache() pinned the full shingle
     set in executor memory FOREVER in a resident serving session (every
     corpus build added another copy — round-3 VERDICT wrong #3) and the
     recomputed scan+projection it saves is cheap next to the joins.
@@ -219,10 +219,14 @@ def minhash_lsh_pairs(
     joins shingle sets only for candidate ids (semi-join pushdown).
     """
     rows_per_band = num_hashes // bands
-    # One shingle subplan feeds both signature building and verification;
-    # Spark reuses the shuffle output (ReusedExchange) where subtrees
-    # match. An explicit persist() was measured SLOWER here (adds a
-    # materialization barrier + memory pressure) — do not re-add.
+    # The signature path shingles the FULL corpus without distinct()
+    # (multiset-min == set-min); verification re-shingles only the
+    # candidate docs WITH distinct() (Jaccard needs set sizes) — the
+    # two subtrees intentionally share nothing. An explicit persist()
+    # of the shingle stream was measured SLOWER than recomputing it
+    # (materialization barrier + memory pressure) — do not re-add; the
+    # only materialization point is the tiny candidate checkpoint
+    # below.
     sh_all = char_shingles(df, id_col, text_col, n, distinct=False)
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
@@ -1135,21 +1139,28 @@ def canonical_keep(
     — a total map, so downstream filters are a semi-join on keep=true
     and provenance (which survivor replaced me) rides along.
 
-    Plan shape at 100 TB: components via the iterative min-label
-    propagation (diameter-bounded shuffles on the small edge list), one
-    broadcast-or-hash join back to the corpus, and a per-component
-    window — no quadratic stage beyond the pair input itself.
+    Plan shape at 100 TB: the iterative label propagation runs over
+    PAIR ENDPOINTS ONLY — O(true-dup docs), not the corpus — so each
+    convergence round joins and checkpoints a frame the size of the
+    dup graph. The corpus is touched by exactly two single-pass joins
+    against that small endpoint set (inner for members, anti for
+    singletons); singleton rows are constructed map-side with literals
+    and never enter the per-component window shuffle. Feeding the full
+    corpus through nodes= instead made every propagation round (and
+    its eager checkpoint) corpus-sized for labels that can never
+    change.
     """
-    comp = connected_components(pairs, nodes=df.select(F.col(id_col)))
-    scored = df.select(F.col(id_col), quality.cast("double").alias("quality")).join(
-        comp, F.col(id_col) == F.col("node")
+    comp = connected_components(pairs)
+    scored = df.select(F.col(id_col), quality.cast("double").alias("quality"))
+    members = scored.join(comp, scored[id_col] == comp["node"]).select(
+        F.col(id_col), F.col("component"), F.col("quality")
     )
     w = Window.partitionBy("component").orderBy(
         F.col("quality").desc(), F.col(id_col)
     )
     w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return (
-        scored.withColumn("group_size", F.count(F.lit(1)).over(w_all))
+    member_rows = (
+        members.withColumn("group_size", F.count(F.lit(1)).over(w_all))
         .withColumn("canonical_id", F.first(F.col(id_col)).over(w_all))
         .select(
             F.col(id_col),
@@ -1160,3 +1171,14 @@ def canonical_keep(
             (F.col(id_col) == F.col("canonical_id")).alias("keep"),
         )
     )
+    singles = scored.join(
+        comp.select(F.col("node").alias(id_col)), id_col, "left_anti"
+    ).select(
+        F.col(id_col),
+        F.col(id_col).alias("component"),
+        F.col("quality"),
+        F.lit(1).cast("bigint").alias("group_size"),
+        F.col(id_col).alias("canonical_id"),
+        F.lit(True).alias("keep"),
+    )
+    return member_rows.unionByName(singles)

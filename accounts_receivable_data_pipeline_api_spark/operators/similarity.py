@@ -346,6 +346,12 @@ def kmeans_portable(
     map-side before a k*dim-row shuffle. Driver state is k centroids
     per iteration, independent of corpus size.
     """
+    if not 0 <= int(round_dp) <= 18:
+        raise ValueError(
+            f"round_dp={round_dp} outside [0, 18]: the centroid-mean sum "
+            "runs through DECIMAL(28, round_dp), whose scale must hold "
+            "every rounded element exactly"
+        )
     spark = df.sparkSession
     vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("__v"))
     seed_rows = vecs.orderBy(id_col).limit(k).collect()
@@ -379,7 +385,11 @@ def kmeans_portable(
             .groupBy("cluster_id", "__i")
             .agg(
                 (
-                    F.sum(F.round(F.col("__x"), round_dp).cast("decimal(28,6)"))
+                    F.sum(
+                        F.round(F.col("__x"), round_dp).cast(
+                            f"decimal(28,{int(round_dp)})"
+                        )
+                    )
                     .cast("double")
                     / F.count(F.lit(1)).cast("double")
                 ).alias("__m")

