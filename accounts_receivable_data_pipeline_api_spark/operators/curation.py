@@ -343,3 +343,39 @@ def shard_order(
     out = df.withColumn(shard_col, shard)
     w = Window.partitionBy(shard_col).orderBy(h, F.col(key_col))
     return out.withColumn(pos_col, F.row_number().over(w).cast("bigint"))
+
+
+def split_leakage_report(
+    splits: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    split_col: str = "split",
+) -> DataFrame:
+    """Audit a train/val/test split against a near-dup pair graph: a
+    pair whose endpoints land in DIFFERENT splits is leakage (the eval
+    member is a near-copy of a training document, so eval measures
+    memorization). assign_split's hash buckets are content-addressed
+    per key but near-DUPS have different keys, so leakage is expected
+    unless dedup (or canonical_keep filtering) ran BEFORE the split —
+    this report is the check a release pipeline runs to prove it did.
+
+    ``splits`` is any (id_col, split_col) frame; ``pairs`` any
+    (id_a, id_b) near-dup graph (exact, minhash, simhash, or embedding
+    source). Returns one row per ordered split pair with the leaking
+    pair count — empty output means a clean split.
+
+    Plan shape at 100 TB: two broadcast-or-hash joins of the pair list
+    (O(dup pairs), tiny vs the corpus) against the split map, one small
+    aggregate. No corpus-wide shuffle.
+    """
+    s = splits.select(F.col(id_col), F.col(split_col))
+    sa = s.select(F.col(id_col).alias("id_a"), F.col(split_col).alias("split_a"))
+    sb = s.select(F.col(id_col).alias("id_b"), F.col(split_col).alias("split_b"))
+    return (
+        pairs.select("id_a", "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_leaking_pairs"))
+    )

@@ -1767,3 +1767,41 @@ def test_canonical_keep_tie_breaks_to_lowest_id(spark):
     pairs = spark.createDataFrame([(7, 8)], ["id_a", "id_b"])
     out = {r["doc_id"]: r for r in dedup.canonical_keep(docs, pairs, text.quality_score("text")).collect()}
     assert out[7]["keep"] and not out[8]["keep"] and out[8]["canonical_id"] == 7
+
+
+def test_split_leakage_report_flags_cross_split_near_dups(spark):
+    from accounts_receivable_data_pipeline_api_spark.operators import curation
+
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "val")],
+        ["doc_id", "split"],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4)], ["id_a", "id_b"]
+    )  # 1-2 train/test leak, 1-3 clean, 2-4 test/val leak
+    rows = {
+        (r["split_a"], r["split_b"]): r["n_leaking_pairs"]
+        for r in curation.split_leakage_report(splits, pairs).collect()
+    }
+    assert rows == {("train", "test"): 1, ("test", "val"): 1}
+
+
+def test_split_leakage_empty_after_canonical_dedup(spark):
+    """The release-pipeline property: dedup via canonical_keep BEFORE
+    assign_split leaves no near-dup pair with both endpoints surviving,
+    so the report over survivors is empty by construction."""
+    from accounts_receivable_data_pipeline_api_spark.operators import curation, dedup, text
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox document number {i % 3} sentence") for i in range(9)],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.8)
+    decision = dedup.canonical_keep(docs, pairs, text.quality_score("text"))
+    survivors = decision.filter("keep").select("doc_id")
+    splits = curation.assign_split(docs.join(survivors, "doc_id", "left_semi"), "doc_id")
+    report = curation.split_leakage_report(splits, pairs)
+    # pairs among dropped docs don't matter; pairs with a surviving
+    # endpoint have the OTHER endpoint dropped, so no pair survives
+    # with both endpoints split-assigned.
+    assert report.count() == 0
