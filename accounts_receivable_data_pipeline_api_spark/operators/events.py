@@ -31,14 +31,14 @@ def funnel(
     steps[i] with ts > t_{i-1}. The strict inequality means a
     same-timestamp pair does not convert (a tie cannot prove order).
 
-    Plan shape at 100 TB: ONE conditional aggregation per funnel step
-    over the (user, step) pre-aggregate — the events table is touched
-    once (filter to the step set, per-user-per-step timestamp list is
-    never materialized; each pass is a groupBy on user_col with
-    min(when(...)) over the previous threshold joined back broadcast-
-    or-hash on the user key). len(steps) is small and fixed, so the
-    whole funnel is len(steps) shuffles on the user key with map-side
-    partial minima.
+    Plan shape at 100 TB: each stage re-scans the events source with
+    its event-type equality PUSHED INTO the scan (so a stage reads only
+    its own step's rows — gated in tests), aggregates a per-user min
+    (map-side partial), and joins the previous stage's thresholds on
+    the user key (broadcast once the funnel narrows, which it does by
+    construction). len(steps) is small and fixed, so the funnel is
+    len(steps) pushdown scans + len(steps) user-key shuffles — never a
+    per-user event-list materialization.
     """
     if len(steps) < 2:
         raise ValueError("funnel needs at least two steps")

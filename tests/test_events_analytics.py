@@ -112,3 +112,28 @@ def test_funnel_strict_order_excludes_ties_and_reversals(spark):
     df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
     out = {r["step_name"]: r["n_users"] for r in ev_ops.funnel(df, ["view", "click"]).collect()}
     assert out == {"view": 4, "click": 1}
+
+
+def test_funnel_and_retention_plan_shapes(spark):
+    """Funnel stages must push their event-type equality into the
+    parquet scan and join on equi keys only; retention is three bounded
+    shuffles. A nested-loop/cartesian anywhere is a scale regression."""
+    import re
+
+    ev = load_table(spark, ORACLE_SF_DIR, "events")
+    for df in (
+        ev_ops.funnel(ev, ["view", "click", "purchase"]),
+        ev_ops.retention_cohorts(ev),
+    ):
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+    plan = ev_ops.funnel(ev, ["view", "click", "purchase"])._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("event_type" in p for p in pushed), plan
