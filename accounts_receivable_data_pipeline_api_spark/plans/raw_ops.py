@@ -286,3 +286,25 @@ def op_canonical_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RAW_OPS.update({"op_canonical_pipeline": (op_canonical_pipeline, "documents")})
+
+
+def op_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import events as ev_ops
+
+    return ev_ops.funnel(
+        load_table(spark, sf_dir, "events"), ["view", "click", "purchase"]
+    )
+
+
+def op_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import events as ev_ops
+
+    return ev_ops.retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
+RAW_OPS.update(
+    {
+        "op_funnel": (op_funnel, "events"),
+        "op_retention": (op_retention, "events"),
+    }
+)

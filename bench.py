@@ -73,6 +73,8 @@ HEADLINE = (
     "curation_pack_batches",
     "window_sessionize",
     "window_frames",
+    "op_funnel",
+    "op_retention",
 )
 
 # Invariant-summary entries whose in-entry exact twins are O(n^2) oracle
