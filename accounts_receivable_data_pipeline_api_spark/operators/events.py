@@ -46,8 +46,9 @@ def funnel(
         F.col(user_col).alias("__u"),
         F.col(type_col).alias("__t"),
         F.col(ts_col).alias("__ts"),
-    ).filter(F.col("__t").isin(list(steps)))
-    # t_0 per user
+    )
+    # t_0 per user (each stage filters to exactly its own step — the
+    # equality is the predicate that reaches the scan)
     cur = (
         ev.filter(F.col("__t") == steps[0])
         .groupBy("__u")

@@ -121,9 +121,10 @@ def test_funnel_and_retention_plan_shapes(spark):
     import re
 
     ev = load_table(spark, ORACLE_SF_DIR, "events")
-    for df in (
-        ev_ops.funnel(ev, ["view", "click", "purchase"]),
-        ev_ops.retention_cohorts(ev),
+    funnel_plan = None
+    for name, df in (
+        ("funnel", ev_ops.funnel(ev, ["view", "click", "purchase"])),
+        ("retention", ev_ops.retention_cohorts(ev)),
     ):
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -132,8 +133,7 @@ def test_funnel_and_retention_plan_shapes(spark):
         )
         assert "CartesianProduct" not in plan, plan
         assert "BroadcastNestedLoopJoin" not in plan, plan
-    plan = ev_ops.funnel(ev, ["view", "click", "purchase"])._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
-    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
-    assert any("event_type" in p for p in pushed), plan
+        if name == "funnel":
+            funnel_plan = plan
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", funnel_plan)
+    assert any("event_type" in p for p in pushed), funnel_plan

@@ -1,9 +1,11 @@
 """Extra TPC-H-shape queries oracle-compared against DuckDB, OUTSIDE
 the 50-entry driver corpus (the corpus window is full; these widen the
-verified SQL surface without reshaping it). Q6, Q7, Q10, Q13, Q14, and Q18 are
-expressible on this driver's reduced schemas; the rest of the suite
-needs columns/tables the driver omits (partsupp, l_shipmode,
-l_commitdate, l_receiptdate, c_phone, o_comment).
+verified SQL surface without reshaping it). Q6, Q7, Q8, Q10, Q13, Q14, Q15,
+and Q18 are expressible on this driver's reduced schemas (with
+nationkey/p_type literals standing in for the spec's name strings);
+Q2/Q4/Q9/Q11/Q12/Q16/Q17/Q19/Q20/Q21/Q22 need columns or tables the
+driver omits (partsupp, l_shipmode, l_commitdate, l_receiptdate,
+l_shipinstruct, p_container, c_phone, o_comment).
 
 Decimal discipline follows the tpch_q1 entry (plans/relational.py):
 money flows through DECIMAL casts (exact, order-free sums), final
@@ -46,8 +48,8 @@ def test_q6_forecast_revenue_change(spark, duck):
     disc = _money("l_discount")
     df = (
         li.filter(
-            (F.col("l_shipdate").cast("date") >= F.lit("1994-01-01").cast("date"))
-            & (F.col("l_shipdate").cast("date") < F.lit("1995-01-01").cast("date"))
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
             & (disc >= F.lit("0.05").cast("decimal(18,2)"))
             & (disc <= F.lit("0.07").cast("decimal(18,2)"))
             & (F.col("l_quantity") < 24)
@@ -68,13 +70,16 @@ def test_q6_forecast_revenue_change(spark, duck):
                      * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(24,4)))
                    AS VARCHAR) AS DOUBLE) AS revenue
             FROM lineitem
-            WHERE CAST(l_shipdate AS DATE) >= DATE '1994-01-01'
-              AND CAST(l_shipdate AS DATE) < DATE '1995-01-01'
+            WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+              AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
               AND CAST(l_discount AS DECIMAL(18,2)) BETWEEN 0.05 AND 0.07
               AND l_quantity < 24
             """,
         )
     )
+    # the window must actually select rows: a NULL revenue means the
+    # comparison was vacuous (both engines aggregating an empty set)
+    assert df.collect()[0]["revenue"] is not None
 
 
 def test_q14_promo_revenue_share(spark, duck):
@@ -267,8 +272,8 @@ def test_q10_returned_item_reporting(spark, duck):
         li.filter(F.col("l_returnflag") == "R")
         .join(
             orders.filter(
-                (F.col("o_orderdate").cast("date") >= F.lit("1993-10-01").cast("date"))
-                & (F.col("o_orderdate").cast("date") < F.lit("1994-01-01").cast("date"))
+                (F.col("o_orderdate").cast("date") >= F.lit("1995-10-01").cast("date"))
+                & (F.col("o_orderdate").cast("date") < F.lit("1996-01-01").cast("date"))
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
@@ -294,14 +299,15 @@ def test_q10_returned_item_reporting(spark, duck):
               JOIN customer ON o_custkey = c_custkey
               JOIN nation ON c_nationkey = n_nationkey
             WHERE l_returnflag = 'R'
-              AND CAST(o_orderdate AS DATE) >= DATE '1993-10-01'
-              AND CAST(o_orderdate AS DATE) < DATE '1994-01-01'
+              AND CAST(o_orderdate AS DATE) >= DATE '1995-10-01'
+              AND CAST(o_orderdate AS DATE) < DATE '1996-01-01'
             GROUP BY 1, 2, 3, 4
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
             """,
         )
     )
+    assert df.count() > 0  # the quarter must select orders
 
 
 def test_q13_customer_order_distribution(spark, duck):
@@ -335,3 +341,131 @@ def test_q13_customer_order_distribution(spark, duck):
             """,
         )
     )
+
+
+def test_q15_top_supplier(spark, duck):
+    """Q15 shape: a revenue view reused twice — once aggregated to its
+    MAX, once filtered to the suppliers achieving it. The max
+    comparison happens on the EXACT decimal sums (comparing after a
+    double conversion could admit a false tie one ulp apart); only the
+    output column converts to double."""
+    li = load_table(spark, ORACLE_SF_DIR, "lineitem")
+    supplier = load_table(spark, ORACLE_SF_DIR, "supplier")
+    disc_price = (
+        _money("l_extendedprice")
+        * (F.lit(1) - _money("l_discount")).cast("decimal(4,2)")
+    ).cast("decimal(24,4)")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(disc_price).alias("__rev"))
+    )
+    top = revenue.agg(F.max("__rev").alias("__max"))
+    df = (
+        revenue.join(F.broadcast(top), F.col("__rev") == F.col("__max"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("__rev").cast("double").alias("total_revenue"),
+        )
+    )
+    rep = compare(
+        df,
+        duck,
+        """
+        WITH revenue AS (
+          SELECT l_suppkey,
+                 SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))
+                     AS DECIMAL(24,4))) AS rev
+          FROM lineitem
+          WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+            AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS total_revenue
+        FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev = (SELECT MAX(rev) FROM revenue)
+        """,
+    )
+    _assert_match(rep)
+    assert rep["spark_rows"] >= 1
+
+
+def test_q8_national_market_share(spark, duck):
+    """Q8 shape: 6-table snowflake (lineitem-part-supplier,
+    orders-customer-nation-region) + a conditional share ratio per
+    order year. Nation key 1's share within region 1 for p_type
+    'PROMO' stands in for the standard BRAZIL/AMERICA/steel literals.
+    Both the numerator and denominator are exact decimal sums; the
+    share is their raw IEEE double quotient."""
+    li = load_table(spark, ORACLE_SF_DIR, "lineitem")
+    orders = load_table(spark, ORACLE_SF_DIR, "orders")
+    customer = load_table(spark, ORACLE_SF_DIR, "customer")
+    supplier = load_table(spark, ORACLE_SF_DIR, "supplier")
+    part = load_table(spark, ORACLE_SF_DIR, "part")
+    nation = load_table(spark, ORACLE_SF_DIR, "nation")
+    vol = (
+        _money("l_extendedprice")
+        * (F.lit(1) - _money("l_discount")).cast("decimal(4,2)")
+    ).cast("decimal(24,4)")
+    df = (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.filter(
+                (F.col("o_orderdate").cast("date") >= F.lit("1995-01-01").cast("date"))
+                & (F.col("o_orderdate").cast("date") <= F.lit("1996-12-31").cast("date"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(nation.filter(F.col("n_regionkey") == 1)),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy(F.year(F.col("o_orderdate").cast("date")).alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("s_nationkey") == 1, vol).otherwise(
+                    F.lit("0").cast("decimal(24,4)")
+                )).cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share")
+        )
+    )
+    rep = compare(
+        df,
+        duck,
+        """
+        SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+               CAST(CAST(SUM(CASE WHEN s_nationkey = 1 THEN vol
+                                  ELSE CAST(0 AS DECIMAL(24,4)) END)
+                    AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(SUM(vol) AS VARCHAR) AS DOUBLE) AS mkt_share
+        FROM (
+          SELECT o_orderdate, s_nationkey,
+                 CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))
+                   AS DECIMAL(24,4)) AS vol
+          FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+          WHERE p_type = 'PROMO'
+            AND n_regionkey = 1
+            AND CAST(o_orderdate AS DATE) BETWEEN DATE '1995-01-01'
+                                              AND DATE '1996-12-31'
+        )
+        GROUP BY 1
+        """,
+    )
+    _assert_match(rep)
+    assert rep["spark_rows"] >= 2  # both order years present
