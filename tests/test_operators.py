@@ -1805,3 +1805,13 @@ def test_split_leakage_empty_after_canonical_dedup(spark):
     # endpoint have the OTHER endpoint dropped, so no pair survives
     # with both endpoints split-assigned.
     assert report.count() == 0
+
+
+def test_kmeans_portable_more_clusters_than_vectors(spark):
+    # k > n: only n seeds exist; the map stays total over the vectors
+    # and uses only the clusters that have seeds.
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.7, 0.7])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.kmeans_portable(df, k=5, iters=2).collect()
+    assert len(out) == 3
+    assert all(0 <= r["cluster_id"] < 3 for r in out)
