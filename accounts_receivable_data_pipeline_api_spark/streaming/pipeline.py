@@ -609,3 +609,92 @@ def read_sketch(spark: SparkSession, sketch_dir: str, depth: int = 4, width: int
     for row in spark.read.parquet(sketch_dir).select("block").collect():
         out += np.frombuffer(row["block"], dtype=np.int64).reshape(depth, width)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming funnel (stateful twin of operators/events.py:funnel)
+# ---------------------------------------------------------------------------
+
+FUNNEL_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("step", IntegerType()),
+        StructField("step_name", StringType()),
+        # NTZ: type-identical to the batch twin's threshold timestamps
+        # (the canonical NTZ event time, sources/star.py)
+        StructField("ts", TimestampNTZType()),
+    ]
+)
+
+# (next stage index to reach, threshold ts of the last reached stage
+# in epoch micros; -1 before any stage)
+_FUNNEL_STATE_SCHEMA = StructType(
+    [StructField("stage", IntegerType()), StructField("thr_us", LongType())]
+)
+
+
+def make_funnel_fn(steps: list[str]):
+    """Stateful kernel factory for the streaming funnel. State per user
+    = (next stage to reach, threshold timestamp); each microbatch
+    replays its rows in timestamp order and advances the state machine
+    exactly as the batch operator's min-after-threshold recurrence —
+    walking events in ascending ts, the FIRST step-i event strictly
+    after the stage-(i-1) threshold IS min(ts > thr), so under
+    in-order delivery (timestamp-ordered microbatches, the same
+    contract as the other streaming twins here) the emitted
+    transitions equal the batch funnel's thresholds row for row.
+    Cross-batch late data cannot revise an already-advanced stage —
+    that finality is the streaming trade, stated rather than hidden.
+    """
+
+    def _fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        rows = []
+        for pdf in pdfs:
+            for t, typ in zip(pd.to_datetime(pdf["ts"]), pdf["event_type"]):
+                rows.append((int(t.value // 1000), typ))
+        if not rows:
+            return
+        rows.sort()
+        if state.exists:
+            stage, thr_us = state.get
+        else:
+            stage, thr_us = 0, -1
+        hits = []
+        for ts_us, typ in rows:
+            if stage >= len(steps):
+                break
+            if typ == steps[stage] and ts_us > thr_us:
+                hits.append((stage, steps[stage], ts_us))
+                thr_us = ts_us
+                stage += 1
+        state.update((stage, thr_us))
+        if hits:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(hits),
+                    "step": [h[0] for h in hits],
+                    "step_name": [h[1] for h in hits],
+                    "ts": [pd.Timestamp(h[2], unit="us") for h in hits],
+                }
+            )
+
+    return _fn
+
+
+def funnel_events_stream(events: DataFrame, steps: list[str]) -> DataFrame:
+    """Custom stateful streaming operator #2: per-user funnel stage
+    transitions as they happen, via applyInPandasWithState. Emits one
+    row per (user, newly reached stage) with the stage's threshold
+    timestamp; counting rows per step downstream reproduces the batch
+    funnel's n_users. State size is O(active users) x 12 bytes — the
+    stage index and one timestamp, no event buffering.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two steps")
+    return events.groupBy("user_id").applyInPandasWithState(
+        make_funnel_fn(list(steps)),
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=_FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

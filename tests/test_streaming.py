@@ -686,3 +686,65 @@ def test_token_frequency_sketch_stream_matches_batch(spark, tmp_path):
     shutil.rmtree(ckpt)
     run()
     assert np.array_equal(read_sketch(spark, sk_dir), lifetime)
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming funnel twin: chronological multi-batch replay must
+    reproduce the batch operator's per-step user counts exactly, and
+    every per-user transition sequence must be strictly increasing in
+    both ts and stage."""
+    from accounts_receivable_data_pipeline_api_spark.operators import events as ev_ops
+    from accounts_receivable_data_pipeline_api_spark.streaming.pipeline import (
+        funnel_events_stream,
+    )
+
+    steps = ["view", "click", "purchase"]
+    events_batch = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    src = str(tmp_path / "funnel_src")
+    os.makedirs(src)
+    # three chronological batches (the synthetic events span Jan 2024)
+    lo, hi = "2024-01-10", "2024-01-20"
+    parts = [
+        events_batch.filter(F.col("ts") < F.lit(lo).cast("timestamp_ntz")),
+        events_batch.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
+        ),
+        events_batch.filter(F.col("ts") >= F.lit(hi).cast("timestamp_ntz")),
+    ]
+    now = 2_000_000_000
+    for i, p in enumerate(parts):
+        d = f"{src}/b{i}"
+        p.coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            os.utime(f"{d}/{f}", (now + i * 60, now + i * 60))
+    stream = (
+        spark.readStream.schema(events_batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    out = funnel_events_stream(stream, steps)
+    _run_available_now(out, "funnel_stream")
+    rows = spark.sql("select * from funnel_stream").collect()
+    assert rows
+
+    # per-step user counts == batch operator
+    batch_counts = {
+        r["step_name"]: r["n_users"]
+        for r in ev_ops.funnel(events_batch, steps).collect()
+    }
+    stream_counts: dict = {}
+    for r in rows:
+        stream_counts[r["step_name"]] = stream_counts.get(r["step_name"], 0) + 1
+    assert stream_counts == batch_counts
+
+    # per-user: stages emitted at most once each, in order, ts strictly
+    # increasing
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append((r["step"], r["ts"]))
+    for u, trans in by_user.items():
+        trans.sort()
+        assert [s for s, _ in trans] == list(range(len(trans)))
+        ts_seq = [t for _, t in trans]
+        assert all(a < b for a, b in zip(ts_seq, ts_seq[1:]))
