@@ -1815,3 +1815,43 @@ def test_kmeans_portable_more_clusters_than_vectors(spark):
     out = similarity.kmeans_portable(df, k=5, iters=2).collect()
     assert len(out) == 3
     assert all(0 <= r["cluster_id"] < 3 for r in out)
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    """The scale path for agg_percentiles: approx_percentile is a
+    single-pass mergeable sketch (exact percentile buffers every value
+    per group — fine per bounded group, wrong for billion-row groups).
+    The sketch's guarantee is a RANK bound, not a value bound (it
+    returns an actual data value within accuracy^-1 * n ranks of the
+    target; adjacent values can be arbitrarily far apart), so the
+    assertion checks rank error: at accuracy=10000 that is
+    ceil(n/10000) + 1 ranks."""
+    import bisect
+    import math
+
+    from pyspark.sql import functions as F
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    both = (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.sort_array(F.collect_list("o_totalprice")).alias("vals"),
+            F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias("approx_p50"),
+            F.expr("approx_percentile(o_totalprice, 0.9, 10000)").alias("approx_p90"),
+        )
+        .collect()
+    )
+    assert both
+    for r in both:
+        vals = r["vals"]
+        n = len(vals)
+        bound = math.ceil(n / 10000) + 1
+        for q, approx in ((0.5, r["approx_p50"]), (0.9, r["approx_p90"])):
+            # rank window of the returned value within the sorted group
+            lo = bisect.bisect_left(vals, approx)
+            hi = bisect.bisect_right(vals, approx) - 1
+            assert lo <= hi, f"approx value {approx} not an actual data value"
+            target = q * (n - 1)
+            dist = 0.0 if lo <= target <= hi else min(abs(lo - target), abs(hi - target))
+            assert dist <= bound, (q, approx, dist, bound, n)
