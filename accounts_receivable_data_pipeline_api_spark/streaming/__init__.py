@@ -2,6 +2,7 @@ from .pipeline import (
     dedup_invoice_stream,
     enrich_events_with_dim,
     events_windowed_counts,
+    funnel_events_stream,
     incremental_dedup_stream,
     invoice_csv_stream,
     join_purchases_to_signups_stream,
@@ -16,6 +17,7 @@ __all__ = [
     "dedup_invoice_stream",
     "enrich_events_with_dim",
     "events_windowed_counts",
+    "funnel_events_stream",
     "incremental_dedup_stream",
     "invoice_csv_stream",
     "join_purchases_to_signups_stream",

@@ -627,7 +627,10 @@ FUNNEL_SCHEMA = StructType(
 )
 
 # (next stage index to reach, threshold ts of the last reached stage
-# in epoch micros; -1 before any stage)
+# in epoch micros; meaningless until stage >= 1 — stage 0 has no
+# previous threshold, so the kernel never consults thr_us there: an
+# in-band "-1 means unset" sentinel would silently reject pre-1970
+# timestamps the batch twin accepts)
 _FUNNEL_STATE_SCHEMA = StructType(
     [StructField("stage", IntegerType()), StructField("thr_us", LongType())]
 )
@@ -654,16 +657,21 @@ def make_funnel_fn(steps: list[str]):
                 rows.append((int(t.value // 1000), typ))
         if not rows:
             return
-        rows.sort()
+        # sort by ts only: a (ts, type) tuple sort would try to order a
+        # NULL event_type against a string on timestamp ties (TypeError
+        # in the worker), and the type can never break a tie anyway —
+        # equal timestamps cannot advance the state machine under the
+        # strict > rule
+        rows.sort(key=lambda r: r[0])
         if state.exists:
             stage, thr_us = state.get
         else:
-            stage, thr_us = 0, -1
+            stage, thr_us = 0, 0
         hits = []
         for ts_us, typ in rows:
             if stage >= len(steps):
                 break
-            if typ == steps[stage] and ts_us > thr_us:
+            if typ == steps[stage] and (stage == 0 or ts_us > thr_us):
                 hits.append((stage, steps[stage], ts_us))
                 thr_us = ts_us
                 stage += 1

@@ -40,6 +40,33 @@ def _events_stream(spark, sf_dir, out_dir):
     return spark.readStream.schema(events.schema).parquet(path), events
 
 
+def _stage_ordered_batches(src, batch_dfs):
+    """Write each DataFrame as one single-file parquet dir under src
+    with strictly increasing mtimes — the parquet file source orders
+    files by MODIFICATION TIME, so with maxFilesPerTrigger=1 the stream
+    replays exactly one input DataFrame per microbatch, in list order.
+    This mtime trick is load-bearing for every ordered-replay test in
+    this module; keep it in one place. Returns the shared schema."""
+    os.makedirs(src, exist_ok=True)
+    now = 2_000_000_000
+    for i, df in enumerate(batch_dfs):
+        d = f"{src}/b{i}"
+        df.coalesce(1).write.parquet(d)
+        for f in os.listdir(d):
+            os.utime(f"{d}/{f}", (now + i * 60, now + i * 60))
+    return batch_dfs[0].schema
+
+
+def _ordered_stream(spark, src, schema):
+    """readStream over _stage_ordered_batches output: one file (= one
+    staged DataFrame) per microbatch."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+    )
+
+
 def test_windowed_counts_match_batch(spark, sf_dir, tmp_path):
     stream_src, events_batch = _events_stream(spark, sf_dir, str(tmp_path))
     out = events_windowed_counts(stream_src, window="1 hour", watermark="2 hours")
@@ -99,18 +126,8 @@ def test_late_rows_beyond_watermark_are_dropped(spark, tmp_path):
         [(5, t(16, 30), "click", 16.0)],
         [(4, t(10, 30), "click", 8.0)],
     ]
-    now = 2_000_000_000
-    for i, rows in enumerate(batches):
-        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(f"{src}/b{i}")
-        for f in os.listdir(f"{src}/b{i}"):
-            os.utime(f"{src}/b{i}/{f}", (now + i * 60, now + i * 60))
-    stream = (
-        spark.readStream.schema(
-            spark.read.parquet(f"{src}/b0").schema
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{src}/*")
-    )
+    schema = _stage_ordered_batches(src, [spark.createDataFrame(r, cols) for r in batches])
+    stream = _ordered_stream(spark, src, schema)
     out = events_windowed_counts(stream, window="1 hour", watermark="1 hour")
     _run_available_now(out, "late_drop")
     emitted = [
@@ -179,19 +196,8 @@ def test_stream_upsert_merges_batches(spark, tmp_path):
         [("INV-2", 250.0, "closed"), ("INV-3", 300.0, "open")],
         ["invoice_number", "bill_total", "status"],
     )
-    b1.coalesce(1).write.parquet(f"{src}/b1")
-    b2.coalesce(1).write.parquet(f"{src}/b2")
-    # file-source ordering is by modification time: make b2 strictly newer
-    now = 2_000_000_000
-    for i, d in enumerate(["b1", "b2"]):
-        for f in os.listdir(f"{src}/{d}"):
-            os.utime(f"{src}/{d}/{f}", (now + i * 60, now + i * 60))
-
-    stream = (
-        spark.readStream.schema(b1.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{src}/*")
-    )
+    schema = _stage_ordered_batches(src, [b1, b2])
+    stream = _ordered_stream(spark, src, schema)
     target = str(tmp_path / "table")
     os.makedirs(target)
     q = stream_upsert_invoices(stream, target, str(tmp_path / "ckpt")).start()
@@ -305,16 +311,8 @@ def test_stream_stream_left_outer_emits_nulls_after_watermark(spark, tmp_path):
         [(4, t(20, 0), 99, "signup")],
         [(5, t(21, 0), 98, "purchase")],
     ]
-    now = 2_000_000_000
-    for i, rows in enumerate(batches):
-        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(f"{src}/b{i}")
-        for f in os.listdir(f"{src}/b{i}"):
-            os.utime(f"{src}/b{i}/{f}", (now + i * 60, now + i * 60))
-    stream = (
-        spark.readStream.schema(spark.read.parquet(f"{src}/b0").schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{src}/*")
-    )
+    schema = _stage_ordered_batches(src, [spark.createDataFrame(r, cols) for r in batches])
+    stream = _ordered_stream(spark, src, schema)
     out = join_purchases_to_signups_stream(
         stream, watermark="1 hour", within="1 hour", how="left_outer"
     )
@@ -353,8 +351,8 @@ def test_sessionize_state_plateaus_across_many_microbatches(spark, tmp_path):
     os.makedirs(src)
     cols = ["event_id", "user_id", "ts", "event_type", "value"]
     base = dt.datetime(2024, 1, 1, 0, 0)
-    now = 2_000_000_000
     eid = 0
+    batch_dfs = []
     for b in range(n_batches):
         rows = []
         for u in range(n_users):
@@ -363,14 +361,9 @@ def test_sessionize_state_plateaus_across_many_microbatches(spark, tmp_path):
             # session and opens a new one — sessions EMIT continuously
             # while state stays at one open session per user
             rows.append((eid, u, base + dt.timedelta(hours=b), "click", 1.0))
-        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(f"{src}/b{b}")
-        for f in os.listdir(f"{src}/b{b}"):
-            os.utime(f"{src}/b{b}/{f}", (now + b * 60, now + b * 60))
-    stream = (
-        spark.readStream.schema(spark.read.parquet(f"{src}/b0").schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{src}/*")
-    )
+        batch_dfs.append(spark.createDataFrame(rows, cols))
+    schema = _stage_ordered_batches(src, batch_dfs)
+    stream = _ordered_stream(spark, src, schema)
     query = _run_available_now(sessionize_events(stream), "sess_state")
     states = _state_rows_per_batch(query)
     assert len(states) >= n_batches - 1, states
@@ -401,8 +394,8 @@ def test_stream_stream_join_state_plateaus_with_watermark(spark, tmp_path):
     os.makedirs(src)
     cols = ["event_id", "user_id", "ts", "event_type", "value"]
     base = dt.datetime(2024, 1, 1, 0, 0)
-    now = 2_000_000_000
     eid = 0
+    batch_dfs = []
     for b in range(n_batches):
         rows = []
         t0 = base + dt.timedelta(hours=b)
@@ -411,13 +404,10 @@ def test_stream_stream_join_state_plateaus_with_watermark(spark, tmp_path):
             rows.append((eid, u, t0, "signup", 0.0))
             eid += 1
             rows.append((eid, u, t0 + dt.timedelta(minutes=10), "purchase", 5.0))
-        spark.createDataFrame(rows, cols).coalesce(1).write.parquet(f"{src}/b{b}")
-        for f in os.listdir(f"{src}/b{b}"):
-            os.utime(f"{src}/b{b}/{f}", (now + b * 60, now + b * 60))
+        batch_dfs.append(spark.createDataFrame(rows, cols))
+    schema = _stage_ordered_batches(src, batch_dfs)
     stream = (
-        spark.readStream.schema(spark.read.parquet(f"{src}/b0").schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{src}/*")
+        _ordered_stream(spark, src, schema)
     )
     out = join_purchases_to_signups_stream(
         stream, watermark="1 hour", within="30 minutes"
@@ -540,18 +530,8 @@ def test_incremental_dedup_stream_catches_cross_batch_dups(spark, tmp_path):
         [(20, "gamma content"), (21, "delta content"), (22, "delta content")],
     ]
     schema = "doc_id long, text string"
-    now = 2_000_000_000
-    for i, rows in enumerate(batches):
-        d = f"{src}/b{i}"
-        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
-        for f in os.listdir(d):
-            os.utime(f"{d}/{f}", (now + i * 60, now + i * 60))
-
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{src}/*")
-    )
+    _stage_ordered_batches(src, [spark.createDataFrame(r, schema) for r in batches])
+    stream = _ordered_stream(spark, src, schema)
     fp_dir = str(tmp_path / "fingerprints")
     out_dir = str(tmp_path / "verdicts")
     q = incremental_dedup_stream(
@@ -650,22 +630,13 @@ def test_token_frequency_sketch_stream_matches_batch(spark, tmp_path):
         [(1, "spark spark shuffle"), (2, "spark join")],
         [(10, "shuffle shuffle partition")],
     ]
-    now = 2_000_000_000
-    for i, rows in enumerate(batches):
-        d = f"{src}/b{i}"
-        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
-        for f in os.listdir(d):
-            os.utime(f"{d}/{f}", (now + i * 60, now + i * 60))
+    _stage_ordered_batches(src, [spark.createDataFrame(r, schema) for r in batches])
 
     sk_dir = str(tmp_path / "sketch")
     ckpt = str(tmp_path / "ckpt")
 
     def run():
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(f"{src}/*")
-        )
+        stream = _ordered_stream(spark, src, schema)
         q = token_frequency_sketch_stream(stream, sk_dir, ckpt).start()
         q.awaitTermination(120)
 
@@ -694,9 +665,7 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
     every per-user transition sequence must be strictly increasing in
     both ts and stage."""
     from accounts_receivable_data_pipeline_api_spark.operators import events as ev_ops
-    from accounts_receivable_data_pipeline_api_spark.streaming.pipeline import (
-        funnel_events_stream,
-    )
+    from accounts_receivable_data_pipeline_api_spark.streaming import funnel_events_stream
 
     steps = ["view", "click", "purchase"]
     events_batch = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
@@ -712,17 +681,8 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
         ),
         events_batch.filter(F.col("ts") >= F.lit(hi).cast("timestamp_ntz")),
     ]
-    now = 2_000_000_000
-    for i, p in enumerate(parts):
-        d = f"{src}/b{i}"
-        p.coalesce(1).write.parquet(d)
-        for f in os.listdir(d):
-            os.utime(f"{d}/{f}", (now + i * 60, now + i * 60))
-    stream = (
-        spark.readStream.schema(events_batch.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(f"{src}/b*")
-    )
+    schema = _stage_ordered_batches(src, parts)
+    stream = _ordered_stream(spark, src, schema)
     out = funnel_events_stream(stream, steps)
     _run_available_now(out, "funnel_stream")
     rows = spark.sql("select * from funnel_stream").collect()
@@ -733,9 +693,11 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
         r["step_name"]: r["n_users"]
         for r in ev_ops.funnel(events_batch, steps).collect()
     }
-    stream_counts: dict = {}
+    # seed every step: the batch operator emits an n_users=0 row for an
+    # unreached step, the stream emits nothing for it
+    stream_counts: dict = {s: 0 for s in steps}
     for r in rows:
-        stream_counts[r["step_name"]] = stream_counts.get(r["step_name"], 0) + 1
+        stream_counts[r["step_name"]] += 1
     assert stream_counts == batch_counts
 
     # per-user: stages emitted at most once each, in order, ts strictly
