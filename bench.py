@@ -148,6 +148,7 @@ def main() -> None:
         verification_warm[name] = round(time.perf_counter() - t0, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Full record first, for humans and for the anchor-refresh workflow.
     print(
         json.dumps(
             {
@@ -162,6 +163,29 @@ def main() -> None:
             }
         )
     )
+    # The driver captures only the LAST ~2000 chars of stdout; the full
+    # record above outgrew that window in round 5 ("parsed": null in
+    # BENCH_r05.json), cutting off the suite total. Emit a compact
+    # summary as the FINAL line — suite total + per-query warm at 2 dp —
+    # and degrade to the slowest-N queries if it would ever exceed the
+    # window.
+    compact_warm = {k: round(v, 2) for k, v in warm.items()}
+    summary = {
+        "metric": "suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf,
+        "queries": compact_warm,
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) > 1500:
+        slowest = dict(
+            sorted(compact_warm.items(), key=lambda kv: -kv[1])[:15]
+        )
+        summary["queries"] = slowest
+        summary["queries_truncated_to_slowest"] = len(slowest)
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

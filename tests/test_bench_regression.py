@@ -43,7 +43,13 @@ def _run_bench() -> dict:
         timeout=600,
     )
     assert out.returncode == 0, out.stderr[-2000:]
-    line = [l for l in out.stdout.splitlines() if re.match(r'^\{"metric"', l)][-1]
+    # bench.py prints the FULL record first, then a compact driver-facing
+    # summary (last line, no queries_warm) — take the full one.
+    line = [
+        l
+        for l in out.stdout.splitlines()
+        if re.match(r'^\{"metric"', l) and '"queries_warm"' in l
+    ][-1]
     return json.loads(line)
 
 
