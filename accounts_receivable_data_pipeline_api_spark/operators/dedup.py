@@ -676,6 +676,14 @@ def connected_components(
 
     ``nodes``: optional one-column frame of ALL node ids; singletons
     (nodes in no pair) then appear as their own component.
+
+    Propagation runs over PAIR ENDPOINTS ONLY — O(dup-graph), not
+    O(corpus): a ``nodes=`` singleton's label can never change, so
+    feeding it through the loop would make every convergence round
+    (join + min-agg + eager checkpoint) corpus-sized for no information.
+    Singleton rows are attached AFTER convergence by one anti-join
+    against the converged endpoint labels, with the component column
+    constructed map-side from the node id itself.
     """
     if method == "star":
         return connected_components_star(
@@ -686,9 +694,6 @@ def connected_components(
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     node_ids = sym.select(F.col("src").alias("node")).distinct()
-    if nodes is not None:
-        extra = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
-        node_ids = node_ids.union(extra).distinct()
     # Iterative algorithms MUST truncate lineage every round — without
     # the checkpoint each iteration re-derives all previous ones and the
     # plan grows exponentially (measured: 4 min -> seconds at sf0.01).
@@ -726,7 +731,14 @@ def connected_components(
         if changed == 0:
             break
     _release_checkpoint(sym)
-    return labels.select("node", "component")
+    result = labels.select("node", "component")
+    if nodes is not None:
+        extra = nodes.select(F.col(nodes.columns[0]).alias("node")).distinct()
+        singles = extra.join(result.select("node"), "node", "left_anti").select(
+            "node", F.col("node").alias("component")
+        )
+        result = result.unionByName(singles)
+    return result
 
 
 def connected_components_star(

@@ -265,3 +265,33 @@ def test_incremental_exact_shuffles_on_content_hash(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "SinglePartition" not in plan, plan
     assert re.search(r"hashpartitioning\(content_hash", plan), plan
+
+
+def test_components_singletons_join_once_after_convergence(spark, sf_dir):
+    """connected_components(nodes=corpus) must keep the corpus OUT of
+    the propagation loop: the converged endpoint labels are a
+    checkpointed RDD, and the nodes frame appears in the final plan
+    exactly once, under a single left-anti join (the singleton branch,
+    components constructed map-side from the node id). Before round 6
+    the nodes were unioned into the seed labels, making every
+    convergence round — and its eager checkpoint — corpus-sized for
+    labels that can never change."""
+    import accounts_receivable_data_pipeline_api_spark.operators.dedup as dedup
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_cosine_pairs_lsh(emb, dim=64, threshold=0.3)
+    out = dedup.connected_components(pairs, nodes=emb.select("vec_id"))
+    plan = _formatted(spark, out)
+    # propagation side: converged labels are a localCheckpoint RDD
+    assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan, plan
+    # singleton side: exactly one anti-join, fed by the nodes scan
+    assert len(re.findall(r"LeftAnti", plan)) >= 1, plan
+    ops = re.findall(r"\n\(\d+\) (\S+)", plan)
+    joins = [op for op in ops if "Join" in op and "Reused" not in op]
+    assert all("LeftAnti" in j or "ExistenceJoin" not in j for j in joins), joins
+    # the embeddings parquet scan feeds ONLY the singleton branch:
+    # exactly one scan of the source in the final (post-loop) plan
+    scans = [op for op in ops if op.startswith("Scan") and "parquet" in op]
+    assert len(set(scans)) <= 1, scans
