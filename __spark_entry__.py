@@ -13,8 +13,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from accounts_receivable_data_pipeline_api_spark.plans import CORPUS
+from accounts_receivable_data_pipeline_api_spark.plans import CORPUS, DRIVER_WINDOW
 from accounts_receivable_data_pipeline_api_spark.session import configure_session
+
+# Unconditional twin of the package-level corpus-window assert: the
+# SPARK_GRAFT_CORPUS_WIP escape hatch exists for dev check scripts, and
+# if that variable ever leaked into the driver's environment a mis-sized
+# corpus would otherwise run silently (entries beyond the window get no
+# correctness row).
+assert len(CORPUS) == DRIVER_WINDOW, (
+    f"driver entry point requires exactly {DRIVER_WINDOW} corpus entries; "
+    f"found {len(CORPUS)}"
+)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

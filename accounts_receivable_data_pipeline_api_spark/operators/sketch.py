@@ -75,7 +75,11 @@ def cms_build(
             yield pd.DataFrame({"block": [block.tobytes()]})
 
     parts = (
-        df.select(
+        # NULL items carry no countable identity and would null-propagate
+        # through the md5 position expr, landing None inside the numpy
+        # kernel — quarantine them here rather than fail the task
+        df.filter(F.col(item_col).isNotNull())
+        .select(
             _cms_positions(F.col(item_col).cast("string"), d, w).alias("positions")
         )
         .mapInPandas(_partial, schema="block binary")

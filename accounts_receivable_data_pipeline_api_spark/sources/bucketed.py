@@ -65,12 +65,26 @@ def point_lookup(spark: SparkSession, table: str, key: str, value) -> DataFrame:
     table size as buckets scale with data.
 
     Requires ``spark.sql.sources.bucketing.autoBucketedScan.enabled``
-    = false, set here for the session: the auto heuristic disables
+    = false WHILE THIS LOOKUP PLANS: the auto heuristic disables
     bucketed reading for scans with no join/agg (it optimizes for full
     scan parallelism), which also forfeits bucket pruning — exactly
-    backwards for a point lookup. A serving session wants the bucketed
-    layout honored everywhere (co-located joins want it too); batch
-    sessions that prefer the heuristic can flip it back.
+    backwards for a point lookup. Because Spark reads the conf at
+    physical-planning time (lazily, at the first action), the flag is
+    flipped here, the physical plan is forced to materialize — it is
+    then cached in this DataFrame's QueryExecution, so later actions
+    reuse it — and the previous value is restored, leaving every OTHER
+    query's plans untouched (a session-wide flip changed plans for
+    unrelated scans as a read-path side effect).
     """
-    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    return spark.table(table).filter(spark.table(table)[key] == value)
+    conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "false")
+    try:
+        df = spark.table(table).filter(spark.table(table)[key] == value)
+        df._jdf.queryExecution().executedPlan()  # pin the pruned plan
+    finally:
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    return df

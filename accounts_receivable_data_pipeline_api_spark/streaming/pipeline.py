@@ -653,7 +653,14 @@ def make_funnel_fn(steps: list[str]):
     def _fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
         rows = []
         for pdf in pdfs:
-            for t, typ in zip(pd.to_datetime(pdf["ts"]), pdf["event_type"]):
+            # drop NULL timestamps up front: NaT.value is int64-min, so a
+            # dirty stage-0 row would otherwise advance the state machine
+            # with a garbage threshold (or raise OutOfBoundsDatetime) —
+            # the batch twin skips NULL ts via min()'s null handling, and
+            # the twins must agree on dirty data
+            ts = pd.to_datetime(pdf["ts"])
+            ok = ts.notna()
+            for t, typ in zip(ts[ok], pdf["event_type"][ok]):
                 rows.append((int(t.value // 1000), typ))
         if not rows:
             return

@@ -1855,3 +1855,20 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
             target = q * (n - 1)
             dist = 0.0 if lo <= target <= hi else min(abs(lo - target), abs(hi - target))
             assert dist <= bound, (q, approx, dist, bound, n)
+
+
+def test_cms_build_skips_null_items(spark, sf_dir):
+    """NULL items carry no countable identity: a frame with NULLs must
+    produce the identical sketch as its non-null subset (round-5 ADVICE:
+    the md5 position expr null-propagates and None positions crashed the
+    numpy kernel — quarantine, never fail)."""
+    import numpy as np
+
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import cms_build
+
+    vals = [("alpha",), ("beta",), (None,), ("alpha",), (None,)]
+    df = spark.createDataFrame(vals, "token string")
+    with_nulls = cms_build(df, "token")
+    without = cms_build(df.filter(F.col("token").isNotNull()), "token")
+    assert np.array_equal(with_nulls, without)
+    assert int(with_nulls.sum()) == 3 * 4  # 3 non-null items x depth

@@ -199,6 +199,12 @@ def test_bucketed_point_lookup_prunes_to_one_bucket(spark, sf_dir):
     prev = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
     try:
         df = point_lookup(spark, "pl_customer", "c_custkey", 7)
+        # the lookup pins its pruned plan then restores the session conf
+        # — no read-path side effect on other queries' plans
+        assert (
+            spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+            == prev
+        )
         rows = df.collect()
         assert len(rows) == 1 and rows[0]["c_custkey"] == 7
         plan = df._jdf.queryExecution().explainString(
@@ -210,9 +216,6 @@ def test_bucketed_point_lookup_prunes_to_one_bucket(spark, sf_dir):
         assert m, plan
         assert m.group(1) == "1" and m.group(2) == "8"
     finally:
-        spark.conf.set(
-            "spark.sql.sources.bucketing.autoBucketedScan.enabled", prev
-        )
         spark.sql("DROP TABLE IF EXISTS pl_customer")
 
 

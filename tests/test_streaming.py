@@ -710,3 +710,57 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
         assert [s for s, _ in trans] == list(range(len(trans)))
         ts_seq = [t for _, t in trans]
         assert all(a < b for a, b in zip(ts_seq, ts_seq[1:]))
+
+
+def test_funnel_kernel_drops_null_ts():
+    """The stateful funnel kernel must skip NULL timestamps exactly like
+    the batch twin's min() does (round-5 ADVICE: NaT.value is int64-min,
+    so a dirty stage-0 row either advanced the state machine with a
+    garbage threshold or raised OutOfBoundsDatetime in the worker)."""
+    import pandas as pd
+
+    from accounts_receivable_data_pipeline_api_spark.streaming.pipeline import (
+        make_funnel_fn,
+    )
+
+    class _FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    steps = ["view", "click"]
+    dirty = pd.DataFrame(
+        {
+            "user_id": [1] * 4,
+            "ts": pd.to_datetime(
+                [None, "2024-01-02 00:00:00", None, "2024-01-03 00:00:00"]
+            ),
+            "event_type": ["view", "view", "click", "click"],
+        }
+    )
+    clean = dirty[dirty["ts"].notna()].reset_index(drop=True)
+
+    out_dirty, out_clean = [], []
+    for pdf, sink in ((dirty, out_dirty), (clean, out_clean)):
+        state = _FakeState()
+        for chunk in make_funnel_fn(steps)((1,), [pdf], state):
+            sink.append(chunk)
+        assert state.get[0] == 2  # both steps reached on the clean rows
+    got_d = pd.concat(out_dirty).reset_index(drop=True)
+    got_c = pd.concat(out_clean).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_d, got_c)
+    # and the NULL-ts 'click' row did not satisfy stage 1: the emitted
+    # click threshold is the real 2024-01-03 event
+    assert str(got_d.loc[got_d["step_name"] == "click", "ts"].iloc[0]) == (
+        "2024-01-03 00:00:00"
+    )
