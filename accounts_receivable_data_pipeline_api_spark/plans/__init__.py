@@ -18,7 +18,7 @@ from . import temporal  # noqa: E402,F401
 # subsumes, and all merged semantics remain hash-checked as columns of
 # the combined query (see window_frames, multimodal_pipeline,
 # json_props_extract, curation_splits, curation_pack_batches,
-# agg_grouping_sets, text_quality, agg_salted_distinct).
+# agg_cube_status_priority, text_quality, agg_salted_distinct).
 #
 # Ordering: oracled entries first (hash rows), rows-only entries last —
 # if the driver window ever shrinks, hash rows are the ones kept.

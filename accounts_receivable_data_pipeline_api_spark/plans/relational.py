@@ -679,14 +679,24 @@ def window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY ROLLUP (n_name, c_mktsegment)
+    UNION ALL
+    SELECT 'gsets', o_orderstatus, o_orderpriority, COUNT(*),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
-    tags=("EXT", "A"),
-    doc="CUBE + ROLLUP grouping sets, merged from the former "
-    "agg_cube_status_priority + agg_rollup_nation_segment entries "
-    "(round-5 corpus consolidation to stay inside the 50-entry driver "
-    "window). 'cube' rows: CUBE(status, priority) over orders; 'rollup' "
-    "rows: ROLLUP(nation, segment) over customer join broadcast nation. "
-    "Both remain hash-checked as distinct row groups.",
+    tags=("EXT", "A", "SQL"),
+    doc="CUBE + ROLLUP + GROUPING SETS, merged from the former "
+    "agg_cube_status_priority + agg_rollup_nation_segment (round 5) + "
+    "agg_grouping_sets (round 6) entries — corpus consolidation to stay "
+    "inside the 50-entry driver window. 'cube' rows: CUBE(status, "
+    "priority) over orders; 'rollup' rows: ROLLUP(nation, segment) over "
+    "customer join broadcast nation; 'gsets' rows: explicit GROUPING "
+    "SETS ((status),(priority),()) — independent marginals plus grand "
+    "total. The gsets group is also the SQL-front-door pin (former "
+    "sql_front_door entry): its builder half runs ANSI SQL text through "
+    "spark.sql() over a registered view, hash-checked against the same "
+    "SQL on DuckDB. All three remain distinct hash-checked row groups.",
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -717,7 +727,17 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_val",
         )
     )
-    return cube.unionByName(rollup)
+    orders.createOrReplaceTempView("__gs_orders")
+    gsets = spark.sql(
+        """
+        SELECT 'gsets' AS kind, o_orderstatus AS k1, o_orderpriority AS k2,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+    return cube.unionByName(rollup).unionByName(gsets)
 
 
 # Plain COUNT(DISTINCT) (former agg_distinct_customers) is pinned by
@@ -966,32 +986,86 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Explicit GROUPING SETS + the SQL front door (former agg_grouping_sets
+# entry) are pinned by the 'gsets' row group of agg_cube_status_priority
+# above (round-6 corpus consolidation to free a driver-window slot for
+# events_funnel_retention).
+
+
 @register(
-    "agg_grouping_sets",
+    "events_funnel_retention",
     oracle="""
-    SELECT o_orderstatus, o_orderpriority,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
-           CAST(COUNT(*) AS BIGINT) AS n
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-    """,
-    tags=("EXT", "AGG", "SQL"),
-    doc="Explicit GROUPING SETS ((status),(priority),()) — independent "
-    "marginals plus grand total in one pass (distinct from cube/rollup "
-    "coverage; SURVEY §2.4 'not present' list). Also the SQL-front-door "
-    "pin (former sql_front_door entry): the builder runs ANSI SQL text "
-    "through spark.sql() over a registered view, hash-checked against "
-    "the same SQL on DuckDB.",
-)
-def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    orders.createOrReplaceTempView("__gs_orders")
-    return spark.sql(
-        """
-        SELECT o_orderstatus, o_orderpriority,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total,
-               CAST(COUNT(*) AS BIGINT) AS n
-        FROM __gs_orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
+    WITH t0 AS (
+      SELECT user_id, MIN(ts) AS thr FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t1 AS (
+      SELECT e.user_id, MIN(e.ts) AS thr
+      FROM events e JOIN t0 ON e.user_id = t0.user_id
+      WHERE e.event_type = 'click' AND e.ts > t0.thr
+      GROUP BY e.user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS thr
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t1.thr
+      GROUP BY e.user_id
+    ),
+    ev AS (
+      SELECT user_id AS u, CAST(ts AS DATE) AS d FROM events
+    ),
+    first AS (
+      SELECT u, MIN(d) AS cohort_day FROM ev GROUP BY u
+    ),
+    weekly AS (
+      SELECT DISTINCT ev.u,
+             CAST(floor(datediff('day', DATE '2024-01-01', f.cohort_day) / 7)
+                  AS INT) AS cohort_week,
+             CAST(floor(datediff('day', f.cohort_day, ev.d) / 7) AS INT)
+               AS week_idx
+      FROM ev JOIN first f ON ev.u = f.u
     )
+    SELECT 'funnel' AS kind, CAST(0 AS INT) AS i1, CAST(NULL AS INT) AS i2,
+           'view' AS label, CAST((SELECT COUNT(*) FROM t0) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT 'funnel', CAST(1 AS INT), NULL, 'click',
+           CAST((SELECT COUNT(*) FROM t1) AS BIGINT)
+    UNION ALL
+    SELECT 'funnel', CAST(2 AS INT), NULL, 'purchase',
+           CAST((SELECT COUNT(*) FROM t2) AS BIGINT)
+    UNION ALL
+    SELECT 'retention', cohort_week, week_idx, CAST(NULL AS VARCHAR),
+           CAST(COUNT(*) AS BIGINT)
+    FROM weekly GROUP BY cohort_week, week_idx
+    """,
+    tags=("EXT", "EVENTS"),
+    doc="Product-analytics compositions over the events table "
+    "(operators/events.py; [EXT] — the reference has no event surface). "
+    "'funnel' rows: ordered view->click->purchase conversion, stage i "
+    "converts iff a step-i event falls strictly AFTER the user's "
+    "earliest qualifying step-(i-1) event (i1=step, label=step_name). "
+    "'retention' rows: weekly cohort matrix with integer day-diff weeks "
+    "— never date_trunc('week'), whose week start is a cross-engine "
+    "dialect trap (i1=cohort_week, i2=week_idx). Plan shape: funnel = "
+    "len(steps) pushdown scans + user-key shuffles; retention = one "
+    "per-user min + one join + one distinct — all bounded keys.",
+)
+def events_funnel_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import events as ev_ops
+
+    events = load_table(spark, sf_dir, "events")
+    fun = ev_ops.funnel(events, ["view", "click", "purchase"]).select(
+        F.lit("funnel").alias("kind"),
+        F.col("step").alias("i1"),
+        F.lit(None).cast("int").alias("i2"),
+        F.col("step_name").alias("label"),
+        "n_users",
+    )
+    ret = ev_ops.retention_cohorts(events).select(
+        F.lit("retention").alias("kind"),
+        F.col("cohort_week").alias("i1"),
+        F.col("week_idx").alias("i2"),
+        F.lit(None).cast("string").alias("label"),
+        "n_users",
+    )
+    return fun.unionByName(ret)
