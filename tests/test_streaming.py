@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -764,3 +765,86 @@ def test_funnel_kernel_drops_null_ts():
     assert str(got_d.loc[got_d["step_name"] == "click", "ts"].iloc[0]) == (
         "2024-01-03 00:00:00"
     )
+
+
+def test_streaming_funnel_replay_after_restart(spark, sf_dir, tmp_path):
+    """Replay-safety contract (same as the CMS / incremental-dedup
+    streams): process three chronological microbatches through a
+    parquet sink with a checkpoint, then simulate a crash between the
+    sink commit and the checkpoint commit by deleting the LAST batch's
+    commit marker and restarting. The replayed batch re-runs against
+    the state version it originally read, the file sink's metadata log
+    skips the already-committed output, and the per-step transitions
+    are byte-identical — no double emissions, no state corruption."""
+    from accounts_receivable_data_pipeline_api_spark.operators import events as ev_ops
+    from accounts_receivable_data_pipeline_api_spark.streaming import funnel_events_stream
+
+    steps = ["view", "click", "purchase"]
+    events_batch = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    src = str(tmp_path / "funnel_replay_src")
+    out = str(tmp_path / "funnel_replay_out")
+    ckpt = str(tmp_path / "funnel_replay_ckpt")
+    lo, hi = "2024-01-10", "2024-01-20"
+    parts = [
+        events_batch.filter(F.col("ts") < F.lit(lo).cast("timestamp_ntz")),
+        events_batch.filter(
+            (F.col("ts") >= F.lit(lo).cast("timestamp_ntz"))
+            & (F.col("ts") < F.lit(hi).cast("timestamp_ntz"))
+        ),
+        events_batch.filter(F.col("ts") >= F.lit(hi).cast("timestamp_ntz")),
+    ]
+    schema = _stage_ordered_batches(src, parts)
+
+    def run():
+        stream = _ordered_stream(spark, src, schema)
+        q = (
+            funnel_events_stream(stream, steps)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        # the checkpoint-dir concurrency guard deregisters the query a
+        # beat after awaitTermination returns; the restart below must
+        # not race it
+        deadline = time.time() + 30
+        while any(a.id == q.id for a in spark.streams.active):
+            assert time.time() < deadline, "query did not deregister"
+            time.sleep(0.2)
+
+    run()
+    first = sorted(
+        (r.user_id, r.step, r.step_name, r.ts)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert first
+
+    # crash window: batch 2's sink output is committed (_spark_metadata/2
+    # exists) but its checkpoint commit never landed -> batch 2 replays
+    # on restart. The sibling Hadoop checksum file must go with it — a
+    # stale .2.crc makes the re-created commit fail verification, which
+    # Spark surfaces as a bogus "multiple streaming queries" error.
+    os.remove(f"{ckpt}/commits/2")
+    crc = f"{ckpt}/commits/.2.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    run()
+    again = sorted(
+        (r.user_id, r.step, r.step_name, r.ts)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert again == first
+
+    # and the surviving counts still equal the batch twin's funnel
+    batch_counts = {
+        r["step_name"]: r["n_users"]
+        for r in ev_ops.funnel(events_batch, steps).collect()
+    }
+    stream_counts: dict = {s: 0 for s in steps}
+    for _, _, name, _ in again:
+        stream_counts[name] += 1
+    assert stream_counts == batch_counts
