@@ -72,6 +72,129 @@ SKIP_BY_DESIGN = {
     "dedup_components_lsh": "same exact-graph invariant fixture; raw op probed at sf1",
 }
 
+# Bounded sf1 VALUE checks for the two skipped-by-design entries
+# (round-5 VERDICT #7): run the SAME iterative operator over a capped
+# node subset (vec_id % CAP_MOD == 0, ~n/29 vectors) where the exact
+# pair graph and the recursive reachability closure stay tractable in
+# DuckDB, so connected_components' sf1 behavior — auto-sized
+# convergence rounds, the round-6 endpoint-only propagation, the
+# post-convergence singleton attach — gets a hash-equivalent check at
+# scale, not just a perf probe. The cap changes the INPUT, never the
+# operator under test.
+CAP_MOD = 29
+
+
+def _capped_components_build(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from accounts_receivable_data_pipeline_api_spark.operators import dedup
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % CAP_MOD == 0
+    )
+    pairs = dedup.embedding_cosine_pairs(emb, threshold=0.3)
+    return dedup.connected_components(pairs)
+
+
+def _capped_components_lsh_build(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from accounts_receivable_data_pipeline_api_spark.operators import dedup
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % CAP_MOD == 0
+    )
+    # nodes= exercises the post-convergence singleton branch at sf1;
+    # every LSH pair is exact-verified, so components REFINE the exact
+    # map — the total (node -> component) frame is compared by joining
+    # each node to its EXACT component and asserting the LSH label
+    # refines it; here we check the node universe + exact components
+    # directly, the same invariant shape as the sf0.01 entry.
+    lsh_cc = dedup.connected_components(
+        dedup.embedding_cosine_pairs_lsh(emb, dim=64, threshold=0.3),
+        nodes=emb.select("vec_id"),
+    )
+    exact_cc = dedup.connected_components(
+        dedup.embedding_cosine_pairs(emb, threshold=0.3),
+        nodes=emb.select("vec_id"),
+    ).select(F.col("node"), F.col("component").alias("ex_component"))
+    joined = lsh_cc.join(exact_cc, "node")
+    refine = (
+        joined.groupBy("component")
+        .agg(F.countDistinct("ex_component").alias("n_exact_in_lsh"))
+        .agg(
+            F.coalesce(F.sum(F.col("n_exact_in_lsh") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("n_refinement_violations"),
+            F.count(F.lit(1)).alias("n_lsh_components"),
+        )
+    )
+    counts = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        (F.count(F.lit(1)) - F.countDistinct("node"))
+        .cast("bigint")
+        .alias("n_multiplicity_violations"),
+        F.countDistinct("ex_component").cast("bigint").alias("n_exact_components"),
+    )
+    return counts.crossJoin(refine).select(
+        "n_nodes",
+        "n_multiplicity_violations",
+        "n_refinement_violations",
+        "n_exact_components",
+        (F.col("n_lsh_components") >= F.col("n_exact_components")).alias(
+            "component_count_ge_exact"
+        ),
+    )
+
+
+_CAPPED_CLOSURE = f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      WHERE vec_id % {CAP_MOD} = 0
+    ),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.e, b.e) /
+                  (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                  6) >= 0.3
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM p
+      UNION
+      SELECT id_b, id_a FROM p
+    ),
+    reach(a, b) AS (
+      SELECT s, s FROM (SELECT DISTINCT s FROM edges)
+      UNION
+      SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+    ),
+    comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a)
+"""
+
+CAPPED_TWINS = {
+    "dedup_components": (
+        _capped_components_build,
+        _CAPPED_CLOSURE + "SELECT node, component FROM comp",
+    ),
+    "dedup_components_lsh": (
+        _capped_components_lsh_build,
+        _CAPPED_CLOSURE
+        + f"""
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_nodes,
+           CAST(0 AS BIGINT) AS n_multiplicity_violations,
+           CAST(0 AS BIGINT) AS n_refinement_violations,
+           CAST((SELECT COUNT(DISTINCT COALESCE(c.component, e.vec_id))
+                 FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+                 WHERE e.vec_id % {CAP_MOD} = 0)
+                AS BIGINT) AS n_exact_components,
+           TRUE AS component_count_ge_exact
+    """,
+    ),
+}
+
 
 def main() -> None:
     only = None
@@ -104,17 +227,61 @@ def main() -> None:
         if cq.oracle is None or (only is not None and only not in name):
             continue
         if name in SKIP_BY_DESIGN:
-            skipped.append(name)
-            print(
-                json.dumps(
-                    {
-                        "entry": name,
-                        "status": "skipped (quadratic by design)",
-                        "why": SKIP_BY_DESIGN[name],
-                    }
-                ),
-                flush=True,
-            )
+            if name in CAPPED_TWINS:
+                # full-corpus oracle stays skipped, but the operator gets
+                # a bounded VALUE check over the capped node subset
+                build, oracle = CAPPED_TWINS[name]
+                t0 = time.perf_counter()
+                try:
+                    report = compare(build(spark, SF1_DIR), con, oracle)
+                    ok = (
+                        report["count_match"]
+                        and report["cols_match"]
+                        and report["values_match"]
+                    )
+                    (green if ok else failed).append(f"{name} (capped)")
+                    print(
+                        json.dumps(
+                            {
+                                "entry": name,
+                                "status": (
+                                    "green (capped fixture)"
+                                    if ok
+                                    else "FAIL (capped fixture)"
+                                ),
+                                "why_full_skipped": SKIP_BY_DESIGN[name],
+                                "cap": f"vec_id % {CAP_MOD} == 0",
+                                "spark_rows": report["spark_rows"],
+                                "duck_rows": report["duck_rows"],
+                                "sec": round(time.perf_counter() - t0, 1),
+                            }
+                        ),
+                        flush=True,
+                    )
+                except Exception as ex:  # noqa: BLE001
+                    failed.append(f"{name} (capped)")
+                    print(
+                        json.dumps(
+                            {
+                                "entry": name,
+                                "status": "ERROR (capped fixture)",
+                                "err": str(ex)[:500],
+                            }
+                        ),
+                        flush=True,
+                    )
+            else:
+                skipped.append(name)
+                print(
+                    json.dumps(
+                        {
+                            "entry": name,
+                            "status": "skipped (quadratic by design)",
+                            "why": SKIP_BY_DESIGN[name],
+                        }
+                    ),
+                    flush=True,
+                )
             continue
         t0 = time.perf_counter()
         try:
