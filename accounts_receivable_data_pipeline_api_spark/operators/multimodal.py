@@ -18,10 +18,18 @@ filters (None/Sub/Up/Average/Paeth), with chunk CRCs validated —
 ``synthesize_png`` emits genuinely compressed, per-row-filtered
 payloads whose decoded pixel stream the SQL oracle still predicts
 (the filter/compress layer is a bijection the oracle never sees).
-Codec-library formats (JPEG via PIL, audio/video) remain gated:
-``decoder="pil"`` raises NotImplementedError (no codec libs in this
-container); ``decoder="stub"`` keeps the legacy checksum-derived fake
-as an explicit fallback for such payloads.
+JPEG decode is real as of round 6 for 8-bit BASELINE sequential
+Huffman with 1:1 sampling (grayscale and 4:4:4 color): marker walk,
+DQT/DHT/SOF0/SOS parse, canonical-Huffman entropy decode with byte
+unstuffing and restart markers, dequant + zigzag + float IDCT —
+``synthesize_jpeg`` emits genuinely entropy-coded payloads whose
+decoded stream stays SQL-predictable because block-constant pixels
+under unit quant tables round-trip exactly. Out-of-scope JPEG shapes
+(progressive, subsampled, arithmetic, 12-bit) decode to NULL rows;
+codec-library formats stay gated: ``decoder="pil"`` raises
+NotImplementedError (no codec libs in this container);
+``decoder="stub"`` keeps the legacy checksum-derived fake as an
+explicit fallback for such payloads.
 """
 
 from __future__ import annotations
@@ -406,6 +414,445 @@ def _parse_png(content: bytes) -> tuple[int, int, int, str] | None:
     return w, h, 3, hashlib.md5(stream.hex().encode()).hexdigest()
 
 
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential, ITU-T T.81) — real dependency-free codec.
+#
+# The decoder is GENERAL for 8-bit baseline Huffman JPEG with 1:1
+# sampling (grayscale or 4:4:4 YCbCr): marker walk, DQT/DHT/SOF0/SOS
+# parse, canonical-Huffman entropy decode with byte-unstuffing and
+# restart-marker handling, dequantization, zigzag reorder, float IDCT,
+# level shift. Everything else (progressive SOF2, arithmetic coding,
+# chroma subsampling, 12-bit precision) decodes to None — quarantine,
+# never a wrong pixel.
+#
+# The FIXTURE keeps the oracle SQL-predictable despite JPEG being
+# lossy: all-ones quantization tables and BLOCK-CONSTANT pixels. A
+# constant 8x8 block has a single DC coefficient 8*(v-128) — an exact
+# integer — and zero ACs, so the float IDCT reproduces v exactly in
+# every pixel and the decoded stream equals the synthesized one
+# bit-for-bit. The encoder still writes a genuine entropy-coded file
+# (Annex K luminance Huffman tables, DC prediction, byte stuffing);
+# the decoder has no idea the blocks are constant.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ITU-T T.81 Annex K.3.1 typical luminance tables (public constants)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _jpeg_canonical_codes(bits: list[int], vals: list[int]):
+    """Annex C code assignment: (code, length) per symbol, canonical
+    order — shared by the encoder (symbol -> code) and the decoder
+    ((length, code) -> symbol)."""
+    out = []
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out.append((vals[k], code, length))
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_IDCT_MAT = None
+
+
+def _jpeg_idct_matrix():
+    """8x8 DCT-III basis A with A[u,x] = c(u)/2 * cos((2x+1)u*pi/16);
+    block IDCT is A.T @ F @ A."""
+    global _IDCT_MAT
+    if _IDCT_MAT is None:
+        import math
+
+        import numpy as np
+
+        m = np.empty((8, 8), dtype=np.float64)
+        for u in range(8):
+            cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+            for x in range(8):
+                m[u, x] = cu / 2.0 * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        _IDCT_MAT = m
+    return _IDCT_MAT
+
+
+def _jpeg_params_from_text(text: str) -> tuple[str, int, int]:
+    """Fixture geometry in BLOCKS: (seed, bw, bh) with bw/bh in 1..8,
+    so width = 8*bw and height = 8*bh (8..64 px). Oracle mirror:
+    bw = hx % 8 + 1; bh = (hx // 8) % 8 + 1."""
+    seed = hashlib.md5(text.encode("utf-8")).hexdigest()
+    hx = int(seed[:8], 16)
+    return seed, hx % 8 + 1, (hx // 8) % 8 + 1
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+        return bytes(self.out)
+
+
+def _jpeg_bytes(seed: str, bw: int, bh: int) -> bytes:
+    """A genuine baseline grayscale JPEG: JFIF APP0, all-ones DQT,
+    SOF0, Annex-K luminance DHTs, SOS, entropy-coded DC-predicted
+    scan, EOI. Block (r, c) in the 8x8-block grid is CONSTANT at
+    digest byte (r*bw + c) % 16 — the logical pixel stream is each
+    seed hex pair expanded to an 8x8 block, which is what the SQL
+    oracle reconstructs with repeat()/string_agg."""
+    import struct
+
+    w, h = 8 * bw, 8 * bh
+    digest = bytes.fromhex(seed)
+    dc_codes = {
+        sym: (code, ln)
+        for sym, code, ln in _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    }
+    ac_codes = {
+        sym: (code, ln)
+        for sym, code, ln in _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    }
+    wr = _JpegBitWriter()
+    prev_dc = 0
+    for i in range(bw * bh):
+        v = digest[i % 16]
+        dc = 8 * (v - 128)
+        diff = dc - prev_dc
+        prev_dc = dc
+        mag = abs(diff)
+        s = mag.bit_length()
+        code, ln = dc_codes[s]
+        wr.put(code, ln)
+        if s:
+            wr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        eob, eob_len = ac_codes[0x00]
+        wr.put(eob, eob_len)
+    scan = wr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof0 = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    dht_dc = seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    dht_ac = seg(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + app0 + dqt + sof0 + dht_dc + dht_ac + sos + scan + b"\xff\xd9"
+
+
+def synthesize_jpeg(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Fixture source: synthesize a real entropy-coded baseline JPEG
+    per document, deterministically from its text. Block-constant
+    pixels + unit quant tables make the (normally lossy) round trip
+    exact, so the oracle predicts the decoded stream from SQL alone."""
+    src = _spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                seed, bw, bh = _jpeg_params_from_text(text)
+                payloads.append(_jpeg_bytes(seed, bw, bh))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": "image",
+                    "content": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                    "checksum": [hashlib.md5(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return src.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
+class _JpegBitReader:
+    """Entropy-segment bit reader: removes 0xFF00 stuffing, stops at
+    any real marker, byte-aligns across restart markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+        self.hit_marker = False
+
+    def _fill(self) -> bool:
+        d = self.data
+        if self.pos >= len(d):
+            return False
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            else:  # real marker: end of entropy data
+                self.hit_marker = True
+                return False
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+        return True
+
+    def bits(self, k: int) -> int | None:
+        while self.n < k:
+            if not self._fill():
+                return None
+        self.n -= k
+        return (self.acc >> self.n) & ((1 << k) - 1)
+
+    def restart(self) -> bool:
+        """Byte-align and consume an RSTn marker."""
+        self.acc = 0
+        self.n = 0
+        d = self.data
+        if self.pos + 1 < len(d) and d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+            self.pos += 2
+            self.hit_marker = False
+            return True
+        return False
+
+
+def _jpeg_decode_huff(reader: _JpegBitReader, table: dict[tuple[int, int], int]) -> int | None:
+    code = 0
+    for length in range(1, 17):
+        bit = reader.bits(1)
+        if bit is None:
+            return None
+        code = (code << 1) | bit
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    return None
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes] | None:
+    """Real baseline JPEG decode to (w, h, channels, stream): stream is
+    the row-major grayscale byte plane (1 component) or interleaved RGB
+    (3 components, 4:4:4, JFIF YCbCr conversion). None for anything
+    outside 8-bit baseline Huffman with 1:1 sampling."""
+    import numpy as np
+
+    if content is None or len(content) < 4 or content[:2] != b"\xff\xd8":
+        return None
+    d = content
+    pos = 2
+    qts: dict[int, list[int]] = {}
+    huffs: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[tuple[int, int, int]] = []  # (id, qt, ...) after SOF
+    w = h = None
+    dri = 0
+    scan_comps: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
+    while pos + 4 <= len(d):
+        if d[pos] != 0xFF:
+            return None
+        marker = d[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            return None
+        ln = int.from_bytes(d[pos + 2 : pos + 4], "big")
+        seg = d[pos + 4 : pos + 2 + ln]
+        if len(seg) != ln - 2:
+            return None
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                if pq != 0:  # 16-bit tables: not baseline-8
+                    return None
+                if i + 65 > len(seg):
+                    return None
+                qts[tq] = list(seg[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nv])
+                if len(vals) != nv:
+                    return None
+                huffs[(tc, th)] = {
+                    (lnn, code): sym
+                    for sym, code, lnn in _jpeg_canonical_codes(bits, vals)
+                }
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            if seg[0] != 8:
+                return None
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            if nc not in (1, 3) or len(seg) < 6 + 3 * nc:
+                return None
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:  # subsampling: out of scope
+                    return None
+                comps.append((cid, samp, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # extended/progressive/lossless/arithmetic
+        elif marker == 0xDD:  # DRI
+            dri = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            if not comps or ns != len(comps):
+                return None
+            scan_comps = []
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                idx = next((k for k, cc in enumerate(comps) if cc[0] == cs), None)
+                if idx is None:
+                    return None
+                scan_comps.append((idx, tt >> 4, tt & 0xF))
+            if seg[1 + 2 * ns : 4 + 2 * ns] != b"\x00\x3f\x00":
+                return None  # not a full baseline scan
+            pos = pos + 2 + ln
+            break
+        pos = pos + 2 + ln
+    else:
+        return None
+    if w is None or not w or not h:
+        return None
+
+    bx, by = (w + 7) // 8, (h + 7) // 8
+    nc = len(comps)
+    reader = _JpegBitReader(d, pos)
+    coefs = np.zeros((nc, by * bx, 64), dtype=np.float64)
+    preds = [0] * nc
+    for mcu in range(by * bx):
+        if dri and mcu and mcu % dri == 0:
+            if not reader.restart():
+                return None
+            preds = [0] * nc
+        for ci, dc_t, ac_t in scan_comps:
+            dc_table = huffs.get((0, dc_t))
+            ac_table = huffs.get((1, ac_t))
+            qt = qts.get(comps[ci][2])
+            if dc_table is None or ac_table is None or qt is None:
+                return None
+            s = _jpeg_decode_huff(reader, dc_table)
+            if s is None or s > 11:
+                return None
+            if s:
+                extra = reader.bits(s)
+                if extra is None:
+                    return None
+                preds[ci] += _jpeg_extend(extra, s)
+            block = coefs[ci, mcu]
+            block[0] = preds[ci] * qt[0]
+            k = 1
+            while k < 64:
+                rs = _jpeg_decode_huff(reader, ac_table)
+                if rs is None:
+                    return None
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += rs >> 4
+                s = rs & 0xF
+                if k > 63 or s == 0:
+                    return None
+                extra = reader.bits(s)
+                if extra is None:
+                    return None
+                block[k] = _jpeg_extend(extra, s) * qt[k]
+                k += 1
+
+    # zigzag -> raster, batched IDCT over every block at once
+    raster = np.zeros((nc, by * bx, 64), dtype=np.float64)
+    raster[:, :, _JPEG_ZIGZAG] = coefs
+    blocks = raster.reshape(nc, by * bx, 8, 8)
+    a = _jpeg_idct_matrix()
+    pix = np.einsum("ux,nbuv,vy->nbxy", a, blocks, a, optimize=True) + 128.0
+    pix = np.clip(np.rint(pix), 0, 255).astype(np.uint8)
+    planes = (
+        pix.reshape(nc, by, bx, 8, 8)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(nc, by * 8, bx * 8)[:, :h, :w]
+    )
+    if nc == 1:
+        return w, h, 1, planes[0].tobytes()
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb], axis=-1
+    )
+    return w, h, 3, np.clip(np.rint(rgb), 0, 255).astype(np.uint8).tobytes()
+
+
+def _parse_jpeg(content: bytes) -> tuple[int, int, int, str] | None:
+    """_jpeg_pixels + the checksum contract (md5 of the stream's
+    lowercase hex — same rule as the BMP/PNG parsers)."""
+    px = _jpeg_pixels(content)
+    if px is None:
+        return None
+    w, h, nc, stream = px
+    return w, h, nc, hashlib.md5(stream.hex().encode()).hexdigest()
+
+
 def _bmp_pixels(content: bytes) -> tuple[int, int, bytes] | None:
     """Real BMP decode to the logical top-down BGR pixel stream:
     validate magic/compression, read little-endian header fields,
@@ -489,6 +936,8 @@ def _decode_kernel(decoder: str):
         return lambda pdf: _decode_media_pdf(pdf, _parse_bmp)
     if decoder == "png":
         return lambda pdf: _decode_media_pdf(pdf, _parse_png)
+    if decoder == "jpeg":
+        return lambda pdf: _decode_media_pdf(pdf, _parse_jpeg)
     if decoder == "auto":
         # sniff per payload: magic bytes pick the parser, unknown -> null
         def _sniff(content):
@@ -496,6 +945,8 @@ def _decode_kernel(decoder: str):
                 return _parse_bmp(content)
             if content is not None and content[: len(_PNG_SIG)] == _PNG_SIG:
                 return _parse_png(content)
+            if content is not None and content[:3] == b"\xff\xd8\xff":
+                return _parse_jpeg(content)
             return None
 
         return lambda pdf: _decode_media_pdf(pdf, _sniff)
