@@ -20,11 +20,14 @@ from accounts_receivable_data_pipeline_api_spark.session import configure_sessio
 # SPARK_GRAFT_CORPUS_WIP escape hatch exists for dev check scripts, and
 # if that variable ever leaked into the driver's environment a mis-sized
 # corpus would otherwise run silently (entries beyond the window get no
-# correctness row).
-assert len(CORPUS) == DRIVER_WINDOW, (
-    f"driver entry point requires exactly {DRIVER_WINDOW} corpus entries; "
-    f"found {len(CORPUS)}"
-)
+# correctness row). A real `raise`, not `assert` — asserts are stripped
+# under python -O/PYTHONOPTIMIZE, which is exactly the silent-relaxation
+# scenario this guard closes.
+if len(CORPUS) != DRIVER_WINDOW:
+    raise RuntimeError(
+        f"driver entry point requires exactly {DRIVER_WINDOW} corpus entries; "
+        f"found {len(CORPUS)}"
+    )
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

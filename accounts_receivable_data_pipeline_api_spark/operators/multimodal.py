@@ -688,7 +688,17 @@ def _jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes] | None:
     """Real baseline JPEG decode to (w, h, channels, stream): stream is
     the row-major grayscale byte plane (1 component) or interleaved RGB
     (3 components, 4:4:4, JFIF YCbCr conversion). None for anything
-    outside 8-bit baseline Huffman with 1:1 sampling."""
+    outside 8-bit baseline Huffman with 1:1 sampling — INCLUDING
+    truncated/malformed segments: any residual out-of-range read in the
+    strict parser quarantines here, never a task failure (the same
+    contract as _parse_bmp/_parse_png on truncated input)."""
+    try:
+        return _jpeg_pixels_strict(content)
+    except (IndexError, ValueError):
+        return None
+
+
+def _jpeg_pixels_strict(content: bytes) -> tuple[int, int, int, bytes] | None:
     import numpy as np
 
     if content is None or len(content) < 4 or content[:2] != b"\xff\xd8":
@@ -724,6 +734,8 @@ def _jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes] | None:
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
+                if i + 17 > len(seg):  # truncated bits table
+                    return None
                 tc, th = seg[i] >> 4, seg[i] & 0xF
                 bits = list(seg[i + 1 : i + 17])
                 nv = sum(bits)
@@ -736,6 +748,8 @@ def _jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes] | None:
                 }
                 i += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
+            if len(seg) < 6:
+                return None
             if seg[0] != 8:
                 return None
             h = int.from_bytes(seg[1:3], "big")
@@ -754,8 +768,10 @@ def _jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes] | None:
         elif marker == 0xDD:  # DRI
             dri = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy data follows
+            if not seg:
+                return None
             ns = seg[0]
-            if not comps or ns != len(comps):
+            if not comps or ns != len(comps) or len(seg) < 4 + 2 * ns:
                 return None
             scan_comps = []
             for c in range(ns):

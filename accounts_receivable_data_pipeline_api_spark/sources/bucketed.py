@@ -75,6 +75,16 @@ def point_lookup(spark: SparkSession, table: str, key: str, value) -> DataFrame:
     reuse it — and the previous value is restored, leaving every OTHER
     query's plans untouched (a session-wide flip changed plans for
     unrelated scans as a read-path side effect).
+
+    NOT THREAD-SAFE: the set -> force-plan -> restore window is
+    session-wide, so a query planned CONCURRENTLY in another thread of
+    the same SparkSession during that window silently loses auto
+    bucketed-scan; restoring also re-sets an inherited default as an
+    explicit session value when the key was set at a parent level.
+    Fine for the single-threaded serving path this backs (the stdlib
+    HTTP adapter handles one request at a time); a multi-threaded
+    caller should serialize point lookups or give each thread its own
+    ``spark.newSession()`` (independent conf, shared tables/cache).
     """
     conf_key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
     prev = spark.conf.get(conf_key, None)

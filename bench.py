@@ -37,9 +37,11 @@ from accounts_receivable_data_pipeline_api_spark.session import get_spark
 
 # Unconditional twin of the package-level corpus-window assert — the
 # SPARK_GRAFT_CORPUS_WIP escape hatch must never relax a bench run.
-assert len(CORPUS) == DRIVER_WINDOW, (
-    f"bench requires exactly {DRIVER_WINDOW} corpus entries; found {len(CORPUS)}"
-)
+# A real `raise`, not `assert`: asserts vanish under python -O.
+if len(CORPUS) != DRIVER_WINDOW:
+    raise RuntimeError(
+        f"bench requires exactly {DRIVER_WINDOW} corpus entries; found {len(CORPUS)}"
+    )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 

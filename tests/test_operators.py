@@ -354,25 +354,106 @@ def test_png_parser_filters_crc_and_rejects():
     assert _parse_png(content[:20]) is None
 
 
+def test_jpeg_decode_real_roundtrip(spark):
+    """REAL entropy-coded decode: synthesized baseline JPEGs (Annex-K
+    Huffman tables, DC prediction, byte stuffing) parse back to exactly
+    the block-constant pixel stream the fixture encodes — through the
+    actual Spark mapInPandas stage. Unit quant tables + constant 8x8
+    blocks make the lossy codec exact, so a Huffman/dequant/IDCT bug
+    changes the pixel checksum (mirror of test_png_decode_real_roundtrip,
+    per the round-6 advisory)."""
+    import hashlib
+
+    from accounts_receivable_data_pipeline_api_spark.operators.multimodal import (
+        _jpeg_params_from_text,
+        synthesize_jpeg,
+    )
+
+    texts = [(i, f"doc {i} body " * (i + 1)) for i in range(8)]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    decoded = {
+        r["doc_id"]: r
+        for r in decode_features(synthesize_jpeg(df), decoder="jpeg").collect()
+    }
+    assert set(decoded) == {i for i, _ in texts}
+    for i, text in texts:
+        seed, bw, bh = _jpeg_params_from_text(text)
+        w, h = 8 * bw, 8 * bh
+        r = decoded[i]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 1)
+        digest = bytes.fromhex(seed)
+        stream = bytes(
+            digest[((y // 8) * bw + (x // 8)) % 16]
+            for y in range(h)
+            for x in range(w)
+        )
+        assert r["pixel_checksum"] == hashlib.md5(stream.hex().encode()).hexdigest()
+
+
+def test_jpeg_parser_rejects_malformed():
+    """Truncated/malformed segments must quarantine (None), never raise
+    — the round-6 advisory's exact repro payloads plus the out-of-scope
+    JPEG shapes the decoder's docstring promises to reject."""
+    from accounts_receivable_data_pipeline_api_spark.operators.multimodal import (
+        _jpeg_bytes,
+        _jpeg_params_from_text,
+        _parse_jpeg,
+    )
+
+    # advisory repros: empty SOS and empty SOF0 segments crashed at seg[0]
+    assert _parse_jpeg(b"\xff\xd8\xff\xda\x00\x02") is None
+    assert _parse_jpeg(b"\xff\xd8\xff\xc0\x00\x02") is None
+    # short DHT: bits table truncated below 16 entries
+    assert _parse_jpeg(b"\xff\xd8\xff\xc4\x00\x06\x00\x01\x02\x03") is None
+    assert _parse_jpeg(b"\xff\xd8\xff\xc4\x00\x08\x00\x01\x02\x03\x04\x05") is None
+    seed, bw, bh = _jpeg_params_from_text("reject fixture")
+    good = _jpeg_bytes(seed, bw, bh)
+    assert _parse_jpeg(good) is not None
+    # truncated mid-scan and mid-header
+    assert _parse_jpeg(good[: len(good) // 2]) is None
+    assert _parse_jpeg(good[:8]) is None
+    # progressive (SOF2) is out of scope: swap the SOF0 marker
+    sof0_at = good.index(b"\xff\xc0")
+    prog = good[:sof0_at] + b"\xff\xc2" + good[sof0_at + 2 :]
+    assert _parse_jpeg(prog) is None
+    # 16-bit quant tables (pq != 0) are not baseline-8
+    dqt_at = good.index(b"\xff\xdb")
+    deep = bytearray(good)
+    deep[dqt_at + 4] = 0x10
+    assert _parse_jpeg(bytes(deep)) is None
+    assert _parse_jpeg(b"not a jpeg") is None
+    assert _parse_jpeg(None) is None
+
+
 def test_decode_auto_sniffs_per_payload(spark):
     """decoder='auto' routes each payload by magic bytes: a mixed frame
-    of BMP, PNG, and garbage decodes the two real formats identically
-    to their dedicated decoders and nulls the rest."""
+    of BMP, PNG, JPEG, and garbage decodes the three real formats
+    identically to their dedicated decoders and nulls the rest."""
     from accounts_receivable_data_pipeline_api_spark.operators.multimodal import (
         synthesize_bmp,
+        synthesize_jpeg,
         synthesize_png,
     )
 
-    texts = [(1, "alpha doc"), (2, "beta doc")]
+    texts = [(1, "alpha doc"), (2, "beta doc"), (4, "gamma doc")]
     df = spark.createDataFrame(texts, ["doc_id", "text"])
     mixed = (
         synthesize_bmp(df.filter(F.col("doc_id") == 1))
         .unionByName(synthesize_png(df.filter(F.col("doc_id") == 2)))
+        .unionByName(synthesize_jpeg(df.filter(F.col("doc_id") == 4)))
         .unionByName(attach_binary(spark.createDataFrame([(3, "junk")], ["doc_id", "text"])))
     )
     rows = {r["doc_id"]: r for r in decode_features(mixed, decoder="auto").collect()}
     assert rows[1]["pixel_checksum"] is not None
     assert rows[2]["pixel_checksum"] is not None
+    assert rows[4]["pixel_checksum"] is not None and rows[4]["channels"] == 1
+    jpeg_direct = {
+        r["doc_id"]: r
+        for r in decode_features(
+            synthesize_jpeg(df.filter(F.col("doc_id") == 4)), decoder="jpeg"
+        ).collect()
+    }
+    assert rows[4]["pixel_checksum"] == jpeg_direct[4]["pixel_checksum"]
     assert rows[3]["pixel_checksum"] is None and rows[3]["width"] is None
 
 
