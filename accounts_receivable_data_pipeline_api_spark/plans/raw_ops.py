@@ -223,17 +223,21 @@ def _media_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         from ..operators.multimodal import (
             synthesize_avi,
             synthesize_bmp,
+            synthesize_jpeg,
             synthesize_png,
             synthesize_wav,
         )
 
         tag = sf_dir.strip("/").replace("/", "_")
-        path = f"/tmp/spark_graft_media_{tag}"
+        # v2: jpeg payloads joined the mix in round 7 (stale v1 caches
+        # on disk lack them, so the path tag is bumped, not reused)
+        path = f"/tmp/spark_graft_media_v2_{tag}"
         if not os.path.isdir(path):
             docs = load_table(spark, sf_dir, "documents")
             media = (
                 synthesize_bmp(docs)
                 .unionByName(synthesize_png(docs))
+                .unionByName(synthesize_jpeg(docs))
                 .unionByName(synthesize_wav(docs))
                 .unionByName(synthesize_avi(docs))
             )
@@ -243,8 +247,8 @@ def _media_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def op_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode throughput across all four REAL codecs: sniffing image
-    decode+resize (BMP/PNG), WAV feature extraction, AVI keyframe
+    """Decode throughput across all five REAL codecs: sniffing image
+    decode+resize (BMP/PNG/JPEG), WAV feature extraction, AVI keyframe
     sampling — one row per decoded artifact, payloads from the cached
     media source."""
     from ..operators.multimodal import (
