@@ -176,6 +176,69 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    threshold: float = 0.5,
+    max_fp_df: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by exact Jaccard over WINNOWED fingerprint
+    sets (text.winnow_fingerprints) — substring-level copy detection:
+    two documents score high exactly when they share long literal
+    character runs (>= k + window - 1 chars per guaranteed shared
+    fingerprint), which catches copies and partial plagiarism that
+    word-set similarity smears out, at ~2/(window+1) of the index
+    volume of full shingling.
+
+    Plan mirrors ngram_jaccard_pairs: fingerprint-explode is already
+    done (winnowing keeps only window minima), inverted-index
+    self-join on fp, shared/union Jaccard, same ``max_fp_df``
+    stop-fingerprint pruning dial with the same lower-bound soundness
+    (set sizes stay exact; dropped hot fingerprints only undercount
+    ``shared``, so surviving pairs are guaranteed >= threshold)."""
+    from .text import winnow_fingerprints
+
+    fps = winnow_fingerprints(df, id_col, text_col, k, window).select(id_col, "fp")
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+
+    join_fp = fps
+    if max_fp_df is not None:
+        hot = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_fp_df)
+            .select("fp")
+        )
+        join_fp = fps.join(F.broadcast(hot), "fp", "left_anti")
+
+    a = join_fp.select(F.col(id_col).alias("id_a"), "fp")
+    b = join_fp.select(F.col(id_col).alias("id_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            (
+                F.col("shared").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("shared")).cast("double")
+            ).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -117,3 +117,107 @@ def cms_merge(*sketches):
     for s in sketches:
         out += s
     return out
+
+
+# ---------------------------------------------------------------------------
+# Engine-PORTABLE HyperLogLog (Flajolet et al. 2007). Spark's built-in
+# approx_count_distinct is HLL++ whose sketch bytes are engine-private;
+# this variant's REGISTER TABLE is a pure function of the item set
+# under the md5 idiom, so a SQL oracle reproduces every register and
+# the estimate bit-for-bit — the distinct-count sketch joins the CMS /
+# Bloom family with full cross-engine value checks, and the register
+# table doubles as the mergeable partial (union = groupBy max).
+#
+# Portability inventory (registry determinism rules):
+#   bucket   = md5-bucket idiom (conv/substr, exact integers)
+#   rank     = 33 - length(bin(w)) — string length of the unpadded
+#              binary expansion, exact in both engines (w = 0 -> 33)
+#   sum      = integer-scaled SUM(1 << (33 - rank)) — EXACT BIGINT
+#              arithmetic, order-free (2^-rank scaled by 2^33)
+#   estimate = literals-and-division arithmetic on identical doubles,
+#              ln() only under round(..., 6) (the tfidf/LM recipe)
+# ---------------------------------------------------------------------------
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant for m >= 128 registers (Flajolet's
+    alpha_m = 0.7213 / (1 + 1.079 / m)); a plain-Python float so the
+    SQL oracle can embed the identical literal via repr()."""
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    item_col: str,
+    m: int = 1024,
+    group_cols: tuple[str, ...] = (),
+    salt: str = "hll",
+) -> DataFrame:
+    """HLL register table: per group, (bucket BIGINT, max_rank INT)
+    for every OBSERVED bucket (absent buckets are rank-0 empties the
+    estimator accounts for arithmetically).
+
+    max() is multiset-invariant, so registers over the raw rows equal
+    registers over distinct items — no dedup pass needed. Plan shape
+    at 100 TB: one JVM projection + one hash agg on (group, bucket),
+    map-side combinable; output is bounded by groups * m rows no
+    matter the corpus size. Register tables MERGE by groupBy max —
+    the same frame is the partition partial, the shard sketch, and
+    the cross-day union."""
+    item = F.col(item_col).cast("string")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"b{salt}:"), item)), 1, 8), 16, 10)
+        .cast("long")
+        % m
+    )
+    w = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"r{salt}:"), item)), 1, 8), 16, 10
+    ).cast("long")
+    rank = F.when(w == 0, F.lit(33)).otherwise(F.lit(33) - F.length(F.bin(w)))
+    return (
+        df.filter(F.col(item_col).isNotNull())
+        .select(*group_cols, bucket.alias("bucket"), rank.cast("int").alias("rank"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    m: int = 1024,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distinct-count estimate from a register table: per group,
+    (hll_m, n_observed, sum_scaled, estimate).
+
+    sum_scaled = sum over ALL m registers of 2^(33 - rank), scaled
+    integer-exact (empty registers contribute 2^33 each); the raw
+    estimate alpha_m * m^2 * 2^33 / sum_scaled switches to linear
+    counting m * ln(m / V) when raw <= 2.5m and V = empty registers
+    > 0 — the standard small-range correction, here also the
+    portability-friendly branch (ln under round-6). Both branches
+    round to 6 dp; every operand is deterministic across engines."""
+    alpha = hll_alpha(m)
+    msq233 = float(m) * float(m) * float(1 << 33)
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_observed"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 33 - max_rank)"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << 33)
+        )
+        .cast("long")
+        .alias("sum_scaled"),
+    )
+    raw = F.lit(alpha) * (F.lit(msq233) / F.col("sum_scaled").cast("double"))
+    v = F.lit(m) - F.col("n_observed")
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")), 6),
+    ).otherwise(F.round(raw, 6))
+    return agg.select(
+        *group_cols,
+        F.lit(m).cast("int").alias("hll_m"),
+        "n_observed",
+        "sum_scaled",
+        est.alias("estimate"),
+    )

@@ -264,6 +264,156 @@ def top_terms(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every character k-gram of
+    the normalized text, then keep the MINIMUM hash of each sliding
+    window of ``window`` consecutive gram hashes. Guarantee: any shared
+    substring of length >= k + window - 1 between two documents yields
+    at least one shared fingerprint, while only ~2/(window+1) of grams
+    are kept — the standard local fingerprinting scheme for copy
+    detection and substring-level near-dup mining.
+
+    The per-gram hash is the engine-portable md5 idiom standing in for
+    the classical Rabin rolling hash (winnowing only needs a uniform
+    deterministic hash per gram; md5-first-8-hex keeps every
+    fingerprint SQL-recomputable, and the grams it hashes are exactly
+    the rolling positions). Returns (id_col, fp BIGINT, n_windows
+    BIGINT) — the DISTINCT fingerprint set with multiplicity, one row
+    per (doc, fingerprint).
+
+    Plan shape at 100 TB: the gram hashing AND the window minima are
+    one array expression inside the scan projection — ZERO shuffles to
+    fingerprint the corpus; the only exchange is the final (doc, fp)
+    hash agg, map-side combinable and output-bounded at ~2/(window+1)
+    of corpus characters. Nothing leaves the JVM.
+
+    Expression form matters: the window minimum is least() over the
+    ``window`` gram hashes INLINE, so each gram hash evaluates at most
+    ``window`` times — O(window * n) total. The tempting two-step form
+    (hash array column, then transform(j -> array_min(slice(hs, ...))))
+    is O(n^2): Catalyst's projection collapse inlines the whole hash
+    array into the per-window lambda and re-evaluates every md5 per
+    window position (measured 408 s for 200 x ~300-char docs at
+    sf0.01; this form runs the same input in under a second)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    src = df.select(F.col(id_col), norm.alias("t"))
+    gram_hash = (
+        lambda pos: f"CAST(conv(substr(md5(substring(t, {pos}, {k})), 1, 8), 16, 10) AS BIGINT)"
+    )
+    least_terms = ", ".join(gram_hash(f"j + {o}") for o in range(window))
+    wins = F.expr(
+        f"CASE WHEN length(t) < {k + window - 1} THEN CAST(array() AS ARRAY<BIGINT>) "
+        f"ELSE transform(sequence(1, length(t) - {k + window - 2}), "
+        f"j -> least({least_terms})) END"
+    )
+    return (
+        src.select(F.col(id_col), F.explode(wins).alias("fp"))
+        .groupBy(id_col, "fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_windows"))
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+) -> DataFrame:
+    """BM25 top-k retrieval: for each query, the k highest-scoring
+    documents under Okapi BM25 with the Lucene idf variant — the
+    lexical-retrieval leg a training-data pipeline runs for benchmark
+    mining, hard-negative selection, and corpus QA (tfidf's top_terms
+    ranks terms WITHIN a doc; this ranks docs AGAINST a query).
+
+    score(q, d) = sum over distinct query terms t of
+      idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)),
+      idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))   [always >= 0]
+
+    Determinism (registry rules): idf is rounded to 6 dp straight off
+    the ln (libm last-ulp), the per-term contribution re-rounds to 6 dp
+    after the tf-normalization product (every other operand is exact
+    literal/integer-derived double arithmetic in a fixed evaluation
+    order), and per-(query, doc) sums run through DECIMAL(28, 6) —
+    order-free. avgdl is the raw IEEE quotient total_len / n_docs,
+    never re-rounded. Ranking ties break doc_id-asc.
+
+    Plan shape at 100 TB: tf/df/dl are the same map-side-combinable
+    token aggs tfidf uses; the query set is tiny and BROADCAST onto tf
+    BEFORE the df join, so only postings of query terms flow into the
+    join (the corpus-wide token join tfidf needs is exactly what this
+    prunes); corpus stats join in as a 1-row broadcast; the final
+    window partitions by query_id — bounded by the query list, and
+    each partition carries only scored candidates, not the corpus.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    dl = docs.select(
+        F.col(id_col), F.size(tokens_expr(text_col)).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("total_len"),
+    )
+    qterms = queries.select(
+        F.col(qid_col), F.explode(tokens_expr(qtext_col)).alias("token")
+    ).distinct()
+
+    k1p1 = k1 + 1.0
+    omb = 1.0 - b
+    idf6 = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df_t").cast("double") + F.lit(0.5))
+            / (F.col("df_t").cast("double") + F.lit(0.5))
+        ),
+        6,
+    )
+    tfd = F.col("tf").cast("double")
+    tfnorm = (tfd * F.lit(k1p1)) / (
+        tfd
+        + F.lit(k1)
+        * (
+            F.lit(omb)
+            + F.lit(b)
+            * (F.col("dl").cast("double") / (F.col("total_len") / F.col("n_docs")))
+        )
+    )
+    contrib = F.round(idf6 * tfnorm, 6)
+    # df stays corpus-wide math-wise, but only query-term rows are
+    # needed — semi-reduce BOTH join sides to the broadcast query
+    # vocabulary so no corpus-sized token table ever shuffles here
+    df_q = docfreq.join(F.broadcast(qterms.select("token").distinct()), "token")
+    scores = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(df_q), "token")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(qid_col, id_col)
+        .agg(F.sum(contrib.cast("decimal(28,6)")).cast("double").alias("score"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "score", "rank")
+    )
+
+
 # PII patterns chosen to parse identically under Java regex (Spark) and
 # RE2 (DuckDB): character classes + quantifiers only, no lookaround.
 PII_PATTERNS: dict[str, str] = {

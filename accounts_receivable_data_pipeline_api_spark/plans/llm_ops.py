@@ -98,12 +98,48 @@ _EXACT_JACCARD_CTE = f"""
                    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
                    6) AS score
       FROM v a JOIN v b ON a.vec_id < b.vec_id
+    ),
+    wnorm AS (
+      SELECT doc_id, {_NORM_SQL} AS t FROM documents WHERE doc_id < 200
+    ),
+    wgrams AS (
+      SELECT doc_id, i,
+             CAST('0x' || substr(md5(substr(t, CAST(i AS INT), 8)), 1, 8) AS BIGINT) AS h,
+             length(t) - 7 AS n_grams
+      FROM (SELECT doc_id, t, unnest(range(1, greatest(length(t) - 6, 1))) AS i
+            FROM wnorm)
+    ),
+    wmins AS (
+      SELECT doc_id, i,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             n_grams
+      FROM wgrams
+    ),
+    wfps AS (
+      SELECT DISTINCT doc_id, fp FROM wmins WHERE i <= n_grams - 3
+    ),
+    wsizes AS (SELECT doc_id, COUNT(*) AS sz FROM wfps GROUP BY doc_id),
+    wshared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+      FROM wfps a JOIN wfps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    wj AS (
+      SELECT id_a, id_b,
+             CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS score
+      FROM wshared
+        JOIN wsizes sa ON sa.doc_id = id_a
+        JOIN wsizes sb ON sb.doc_id = id_b
     )
     SELECT 'ngram_jaccard' AS method, id_a, id_b, jaccard AS score
     FROM ex WHERE jaccard >= 0.2
     UNION ALL
     SELECT 'embedding_cosine' AS method, id_a, id_b, score
     FROM cos WHERE score >= 0.3
+    UNION ALL
+    SELECT 'winnow_overlap' AS method, id_a, id_b, score
+    FROM wj WHERE score >= 0.5
     """,
     tags=("EXT", "DEDUP"),
     doc="Exact near-dup PAIR gauntlet, one row group per method "
@@ -115,7 +151,14 @@ _EXACT_JACCARD_CTE = f"""
     "embedding-cosine pairs at threshold 0.3 over embeddings "
     "(operators/dedup.py:embedding_cosine_pairs, formerly "
     "dedup_embedding_cosine; scores rounded to 6 dp before the "
-    "threshold so boundary values agree across engines).",
+    "threshold so boundary values agree across engines); "
+    "method='winnow_overlap' (round 7) — exact Jaccard over WINNOWED "
+    "fingerprint sets (operators/text.py:winnow_fingerprints, the "
+    "SIGMOD'03 MOSS scheme: md5 k-gram hashes, sliding-window minima, "
+    "zero-shuffle array projection; operators/dedup.py:"
+    "winnow_overlap_pairs) at threshold 0.5 — substring-level copy "
+    "detection whose fingerprints the oracle recomputes via the "
+    "window-min SQL formulation.",
 )
 def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -129,7 +172,13 @@ def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = dedup.embedding_cosine_pairs(emb, threshold=0.3).select(
         F.lit("embedding_cosine").alias("method"), "id_a", "id_b", "score"
     )
-    return ngram.unionByName(cos)
+    winnow = dedup.winnow_overlap_pairs(docs, threshold=0.5).select(
+        F.lit("winnow_overlap").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("jaccard").alias("score"),
+    )
+    return ngram.unionByName(cos).unionByName(winnow)
 
 
 @register(
@@ -1124,6 +1173,15 @@ def curation_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BM25_QUERIES = [
+    ("q1", "hash join table"),
+    ("q2", "window agg stream"),
+    ("q3", "fast vector scan"),
+]
+
+_BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+
+
 @register(
     "text_tfidf_topk",
     oracle=f"""
@@ -1131,28 +1189,100 @@ def curation_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(list_filter(string_split({_NORM_SQL}, ' '), x -> x != '')) AS token
       FROM documents
     ),
-    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, token),
     df_t AS (SELECT token, COUNT(*) AS df_t FROM tf GROUP BY token),
     n AS (SELECT COUNT(*) AS n_docs FROM documents),
     scored AS (
       SELECT tf.doc_id, tf.token, tf.tf,
              round(tf.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (df_t.df_t + 1)) + 1.0), 6) AS score
       FROM tf JOIN df_t USING (token) CROSS JOIN n
+    ),
+    q(query_id, query_text) AS (VALUES {_BM25_VALUES}),
+    qt AS (
+      SELECT DISTINCT query_id,
+             unnest(list_filter(string_split(query_text, ' '), x -> x != '')) AS token
+      FROM q
+    ),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST((SELECT COALESCE(SUM(dl), 0) FROM dl) AS DOUBLE) AS total_len
+      FROM documents
+    ),
+    contrib AS (
+      SELECT qt.query_id, tf.doc_id,
+             round(round(ln(1.0 + (s.n_docs - CAST(d.df_t AS DOUBLE) + 0.5)
+                                  / (CAST(d.df_t AS DOUBLE) + 0.5)), 6)
+                   * ((CAST(tf.tf AS DOUBLE) * 2.2)
+                      / (CAST(tf.tf AS DOUBLE)
+                         + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                                                 / (s.total_len / s.n_docs))))),
+                   6) AS c
+      FROM tf
+        JOIN qt USING (token)
+        JOIN df_t d USING (token)
+        JOIN dl l USING (doc_id)
+        CROSS JOIN stats s
+    ),
+    bm25 AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(CAST(c AS DECIMAL(28,6))) AS DOUBLE) AS score
+      FROM contrib GROUP BY query_id, doc_id
     )
-    SELECT doc_id, token, tf, score, rank FROM (
+    SELECT 'tfidf' AS method, CAST(NULL AS VARCHAR) AS query_id,
+           doc_id, token, tf, score, rank
+    FROM (
       SELECT *, ROW_NUMBER() OVER (
         PARTITION BY doc_id ORDER BY score DESC, token
       ) AS rank FROM scored
     ) WHERE rank <= 5
+    UNION ALL
+    SELECT 'bm25', query_id, doc_id, CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), score, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id
+      ) AS rank FROM bm25
+    ) WHERE rank <= 10
     """,
     tags=("EXT", "TEXT"),
-    doc="TF-IDF top-5 terms per document (operators/text.py:top_terms): "
-    "explode -> tf/df aggs -> shuffle join on token -> windowed top-k. "
-    "Scores rounded to 6 dp before ranking (libm ln last-ulp).",
+    doc="Lexical scoring gauntlet, one row group per method (round-7 "
+    "consolidation, window unchanged). method='tfidf' — TF-IDF top-5 "
+    "terms per document (operators/text.py:top_terms): explode -> "
+    "tf/df aggs -> shuffle join on token -> windowed top-k, scores "
+    "rounded to 6 dp before ranking (libm ln last-ulp). "
+    "method='bm25' — Okapi BM25 top-10 DOCUMENTS per query "
+    "(operators/text.py:bm25_topk, Lucene idf variant, k1=1.2 "
+    "b=0.75) over a 3-query fixture: per-term contributions "
+    "round-6-then-decimal-sum, avgdl as the raw IEEE quotient, "
+    "broadcast query vocabulary pruning both token-join sides so no "
+    "corpus-wide table shuffles. Every score in both groups "
+    "hash-checks cross-engine.",
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return text.top_terms(docs, k=5)
+    tfidf = text.top_terms(docs, k=5).select(
+        F.lit("tfidf").alias("method"),
+        F.lit(None).cast("string").alias("query_id"),
+        "doc_id",
+        "token",
+        "tf",
+        "score",
+        "rank",
+    )
+    queries = docs.sparkSession.createDataFrame(
+        _BM25_QUERIES, ["query_id", "query_text"]
+    )
+    bm25 = text.bm25_topk(docs, queries, k=10).select(
+        F.lit("bm25").alias("method"),
+        "query_id",
+        "doc_id",
+        F.lit(None).cast("string").alias("token"),
+        F.lit(None).cast("bigint").alias("tf"),
+        "score",
+        "rank",
+    )
+    return tfidf.unionByName(bm25)
 
 
 # text_redact_pii is merged into text_quality (round-5 consolidation):

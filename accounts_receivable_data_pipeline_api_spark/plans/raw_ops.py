@@ -312,3 +312,38 @@ RAW_OPS.update(
         "op_retention": (op_retention, "events"),
     }
 )
+
+
+def op_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as text_ops
+    from .llm_ops import _BM25_QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
+    return text_ops.bm25_topk(docs, queries, k=10)
+
+
+def op_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full documents table (no doc_id cap): the corpus-entry cap exists
+    # for the O(n^2)-candidate oracle, not the operator; the raw path
+    # prunes hot fingerprints so candidate volume stays near-linear
+    return dedup.winnow_overlap_pairs(
+        _parallel_docs(spark, sf_dir), threshold=0.5, max_fp_df=64
+    )
+
+
+def op_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import hll_estimate, hll_registers
+
+    li = load_table(spark, sf_dir, "lineitem")
+    reg = hll_registers(li, "l_orderkey", m=1024, group_cols=("l_returnflag",))
+    return hll_estimate(reg, m=1024, group_cols=("l_returnflag",))
+
+
+RAW_OPS.update(
+    {
+        "op_bm25_topk": (op_bm25_topk, "documents"),
+        "op_winnow_pairs": (op_winnow_pairs, "documents"),
+        "op_hll_distinct": (op_hll_distinct, "lineitem"),
+    }
+)

@@ -96,47 +96,164 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_oracle() -> str:
+    from ..operators.sketch import hll_alpha
+
+    alpha = hll_alpha(1024)
+    msq233 = float(1024) * float(1024) * float(1 << 33)
+    return f"""
+    WITH items AS (
+      SELECT o_orderstatus, CAST(o_custkey AS VARCHAR) AS item
+      FROM orders
+    ),
+    hashed AS (
+      SELECT DISTINCT o_orderstatus,
+             CAST('0x' || substr(md5('bhll:' || item), 1, 8) AS BIGINT) % 1024
+               AS bucket,
+             CAST('0x' || substr(md5('rhll:' || item), 1, 8) AS BIGINT) AS w
+      FROM items
+    ),
+    reg AS (
+      SELECT o_orderstatus, bucket,
+             MAX(CASE WHEN w = 0 THEN 33
+                      ELSE CAST(33 - length(bin(w)) AS INT) END) AS max_rank
+      FROM hashed GROUP BY o_orderstatus, bucket
+    ),
+    regagg AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_observed,
+             CAST(SUM(CAST(1 AS BIGINT) << (33 - max_rank))
+                  + (1024 - COUNT(*)) * 8589934592 AS BIGINT) AS sum_scaled
+      FROM reg GROUP BY o_orderstatus
+    ),
+    est AS (
+      SELECT o_orderstatus, n_observed, sum_scaled,
+             {alpha!r} * ({msq233!r} / CAST(sum_scaled AS DOUBLE)) AS raw,
+             1024 - n_observed AS v
+      FROM regagg
+    ),
+    est2 AS (
+      SELECT o_orderstatus, n_observed, sum_scaled,
+             CASE WHEN raw <= 2560.0 AND v > 0
+                  THEN round(1024.0 * ln(1024.0 / CAST(v AS DOUBLE)), 6)
+                  ELSE round(raw, 6) END AS estimate
+      FROM est
+    ),
+    ex AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT 'spark_hllpp' AS kind, o_orderstatus, exact_customers, n_orders,
+           TRUE AS within_bound,
+           CAST(NULL AS BIGINT) AS hll_bucket, CAST(NULL AS INT) AS hll_rank,
+           CAST(NULL AS INT) AS hll_m, CAST(NULL AS BIGINT) AS hll_observed,
+           CAST(NULL AS BIGINT) AS hll_sum_scaled,
+           CAST(NULL AS DOUBLE) AS hll_estimate
+    FROM ex
+    UNION ALL
+    SELECT 'hll_register', o_orderstatus, NULL, NULL, NULL,
+           bucket, max_rank, NULL, NULL, NULL, NULL
+    FROM reg
+    UNION ALL
+    SELECT 'hll_estimate', e.o_orderstatus, x.exact_customers, NULL,
+           abs(e.estimate - CAST(x.exact_customers AS DOUBLE))
+             / CAST(x.exact_customers AS DOUBLE) <= 0.15,
+           NULL, NULL, CAST(1024 AS INT), e.n_observed, e.sum_scaled,
+           e.estimate
+    FROM est2 e JOIN ex x USING (o_orderstatus)
+    """
+
+
 @register(
     "agg_approx_distinct",
-    oracle="""
-    SELECT o_orderstatus,
-           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           TRUE AS within_bound
-    FROM orders GROUP BY o_orderstatus
-    """,
+    oracle=_hll_oracle(),
     tags=("EXT", "A"),
-    doc="approx_count_distinct (HLL++, rsd=0.01) per status — the "
-    "sketch path for 100 TB cardinality estimation, emitted as a "
-    "driver-checkable invariant (round-2 VERDICT #1): the raw sketch "
-    "estimate is engine-specific, but Spark's HLL++ is deterministic, "
-    "so within_bound = |approx - exact| / exact <= 3*rsd is a stable "
-    "boolean the oracle pins to TRUE (measured max relative error "
-    "0.7% across both SFs and all groups). exact_customers and "
-    "n_orders are real cross-engine values; the sketch estimate feeds "
-    "the bound in-plan. At 100 TB only the sketch path is run — the "
-    "exact COUNT(DISTINCT) here is the verification fixture.",
+    doc="Distinct-count sketch gauntlet per order status, one row group "
+    "per kind (round-7 consolidation). kind='spark_hllpp': the built-in "
+    "approx_count_distinct (HLL++, rsd=0.01) invariant — its sketch "
+    "bytes are engine-private, so the oracle pins within_bound = "
+    "|approx - exact| / exact <= 3*rsd TRUE (measured max 0.7%) with "
+    "exact_customers / n_orders as real cross-engine values. "
+    "kind='hll_register' + 'hll_estimate': the engine-PORTABLE "
+    "HyperLogLog (operators/sketch.py:hll_registers/hll_estimate) whose "
+    "EVERY register (md5-bucket, rank = 33 - length(bin(w))) and whose "
+    "estimate (integer-scaled register sum, alpha_m bias correction, "
+    "linear-counting small-range branch under round-6 ln) the DuckDB "
+    "oracle recomputes value-for-value — a fully hash-checked HLL, not "
+    "just a bound. The register table is the mergeable partial: union "
+    "of sketches = groupBy max over buckets, map-side combinable, "
+    "bounded at groups * m rows at any corpus size. At 100 TB only the "
+    "sketch paths run — exact COUNT(DISTINCT) is the verification "
+    "fixture.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import hll_estimate, hll_registers
+
     orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.groupBy("o_orderstatus")
-        .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
-            F.countDistinct("o_custkey").cast("bigint").alias("exact_customers"),
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-        )
+    group = ("o_orderstatus",)
+    exact = orders.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_customers"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
+    )
+    hll_nulls = [
+        F.lit(None).cast("bigint").alias("hll_bucket"),
+        F.lit(None).cast("int").alias("hll_rank"),
+        F.lit(None).cast("int").alias("hll_m"),
+        F.lit(None).cast("bigint").alias("hll_observed"),
+        F.lit(None).cast("bigint").alias("hll_sum_scaled"),
+        F.lit(None).cast("double").alias("hll_estimate"),
+    ]
+    spark_arm = exact.select(
+        F.lit("spark_hllpp").alias("kind"),
+        "o_orderstatus",
+        "exact_customers",
+        "n_orders",
+        (
+            F.abs(F.col("approx_customers") - F.col("exact_customers"))
+            / F.col("exact_customers")
+            <= F.lit(0.03)
+        ).alias("within_bound"),
+        *hll_nulls,
+    )
+    reg = hll_registers(orders, "o_custkey", m=1024, group_cols=group)
+    reg_arm = reg.select(
+        F.lit("hll_register").alias("kind"),
+        "o_orderstatus",
+        F.lit(None).cast("bigint").alias("exact_customers"),
+        F.lit(None).cast("bigint").alias("n_orders"),
+        F.lit(None).cast("boolean").alias("within_bound"),
+        F.col("bucket").alias("hll_bucket"),
+        F.col("max_rank").alias("hll_rank"),
+        F.lit(None).cast("int").alias("hll_m"),
+        F.lit(None).cast("bigint").alias("hll_observed"),
+        F.lit(None).cast("bigint").alias("hll_sum_scaled"),
+        F.lit(None).cast("double").alias("hll_estimate"),
+    )
+    est_arm = (
+        hll_estimate(reg, m=1024, group_cols=group)
+        .join(exact.select("o_orderstatus", "exact_customers"), "o_orderstatus")
         .select(
+            F.lit("hll_estimate").alias("kind"),
             "o_orderstatus",
             "exact_customers",
-            "n_orders",
+            F.lit(None).cast("bigint").alias("n_orders"),
             (
-                F.abs(F.col("approx_customers") - F.col("exact_customers"))
-                / F.col("exact_customers")
-                <= F.lit(0.03)
+                F.abs(F.col("estimate") - F.col("exact_customers").cast("double"))
+                / F.col("exact_customers").cast("double")
+                <= F.lit(0.15)
             ).alias("within_bound"),
+            F.lit(None).cast("bigint").alias("hll_bucket"),
+            F.lit(None).cast("int").alias("hll_rank"),
+            F.col("hll_m"),
+            F.col("n_observed").alias("hll_observed"),
+            F.col("sum_scaled").alias("hll_sum_scaled"),
+            F.col("estimate").alias("hll_estimate"),
         )
     )
+    return spark_arm.unionByName(reg_arm).unionByName(est_arm)
 
 
 @register(

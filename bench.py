@@ -83,6 +83,9 @@ HEADLINE = (
     "window_frames",
     "op_funnel",
     "op_retention",
+    "op_bm25_topk",
+    "op_winnow_pairs",
+    "op_hll_distinct",
 )
 
 # Invariant-summary entries whose in-entry exact twins are O(n^2) oracle

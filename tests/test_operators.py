@@ -1953,3 +1953,125 @@ def test_cms_build_skips_null_items(spark, sf_dir):
     without = cms_build(df.filter(F.col("token").isNotNull()), "token")
     assert np.array_equal(with_nulls, without)
     assert int(with_nulls.sum()) == 3 * 4  # 3 non-null items x depth
+
+
+def test_hll_registers_merge_and_estimate(spark, sf_dir):
+    """Portable HLL invariants: (a) the register table over a union
+    equals the groupBy-max merge of the halves' register tables (the
+    mergeable-partial contract); (b) the estimate lands within 10% of
+    the exact distinct count on the lineitem orderkeys; (c) registers
+    are multiset-invariant (duplicating every row changes nothing)."""
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    full = hll_registers(li, "l_orderkey", m=256)
+    lo = hll_registers(li.filter(F.col("l_orderkey") % 2 == 0), "l_orderkey", m=256)
+    hi = hll_registers(li.filter(F.col("l_orderkey") % 2 == 1), "l_orderkey", m=256)
+    merged = (
+        lo.unionByName(hi)
+        .groupBy("bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    assert full.exceptAll(merged).count() == 0
+    assert merged.exceptAll(full).count() == 0
+
+    doubled = hll_registers(li.unionByName(li), "l_orderkey", m=256)
+    assert full.exceptAll(doubled).count() == 0
+    assert doubled.exceptAll(full).count() == 0
+
+    est = hll_estimate(full, m=256).collect()[0]
+    exact = li.distinct().count()
+    rel_err = abs(est["estimate"] - exact) / exact
+    assert rel_err <= 0.10, (est["estimate"], exact, rel_err)
+    # sum_scaled accounting: n_observed <= m, empties fill the rest
+    assert est["n_observed"] <= 256
+    assert est["sum_scaled"] >= (256 - est["n_observed"]) * (1 << 33)
+
+
+def test_bm25_ranking_semantics(spark):
+    """BM25 contract on a hand-built corpus: only docs containing at
+    least one query term are scored; higher term frequency outranks
+    lower at equal length; a rarer term outweighs a common one; ranks
+    are contiguous from 1 in score-desc order."""
+    from accounts_receivable_data_pipeline_api_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple apple banana"),
+            (2, "apple banana cherry date"),
+            (3, "banana banana banana banana"),
+            (4, "cherry date elderberry fig"),
+            (5, "grape kiwi lemon mango"),
+        ],
+        ["doc_id", "text"],
+    )
+    queries = spark.createDataFrame(
+        [("qa", "apple"), ("qr", "elderberry banana")], ["query_id", "query_text"]
+    )
+    rows = bm25_topk(docs, queries, k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # qa: docs 1 and 2 only; tf=3 beats tf=1 at equal dl
+    qa = sorted(by_q["qa"], key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in qa] == [1, 2]
+    assert qa[0]["score"] > qa[1]["score"] > 0
+    # qr: elderberry (df=1) must outweigh banana (df=3) -> doc 4 first
+    qr = sorted(by_q["qr"], key=lambda r: r["rank"])
+    assert qr[0]["doc_id"] == 4
+    assert {r["doc_id"] for r in qr} == {1, 2, 3, 4}
+    for grp in (qa, qr):
+        assert [r["rank"] for r in grp] == list(range(1, len(grp) + 1))
+        assert all(
+            grp[i]["score"] >= grp[i + 1]["score"] for i in range(len(grp) - 1)
+        )
+
+
+def test_winnow_fingerprint_guarantee(spark):
+    """Winnowing contracts (SIGMOD'03): identical texts fingerprint
+    identically; any shared substring of length >= k + window - 1
+    yields >= 1 shared fingerprint; sub-k texts yield nothing; the
+    pair operator separates a real copy from unrelated text."""
+    from accounts_receivable_data_pipeline_api_spark.operators.dedup import (
+        winnow_overlap_pairs,
+    )
+    from accounts_receivable_data_pipeline_api_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    shared_run = "zygomatic arch measurement protocol"  # >= k+w-1 = 11 chars
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # exact copy
+            (3, "unrelated words entirely: " + shared_run),
+            (4, shared_run + " appended to a different tail of prose"),
+            (5, "short"),  # < k chars
+        ],
+        ["doc_id", "text"],
+    )
+    fps = winnow_fingerprints(docs, k=8, window=4)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[1] == by_doc[2]
+    assert 5 not in by_doc  # sub-k text: no grams, no fingerprints
+    # shared >= 11-char run between 3 and 4 guarantees >= 1 shared fp
+    assert by_doc[3] & by_doc[4]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in winnow_overlap_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (3, 4) not in pairs  # partial overlap stays below 0.5
+    # stop-fingerprint pruning keeps soundness: surviving pairs subset
+    pruned = {
+        (r["id_a"], r["id_b"])
+        for r in winnow_overlap_pairs(docs, threshold=0.5, max_fp_df=3).collect()
+    }
+    assert pruned <= set(pairs)

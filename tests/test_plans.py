@@ -296,3 +296,62 @@ def test_components_singletons_join_once_after_convergence(spark, sf_dir):
     # exactly one scan of the source in the final (post-loop) plan
     scans = [op for op in ops if op.startswith("Scan") and "parquet" in op]
     assert len(set(scans)) <= 1, scans
+
+
+def test_winnow_fingerprints_single_shuffle(spark, sf_dir):
+    """Winnowing is a scan-local array computation: gram hashing and
+    window minima live inside the projection, so the ONLY exchange in
+    the plan is the final (doc, fp) hash agg — and nothing crosses to
+    Python. A shuffle-per-gram or a UDF here would forfeit the whole
+    point of winnowed (sampled) fingerprints at 100 TB."""
+    from accounts_receivable_data_pipeline_api_spark.operators.text import (
+        winnow_fingerprints,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _formatted(spark, winnow_fingerprints(docs))
+    ops = re.findall(r"\n\(\d+\) (\S+)", plan)
+    assert sum(1 for op in ops if op == "Exchange") == 1, ops
+    assert not [op for op in ops if "MapInPandas" in op or "ArrowEval" in op], ops
+
+
+def test_bm25_broadcasts_query_vocabulary(spark, sf_dir):
+    """bm25_topk must never shuffle a corpus-wide token table: both
+    token joins reduce to the broadcast query vocabulary (tf side and
+    df side), the corpus stats arrive as a 1-row broadcast, and no
+    sort-merge join appears anywhere in the executed plan."""
+    from accounts_receivable_data_pipeline_api_spark.operators.text import bm25_topk
+    from accounts_receivable_data_pipeline_api_spark.plans.llm_ops import _BM25_QUERIES
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
+    plan = _formatted(spark, bm25_topk(docs, queries, k=10))
+    ops = re.findall(r"\n\(\d+\) (\S+)", plan)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert sum(1 for op in ops if op == "BroadcastHashJoin") >= 3, ops
+    # the only nested-loop is the 1-row corpus-stats cross join
+    assert sum(1 for op in ops if op == "BroadcastNestedLoopJoin") <= 1, ops
+
+
+def test_hll_register_agg_two_exchanges(spark, sf_dir):
+    """The portable HLL pipeline is two map-side-combinable hash aggs
+    — (group, bucket) registers then per-group estimate — so the plan
+    carries exactly two exchanges and zero Python stages; its driver
+    output is bounded at groups x m rows regardless of corpus size."""
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    reg = hll_registers(li, "l_orderkey", m=1024, group_cols=("l_returnflag",))
+    plan = _formatted(spark, hll_estimate(reg, m=1024, group_cols=("l_returnflag",)))
+    ops = re.findall(r"\n\(\d+\) (\S+)", plan)
+    assert sum(1 for op in ops if op == "Exchange") == 2, ops
+    assert not [op for op in ops if "MapInPandas" in op or "ArrowEval" in op], ops
+    # partial-final agg pairs: four HashAggregates (2 per shuffle stage)
+    assert sum(1 for op in ops if op == "HashAggregate") == 4, ops
