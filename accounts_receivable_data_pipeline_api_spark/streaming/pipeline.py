@@ -611,6 +611,58 @@ def read_sketch(spark: SparkSession, sketch_dir: str, depth: int = 4, width: int
     return out
 
 
+def distinct_sketch_stream(
+    items_stream: DataFrame,
+    registers_dir: str,
+    checkpoint_dir: str,
+    item_col: str = "text",
+    m: int = 1024,
+):
+    """Streaming corpus-lifetime DISTINCT count in bounded memory — the
+    HLL sibling of token_frequency_sketch_stream: each microbatch
+    builds a portable-HLL register PARTIAL (operators/sketch.py:
+    hll_registers, <= m rows) and writes it to ``registers_dir``
+    partitioned by the checkpointed batch_id (dynamic partition
+    overwrite — a replayed batch rewrites ITS OWN partial, so retries
+    never perturb the merge; max() would mask double-writes anyway,
+    but the partition contract keeps the state table canonical).
+
+    The lifetime register table is the groupBy-max merge of all
+    partials (HLL registers merge EXACTLY — max is associative,
+    commutative, idempotent, which also makes this sketch immune to
+    at-least-once duplication end to end). read_registers folds the
+    partials; operators/sketch.py:hll_estimate turns the fold into
+    the count. Per-batch cost: one hash agg over the batch; state is
+    n_batches x m rows, compactable to m by one merge."""
+    from ..operators.sketch import hll_registers
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            hll_registers(batch_df, item_col, m=m)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(registers_dir)
+        )
+
+    return (
+        items_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def read_registers(spark: SparkSession, registers_dir: str) -> DataFrame:
+    """Fold the per-batch HLL partials into the lifetime register
+    table (bucket, max_rank)."""
+    return (
+        spark.read.parquet(registers_dir)
+        .groupBy("bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming funnel (stateful twin of operators/events.py:funnel)
 # ---------------------------------------------------------------------------

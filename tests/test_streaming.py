@@ -848,3 +848,61 @@ def test_streaming_funnel_replay_after_restart(spark, sf_dir, tmp_path):
     for _, _, name, _ in again:
         stream_counts[name] += 1
     assert stream_counts == batch_counts
+
+
+def test_distinct_sketch_stream_matches_batch(spark, tmp_path):
+    """Streaming portable HLL: the groupBy-max fold of per-batch
+    register partials equals the batch register table over the whole
+    corpus (max merges exactly), the estimate over the fold equals the
+    batch estimate, and a replayed run leaves the fold unchanged
+    (replay-idempotence via the batch_id partition contract AND max's
+    idempotence)."""
+    import os
+    import shutil
+
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import (
+        hll_estimate,
+        hll_registers,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        distinct_sketch_stream,
+        read_registers,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    batches = [
+        [(i, f"user{i % 7}") for i in range(1, 6)],
+        [(i, f"user{i % 11}") for i in range(6, 14)],
+    ]
+    _stage_ordered_batches(src, [spark.createDataFrame(r, schema) for r in batches])
+
+    reg_dir = str(tmp_path / "registers")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = _ordered_stream(spark, src, schema)
+        q = distinct_sketch_stream(stream, reg_dir, ckpt, item_col="text").start()
+        q.awaitTermination(120)
+
+    run()
+    folded = read_registers(spark, reg_dir)
+    all_rows = spark.createDataFrame([r for b in batches for r in b], schema)
+    batch_reg = hll_registers(all_rows, "text")
+    assert folded.exceptAll(batch_reg).count() == 0
+    assert batch_reg.exceptAll(folded).count() == 0
+    est = hll_estimate(folded).collect()[0]
+    batch_est = hll_estimate(batch_reg).collect()[0]
+    assert est["estimate"] == batch_est["estimate"]
+    assert est["sum_scaled"] == batch_est["sum_scaled"]
+    # linear-counting regime at 11 distinct items: estimate is close
+    exact = all_rows.select("text").distinct().count()
+    assert abs(est["estimate"] - exact) / exact < 0.2, (est["estimate"], exact)
+
+    # replay: wipe checkpoint, rerun -> partials rewritten, fold equal
+    shutil.rmtree(ckpt)
+    run()
+    refolded = read_registers(spark, reg_dir)
+    assert refolded.exceptAll(batch_reg).count() == 0
+    assert batch_reg.exceptAll(refolded).count() == 0
