@@ -2075,3 +2075,78 @@ def test_winnow_fingerprint_guarantee(spark):
         for r in winnow_overlap_pairs(docs, threshold=0.5, max_fp_df=3).collect()
     }
     assert pruned <= set(pairs)
+
+
+def test_jpeg_decoder_three_component_ycbcr_path():
+    """The JPEG decoder is general for 4:4:4 color, not just the
+    grayscale fixture: a hand-built 3-component baseline JPEG (one MCU,
+    each YCbCr plane block-constant, per-component DC prediction,
+    interleaved scan) must decode to exactly the JFIF YCbCr->RGB
+    conversion of the encoded constants."""
+    import struct
+
+    import numpy as np
+
+    from accounts_receivable_data_pipeline_api_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JpegBitWriter,
+        _jpeg_canonical_codes,
+        _jpeg_pixels,
+    )
+
+    y_v, cb_v, cr_v = 120, 90, 180
+    dc_codes = {
+        sym: (code, ln)
+        for sym, code, ln in _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    }
+    ac_codes = {
+        sym: (code, ln)
+        for sym, code, ln in _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    }
+    wr = _JpegBitWriter()
+    for v in (y_v, cb_v, cr_v):  # one MCU: one block per component
+        diff = 8 * (v - 128)  # per-component predictor starts at 0
+        s = abs(diff).bit_length()
+        code, ln = dc_codes[s]
+        wr.put(code, ln)
+        if s:
+            wr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        eob, eob_len = ac_codes[0x00]
+        wr.put(eob, eob_len)
+    scan = wr.flush()
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof0 = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, 8, 8, 3) + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht_dc = seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    dht_ac = seg(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    content = (
+        b"\xff\xd8" + app0 + dqt + sof0 + dht_dc + dht_ac + sos + scan + b"\xff\xd9"
+    )
+
+    out = _jpeg_pixels(content)
+    assert out is not None
+    w, h, nc, stream = out
+    assert (w, h, nc) == (8, 8, 3)
+    # independent expectation: constant planes through the JFIF matrix
+    y, cb, cr = float(y_v), float(cb_v) - 128.0, float(cr_v) - 128.0
+    exp_px = np.clip(
+        np.rint(
+            np.array(
+                [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb]
+            )
+        ),
+        0,
+        255,
+    ).astype(np.uint8)
+    assert stream == bytes(exp_px) * 64
