@@ -139,22 +139,38 @@ def ngram_jaccard_pairs(
     recomputed scan+projection it saves is cheap next to the joins.
     """
     sh = char_shingles(df, id_col, text_col, n)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    return _feature_jaccard_pairs(sh, id_col, "shingle", threshold, max_shingle_df)
 
-    join_sh = sh
-    if max_shingle_df is not None:
+
+def _feature_jaccard_pairs(
+    features: DataFrame,
+    id_col: str,
+    feature_col: str,
+    threshold: float,
+    max_df: int | None,
+) -> DataFrame:
+    """Shared inverted-index exact-Jaccard machinery (round-7 dedup):
+    ngram_jaccard_pairs feeds shingles, winnow_overlap_pairs feeds
+    winnowed fingerprints. ``features`` is one row per (doc, feature),
+    DISTINCT per doc; sizes come from the FULL set while the optional
+    stop-feature cap prunes the JOIN side only — the lower-bound
+    soundness argument documented on both callers lives here once."""
+    sizes = features.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+
+    join_f = features
+    if max_df is not None:
         hot = (
-            sh.groupBy("shingle")
+            features.groupBy(feature_col)
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_shingle_df)
-            .select("shingle")
+            .filter(F.col("df") > max_df)
+            .select(feature_col)
         )
-        join_sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        join_f = features.join(F.broadcast(hot), feature_col, "left_anti")
 
-    a = join_sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = join_sh.select(F.col(id_col).alias("id_b"), "shingle")
+    a = join_f.select(F.col(id_col).alias("id_a"), feature_col)
+    b = join_f.select(F.col(id_col).alias("id_b"), feature_col)
     shared = (
-        a.join(b, "shingle")
+        a.join(b, feature_col)
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("shared"))
@@ -202,41 +218,7 @@ def winnow_overlap_pairs(
     from .text import winnow_fingerprints
 
     fps = winnow_fingerprints(df, id_col, text_col, k, window).select(id_col, "fp")
-    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-
-    join_fp = fps
-    if max_fp_df is not None:
-        hot = (
-            fps.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_fp_df)
-            .select("fp")
-        )
-        join_fp = fps.join(F.broadcast(hot), "fp", "left_anti")
-
-    a = join_fp.select(F.col(id_col).alias("id_a"), "fp")
-    b = join_fp.select(F.col(id_col).alias("id_b"), "fp")
-    shared = (
-        a.join(b, "fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
-    return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            (
-                F.col("shared").cast("double")
-                / (F.col("size_a") + F.col("size_b") - F.col("shared")).cast("double")
-            ).cast("double"),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    return _feature_jaccard_pairs(fps, id_col, "fp", threshold, max_fp_df)
 
 
 def minhash_signatures(

@@ -694,7 +694,7 @@ def _jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes] | None:
     contract as _parse_bmp/_parse_png on truncated input)."""
     try:
         return _jpeg_pixels_strict(content)
-    except (IndexError, ValueError):
+    except (IndexError, ValueError, MemoryError):
         return None
 
 
@@ -792,6 +792,20 @@ def _jpeg_pixels_strict(content: bytes) -> tuple[int, int, int, bytes] | None:
 
     bx, by = (w + 7) // 8, (h + 7) // 8
     nc = len(comps)
+    # Declared-dimension sanity BEFORE allocating coefficient storage
+    # (~nc*w*h*8 bytes): entropy coding spends at least one bit per
+    # block (DC code + EOB can never be free), so a scan of S bytes
+    # cannot carry more than 8*S blocks — a malformed SOF0 declaring
+    # 65535x65535 over a 20-byte payload would otherwise drive a ~34 GB
+    # numpy allocation whose MemoryError escapes the quarantine wrapper
+    # and kills the task (the BMP parser's len-vs-geometry check, done
+    # here with the only size bound entropy data admits).
+    if by * bx * nc > 8 * max(len(d) - pos, 0):
+        return None
+    # absolute working-set cap (coefs is 512 bytes/block): 32M samples
+    # bounds the decoder at ~256 MB however large the payload claims
+    if w * h * nc > (1 << 25):
+        return None
     reader = _JpegBitReader(d, pos)
     coefs = np.zeros((nc, by * bx, 64), dtype=np.float64)
     preds = [0] * nc
@@ -987,10 +1001,13 @@ def decode_features(media: DataFrame, decoder: str = "bmp") -> DataFrame:
     decoder='bmp' (default): REAL uncompressed-24-bit-BMP parse;
     decoder='png': REAL non-interlaced 8-bit RGB PNG decode (stdlib
     zlib inflate + numpy unfiltering of all five scanline filters,
-    chunk CRCs validated); decoder='auto': per-payload magic-byte
-    sniff between the two. Invalid payloads decode to nulls.
-    decoder='stub': legacy checksum-derived fake dims. decoder='pil':
-    gated on the codec library (not in this container).
+    chunk CRCs validated); decoder='jpeg': REAL baseline sequential
+    JPEG decode (marker walk, canonical-Huffman entropy decode,
+    dequant + float IDCT, grayscale or 4:4:4 YCbCr); decoder='auto':
+    per-payload magic-byte sniff among the three. Invalid payloads
+    decode to nulls. decoder='stub': legacy checksum-derived fake
+    dims. decoder='pil': gated on the codec library (not in this
+    container).
     """
     decode_pdf = _decode_kernel(decoder)
 

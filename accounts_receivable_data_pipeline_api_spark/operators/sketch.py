@@ -179,6 +179,11 @@ def hll_registers(
         .select(*group_cols, bucket.alias("bucket"), rank.cast("int").alias("rank"))
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rank").alias("max_rank"))
+        # the sketch parameter travels WITH the table: a register table
+        # is meaningless without its m, and hll_estimate guards on it
+        # (round-7 review: a persisted partial read back under a
+        # different default silently mis-estimated)
+        .withColumn("hll_m", F.lit(m).cast("int"))
     )
 
 
@@ -196,13 +201,30 @@ def hll_estimate(
     counting m * ln(m / V) when raw <= 2.5m and V = empty registers
     > 0 — the standard small-range correction, here also the
     portability-friendly branch (ln under round-6). Both branches
-    round to 6 dp; every operand is deterministic across engines."""
+    round to 6 dp; every operand is deterministic across engines.
+
+    The register table carries its build-time m (hll_registers stamps
+    hll_m); every row is guarded in-plan against THIS call's m — a
+    mismatch (e.g. a persisted streaming partial read back under a
+    different default) raises at execution instead of silently padding
+    the wrong number of empty registers."""
     alpha = hll_alpha(m)
     msq233 = float(m) * float(m) * float(1 << 33)
-    agg = registers.groupBy(*group_cols).agg(
+    checked = registers.withColumn(
+        "_rank_ok",
+        F.when(F.col("hll_m") == F.lit(m), F.col("max_rank")).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"hll_estimate(m={m}) over a register table built with a "
+                    "different m (see the table's hll_m column)"
+                )
+            ).cast("int")
+        ),
+    )
+    agg = checked.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("n_observed"),
         (
-            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 33 - max_rank)"))
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 33 - _rank_ok)"))
             + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << 33)
         )
         .cast("long")

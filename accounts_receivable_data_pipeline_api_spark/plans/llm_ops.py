@@ -1199,8 +1199,13 @@ _BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
     ),
     q(query_id, query_text) AS (VALUES {_BM25_VALUES}),
     qt AS (
+      -- same normalization as the Spark side's tokens_expr (the query
+      -- literals are already canonical, but the oracle must stay a
+      -- faithful mirror if they ever aren't — round-7 review)
       SELECT DISTINCT query_id,
-             unnest(list_filter(string_split(query_text, ' '), x -> x != '')) AS token
+             unnest(list_filter(string_split(
+               trim(regexp_replace(lower(query_text), '\\s+', ' ', 'g')), ' '),
+               x -> x != '')) AS token
       FROM q
     ),
     dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),

@@ -655,11 +655,15 @@ def distinct_sketch_stream(
 
 def read_registers(spark: SparkSession, registers_dir: str) -> DataFrame:
     """Fold the per-batch HLL partials into the lifetime register
-    table (bucket, max_rank)."""
+    table (bucket, max_rank, hll_m). Grouping includes the stamped
+    hll_m on purpose: partials written under different m values are
+    incompatible, and folding them apart (duplicate buckets) lets
+    hll_estimate's in-plan guard raise instead of silently merging."""
     return (
         spark.read.parquet(registers_dir)
-        .groupBy("bucket")
+        .groupBy("bucket", "hll_m")
         .agg(F.max("max_rank").alias("max_rank"))
+        .select("bucket", "max_rank", "hll_m")  # hll_registers' layout
     )
 
 

@@ -423,6 +423,22 @@ def test_jpeg_parser_rejects_malformed():
     assert _parse_jpeg(bytes(deep)) is None
     assert _parse_jpeg(b"not a jpeg") is None
     assert _parse_jpeg(None) is None
+    # huge declared dimensions over a tiny scan: must quarantine BEFORE
+    # the coefficient allocation (a 65535x65535 SOF0 otherwise drives a
+    # ~34 GB numpy request whose MemoryError kills the task — round-7
+    # review finding)
+    import struct
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    huge = (
+        b"\xff\xd8"
+        + seg(0xC0, struct.pack(">BHHB", 8, 65535, 65535, 1) + bytes([1, 0x11, 0]))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + b"\x00\x00\xff\xd9"
+    )
+    assert _parse_jpeg(huge) is None
 
 
 def test_decode_auto_sniffs_per_payload(spark):
@@ -1973,8 +1989,9 @@ def test_hll_registers_merge_and_estimate(spark, sf_dir):
     hi = hll_registers(li.filter(F.col("l_orderkey") % 2 == 1), "l_orderkey", m=256)
     merged = (
         lo.unionByName(hi)
-        .groupBy("bucket")
+        .groupBy("bucket", "hll_m")
         .agg(F.max("max_rank").alias("max_rank"))
+        .select("bucket", "max_rank", "hll_m")
     )
     assert full.exceptAll(merged).count() == 0
     assert merged.exceptAll(full).count() == 0
@@ -1984,6 +2001,14 @@ def test_hll_registers_merge_and_estimate(spark, sf_dir):
     assert doubled.exceptAll(full).count() == 0
 
     est = hll_estimate(full, m=256).collect()[0]
+    # m-mismatch guard: estimating with the wrong m must raise at
+    # execution, not silently pad the wrong number of empty registers
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    with _pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        hll_estimate(full, m=1024).collect()
     exact = li.distinct().count()
     rel_err = abs(est["estimate"] - exact) / exact
     assert rel_err <= 0.10, (est["estimate"], exact, rel_err)
