@@ -221,6 +221,143 @@ def winnow_overlap_pairs(
     return _feature_jaccard_pairs(fps, id_col, "fp", threshold, max_fp_df)
 
 
+def excise_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 40,
+    min_len: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style duplicate-SPAN removal (the policy of Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models
+    Better": cut long verbatim substrings that recur across the
+    corpus, keeping the rest of each document) — re-expressed as
+    joins + windows instead of a suffix array:
+
+      1. every character k-gram of the normalized text;
+      2. a gram is DUPLICATED if it occurs in >= ``min_docs`` distinct
+         documents (cross-document duplication; raw gram strings join
+         exactly — no hash collisions);
+      3. a position is covered if its k-gram is duplicated; covered
+         positions closer than k merge into islands (their char spans
+         [i, i+k-1] overlap), the gaps-and-islands window recipe;
+      4. islands spanning >= ``min_len`` chars are EXCISED from every
+         document carrying them (all copies cut, as in the paper);
+      5. the survivors reassemble in order.
+
+    Returns one row per input document: (id_col, n_spans BIGINT,
+    n_chars_removed BIGINT, cleaned_hash STRING) where cleaned_hash =
+    md5 of the reassembled text (md5 of the normalized text when
+    nothing was excised). Every value is integer/string arithmetic —
+    no floats anywhere, so the whole operator hash-checks cross-engine.
+
+    Plan shape at 100 TB: the gram explode is O(corpus chars) but
+    strictly linear and map-local; duplicated-gram detection is one
+    map-side-combinable agg on the gram key (skew dial: the same
+    stop-feature logic as the pair operators applies if a gram goes
+    viral, though a gram hot enough to skew is by definition
+    duplicated and will be excised anyway); coverage is a shuffle join
+    back on the gram key; islands/segments are per-document windows
+    (bounded partitions); reassembly touches only documents that had
+    spans. A suffix-array build — the paper's machinery — needs global
+    sorted order; this needs only key shuffles.
+    """
+    from pyspark.sql import Window
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    src = df.select(F.col(id_col), norm.alias("t"))
+    positions = F.expr(
+        f"CASE WHEN length(t) < {k} THEN CAST(array() AS ARRAY<BIGINT>) "
+        f"ELSE sequence(CAST(1 AS BIGINT), CAST(length(t) - {k - 1} AS BIGINT)) END"
+    )
+    grams = src.select(
+        F.col(id_col), F.explode(positions).alias("i"), F.col("t")
+    ).select(id_col, "i", F.expr(f"substr(t, CAST(i AS INT), {k})").alias("g"))
+    hot = (
+        grams.groupBy("g")
+        .agg(F.count_distinct(F.col(id_col)).alias("dfd"))
+        .filter(F.col("dfd") >= min_docs)
+        .select("g")
+    )
+    cov = grams.join(hot, "g").select(id_col, "i").distinct()
+
+    w_pos = Window.partitionBy(id_col).orderBy("i")
+    w_run = w_pos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spans = (
+        cov.withColumn(
+            "brk",
+            F.when(F.col("i") - F.lag("i").over(w_pos) > k, 1).otherwise(0),
+        )
+        .withColumn("island", F.sum("brk").over(w_run))
+        .groupBy(id_col, "island")
+        .agg(
+            F.min("i").alias("s"),
+            (F.max("i") + F.lit(k - 1)).alias("e"),
+        )
+        .filter(F.col("e") - F.col("s") + 1 >= min_len)
+        .select(id_col, "s", "e")
+    )
+
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("n_chars_removed"),
+        F.max("e").alias("max_e"),
+    )
+
+    # survivors: the gap before each span, plus the tail after the last
+    w_span = Window.partitionBy(id_col).orderBy("s")
+    head_gaps = spans.select(
+        F.col(id_col),
+        F.coalesce(F.lag("e").over(w_span) + 1, F.lit(1).cast("long")).alias("ss"),
+        (F.col("s") - 1).alias("se"),
+    )
+    tails = per_doc.join(src, id_col).select(
+        F.col(id_col),
+        (F.col("max_e") + 1).alias("ss"),
+        F.length("t").cast("long").alias("se"),
+    )
+    segs = (
+        head_gaps.unionByName(tails)
+        .filter(F.col("se") >= F.col("ss"))
+        .join(src, id_col)
+        .select(
+            id_col,
+            "ss",
+            F.expr("substr(t, CAST(ss AS INT), CAST(se - ss + 1 AS INT))").alias(
+                "seg"
+            ),
+        )
+    )
+    cleaned = segs.groupBy(id_col).agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("ss", "seg"))),
+                    lambda x: x["seg"],
+                ),
+                "",
+            )
+        ).alias("cleaned_hash")
+    )
+
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"  # md5("")
+    return (
+        src.join(per_doc, id_col, "left")
+        .join(cleaned, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_spans", F.lit(0).cast("long")).alias("n_spans"),
+            F.coalesce("n_chars_removed", F.lit(0).cast("long")).alias(
+                "n_chars_removed"
+            ),
+            F.when(F.col("n_spans").isNull(), F.md5("t"))
+            .otherwise(F.coalesce("cleaned_hash", F.lit(empty_md5)))
+            .alias("cleaned_hash"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

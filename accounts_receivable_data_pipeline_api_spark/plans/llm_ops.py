@@ -41,18 +41,126 @@ def _one_row(*dfs: DataFrame) -> DataFrame:
 @register(
     "dedup_exact_groups",
     oracle=f"""
-    SELECT md5({_NORM_SQL}) AS content_hash,
-           MIN(doc_id) AS keep_id,
-           COUNT(*) AS group_size
-    FROM documents
-    GROUP BY content_hash
+    WITH snorm AS (
+      SELECT doc_id, {_NORM_SQL} AS t FROM documents
+    ),
+    sgrams AS (
+      SELECT doc_id, i, substr(t, CAST(i AS INT), 40) AS g
+      FROM (SELECT doc_id, t,
+                   unnest(range(1, greatest(length(t) - 39, 0) + 1)) AS i
+            FROM snorm)
+    ),
+    shot AS (
+      SELECT g FROM sgrams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    scov AS (SELECT DISTINCT doc_id, i FROM sgrams JOIN shot USING (g)),
+    sbrk AS (
+      SELECT doc_id, i,
+             CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 40
+                  THEN 1 ELSE 0 END AS brk
+      FROM scov
+    ),
+    sisl AS (
+      SELECT doc_id, i,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM sbrk
+    ),
+    sspans AS (
+      SELECT doc_id, CAST(MIN(i) AS BIGINT) AS s,
+             CAST(MAX(i) + 39 AS BIGINT) AS e
+      FROM sisl GROUP BY doc_id, island
+      HAVING MAX(i) + 39 - MIN(i) + 1 >= 50
+    ),
+    sper AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(e - s + 1) AS BIGINT) AS removed,
+             MAX(e) AS max_e
+      FROM sspans GROUP BY doc_id
+    ),
+    ssegs AS (
+      SELECT doc_id,
+             COALESCE(lag(e) OVER (PARTITION BY doc_id ORDER BY s) + 1,
+                      CAST(1 AS BIGINT)) AS ss,
+             s - 1 AS se
+      FROM sspans
+      UNION ALL
+      SELECT p.doc_id, p.max_e + 1, CAST(length(n.t) AS BIGINT)
+      FROM sper p JOIN snorm n USING (doc_id)
+    ),
+    scleaned AS (
+      SELECT s.doc_id,
+             md5(string_agg(substr(n.t, CAST(s.ss AS INT),
+                                   CAST(s.se - s.ss + 1 AS INT)),
+                            '' ORDER BY s.ss)) AS cleaned_hash
+      FROM ssegs s JOIN snorm n USING (doc_id)
+      WHERE s.se >= s.ss
+      GROUP BY s.doc_id
+    )
+    SELECT 'doc_groups' AS kind, md5(t) AS content_hash,
+           MIN(doc_id) AS keep_id, COUNT(*) AS group_size,
+           CAST(NULL AS BIGINT) AS doc_id,
+           CAST(NULL AS BIGINT) AS n_spans,
+           CAST(NULL AS BIGINT) AS n_chars_removed,
+           CAST(NULL AS VARCHAR) AS cleaned_hash
+    FROM snorm GROUP BY md5(t)
+    UNION ALL
+    SELECT 'span_excise', NULL, NULL, NULL,
+           n.doc_id,
+           COALESCE(p.n_spans, 0),
+           COALESCE(p.removed, 0),
+           CASE WHEN p.doc_id IS NULL THEN md5(n.t)
+                ELSE COALESCE(c.cleaned_hash, md5('')) END
+    FROM snorm n
+      LEFT JOIN sper p USING (doc_id)
+      LEFT JOIN scleaned c ON c.doc_id = n.doc_id
     """,
     tags=("EXT", "DEDUP"),
-    doc="Exact dedup groups by normalized-text md5 (operators/dedup.py).",
+    doc="Exact dedup gauntlet, one row group per granularity (round-7 "
+    "consolidation). kind='doc_groups': whole-document groups by "
+    "normalized-text md5 (operators/dedup.py:exact_dedup). "
+    "kind='span_excise': ExactSubstr-style duplicate-SPAN removal "
+    "(operators/dedup.py:excise_duplicate_spans — the Lee et al. 2022 "
+    "policy re-expressed as joins + gaps-and-islands windows instead "
+    "of a suffix array): 40-char grams occurring in >= 2 distinct "
+    "documents mark coverage, covered positions merge into islands, "
+    "islands >= 50 chars are excised from EVERY copy, and the "
+    "reassembled survivor text is hash-checked per document "
+    "(cleaned_hash; md5 of the untouched normalized text when nothing "
+    "was cut, md5('') when a document is excised entirely — both "
+    "paths exercised by the corpus). Pure integer/string arithmetic: "
+    "no floats anywhere in either row group.",
 )
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.exact_dedup(docs)
+    span_nulls = [
+        F.lit(None).cast("bigint").alias("doc_id"),
+        F.lit(None).cast("bigint").alias("n_spans"),
+        F.lit(None).cast("bigint").alias("n_chars_removed"),
+        F.lit(None).cast("string").alias("cleaned_hash"),
+    ]
+    groups = dedup.exact_dedup(docs).select(
+        F.lit("doc_groups").alias("kind"),
+        "content_hash",
+        "keep_id",
+        "group_size",
+        *span_nulls,
+    )
+    # the gram explode multiplies rows ~260x; a single-file local scan
+    # would run it one-core (the raw op's _parallel_docs rationale) —
+    # spread the 4x-reused source subtree across the default parallelism
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    spans = dedup.excise_duplicate_spans(spread).select(
+        F.lit("span_excise").alias("kind"),
+        F.lit(None).cast("string").alias("content_hash"),
+        F.lit(None).cast("bigint").alias("keep_id"),
+        F.lit(None).cast("bigint").alias("group_size"),
+        "doc_id",
+        "n_spans",
+        "n_chars_removed",
+        "cleaned_hash",
+    )
+    return groups.unionByName(spans)
 
 
 # Exact 5-gram-Jaccard pair graph over documents (doc_id < 200), shared

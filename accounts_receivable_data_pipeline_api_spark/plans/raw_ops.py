@@ -340,10 +340,15 @@ def op_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(reg, m=1024, group_cols=("l_returnflag",))
 
 
+def op_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.excise_duplicate_spans(_parallel_docs(spark, sf_dir))
+
+
 RAW_OPS.update(
     {
         "op_bm25_topk": (op_bm25_topk, "documents"),
         "op_winnow_pairs": (op_winnow_pairs, "documents"),
         "op_hll_distinct": (op_hll_distinct, "lineitem"),
+        "op_span_excise": (op_span_excise, "documents"),
     }
 )

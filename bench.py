@@ -86,6 +86,7 @@ HEADLINE = (
     "op_bm25_topk",
     "op_winnow_pairs",
     "op_hll_distinct",
+    "op_span_excise",
 )
 
 # Invariant-summary entries whose in-entry exact twins are O(n^2) oracle

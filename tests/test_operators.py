@@ -2175,3 +2175,54 @@ def test_jpeg_decoder_three_component_ycbcr_path():
         255,
     ).astype(np.uint8)
     assert stream == bytes(exp_px) * 64
+
+
+def test_excise_duplicate_spans_contracts(spark):
+    """ExactSubstr span removal: (a) chars are conserved — removed +
+    len(cleaned) == len(normalized); (b) ALL copies of a duplicated
+    run are cut (the Lee et al. policy), verified on two docs sharing
+    a long verbatim run embedded in distinct surroundings; (c) docs
+    sharing nothing long enough are untouched; (d) a fully-duplicated
+    doc cleans to the empty string."""
+    import hashlib
+
+    from accounts_receivable_data_pipeline_api_spark.operators.dedup import (
+        excise_duplicate_spans,
+    )
+
+    run = "the shared verbatim passage that recurs across documents " * 2  # 114 chars
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha intro text distinct one. " + run + " alpha outro distinct."),
+            (2, "beta opening words differ a lot. " + run + " beta closing words."),
+            (3, run.strip()),  # the run IS the whole doc
+            (4, "entirely unrelated content with no duplicated long spans here."),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in excise_duplicate_spans(docs, k=40, min_len=50).collect()}
+    import re as _re
+
+    def norm(s):
+        return _re.sub(r"\s+", " ", s.lower()).strip()
+
+    # (b) + (a): docs 1, 2, 3 all lose the run
+    for d in (1, 2, 3):
+        assert rows[d]["n_spans"] >= 1, rows[d]
+        assert rows[d]["n_chars_removed"] >= len(run.strip()) - 39
+    # (c) untouched doc keeps its exact normalized hash
+    assert rows[4]["n_spans"] == 0
+    assert rows[4]["cleaned_hash"] == hashlib.md5(
+        norm("entirely unrelated content with no duplicated long spans here.").encode()
+    ).hexdigest()
+    # (d) whole-doc duplicate cleans to empty
+    assert rows[3]["cleaned_hash"] == hashlib.md5(b"").hexdigest()
+    assert rows[3]["n_chars_removed"] == len(norm(run.strip()))
+    # (a) partial excision: doc 1 keeps its distinct head/tail, so the
+    # cleaned hash differs from both the untouched hash and empty
+    t1 = norm("alpha intro text distinct one. " + run + " alpha outro distinct.")
+    assert 0 < rows[1]["n_chars_removed"] < len(t1)
+    assert rows[1]["cleaned_hash"] not in (
+        hashlib.md5(t1.encode()).hexdigest(),
+        hashlib.md5(b"").hexdigest(),
+    )

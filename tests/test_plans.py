@@ -355,3 +355,21 @@ def test_hll_register_agg_two_exchanges(spark, sf_dir):
     assert not [op for op in ops if "MapInPandas" in op or "ArrowEval" in op], ops
     # partial-final agg pairs: four HashAggregates (2 per shuffle stage)
     assert sum(1 for op in ops if op == "HashAggregate") == 4, ops
+
+
+def test_span_excise_no_cartesian_no_single_partition(spark, sf_dir):
+    """excise_duplicate_spans must stay key-shuffles + per-document
+    windows: no cartesian/nested-loop anywhere (the gram join is an
+    equi-join on the gram string) and no SinglePartition window (the
+    islands/segments windows partition by doc_id)."""
+    from accounts_receivable_data_pipeline_api_spark.operators.dedup import (
+        excise_duplicate_spans,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _formatted(spark, excise_duplicate_spans(docs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert not re.findall(r"MapInPandas|ArrowEval", plan), plan
