@@ -246,6 +246,14 @@ def excise_duplicate_spans(
          document carrying them (all copies cut, as in the paper);
       5. the survivors reassemble in order.
 
+    The gram-explode subtree deliberately executes twice (feeding the
+    duplicated-gram agg and the coverage join): the two consumers'
+    physical children differ, so ReuseExchange cannot share them, and
+    materializing the ~(len-k)x character stream (localCheckpoint)
+    would cost far more I/O than a second scan+substr pass — at 100 TB
+    two corpus reads beat writing a many-fold blowup of the corpus to
+    executor storage.
+
     Returns one row per input document: (id_col, n_spans BIGINT,
     n_chars_removed BIGINT, cleaned_hash STRING) where cleaned_hash =
     md5 of the reassembled text (md5 of the normalized text when
@@ -280,7 +288,9 @@ def excise_duplicate_spans(
         .filter(F.col("dfd") >= min_docs)
         .select("g")
     )
-    cov = grams.join(hot, "g").select(id_col, "i").distinct()
+    # no distinct needed: grams is unique on (doc, i) by construction
+    # and hot is unique on g (groupBy), so the join cannot duplicate
+    cov = grams.join(hot, "g").select(id_col, "i")
 
     w_pos = Window.partitionBy(id_col).orderBy("i")
     w_run = w_pos.rowsBetween(Window.unboundedPreceding, Window.currentRow)

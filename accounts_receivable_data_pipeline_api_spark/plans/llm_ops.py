@@ -53,7 +53,7 @@ def _one_row(*dfs: DataFrame) -> DataFrame:
     shot AS (
       SELECT g FROM sgrams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
     ),
-    scov AS (SELECT DISTINCT doc_id, i FROM sgrams JOIN shot USING (g)),
+    scov AS (SELECT doc_id, i FROM sgrams JOIN shot USING (g)),
     sbrk AS (
       SELECT doc_id, i,
              CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 40
@@ -147,10 +147,11 @@ def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         *span_nulls,
     )
     # the gram explode multiplies rows ~260x; a single-file local scan
-    # would run it one-core (the raw op's _parallel_docs rationale) —
-    # spread the 4x-reused source subtree across the default parallelism
-    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    spans = dedup.excise_duplicate_spans(spread).select(
+    # would run it one-core — spread_to_cores only fires when the scan
+    # under-partitions (no-op at real scale, unlike a bare repartition)
+    from ..sources.star import spread_to_cores
+
+    spans = dedup.excise_duplicate_spans(spread_to_cores(docs)).select(
         F.lit("span_excise").alias("kind"),
         F.lit(None).cast("string").alias("content_hash"),
         F.lit(None).cast("bigint").alias("keep_id"),
