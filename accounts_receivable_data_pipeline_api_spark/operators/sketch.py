@@ -129,14 +129,30 @@ def cms_merge(*sketches):
 # table doubles as the mergeable partial (union = groupBy max).
 #
 # Portability inventory (registry determinism rules):
-#   bucket   = md5-bucket idiom (conv/substr, exact integers)
-#   rank     = 33 - length(bin(w)) — string length of the unpadded
-#              binary expansion, exact in both engines (w = 0 -> 33)
-#   sum      = integer-scaled SUM(1 << (33 - rank)) — EXACT BIGINT
-#              arithmetic, order-free (2^-rank scaled by 2^33)
+#   bucket   = md5-bucket idiom (conv/substr first-8-hex, exact integers)
+#   w        = 48-BIT rank hash (md5 first-12-hex -> exact BIGINT in
+#              both engines). 48 bits, not 32: a 32-bit w collides past
+#              n ~ 2^32/30 ~ 1.4e8 distincts per group, compressing the
+#              register profile and biasing the estimate LOW — the
+#              classical HLL32 ceiling, unacceptable at the 100 TB
+#              design point (round-7 VERDICT #1). 48 bits pushes the
+#              ceiling to ~2^48/30 ~ 9.4e12, and the large-range
+#              correction branch below covers the approach to it.
+#   rank     = 49 - length(bin(w)) — string length of the unpadded
+#              binary expansion, exact in both engines (w = 0 -> 49)
+#   sum      = integer-scaled SUM(1 << (49 - rank)) — EXACT BIGINT
+#              arithmetic, order-free (2^-rank scaled by 2^49; max
+#              m * 2^49 = 2^59 at m=1024, well inside BIGINT)
 #   estimate = literals-and-division arithmetic on identical doubles,
-#              ln() only under round(..., 6) (the tfidf/LM recipe)
+#              ln() only under round(..., 6) (the tfidf/LM recipe),
+#              in BOTH the linear-counting and large-range branches
 # ---------------------------------------------------------------------------
+
+#: Rank-hash width in bits; rank = (HLL_HASH_BITS + 1) - length(bin(w)).
+HLL_HASH_BITS = 48
+_RANK_BASE = HLL_HASH_BITS + 1  # 49
+_SCALE_POW = 1 << _RANK_BASE  # 2^49, the integer scale for register sums
+_HASH_SPACE = float(1 << HLL_HASH_BITS)  # 2^48, the w value space
 
 
 def hll_alpha(m: int) -> float:
@@ -170,10 +186,15 @@ def hll_registers(
         .cast("long")
         % m
     )
+    # 12 hex chars = 48-bit w: exact BIGINT in Spark AND DuckDB, and wide
+    # enough that rank-hash collisions stay negligible to ~10^12 distincts
+    # per group (the 8-hex/32-bit form silently under-counted past ~1.4e8)
     w = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"r{salt}:"), item)), 1, 8), 16, 10
+        F.substring(F.md5(F.concat(F.lit(f"r{salt}:"), item)), 1, 12), 16, 10
     ).cast("long")
-    rank = F.when(w == 0, F.lit(33)).otherwise(F.lit(33) - F.length(F.bin(w)))
+    rank = F.when(w == 0, F.lit(_RANK_BASE)).otherwise(
+        F.lit(_RANK_BASE) - F.length(F.bin(w))
+    )
     return (
         df.filter(F.col(item_col).isNotNull())
         .select(*group_cols, bucket.alias("bucket"), rank.cast("int").alias("rank"))
@@ -195,21 +216,41 @@ def hll_estimate(
     """Distinct-count estimate from a register table: per group,
     (hll_m, n_observed, sum_scaled, estimate).
 
-    sum_scaled = sum over ALL m registers of 2^(33 - rank), scaled
-    integer-exact (empty registers contribute 2^33 each); the raw
-    estimate alpha_m * m^2 * 2^33 / sum_scaled switches to linear
-    counting m * ln(m / V) when raw <= 2.5m and V = empty registers
-    > 0 — the standard small-range correction, here also the
-    portability-friendly branch (ln under round-6). Both branches
-    round to 6 dp; every operand is deterministic across engines.
+    sum_scaled = sum over ALL m registers of 2^(49 - rank), scaled
+    integer-exact (empty registers contribute 2^49 each); the raw
+    estimate alpha_m * m^2 * 2^49 / sum_scaled takes three branches:
 
-    The register table carries its build-time m (hll_registers stamps
-    hll_m); every row is guarded in-plan against THIS call's m — a
-    mismatch (e.g. a persisted streaming partial read back under a
-    different default) raises at execution instead of silently padding
-    the wrong number of empty registers."""
+    * linear counting m * ln(m / V) when raw <= 2.5m and V = empty
+      registers > 0 — the standard small-range correction;
+    * large-range correction -2^48 * ln(1 - raw / 2^48) when raw
+      exceeds 2^48 / 30 — the classical Flajolet correction for
+      rank-hash collisions as the estimate approaches the 48-bit hash
+      space (round-7 VERDICT #1; past ~9.4e12 distincts per group the
+      uncorrected raw biases LOW);
+    * raw otherwise.
+
+    Both ln branches follow the house round-6 recipe; every operand is
+    deterministic across engines, and all three branches round to 6 dp.
+    If raw reaches the hash space itself (>= 0.99 * 2^48 — the sketch
+    is saturated and NO correction recovers it) the plan raises instead
+    of returning a confidently wrong number.
+
+    Two in-plan input guards (both raise at execution, never silently
+    mis-estimate):
+
+    * m-mismatch: the register table carries its build-time m
+      (hll_registers stamps hll_m); a mismatch with THIS call's m
+      (e.g. a persisted streaming partial read back under a different
+      default) would pad the wrong number of empty registers.
+    * duplicate buckets: the input must be a FOLDED register table
+      (unique bucket per group — hll_registers output, or a union of
+      partials re-folded by groupBy-max as streaming read_registers
+      does). Raw unioned partials passed directly would drive
+      n_observed past the distinct-bucket count, under-pad the empty
+      registers, and bias the estimate (round-7 ADVICE)."""
     alpha = hll_alpha(m)
-    msq233 = float(m) * float(m) * float(1 << 33)
+    msq_scaled = float(m) * float(m) * float(_SCALE_POW)
+    large_thresh = _HASH_SPACE / 30.0
     checked = registers.withColumn(
         "_rank_ok",
         F.when(F.col("hll_m") == F.lit(m), F.col("max_rank")).otherwise(
@@ -222,21 +263,52 @@ def hll_estimate(
         ),
     )
     agg = checked.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).cast("long").alias("n_observed"),
+        F.count(F.lit(1)).cast("long").alias("_n_rows"),
+        F.countDistinct("bucket").cast("long").alias("_n_buckets"),
         (
-            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 33 - _rank_ok)"))
-            + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << 33)
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RANK_BASE} - _rank_ok)"))
+            + (F.lit(m) - F.count(F.lit(1))) * F.lit(_SCALE_POW)
         )
         .cast("long")
         .alias("sum_scaled"),
     )
-    raw = F.lit(alpha) * (F.lit(msq233) / F.col("sum_scaled").cast("double"))
+    guarded = agg.withColumn(
+        "n_observed",
+        F.when(F.col("_n_rows") == F.col("_n_buckets"), F.col("_n_rows")).otherwise(
+            F.raise_error(
+                F.lit(
+                    "hll_estimate over an UNFOLDED register table (duplicate "
+                    "buckets per group) — fold partials first with "
+                    "groupBy(bucket).max(max_rank), as read_registers does"
+                )
+            ).cast("long")
+        ),
+    )
+    raw = F.lit(alpha) * (F.lit(msq_scaled) / F.col("sum_scaled").cast("double"))
     v = F.lit(m) - F.col("n_observed")
-    est = F.when(
-        (raw <= F.lit(2.5 * m)) & (v > 0),
-        F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")), 6),
-    ).otherwise(F.round(raw, 6))
-    return agg.select(
+    est = (
+        F.when(
+            (raw <= F.lit(2.5 * m)) & (v > 0),
+            F.round(F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")), 6),
+        )
+        .when(
+            raw >= F.lit(0.99 * _HASH_SPACE),
+            F.raise_error(
+                F.lit(
+                    f"hll_estimate: raw estimate saturates the {HLL_HASH_BITS}-bit "
+                    "hash space — the sketch cannot represent this cardinality"
+                )
+            ).cast("double"),
+        )
+        .when(
+            raw > F.lit(large_thresh),
+            F.round(
+                F.lit(-_HASH_SPACE) * F.log(F.lit(1.0) - raw / F.lit(_HASH_SPACE)), 6
+            ),
+        )
+        .otherwise(F.round(raw, 6))
+    )
+    return guarded.select(
         *group_cols,
         F.lit(m).cast("int").alias("hll_m"),
         "n_observed",

@@ -97,10 +97,14 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hll_oracle() -> str:
-    from ..operators.sketch import hll_alpha
+    from ..operators.sketch import HLL_HASH_BITS, hll_alpha
 
     alpha = hll_alpha(1024)
-    msq233 = float(1024) * float(1024) * float(1 << 33)
+    rank_base = HLL_HASH_BITS + 1  # 49
+    scale_pow = 1 << rank_base  # 2^49: per-register integer scale
+    hash_space = float(1 << HLL_HASH_BITS)  # 2^48
+    msq_scaled = float(1024) * float(1024) * float(scale_pow)
+    large_thresh = hash_space / 30.0
     return f"""
     WITH items AS (
       SELECT o_orderstatus, CAST(o_custkey AS VARCHAR) AS item
@@ -110,25 +114,26 @@ def _hll_oracle() -> str:
       SELECT DISTINCT o_orderstatus,
              CAST('0x' || substr(md5('bhll:' || item), 1, 8) AS BIGINT) % 1024
                AS bucket,
-             CAST('0x' || substr(md5('rhll:' || item), 1, 8) AS BIGINT) AS w
+             CAST('0x' || substr(md5('rhll:' || item), 1, 12) AS BIGINT) AS w
       FROM items
     ),
     reg AS (
       SELECT o_orderstatus, bucket,
-             MAX(CASE WHEN w = 0 THEN 33
-                      ELSE CAST(33 - length(bin(w)) AS INT) END) AS max_rank
+             MAX(CASE WHEN w = 0 THEN {rank_base}
+                      ELSE CAST({rank_base} - length(bin(w)) AS INT) END)
+               AS max_rank
       FROM hashed GROUP BY o_orderstatus, bucket
     ),
     regagg AS (
       SELECT o_orderstatus,
              CAST(COUNT(*) AS BIGINT) AS n_observed,
-             CAST(SUM(CAST(1 AS BIGINT) << (33 - max_rank))
-                  + (1024 - COUNT(*)) * 8589934592 AS BIGINT) AS sum_scaled
+             CAST(SUM(CAST(1 AS BIGINT) << ({rank_base} - max_rank))
+                  + (1024 - COUNT(*)) * {scale_pow} AS BIGINT) AS sum_scaled
       FROM reg GROUP BY o_orderstatus
     ),
     est AS (
       SELECT o_orderstatus, n_observed, sum_scaled,
-             {alpha!r} * ({msq233!r} / CAST(sum_scaled AS DOUBLE)) AS raw,
+             {alpha!r} * ({msq_scaled!r} / CAST(sum_scaled AS DOUBLE)) AS raw,
              1024 - n_observed AS v
       FROM regagg
     ),
@@ -136,6 +141,8 @@ def _hll_oracle() -> str:
       SELECT o_orderstatus, n_observed, sum_scaled,
              CASE WHEN raw <= 2560.0 AND v > 0
                   THEN round(1024.0 * ln(1024.0 / CAST(v AS DOUBLE)), 6)
+                  WHEN raw > {large_thresh!r}
+                  THEN round(-{hash_space!r} * ln(1.0 - raw / {hash_space!r}), 6)
                   ELSE round(raw, 6) END AS estimate
       FROM est
     ),
@@ -178,11 +185,11 @@ def _hll_oracle() -> str:
     "exact_customers / n_orders as real cross-engine values. "
     "kind='hll_register' + 'hll_estimate': the engine-PORTABLE "
     "HyperLogLog (operators/sketch.py:hll_registers/hll_estimate) whose "
-    "EVERY register (md5-bucket, rank = 33 - length(bin(w))) and whose "
-    "estimate (integer-scaled register sum, alpha_m bias correction, "
-    "linear-counting small-range branch under round-6 ln) the DuckDB "
-    "oracle recomputes value-for-value — a fully hash-checked HLL, not "
-    "just a bound. The register table is the mergeable partial: union "
+    "EVERY register (md5-bucket, 48-bit rank hash, rank = 49 - "
+    "length(bin(w))) and whose estimate (integer-scaled register sum, "
+    "alpha_m bias correction, linear-counting small-range + large-range "
+    "correction branches under round-6 ln) the DuckDB oracle recomputes "
+    "value-for-value — a fully hash-checked HLL, not just a bound. The register table is the mergeable partial: union "
     "of sketches = groupBy max over buckets, map-side combinable, "
     "bounded at groups * m rows at any corpus size. At 100 TB only the "
     "sketch paths run — exact COUNT(DISTINCT) is the verification "
