@@ -13,6 +13,16 @@ resident-engine serving latency (janino cache keeps compile out;
 re-collect()ing the same plan instance would let AQE reuse materialized
 shuffle stages and under-report multi-stage queries by up to ~100x).
 
+Cold times are the per-query MIN over SPARK_GRAFT_BENCH_RUNS passes
+(default 2), each in a FRESH subprocess so the janino/codegen caches are
+genuinely cold every time — the same min-of-two methodology as
+BENCH_ANCHOR.json, so round-over-round diffs of BENCH_rN.json no longer
+read single-run scheduler noise (~15-20% at this query count) as
+regression (round-7 VERDICT #3). The second pass is cold-only (warm
+medians already suppress noise); set SPARK_GRAFT_BENCH_RUNS=1 to get the
+old single-pass behavior (the in-suite regression gate does — it has its
+own re-run logic).
+
 Round-4 restructure (round-3 VERDICT #1): the hash-family corpus
 entries (dedup_minhash_lsh, dedup_embedding_lsh, similarity_*_topk)
 bundle exact-twin verification fixtures that are O(n^2) BY DESIGN, so
@@ -112,7 +122,9 @@ def _builder(name: str):
     return lambda spark: CORPUS[name].build(spark, SF_DIR)
 
 
-def main() -> None:
+def _measure(cold_only: bool = False) -> dict:
+    """One measurement pass in THIS process: cold per-query times, plus
+    (unless cold_only) the warm medians and verification section."""
     spark = get_spark("accounts-receivable-data-pipeline-api-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
     # Warm the JVM/codegen paths with a trivial action, and the parquet
@@ -139,6 +151,8 @@ def main() -> None:
         t0 = time.perf_counter()
         build(spark).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+        if cold_only:
+            continue
         samples = []
         for _ in range(3):
             fresh = build(spark)
@@ -149,32 +163,77 @@ def main() -> None:
 
     verification: dict[str, float] = {}
     verification_warm: dict[str, float] = {}
-    for name in VERIFICATION:
-        build = _builder(name)
-        t0 = time.perf_counter()
-        build(spark).collect()
-        verification[name] = round(time.perf_counter() - t0, 3)
-        fresh = build(spark)
-        t0 = time.perf_counter()
-        fresh.collect()
-        verification_warm[name] = round(time.perf_counter() - t0, 3)
+    if not cold_only:
+        for name in VERIFICATION:
+            build = _builder(name)
+            t0 = time.perf_counter()
+            build(spark).collect()
+            verification[name] = round(time.perf_counter() - t0, 3)
+            fresh = build(spark)
+            t0 = time.perf_counter()
+            fresh.collect()
+            verification_warm[name] = round(time.perf_counter() - t0, 3)
 
+    spark.stop()
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    # Full record first, for humans and for the anchor-refresh workflow.
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "verification": verification,
-                "verification_warm": verification_warm,
-                "sf": sf,
-            }
-        )
+    return {
+        "metric": "suite_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": warm,
+        "verification": verification,
+        "verification_warm": verification_warm,
+        "sf": sf,
+    }
+
+
+def _child_record(cold_only: bool) -> dict:
+    """Run one pass in a fresh subprocess (genuinely cold JVM/codegen
+    caches) and parse its record off the last stdout line."""
+    import subprocess
+    import sys
+
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_BENCH_CHILD="cold" if cold_only else "full",
     )
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        capture_output=True,
+        text=True,
+        env=env,
+    )
+    if out.returncode != 0:
+        raise RuntimeError(f"bench child pass failed: {out.stderr[-2000:]}")
+    return json.loads(out.stdout.splitlines()[-1])
+
+
+def main() -> None:
+    child = os.environ.get("SPARK_GRAFT_BENCH_CHILD")
+    if child:
+        print(json.dumps(_measure(cold_only=child == "cold")))
+        return
+
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    if runs <= 1:
+        record = _measure()
+    else:
+        record = _child_record(cold_only=False)
+        for _ in range(runs - 1):
+            extra = _child_record(cold_only=True)
+            record["queries"] = {
+                k: min(v, extra["queries"].get(k, v))
+                for k, v in record["queries"].items()
+            }
+        record["value"] = round(sum(record["queries"].values()), 3)
+        record["cold_runs"] = runs
+
+    timings = record["queries"]
+    warm = record["queries_warm"]
+    sf = record["sf"]
+    # Full record first, for humans and for the anchor-refresh workflow.
+    print(json.dumps(record))
     # The driver captures only the LAST ~2000 chars of stdout; the full
     # record above outgrew that window in round 5 ("parsed": null in
     # BENCH_r05.json), cutting off the suite total. Emit a compact
@@ -198,7 +257,6 @@ def main() -> None:
         summary["queries_truncated_to_slowest"] = len(slowest)
         line = json.dumps(summary, separators=(",", ":"))
     print(line)
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -34,7 +34,11 @@ FLOOR_S = 0.5
 
 
 def _run_bench() -> dict:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR)
+    # Single-pass mode: bench.py's own min-of-two (cold-only second
+    # subprocess pass, for BENCH_rN/anchor comparability) would double
+    # this test's wall time, and _Lazy's per-query re-run logic already
+    # suppresses spikes the way that second pass does.
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=SF_DIR, SPARK_GRAFT_BENCH_RUNS="1")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True,
