@@ -237,8 +237,17 @@ def excise_duplicate_spans(
 
       1. every character k-gram of the normalized text;
       2. a gram is DUPLICATED if it occurs in >= ``min_docs`` distinct
-         documents (cross-document duplication; raw gram strings join
-         exactly — no hash collisions);
+         documents (cross-document duplication). The wide shuffles run
+         on a 64-bit xxhash64 FINGERPRINT of the gram, not the k-char
+         raw string (round-7 VERDICT #2: raw keys made the two gram
+         exchanges ~k x corpus bytes — the widest shuffle in the repo);
+         exactness is then restored by re-checking RAW-STRING equality
+         over only the candidate positions whose fingerprint is hot.
+         The re-check is sound AND complete with zero collision
+         assumptions: dfd(fingerprint) >= dfd(gram) for every gram it
+         covers, so a cold fingerprint proves every underlying gram
+         cold, and the hot-fingerprint join carries ALL positions of
+         every colliding gram, so the raw re-count per gram is exact;
       3. a position is covered if its k-gram is duplicated; covered
          positions closer than k merge into islands (their char spans
          [i, i+k-1] overlap), the gaps-and-islands window recipe;
@@ -262,14 +271,19 @@ def excise_duplicate_spans(
 
     Plan shape at 100 TB: the gram explode is O(corpus chars) but
     strictly linear and map-local; duplicated-gram detection is one
-    map-side-combinable agg on the gram key (skew dial: the same
-    stop-feature logic as the pair operators applies if a gram goes
-    viral, though a gram hot enough to skew is by definition
+    map-side-combinable agg on the 8-byte fingerprint key (skew dial:
+    the same stop-feature logic as the pair operators applies if a
+    gram goes viral, though a gram hot enough to skew is by definition
     duplicated and will be excised anyway); coverage is a shuffle join
-    back on the gram key; islands/segments are per-document windows
-    (bounded partitions); reassembly touches only documents that had
-    spans. A suffix-array build — the paper's machinery — needs global
-    sorted order; this needs only key shuffles.
+    back on the fingerprint key — both wide exchanges now ship 8-byte
+    keys instead of k-char strings (~5x fewer shuffle bytes at k=40).
+    The raw-string re-check runs over only the candidate positions
+    (true covered positions + vanishing collision noise), so its
+    k-char shuffles are proportional to the DUPLICATED text, not the
+    corpus; islands/segments are per-document windows (bounded
+    partitions); reassembly touches only documents that had spans. A
+    suffix-array build — the paper's machinery — needs global sorted
+    order; this needs only key shuffles.
     """
     from pyspark.sql import Window
 
@@ -279,18 +293,39 @@ def excise_duplicate_spans(
         f"CASE WHEN length(t) < {k} THEN CAST(array() AS ARRAY<BIGINT>) "
         f"ELSE sequence(CAST(1 AS BIGINT), CAST(length(t) - {k - 1} AS BIGINT)) END"
     )
-    grams = src.select(
+    # 64-bit fingerprint of each k-gram: the substr is computed and
+    # hashed map-side, so the exploded frame that feeds BOTH wide
+    # shuffles carries (doc, i, 8-byte gf) — never the raw gram
+    grams_f = src.select(
         F.col(id_col), F.explode(positions).alias("i"), F.col("t")
-    ).select(id_col, "i", F.expr(f"substr(t, CAST(i AS INT), {k})").alias("g"))
+    ).select(
+        id_col,
+        "i",
+        F.xxhash64(F.expr(f"substr(t, CAST(i AS INT), {k})")).alias("gf"),
+    )
+    hot_f = (
+        grams_f.groupBy("gf")
+        .agg(F.count_distinct(F.col(id_col)).alias("dfd"))
+        .filter(F.col("dfd") >= min_docs)
+        .select("gf")
+    )
+    # no distinct needed: grams_f is unique on (doc, i) by construction
+    # and hot_f is unique on gf (groupBy), so the join cannot duplicate
+    cand = grams_f.join(hot_f, "gf").select(id_col, "i")
+    # exactness re-check on the candidate subset: recompute the RAW
+    # gram from the source text and redo the distinct-doc count per
+    # raw gram — a colliding-but-cold gram arrives with all of its
+    # positions (they share gf), counts < min_docs, and drops out
+    cand_g = cand.join(src, id_col).select(
+        id_col, "i", F.expr(f"substr(t, CAST(i AS INT), {k})").alias("g")
+    )
     hot = (
-        grams.groupBy("g")
+        cand_g.groupBy("g")
         .agg(F.count_distinct(F.col(id_col)).alias("dfd"))
         .filter(F.col("dfd") >= min_docs)
         .select("g")
     )
-    # no distinct needed: grams is unique on (doc, i) by construction
-    # and hot is unique on g (groupBy), so the join cannot duplicate
-    cov = grams.join(hot, "g").select(id_col, "i")
+    cov = cand_g.join(hot, "g").select(id_col, "i")
 
     w_pos = Window.partitionBy(id_col).orderBy("i")
     w_run = w_pos.rowsBetween(Window.unboundedPreceding, Window.currentRow)
