@@ -691,7 +691,17 @@ def _jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes] | None:
     outside 8-bit baseline Huffman with 1:1 sampling — INCLUDING
     truncated/malformed segments: any residual out-of-range read in the
     strict parser quarantines here, never a task failure (the same
-    contract as _parse_bmp/_parse_png on truncated input)."""
+    contract as _parse_bmp/_parse_png on truncated input).
+
+    EXPLICIT SCOPE LIMIT (round-7 ADVICE): images over 2^25 = ~33.5M
+    samples (w * h * channels — e.g. a 12-megapixel color photo) also
+    decode to None. That is a per-row working-set bound (~256 MB of
+    coefficient storage at 512 bytes/block), not a malformed-input
+    signal: a null row for a large VALID baseline JPEG is a documented
+    outcome of this decoder, chosen so one hot row can never blow an
+    executor under a 32-task-per-host packing. Raise the cap in
+    _jpeg_pixels_strict if the deployment dedicates more memory per
+    task."""
     try:
         return _jpeg_pixels_strict(content)
     except (IndexError, ValueError, MemoryError):
@@ -1003,9 +1013,11 @@ def decode_features(media: DataFrame, decoder: str = "bmp") -> DataFrame:
     zlib inflate + numpy unfiltering of all five scanline filters,
     chunk CRCs validated); decoder='jpeg': REAL baseline sequential
     JPEG decode (marker walk, canonical-Huffman entropy decode,
-    dequant + float IDCT, grayscale or 4:4:4 YCbCr); decoder='auto':
-    per-payload magic-byte sniff among the three. Invalid payloads
-    decode to nulls. decoder='stub': legacy checksum-derived fake
+    dequant + float IDCT, grayscale or 4:4:4 YCbCr; VALID baseline
+    images over ~33.5M samples also null out — a documented per-row
+    working-set bound, see _jpeg_pixels); decoder='auto': per-payload
+    magic-byte sniff among the three. Invalid payloads decode to
+    nulls. decoder='stub': legacy checksum-derived fake
     dims. decoder='pil': gated on the codec library (not in this
     container).
     """

@@ -349,25 +349,36 @@ def bm25_topk(
     order-free. avgdl is the raw IEEE quotient total_len / n_docs,
     never re-rounded. Ranking ties break doc_id-asc.
 
-    Plan shape at 100 TB: tf/df/dl are the same map-side-combinable
-    token aggs tfidf uses; the query set is tiny and BROADCAST onto tf
+    Plan shape at 100 TB: tf/df are the same map-side-combinable token
+    aggs tfidf uses; the query set is tiny and BROADCAST onto tf
     BEFORE the df join, so only postings of query terms flow into the
     join (the corpus-wide token join tfidf needs is exactly what this
-    prunes); corpus stats join in as a 1-row broadcast; the final
-    window partitions by query_id — bounded by the query list, and
-    each partition carries only scored candidates, not the corpus.
+    prunes); the document length rides the token explode into the tf
+    agg (+8 bytes per posting row, max-folded), so there is NO
+    doc-keyed join against a corpus-wide length table — round-7
+    ADVICE: that join had no broadcastable side at scale and was the
+    one place a SortMergeJoin could reappear; corpus stats join in as
+    a 1-row broadcast; the final window partitions by query_id —
+    bounded by the query list, and each partition carries only scored
+    candidates, not the corpus. Every non-broadcast exchange is a
+    map-side-combinable agg; none is a corpus-sized join.
     """
     from pyspark.sql import Window
 
-    toks = docs.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("token"))
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
-    dl = docs.select(
-        F.col(id_col), F.size(tokens_expr(text_col)).cast("long").alias("dl")
+    tokenized = docs.select(F.col(id_col), tokens_expr(text_col).alias("toks"))
+    toks = tokenized.select(
+        id_col,
+        F.size("toks").cast("long").alias("dl"),
+        F.explode("toks").alias("token"),
     )
-    stats = dl.agg(
+    # dl is constant per doc, so max() just carries it through the agg
+    tf = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
+    )
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    stats = tokenized.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.sum("dl").cast("double").alias("total_len"),
+        F.sum(F.size("toks").cast("long")).cast("double").alias("total_len"),
     )
     qterms = queries.select(
         F.col(qid_col), F.explode(tokens_expr(qtext_col)).alias("token")
@@ -401,7 +412,6 @@ def bm25_topk(
     scores = (
         tf.join(F.broadcast(qterms), "token")
         .join(F.broadcast(df_q), "token")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy(qid_col, id_col)
         .agg(F.sum(contrib.cast("decimal(28,6)")).cast("double").alias("score"))
