@@ -619,6 +619,114 @@ def synthesize_jpeg(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     return src.mapInPandas(kernel, schema=MEDIA_SCHEMA)
 
 
+def _jpeg420_params_from_text(text: str) -> tuple[str, int, int]:
+    """4:2:0 fixture geometry in MCUs (16x16-px units): (seed, mw, mh)
+    with mw/mh in 1..4, so width = 16*mw and height = 16*mh (16..64
+    px). Oracle mirror: mw = hx % 4 + 1; mh = (hx // 4) % 4 + 1."""
+    seed = hashlib.md5(text.encode("utf-8")).hexdigest()
+    hx = int(seed[:8], 16)
+    return seed, hx % 4 + 1, (hx // 4) % 4 + 1
+
+
+def _jpeg_bytes_420(seed: str, mw: int, mh: int) -> bytes:
+    """A genuine baseline 4:2:0 COLOR JPEG: three components with
+    sampling 0x22/0x11/0x11, interleaved 16x16-px MCUs carrying
+    4 Y blocks + Cb + Cr, per-component DC prediction, Annex-K
+    tables for every component, unit quant. Pixel semantics the SQL
+    oracle reconstructs:
+
+      * luma block (r, c) of the 8x8-block grid (r < 2*mh, c < 2*mw)
+        is CONSTANT at digest byte (r*2*mw + c) % 16 — the same
+        indexing rule as the grayscale fixture;
+      * chroma is CONSTANT PER MCU (my, mx): Cb = digest byte
+        (my*mw + mx + 5) % 16, Cr = digest byte (my*mw + mx + 11) % 16
+        — varying chroma across MCUs is what makes a misaligned
+        chroma upsample or a swapped block order hash-mismatch;
+      * since each chroma sample block covers exactly one MCU and
+        luma is constant per 8x8 block, the decoded RGB is constant
+        per luma block: clip(rint(JFIF inverse)) of (Y, Cb, Cr).
+    """
+    import struct
+
+    w, h = 16 * mw, 16 * mh
+    digest = bytes.fromhex(seed)
+    dc_codes = {
+        sym: (code, ln)
+        for sym, code, ln in _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    }
+    ac_codes = {
+        sym: (code, ln)
+        for sym, code, ln in _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    }
+    wr = _JpegBitWriter()
+    preds = [0, 0, 0]
+    eob, eob_len = ac_codes[0x00]
+
+    def put_block(value: int, comp: int) -> None:
+        dc = 8 * (value - 128)
+        diff = dc - preds[comp]
+        preds[comp] = dc
+        mag = abs(diff)
+        s = mag.bit_length()
+        code, ln = dc_codes[s]
+        wr.put(code, ln)
+        if s:
+            wr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        wr.put(eob, eob_len)
+
+    for my in range(mh):
+        for mx in range(mw):
+            for dv in (0, 1):
+                for dh in (0, 1):
+                    r, c = 2 * my + dv, 2 * mx + dh
+                    put_block(digest[(r * 2 * mw + c) % 16], 0)
+            put_block(digest[(my * mw + mx + 5) % 16], 1)
+            put_block(digest[(my * mw + mx + 11) % 16], 2)
+    scan = wr.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00")
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof0 = seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, 3) + bytes([1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    dht_dc = seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+    dht_ac = seg(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + app0 + dqt + sof0 + dht_dc + dht_ac + sos + scan + b"\xff\xd9"
+
+
+def synthesize_jpeg420(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fixture source: a real entropy-coded baseline 4:2:0 color JPEG
+    per document, deterministically from its text — the dominant
+    real-world chroma layout, exercising the interleaved-MCU decode
+    path (4 Y + Cb + Cr per MCU) and the chroma upsampler."""
+    src = _spread(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                seed, mw, mh = _jpeg420_params_from_text(text)
+                payloads.append(_jpeg_bytes_420(seed, mw, mh))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": "image",
+                    "content": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                    "checksum": [hashlib.md5(p).hexdigest() for p in payloads],
+                }
+            )
+
+    return src.mapInPandas(kernel, schema=MEDIA_SCHEMA)
+
+
 class _JpegBitReader:
     """Entropy-segment bit reader: removes 0xFF00 stuffing, stops at
     any real marker, byte-aligns across restart markers."""
@@ -687,11 +795,14 @@ def _jpeg_extend(v: int, s: int) -> int:
 def _jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes] | None:
     """Real baseline JPEG decode to (w, h, channels, stream): stream is
     the row-major grayscale byte plane (1 component) or interleaved RGB
-    (3 components, 4:4:4, JFIF YCbCr conversion). None for anything
-    outside 8-bit baseline Huffman with 1:1 sampling — INCLUDING
-    truncated/malformed segments: any residual out-of-range read in the
-    strict parser quarantines here, never a task failure (the same
-    contract as _parse_bmp/_parse_png on truncated input).
+    (3 components, JFIF YCbCr conversion) with sampling factors 1..2
+    per axis — 4:4:4, 4:2:0 (the dominant real-world layout), 4:2:2
+    and 4:4:0 all decode, subsampled chroma box-upsampled (sample
+    replication) to the luma grid. None for anything outside 8-bit
+    baseline Huffman with those factors — INCLUDING truncated/
+    malformed segments: any residual out-of-range read in the strict
+    parser quarantines here, never a task failure (the same contract
+    as _parse_bmp/_parse_png on truncated input).
 
     EXPLICIT SCOPE LIMIT (round-7 ADVICE): images over 2^25 = ~33.5M
     samples (w * h * channels — e.g. a 12-megapixel color photo) also
@@ -770,9 +881,17 @@ def _jpeg_pixels_strict(content: bytes) -> tuple[int, int, int, bytes] | None:
             comps = []
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:  # subsampling: out of scope
+                hi, vi = samp >> 4, samp & 0xF
+                # factors 1..2 cover 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 —
+                # the layouts real-world baseline JPEGs actually use;
+                # 3x/4x factors stay out of scope (honest gate)
+                if hi not in (1, 2) or vi not in (1, 2):
                     return None
-                comps.append((cid, samp, tq))
+                comps.append((cid, hi, vi, tq))
+            if nc == 1:
+                # single-component scan: the MCU is ONE block and the
+                # sampling factors are ignored (T.81 A.2.2)
+                comps = [(comps[0][0], 1, 1, comps[0][3])]
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # extended/progressive/lossless/arithmetic
         elif marker == 0xDD:  # DRI
@@ -800,78 +919,107 @@ def _jpeg_pixels_strict(content: bytes) -> tuple[int, int, int, bytes] | None:
     if w is None or not w or not h:
         return None
 
-    bx, by = (w + 7) // 8, (h + 7) // 8
     nc = len(comps)
+    hs = [c[1] for c in comps]
+    vs = [c[2] for c in comps]
+    hmax, vmax = max(hs), max(vs)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # per-component padded block grid: every MCU carries hs[i]*vs[i]
+    # blocks of component i, so the stored grid rounds up to MCU cover
+    bxs = [mcux * hs[i] for i in range(nc)]
+    bys = [mcuy * vs[i] for i in range(nc)]
+    total_blocks = sum(bxs[i] * bys[i] for i in range(nc))
     # Declared-dimension sanity BEFORE allocating coefficient storage
-    # (~nc*w*h*8 bytes): entropy coding spends at least one bit per
+    # (512 bytes/block): entropy coding spends at least one bit per
     # block (DC code + EOB can never be free), so a scan of S bytes
     # cannot carry more than 8*S blocks — a malformed SOF0 declaring
     # 65535x65535 over a 20-byte payload would otherwise drive a ~34 GB
     # numpy allocation whose MemoryError escapes the quarantine wrapper
     # and kills the task (the BMP parser's len-vs-geometry check, done
     # here with the only size bound entropy data admits).
-    if by * bx * nc > 8 * max(len(d) - pos, 0):
+    if total_blocks > 8 * max(len(d) - pos, 0):
         return None
-    # absolute working-set cap (coefs is 512 bytes/block): 32M samples
+    # absolute working-set cap: 32M decoded samples (block-padded)
     # bounds the decoder at ~256 MB however large the payload claims
-    if w * h * nc > (1 << 25):
+    if total_blocks * 64 > (1 << 25):
         return None
     reader = _JpegBitReader(d, pos)
-    coefs = np.zeros((nc, by * bx, 64), dtype=np.float64)
+    coefs = [np.zeros((bys[i] * bxs[i], 64), dtype=np.float64) for i in range(nc)]
     preds = [0] * nc
-    for mcu in range(by * bx):
+    for mcu in range(mcuy * mcux):
         if dri and mcu and mcu % dri == 0:
             if not reader.restart():
                 return None
             preds = [0] * nc
+        my, mx = divmod(mcu, mcux)
         for ci, dc_t, ac_t in scan_comps:
             dc_table = huffs.get((0, dc_t))
             ac_table = huffs.get((1, ac_t))
-            qt = qts.get(comps[ci][2])
+            qt = qts.get(comps[ci][3])
             if dc_table is None or ac_table is None or qt is None:
                 return None
-            s = _jpeg_decode_huff(reader, dc_table)
-            if s is None or s > 11:
-                return None
-            if s:
-                extra = reader.bits(s)
-                if extra is None:
-                    return None
-                preds[ci] += _jpeg_extend(extra, s)
-            block = coefs[ci, mcu]
-            block[0] = preds[ci] * qt[0]
-            k = 1
-            while k < 64:
-                rs = _jpeg_decode_huff(reader, ac_table)
-                if rs is None:
-                    return None
-                if rs == 0x00:  # EOB
-                    break
-                if rs == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += rs >> 4
-                s = rs & 0xF
-                if k > 63 or s == 0:
-                    return None
-                extra = reader.bits(s)
-                if extra is None:
-                    return None
-                block[k] = _jpeg_extend(extra, s) * qt[k]
-                k += 1
+            # the MCU's hs*vs blocks of this component, raster order
+            # (T.81 A.2.3): block (dv, dh) lands at grid row
+            # my*vs + dv, grid col mx*hs + dh
+            for dv in range(vs[ci]):
+                for dh in range(hs[ci]):
+                    s = _jpeg_decode_huff(reader, dc_table)
+                    if s is None or s > 11:
+                        return None
+                    if s:
+                        extra = reader.bits(s)
+                        if extra is None:
+                            return None
+                        preds[ci] += _jpeg_extend(extra, s)
+                    block = coefs[ci][
+                        (my * vs[ci] + dv) * bxs[ci] + mx * hs[ci] + dh
+                    ]
+                    block[0] = preds[ci] * qt[0]
+                    k = 1
+                    while k < 64:
+                        rs = _jpeg_decode_huff(reader, ac_table)
+                        if rs is None:
+                            return None
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        s = rs & 0xF
+                        if k > 63 or s == 0:
+                            return None
+                        extra = reader.bits(s)
+                        if extra is None:
+                            return None
+                        block[k] = _jpeg_extend(extra, s) * qt[k]
+                        k += 1
 
-    # zigzag -> raster, batched IDCT over every block at once
-    raster = np.zeros((nc, by * bx, 64), dtype=np.float64)
-    raster[:, :, _JPEG_ZIGZAG] = coefs
-    blocks = raster.reshape(nc, by * bx, 8, 8)
+    # zigzag -> raster, batched IDCT per component, then box
+    # (replication) upsampling of subsampled chroma to the luma grid —
+    # the documented upsampling semantic of this decoder (a fancy
+    # triangular upsampler would be a different, equally valid codec
+    # choice; box keeps the fixture round trip and the SQL oracle exact)
     a = _jpeg_idct_matrix()
-    pix = np.einsum("ux,nbuv,vy->nbxy", a, blocks, a, optimize=True) + 128.0
-    pix = np.clip(np.rint(pix), 0, 255).astype(np.uint8)
-    planes = (
-        pix.reshape(nc, by, bx, 8, 8)
-        .transpose(0, 1, 3, 2, 4)
-        .reshape(nc, by * 8, bx * 8)[:, :h, :w]
-    )
+    planes = []
+    for i in range(nc):
+        raster = np.zeros((bys[i] * bxs[i], 64), dtype=np.float64)
+        raster[:, _JPEG_ZIGZAG] = coefs[i]
+        blocks = raster.reshape(-1, 8, 8)
+        pix = np.einsum("ux,buv,vy->bxy", a, blocks, a, optimize=True) + 128.0
+        pix = np.clip(np.rint(pix), 0, 255).astype(np.uint8)
+        plane = (
+            pix.reshape(bys[i], bxs[i], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bys[i] * 8, bxs[i] * 8)
+        )
+        ry, rx = vmax // vs[i], hmax // hs[i]
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes.append(plane[:h, :w])
     if nc == 1:
         return w, h, 1, planes[0].tobytes()
     y = planes[0].astype(np.float64)

@@ -945,6 +945,71 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS pixel_checksum
       FROM jlines GROUP BY doc_id, bw, bh
     ),
+    -- 4:2:0 color JPEG: luma block (r, c) constant at digest byte
+    -- (r*2mw+c)%16, chroma constant PER MCU (bytes (my*mw+mx+5)%16 /
+    -- +11), so the decoded RGB is constant per 8x8 luma block:
+    -- clip(rint(JFIF inverse)) with rint = HALF-EVEN (numpy/IEEE),
+    -- mirrored exactly by the floor-parity CASE below (SQL round()
+    -- alone is half-away and diverges on exact-.5 doubles)
+    j4dims AS (
+      SELECT doc_id, seed,
+             CAST(hx % 4 + 1 AS BIGINT) AS mw,
+             CAST((hx // 4) % 4 + 1 AS BIGINT) AS mh
+      FROM m
+    ),
+    j4vals AS (
+      SELECT doc_id, mw, mh, r, c,
+             CAST(CAST('0x' || substr(seed,
+                    CAST(2 * ((r * 2 * mw + c) % 16) + 1 AS INT), 2)
+                  AS BIGINT) AS DOUBLE) AS yv,
+             CAST(CAST('0x' || substr(seed,
+                    CAST(2 * (((r // 2) * mw + (c // 2) + 5) % 16) + 1 AS INT), 2)
+                  AS BIGINT) AS DOUBLE) - 128.0::DOUBLE AS cbv,
+             CAST(CAST('0x' || substr(seed,
+                    CAST(2 * (((r // 2) * mw + (c // 2) + 11) % 16) + 1 AS INT), 2)
+                  AS BIGINT) AS DOUBLE) - 128.0::DOUBLE AS crv
+      FROM (SELECT doc_id, seed, mw, mh, r, unnest(range(0, 2 * mw)) AS c
+            FROM (SELECT doc_id, seed, mw, mh, unnest(range(0, 2 * mh)) AS r
+                  FROM j4dims))
+    ),
+    j4chan AS (
+      SELECT doc_id, mw, mh, r, c,
+             yv + 1.402::DOUBLE * crv AS v1,
+             yv - 0.344136::DOUBLE * cbv - 0.714136::DOUBLE * crv AS v2,
+             yv + 1.772::DOUBLE * cbv AS v3
+      FROM j4vals
+    ),
+    j4rgb AS (
+      SELECT doc_id, mw, mh, r, c,
+             printf('%02x%02x%02x',
+               CAST(least(greatest(
+                 CASE WHEN v1 - floor(v1) = 0.5
+                      THEN floor(v1) + (CASE WHEN CAST(floor(v1) AS BIGINT) % 2 = 0
+                                        THEN 0 ELSE 1 END)
+                      ELSE round(v1) END, 0.0), 255.0) AS INT),
+               CAST(least(greatest(
+                 CASE WHEN v2 - floor(v2) = 0.5
+                      THEN floor(v2) + (CASE WHEN CAST(floor(v2) AS BIGINT) % 2 = 0
+                                        THEN 0 ELSE 1 END)
+                      ELSE round(v2) END, 0.0), 255.0) AS INT),
+               CAST(least(greatest(
+                 CASE WHEN v3 - floor(v3) = 0.5
+                      THEN floor(v3) + (CASE WHEN CAST(floor(v3) AS BIGINT) % 2 = 0
+                                        THEN 0 ELSE 1 END)
+                      ELSE round(v3) END, 0.0), 255.0) AS INT)) AS rgbhex
+      FROM j4chan
+    ),
+    j4lines AS (
+      SELECT doc_id, mw, mh, r,
+             string_agg(repeat(rgbhex, 8), '' ORDER BY c) AS line_hex
+      FROM j4rgb GROUP BY doc_id, mw, mh, r
+    ),
+    j4stream AS (
+      SELECT doc_id, mw, mh,
+             md5(string_agg(repeat(line_hex, 8), '' ORDER BY r))
+               AS pixel_checksum
+      FROM j4lines GROUP BY doc_id, mw, mh
+    ),
     both_codecs AS (
       SELECT 'bmp' AS codec, doc_id, modality, n_bytes, width, height,
              channels, pixel_checksum, scale
@@ -964,6 +1029,14 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
              pixel_checksum,
              least(32.0 / greatest(8 * bw, 8 * bh), 1.0)
       FROM jstream
+      UNION ALL
+      -- 4:2:0 color JPEG rows: 3 channels, 16x16-MCU geometry,
+      -- n_bytes NULL like every entropy-coded payload
+      SELECT 'jpeg420' AS codec, doc_id, 'image', CAST(NULL AS BIGINT),
+             CAST(16 * mw AS INT), CAST(16 * mh AS INT), CAST(3 AS INT),
+             pixel_checksum,
+             least(32.0 / greatest(16 * mw, 16 * mh), 1.0)
+      FROM j4stream
     ),
     images AS (
       SELECT codec, doc_id, modality, n_bytes, width, height, channels,
@@ -1084,7 +1157,17 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decoder, and the oracle reconstructs the grayscale stream from "
     "md5(text) alone with repeat()/string_agg (a Huffman, dequant, or "
     "IDCT bug hash-mismatches; scan length is not SQL-predictable, so "
-    "n_bytes is NULL like PNG). Image, compressed image, audio AND "
+    "n_bytes is NULL like PNG). Round 8 adds the 'jpeg420' row group: "
+    "synthesize_jpeg420 emits baseline COLOR JPEGs in the dominant "
+    "real-world 4:2:0 chroma layout (interleaved 16x16 MCUs, 4 Y "
+    "blocks + Cb + Cr, per-component DC prediction); the decoder's "
+    "generalized MCU walk + box chroma upsampling reproduce the RGB "
+    "stream exactly (luma block-constant, chroma constant PER MCU so "
+    "a misaligned upsample or swapped block order mismatches), and "
+    "the oracle recomputes every RGB triple with a half-even rounding "
+    "mirror of numpy rint (plain SQL round() is half-away and "
+    "diverges on exact-.5 doubles — measured 131k tie cells across "
+    "the full 256^3 YCbCr grid). Image, compressed image, audio AND "
     "video are all hash-checked by the driver.",
 )
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1094,6 +1177,7 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         synthesize_avi,
         synthesize_bmp,
         synthesize_jpeg,
+        synthesize_jpeg420,
         synthesize_png,
         synthesize_wav,
     )
@@ -1137,6 +1221,11 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_bytes", F.lit(None).cast("long"))
         .select(F.lit("jpeg").alias("codec"), *cols, *audio_nulls, *frame_nulls)
     )
+    jpg420 = (
+        decode_resize(synthesize_jpeg420(docs), max_side=32, decoder="jpeg")
+        .withColumn("n_bytes", F.lit(None).cast("long"))
+        .select(F.lit("jpeg420").alias("codec"), *cols, *audio_nulls, *frame_nulls)
+    )
     wav = decode_audio_features(synthesize_wav(docs)).select(
         F.lit("wav").alias("codec"),
         "doc_id",
@@ -1179,7 +1268,13 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_frames",
         "frame_checksum",
     )
-    return bmp.unionByName(png).unionByName(jpg).unionByName(wav).unionByName(avi)
+    return (
+        bmp.unionByName(png)
+        .unionByName(jpg)
+        .unionByName(jpg420)
+        .unionByName(wav)
+        .unionByName(avi)
+    )
 
 
 _BUCKET_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"

@@ -441,6 +441,166 @@ def test_jpeg_parser_rejects_malformed():
     assert _parse_jpeg(huge) is None
 
 
+def test_jpeg420_decode_real_roundtrip(spark):
+    """4:2:0 COLOR decode (the dominant real-world chroma layout):
+    synthesized interleaved-MCU JPEGs (4 Y blocks + Cb + Cr per MCU,
+    per-component DC prediction) parse back to exactly the RGB stream
+    the fixture semantics predict — luma block-constant, chroma
+    constant PER MCU (so a misaligned chroma upsample or a swapped
+    block order changes the checksum), box upsampling, half-even
+    rounding — through the actual Spark mapInPandas stage."""
+    import hashlib
+
+    import numpy as np
+
+    from accounts_receivable_data_pipeline_api_spark.operators.multimodal import (
+        _jpeg420_params_from_text,
+        synthesize_jpeg420,
+    )
+
+    texts = [(i, f"doc {i} body " * (i + 1)) for i in range(8)]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    decoded = {
+        r["doc_id"]: r
+        for r in decode_features(synthesize_jpeg420(df), decoder="jpeg").collect()
+    }
+    assert set(decoded) == {i for i, _ in texts}
+    for i, text in texts:
+        seed, mw, mh = _jpeg420_params_from_text(text)
+        w, h = 16 * mw, 16 * mh
+        r = decoded[i]
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        digest = bytes.fromhex(seed)
+        exp = np.zeros((h, w, 3), dtype=np.uint8)
+        for br in range(2 * mh):
+            for bc in range(2 * mw):
+                y = float(digest[(br * 2 * mw + bc) % 16])
+                my, mx = br // 2, bc // 2
+                cb = float(digest[(my * mw + mx + 5) % 16]) - 128.0
+                cr = float(digest[(my * mw + mx + 11) % 16]) - 128.0
+                rgb = np.clip(
+                    np.rint(
+                        np.array(
+                            [
+                                y + 1.402 * cr,
+                                y - 0.344136 * cb - 0.714136 * cr,
+                                y + 1.772 * cb,
+                            ]
+                        )
+                    ),
+                    0,
+                    255,
+                ).astype(np.uint8)
+                exp[8 * br : 8 * br + 8, 8 * bc : 8 * bc + 8] = rgb
+        want = hashlib.md5(exp.tobytes().hex().encode()).hexdigest()
+        assert r["pixel_checksum"] == want, (i, mw, mh)
+
+
+def test_jpeg_sampling_factor_scope():
+    """Sampling-factor gates: 3x/4x factors quarantine (out of scope);
+    a single-component SOF with nominal 2x2 factors decodes as 1:1
+    (T.81 A.2.2: factors are ignored for single-component scans); a
+    handcrafted 4:2:2 file (Y 2x1) decodes through the generalized
+    MCU walk with horizontally box-upsampled chroma."""
+    import numpy as np
+
+    from accounts_receivable_data_pipeline_api_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _jpeg_bytes,
+        _jpeg_canonical_codes,
+        _jpeg_params_from_text,
+        _jpeg_pixels,
+        _JpegBitWriter,
+    )
+
+    seed, bw, bh = _jpeg_params_from_text("sampling scope fixture")
+    good = _jpeg_bytes(seed, bw, bh)
+    # grayscale with nominal 0x22 factors: decodes identically to 0x11
+    sof0_at = good.index(b"\xff\xc0")
+    relaxed = bytearray(good)
+    samp_at = sof0_at + 2 + 2 + 6 + 1  # marker+len+prec/h/w/nc+cid
+    assert relaxed[samp_at] == 0x11
+    relaxed[samp_at] = 0x22
+    base = _jpeg_pixels(good)
+    assert _jpeg_pixels(bytes(relaxed)) == base
+    # factor 3 is out of scope and must quarantine
+    relaxed[samp_at] = 0x31
+    assert _jpeg_pixels(bytes(relaxed)) is None
+
+    # handcrafted 4:2:2: 32x8 px, Y factors (2,1) -> 2 MCU columns of
+    # (2 Y blocks + Cb + Cr); chroma varies per MCU
+    import struct
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    dc_codes = {
+        s: (c, ln) for s, c, ln in _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    }
+    ac_codes = {
+        s: (c, ln) for s, c, ln in _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    }
+    wr = _JpegBitWriter()
+    preds = [0, 0, 0]
+
+    def put_block(value, comp):
+        dc = 8 * (value - 128)
+        diff = dc - preds[comp]
+        preds[comp] = dc
+        s = abs(diff).bit_length()
+        code, ln = dc_codes[s]
+        wr.put(code, ln)
+        if s:
+            wr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        e, el = ac_codes[0x00]
+        wr.put(e, el)
+
+    yv = [10, 60, 110, 160]  # 4 luma blocks, left to right
+    chroma = [(100, 140), (160, 90)]  # (cb, cr) per MCU
+    for mcu in range(2):
+        put_block(yv[2 * mcu], 0)
+        put_block(yv[2 * mcu + 1], 0)
+        put_block(chroma[mcu][0], 1)
+        put_block(chroma[mcu][1], 2)
+    payload = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + bytes([1] * 64))
+        + seg(
+            0xC0,
+            struct.pack(">BHHB", 8, 8, 32, 3)
+            + bytes([1, 0x21, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        )
+        + seg(0xC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        + seg(0xC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+        + seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+        + wr.flush()
+        + b"\xff\xd9"
+    )
+    out = _jpeg_pixels(payload)
+    assert out is not None
+    w, h, nc, stream = out
+    assert (w, h, nc) == (32, 8, 3)
+    got = np.frombuffer(stream, dtype=np.uint8).reshape(h, w, 3)
+    for bc in range(4):
+        y = float(yv[bc])
+        cb = float(chroma[bc // 2][0]) - 128.0
+        cr = float(chroma[bc // 2][1]) - 128.0
+        rgb = np.clip(
+            np.rint(
+                np.array(
+                    [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb]
+                )
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        block = got[:, 8 * bc : 8 * bc + 8]
+        assert (block == rgb).all(), (bc, block[0, 0], rgb)
+
+
 def test_decode_auto_sniffs_per_payload(spark):
     """decoder='auto' routes each payload by magic bytes: a mixed frame
     of BMP, PNG, JPEG, and garbage decodes the three real formats

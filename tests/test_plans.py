@@ -130,10 +130,10 @@ def test_multimodal_pipeline_single_python_stage(spark, sf_dir):
     boundary exactly once — two MapInPandas stages would double the
     serialization volume, the dominant cost of the Python batch path.
     Gated on the operator (decode+resize over a media frame = exactly
-    one Python stage); the corpus entry unions FIVE codec branches
-    (BMP image, PNG image, JPEG image, WAV audio, AVI video), each
-    with one synthesis + one fused decode stage, bounded at ten
-    total."""
+    one Python stage); the corpus entry unions SIX codec branches
+    (BMP image, PNG image, grayscale JPEG, 4:2:0 color JPEG, WAV
+    audio, AVI video), each with one synthesis + one fused decode
+    stage, bounded at twelve total."""
     from accounts_receivable_data_pipeline_api_spark.operators.multimodal import (
         attach_binary,
         decode_resize,
@@ -149,7 +149,7 @@ def test_multimodal_pipeline_single_python_stage(spark, sf_dir):
     plan_entry = _plan(spark, sf_dir, "multimodal_pipeline")
     ops_entry = re.findall(r"\n\(\d+\) (\S+)", plan_entry)
     py_entry = [op for op in ops_entry if "MapInPandas" in op or "ArrowEval" in op]
-    assert len(py_entry) == 10, ops_entry
+    assert len(py_entry) == 12, ops_entry
 
 
 def test_range_join_is_equi_join_with_residual(spark, sf_dir):
