@@ -277,11 +277,22 @@ def excise_duplicate_spans(
     duplicated and will be excised anyway); coverage is a shuffle join
     back on the fingerprint key — both wide exchanges now ship 8-byte
     keys instead of k-char strings (~5x fewer shuffle bytes at k=40).
-    The raw-string re-check runs over only the candidate positions
-    (true covered positions + vanishing collision noise), so its
-    k-char shuffles are proportional to the DUPLICATED text, not the
-    corpus; islands/segments are per-document windows (bounded
-    partitions); reassembly touches only documents that had spans. A
+    The raw-string re-check's K-CHAR shuffles are proportional to the
+    DUPLICATED text only (candidate positions + vanishing collision
+    noise), but fetching the source text for those candidates is a
+    doc-keyed equi-join whose src side exchanges ~1x the corpus TEXT
+    (round-8 ADVICE — neither side broadcasts at 100 TB): one extra
+    corpus-sized exchange, the same cost class as the second gram-scan
+    pass this operator already accepts, and still strictly cheaper
+    than the k x corpus bytes the raw-keyed formulation shuffled
+    TWICE. (A broadcast semi-join of src against the candidate doc-ids
+    would prune that exchange to candidate docs, but the candidate-doc
+    id set is itself unbounded at scale — dup rates of 10%+ put it
+    past any driver broadcast — and materializing `cand` to feed both
+    a broadcast and the join would checkpoint per-covered-CHARACTER
+    rows; the 1x text exchange is the honest steady-state cost.)
+    Islands/segments are per-document windows (bounded partitions);
+    reassembly touches only documents that had spans. A
     suffix-array build — the paper's machinery — needs global sorted
     order; this needs only key shuffles.
     """

@@ -804,13 +804,19 @@ def _jpeg_pixels(content: bytes) -> tuple[int, int, int, bytes] | None:
     parser quarantines here, never a task failure (the same contract
     as _parse_bmp/_parse_png on truncated input).
 
-    EXPLICIT SCOPE LIMIT (round-7 ADVICE): images over 2^25 = ~33.5M
-    samples (w * h * channels — e.g. a 12-megapixel color photo) also
-    decode to None. That is a per-row working-set bound (~256 MB of
-    coefficient storage at 512 bytes/block), not a malformed-input
-    signal: a null row for a large VALID baseline JPEG is a documented
-    outcome of this decoder, chosen so one hot row can never blow an
-    executor under a 32-task-per-host packing. Raise the cap in
+    EXPLICIT SCOPE LIMIT (round-7 ADVICE, restated in STORED terms per
+    round-8 ADVICE): images whose MCU-padded STORED blocks exceed 2^19
+    (total_blocks * 64 > 2^25 stored samples, i.e. ~256 MB of float64
+    coefficient storage at 512 bytes/block) also decode to None.
+    Stored samples count subsampled chroma at stored resolution — for
+    4:4:4 that is ~3*w*h, but for 4:2:0 only ~1.5*w*h, so a 4:2:0
+    photo up to roughly 2x the 4:4:4 pixel-area ceiling still decodes;
+    conversely MCU padding can trip the cap slightly below a naive
+    w*h*channels estimate for dimensions just over block multiples.
+    This is a per-row working-set bound, not a malformed-input signal:
+    a null row for a large VALID baseline JPEG is a documented outcome
+    of this decoder, chosen so one hot row can never blow an executor
+    under a 32-task-per-host packing. Raise the cap in
     _jpeg_pixels_strict if the deployment dedicates more memory per
     task."""
     try:
@@ -1161,8 +1167,9 @@ def decode_features(media: DataFrame, decoder: str = "bmp") -> DataFrame:
     zlib inflate + numpy unfiltering of all five scanline filters,
     chunk CRCs validated); decoder='jpeg': REAL baseline sequential
     JPEG decode (marker walk, canonical-Huffman entropy decode,
-    dequant + float IDCT, grayscale or 4:4:4 YCbCr; VALID baseline
-    images over ~33.5M samples also null out — a documented per-row
+    dequant + float IDCT, grayscale or subsampled YCbCr; VALID
+    baseline images over 2^19 MCU-padded stored blocks (~256 MB of
+    coefficient storage) also null out — a documented per-row
     working-set bound, see _jpeg_pixels); decoder='auto': per-payload
     magic-byte sniff among the three. Invalid payloads decode to
     nulls. decoder='stub': legacy checksum-derived fake

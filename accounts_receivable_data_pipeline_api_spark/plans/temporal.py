@@ -141,6 +141,14 @@ def _hll_oracle() -> str:
       SELECT o_orderstatus, n_observed, sum_scaled,
              CASE WHEN raw <= 2560.0 AND v > 0
                   THEN round(1024.0 * ln(1024.0 / CAST(v AS DOUBLE)), 6)
+                  -- saturation guard mirrors the Spark side's in-plan
+                  -- raise (sketch.py:hll_estimate): past 0.99 * 2^48 no
+                  -- correction recovers the count, so the oracle errors
+                  -- loudly too instead of feeding ln() a non-positive
+                  -- argument (unreachable at test scale by design)
+                  WHEN raw >= {0.99 * hash_space!r}
+                  THEN CAST(error('hll oracle: raw estimate saturates the '
+                                  '48-bit hash space') AS DOUBLE)
                   WHEN raw > {large_thresh!r}
                   THEN round(-{hash_space!r} * ln(1.0 - raw / {hash_space!r}), 6)
                   ELSE round(raw, 6) END AS estimate

@@ -206,7 +206,23 @@ def _child_record(cold_only: bool) -> dict:
     )
     if out.returncode != 0:
         raise RuntimeError(f"bench child pass failed: {out.stderr[-2000:]}")
-    return json.loads(out.stdout.splitlines()[-1])
+    # The record is the last JSON-object line, but py4j/JVM shutdown can
+    # emit trailing stdout noise after spark.stop() — scan backwards for
+    # the first line that parses to a dict carrying the expected key.
+    for line in reversed(out.stdout.splitlines()):
+        line = line.strip()
+        if not (line.startswith("{") and line.endswith("}")):
+            continue
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if isinstance(rec, dict) and "metric" in rec:
+            return rec
+    raise RuntimeError(
+        "bench child pass produced no parseable record line; stdout tail: "
+        + out.stdout[-2000:]
+    )
 
 
 def main() -> None:

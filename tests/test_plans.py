@@ -382,3 +382,9 @@ def test_span_excise_no_cartesian_no_single_partition(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SinglePartition" not in plan, plan
     assert not re.findall(r"MapInPandas|ArrowEval", plan), plan
+    # round-8 ADVICE pin: raw k-char grams must only materialize AFTER
+    # the doc-keyed candidate join (the substr shows up as a join-side
+    # expression over the joined text), never as a corpus-wide raw-gram
+    # explode — the wide gf shuffles carry 8-byte fingerprints only.
+    assert re.search(r"substr\(t#\d+, cast\(i#\d+L? as int\), \d+\)", plan), plan
+    assert "xxhash64" in plan, plan
