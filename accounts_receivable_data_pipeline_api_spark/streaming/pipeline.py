@@ -653,6 +653,131 @@ def distinct_sketch_stream(
     )
 
 
+#: Reserved partition for the folded lifetime partial. Streaming batch
+#: ids are non-negative, so -1 can never collide with a live batch.
+COMPACTED_BATCH_ID = -1
+
+
+def _registers_fs(spark: SparkSession, registers_dir: str):
+    """Hadoop FileSystem handle + Path for the register table — works
+    on any configured FS (local in tests, HDFS/object store at scale),
+    which is why this uses the JVM FS API and not os/pathlib."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(registers_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path, jvm
+
+
+def compaction_watermark(spark: SparkSession, registers_dir: str) -> int | None:
+    """Highest batch_id folded into the compacted partition, or None if
+    no compaction has run. Stored in an underscore-prefixed stamp file
+    (``_compacted_upto``) so parquet readers ignore it, like _SUCCESS."""
+    fs, root, jvm = _registers_fs(spark, registers_dir)
+    stamp = jvm.org.apache.hadoop.fs.Path(registers_dir + "/_compacted_upto")
+    if not fs.exists(stamp):
+        return None
+    stream = fs.open(stamp)
+    try:
+        vals = []
+        for _ in range(32):  # stamp is a small ASCII integer
+            b = stream.read()  # java int per byte, -1 at EOF
+            if b == -1:
+                break
+            vals.append(b)
+    finally:
+        stream.close()
+    return int(bytes(vals).decode("ascii").strip())
+
+
+def compact_registers(
+    spark: SparkSession, registers_dir: str, upto_batch_id: int | None = None
+) -> int | None:
+    """Fold closed per-batch HLL partials into ONE lifetime partial
+    (round-7 VERDICT #5): the state table written by
+    distinct_sketch_stream grows n_batches x m rows; this folds every
+    batch partition with batch_id <= ``upto_batch_id`` (default: all
+    but the highest live batch, which may still be un-committed in the
+    stream's checkpoint) into the reserved ``batch_id=-1`` partition
+    and deletes the folded partitions, returning the new watermark.
+
+    Replay contract (same as the writer's): every step is safe against
+    a crash at any point AND against a replayed old batch re-creating
+    its partition afterwards, because register merge is max() —
+    associative, commutative, IDEMPOTENT:
+
+      1. write the fold (compacted partial + folded batches) into the
+         batch_id=-1 partition via dynamic partition overwrite. Crash
+         after: folded batches coexist with the compacted partial —
+         read_registers' max-fold is unchanged.
+      2. stamp ``_compacted_upto`` (underscore file — invisible to
+         parquet scans). Crash after: same as (1).
+      3. delete the folded batch partitions. Crash mid-way: leftovers
+         are duplicate partials — unchanged fold, next compaction
+         removes them. A REPLAYED batch <= watermark re-creating its
+         partition is the same case: its registers are already <= the
+         compacted maxima, so estimates never move (resurrection-proof
+         by idempotence, proven in test_streaming.py).
+
+    The fold's result is collected through the driver on purpose: it
+    is bounded at m rows per distinct hll_m stamp (the sketch size,
+    ~1024 rows — state, not data), and routing it through the driver
+    breaks the read-then-overwrite cycle on the register path without
+    a staging directory.
+    """
+    fs, root, jvm = _registers_fs(spark, registers_dir)
+    if not fs.exists(root):
+        return None
+    live = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("batch_id=") and name != f"batch_id={COMPACTED_BATCH_ID}":
+            try:
+                live.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    if upto_batch_id is None:
+        # default: everything but the highest live batch — the stream
+        # may not have committed it yet, and an uncommitted batch must
+        # stay replayable under its own partition
+        upto_batch_id = max(live) - 1 if live else None
+    folds = sorted(b for b in live if upto_batch_id is not None and b <= upto_batch_id)
+    if not folds:
+        return compaction_watermark(spark, registers_dir)
+    merged_rows = (
+        spark.read.parquet(registers_dir)
+        .filter(
+            F.col("batch_id").isin([COMPACTED_BATCH_ID] + folds)
+        )
+        .groupBy("bucket", "hll_m")
+        .agg(F.max("max_rank").alias("max_rank"))
+        .select("bucket", "max_rank", "hll_m")
+        .collect()
+    )
+    (
+        spark.createDataFrame(merged_rows, "bucket bigint, max_rank int, hll_m int")
+        .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(registers_dir)
+    )
+    new_mark = folds[-1]
+    prior = compaction_watermark(spark, registers_dir)
+    if prior is not None:
+        new_mark = max(new_mark, prior)
+    stamp = jvm.org.apache.hadoop.fs.Path(registers_dir + "/_compacted_upto")
+    out = fs.create(stamp, True)
+    try:
+        out.write(bytearray(str(new_mark).encode("ascii")))
+    finally:
+        out.close()
+    for b in folds:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{registers_dir}/batch_id={b}"), True
+        )
+    return new_mark
+
+
 def read_registers(spark: SparkSession, registers_dir: str) -> DataFrame:
     """Fold the per-batch HLL partials into the lifetime register
     table (bucket, max_rank, hll_m). Grouping includes the stamped
