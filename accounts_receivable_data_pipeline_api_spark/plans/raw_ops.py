@@ -209,41 +209,22 @@ RAW_OPS.update(
 
 
 # Media payload synthesis is the FIXTURE step (a real deployment reads
-# payloads from the object store) — written to a per-sf_dir parquet
-# cache once, so the probe times the DECODERS, not the synthesizers
-# (the same fixture-vs-operator accounting the round-4 bench
-# restructure established for the exact-twin oracles).
-_MEDIA_CACHE: dict[str, str] = {}
+# payloads from the object store) — served from the shared write-once
+# per-(sf_dir, codec) cache (sources/media_fixtures.py, round-9
+# consolidation of the round-4 fixture-vs-operator accounting), so the
+# probe times the DECODERS, not the synthesizers. The benched workload
+# keeps the original five codecs — jpeg420 payloads (cached for the
+# corpus entry) are deliberately NOT added here, which would silently
+# grow the anchored op_media_decode workload.
 
 
 def _media_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
+    from ..sources.media_fixtures import media_payloads
 
-    if sf_dir not in _MEDIA_CACHE:
-        from ..operators.multimodal import (
-            synthesize_avi,
-            synthesize_bmp,
-            synthesize_jpeg,
-            synthesize_png,
-            synthesize_wav,
-        )
-
-        tag = sf_dir.strip("/").replace("/", "_")
-        # v2: jpeg payloads joined the mix in round 7 (stale v1 caches
-        # on disk lack them, so the path tag is bumped, not reused)
-        path = f"/tmp/spark_graft_media_v2_{tag}"
-        if not os.path.isdir(path):
-            docs = load_table(spark, sf_dir, "documents")
-            media = (
-                synthesize_bmp(docs)
-                .unionByName(synthesize_png(docs))
-                .unionByName(synthesize_jpeg(docs))
-                .unionByName(synthesize_wav(docs))
-                .unionByName(synthesize_avi(docs))
-            )
-            media.write.mode("overwrite").parquet(path)
-        _MEDIA_CACHE[sf_dir] = path
-    return spark.read.parquet(_MEDIA_CACHE[sf_dir])
+    media = media_payloads(spark, sf_dir, "bmp")
+    for codec in ("png", "jpeg", "wav", "avi"):
+        media = media.unionByName(media_payloads(spark, sf_dir, codec))
+    return media
 
 
 def op_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

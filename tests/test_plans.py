@@ -132,8 +132,10 @@ def test_multimodal_pipeline_single_python_stage(spark, sf_dir):
     Gated on the operator (decode+resize over a media frame = exactly
     one Python stage); the corpus entry unions SIX codec branches
     (BMP image, PNG image, grayscale JPEG, 4:2:0 color JPEG, WAV
-    audio, AVI video), each with one synthesis + one fused decode
-    stage, bounded at twelve total."""
+    audio, AVI video), each exactly one fused decode stage — synthesis
+    no longer appears in the plan at all, because payloads come from
+    the write-once per-(sf, codec) fixture cache (six parquet scans,
+    round-7 VERDICT #6)."""
     from accounts_receivable_data_pipeline_api_spark.operators.multimodal import (
         attach_binary,
         decode_resize,
@@ -149,7 +151,10 @@ def test_multimodal_pipeline_single_python_stage(spark, sf_dir):
     plan_entry = _plan(spark, sf_dir, "multimodal_pipeline")
     ops_entry = re.findall(r"\n\(\d+\) (\S+)", plan_entry)
     py_entry = [op for op in ops_entry if "MapInPandas" in op or "ArrowEval" in op]
-    assert len(py_entry) == 12, ops_entry
+    assert len(py_entry) == 6, ops_entry
+    scans = [op for op in ops_entry if op.startswith("Scan")]
+    assert len(scans) == 6, ops_entry
+    assert "spark_graft_media_" in plan_entry
 
 
 def test_range_join_is_equi_join_with_residual(spark, sf_dir):
