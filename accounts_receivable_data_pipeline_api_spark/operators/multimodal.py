@@ -1502,6 +1502,9 @@ AUDIO_SCHEMA = StructType(
         StructField("rms", DoubleType()),
         StructField("peak", IntegerType()),
         StructField("sample_checksum", StringType()),
+        StructField("band_dc_energy", LongType()),
+        StructField("band_mid_energy", LongType()),
+        StructField("band_high_energy", LongType()),
     ]
 )
 
@@ -1516,9 +1519,21 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
     failure). duration_ms floors (n_samples * 1000) / rate in integer
     arithmetic; rms = round(sqrt(mean(x^2)), 6) — both engine-stable.
 
+    Per-band energy (round-7 VERDICT #7): Goertzel-style single-bin
+    DFT power |sum x[n] * e^(-2*pi*i*f*n)|^2 at the three bins whose
+    twiddle weights are EXACT integers — f=0 (DC), f=1/4 (fs/4, the
+    band midpoint: cos cycles 1,0,-1,0 and sin 0,1,0,-1), and f=1/2
+    (Nyquist, (-1)^n). Integer weights keep every term and partial sum
+    in int64 (|sum| <= 32767 * n, squared sums < 2^63 for any WAV this
+    decoder admits), so the features hash-check cross-engine with ZERO
+    float rounding contract — the same determinism playbook as BM25
+    but strictly stronger (no round-6 step at all). Bins needing
+    irrational twiddles (fs/8: sqrt(1/2)) are deliberately out: their
+    6-dp round-then-decimal-sum recipe has half-way-tie exposure.
+
     Plan shape at 100 TB: identical cost class to decode_features —
     one Python stage at scan parallelism, O(bytes) per payload, no
-    shuffle.
+    shuffle; the band sums are loop-free strided-slice reductions.
     """
     import numpy as np
 
@@ -1529,7 +1544,17 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
                 out["doc_id"].append(doc_id)
                 parsed = _wav_samples(content)
                 if parsed is None:
-                    for k in ("sample_rate", "n_samples", "duration_ms", "rms", "peak", "sample_checksum"):
+                    for k in (
+                        "sample_rate",
+                        "n_samples",
+                        "duration_ms",
+                        "rms",
+                        "peak",
+                        "sample_checksum",
+                        "band_dc_energy",
+                        "band_mid_energy",
+                        "band_high_energy",
+                    ):
                         out[k].append(None)
                     continue
                 rate, n, pcm = parsed
@@ -1540,6 +1565,18 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
                 out["rms"].append(round(float(np.sqrt(np.mean(x * x))), 6) if n else None)
                 out["peak"].append(int(np.max(np.abs(x))) if n else None)
                 out["sample_checksum"].append(hashlib.md5(pcm.hex().encode()).hexdigest())
+                if n:
+                    xi = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                    dc = int(xi.sum())
+                    re4 = int(xi[0::4].sum() - xi[2::4].sum())
+                    im4 = int(xi[1::4].sum() - xi[3::4].sum())
+                    nyq = int(xi[0::2].sum() - xi[1::2].sum())
+                    out["band_dc_energy"].append(dc * dc)
+                    out["band_mid_energy"].append(re4 * re4 + im4 * im4)
+                    out["band_high_energy"].append(nyq * nyq)
+                else:
+                    for k in ("band_dc_energy", "band_mid_energy", "band_high_energy"):
+                        out[k].append(None)
             yield pd.DataFrame(
                 {
                     "doc_id": out["doc_id"],
@@ -1549,6 +1586,11 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
                     "rms": pd.array(out["rms"], dtype="Float64"),
                     "peak": pd.array(out["peak"], dtype="Int32"),
                     "sample_checksum": out["sample_checksum"],
+                    "band_dc_energy": pd.array(out["band_dc_energy"], dtype="Int64"),
+                    "band_mid_energy": pd.array(out["band_mid_energy"], dtype="Int64"),
+                    "band_high_energy": pd.array(
+                        out["band_high_energy"], dtype="Int64"
+                    ),
                 }
             )
 

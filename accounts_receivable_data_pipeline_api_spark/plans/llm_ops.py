@@ -1055,7 +1055,7 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m
     ),
     avals AS (
-      SELECT doc_id,
+      SELECT doc_id, i,
              CAST('0x' || substr(hexstream, CAST(4 * i + 3 AS INT), 2)
                        || substr(hexstream, CAST(4 * i + 1 AS INT), 2)
                   AS BIGINT) AS u
@@ -1069,6 +1069,21 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(max(CASE WHEN u >= 32768 THEN 65536 - u ELSE u END) AS INT)
                AS peak
       FROM avals GROUP BY doc_id
+    ),
+    -- Goertzel single-bin DFT at the integer-twiddle bins: all terms
+    -- and sums are exact int64, mirroring decode_audio_features
+    abands AS (
+      SELECT doc_id,
+             sum(s) AS dcs,
+             sum(CASE WHEN i % 4 = 0 THEN s
+                      WHEN i % 4 = 2 THEN -s ELSE 0 END) AS re4,
+             sum(CASE WHEN i % 4 = 1 THEN s
+                      WHEN i % 4 = 3 THEN -s ELSE 0 END) AS im4,
+             sum(CASE WHEN i % 2 = 0 THEN s ELSE -s END) AS nyq
+      FROM (SELECT doc_id, i,
+                   CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+            FROM avals)
+      GROUP BY doc_id
     ),
     vgeom AS (
       SELECT doc_id, seed,
@@ -1096,6 +1111,9 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(NULL AS INT) AS sample_rate, CAST(NULL AS BIGINT) AS n_samples,
            CAST(NULL AS BIGINT) AS duration_ms, CAST(NULL AS DOUBLE) AS rms,
            CAST(NULL AS INT) AS peak, CAST(NULL AS VARCHAR) AS sample_checksum,
+           CAST(NULL AS BIGINT) AS band_dc_energy,
+           CAST(NULL AS BIGINT) AS band_mid_energy,
+           CAST(NULL AS BIGINT) AS band_high_energy,
            CAST(NULL AS INT) AS frame_idx, CAST(NULL AS INT) AS n_frames,
            CAST(NULL AS VARCHAR) AS frame_checksum
     FROM images
@@ -1105,12 +1123,16 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
            a.sample_rate, a.n_samples,
            a.n_samples * 1000 // a.sample_rate,
            t.rms, t.peak, md5(a.hexstream),
+           CAST(b.dcs * b.dcs AS BIGINT),
+           CAST(b.re4 * b.re4 + b.im4 * b.im4 AS BIGINT),
+           CAST(b.nyq * b.nyq AS BIGINT),
            NULL, NULL, NULL
-    FROM awav a JOIN astat t USING (doc_id)
+    FROM awav a JOIN astat t USING (doc_id) JOIN abands b USING (doc_id)
     UNION ALL
     SELECT 'avi', doc_id, 'video', n_bytes,
            vw, vh, CAST(3 AS INT), NULL, NULL, NULL, CAST(NULL AS DOUBLE),
            NULL, NULL, NULL, CAST(NULL AS DOUBLE), NULL, NULL,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
            frame_idx, n_frames, frame_checksum
     FROM video
     """,
@@ -1138,11 +1160,15 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the AUDIO row group ('wav' codec): synthesize_wav builds genuine "
     "mono 16-bit PCM RIFF/WAVE files and decode_audio_features parses "
     "them back dependency-free (chunk walk, fmt validation) and "
-    "extracts duration / RMS / peak / sample checksum — every value "
-    "again SQL-predicted from md5(text) (the oracle re-derives the "
-    "int16 stream from the digest hex and recomputes RMS/peak "
-    "numerically: squares of int16s sum exactly in doubles, so the "
-    "aggregate is order-free), and the VIDEO row group ('avi' codec): "
+    "extracts duration / RMS / peak / sample checksum plus round-9 "
+    "per-band Goertzel energies (single-bin DFT power at the "
+    "integer-twiddle bins DC / fs4 / Nyquist — all-int64 terms, so "
+    "the three band columns hash-check with no float contract at "
+    "all) — every value again SQL-predicted from md5(text) (the "
+    "oracle re-derives the int16 stream from the digest hex and "
+    "recomputes RMS/peak numerically: squares of int16s sum exactly "
+    "in doubles, so the aggregate is order-free), and the VIDEO row "
+    "group ('avi' codec): "
     "synthesize_avi builds genuine RIFF AVI containers (hdrl/avih/"
     "strl/strf headers + movi '00db' uncompressed 24-bit DIB frames, "
     "BMP row discipline) and sample_video_frames decodes and emits "
@@ -1208,6 +1234,9 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("rms"),
         F.lit(None).cast("int").alias("peak"),
         F.lit(None).cast("string").alias("sample_checksum"),
+        F.lit(None).cast("bigint").alias("band_dc_energy"),
+        F.lit(None).cast("bigint").alias("band_mid_energy"),
+        F.lit(None).cast("bigint").alias("band_high_energy"),
     ]
     bmp = decode_resize(payloads("bmp"), max_side=32, decoder="bmp").select(
         F.lit("bmp").alias("codec"), *cols, *audio_nulls, *frame_nulls
@@ -1245,6 +1274,9 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rms",
         "peak",
         "sample_checksum",
+        "band_dc_energy",
+        "band_mid_energy",
+        "band_high_energy",
         *frame_nulls,
     )
     row_size = F.expr("((3 * width + 3) div 4) * 4")

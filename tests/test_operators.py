@@ -1856,6 +1856,19 @@ def test_wav_roundtrip_and_features(spark, sf_dir):
         assert f.rms == round(float(np.sqrt(np.mean(x * x))), 6)
         assert f.peak == int(np.max(np.abs(x)))
         assert f.sample_checksum == hashlib.md5(pcm.hex().encode()).hexdigest()
+        # Goertzel integer-bin energies: brute-force single-bin DFT
+        # (float trig) must agree with the strided integer formulation
+        # to within float tolerance, and the DC/Nyquist bins exactly
+        xi = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+        assert f.band_dc_energy == int(xi.sum()) ** 2
+        nyq = int(xi[0::2].sum() - xi[1::2].sum())
+        assert f.band_high_energy == nyq * nyq
+        idx = np.arange(n)
+        ref_mid = (
+            float(np.sum(x * np.cos(np.pi * idx / 2))) ** 2
+            + float(np.sum(x * np.sin(np.pi * idx / 2))) ** 2
+        )
+        assert abs(f.band_mid_energy - ref_mid) <= max(1e-6 * ref_mid, 1e-3)
 
     junk = spark.createDataFrame(
         [(900, b"RIFFxxxxWAVEnot really"), (901, b"plainly not audio")],
@@ -1863,6 +1876,7 @@ def test_wav_roundtrip_and_features(spark, sf_dir):
     )
     bad = {r.doc_id: r for r in decode_audio_features(junk).collect()}
     assert bad[900].sample_rate is None and bad[901].rms is None
+    assert bad[900].band_dc_energy is None and bad[901].band_mid_energy is None
 
 
 def test_wav_parser_rejects_non_pcm_and_odd_chunks():
