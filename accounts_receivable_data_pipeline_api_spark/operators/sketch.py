@@ -315,3 +315,138 @@ def hll_estimate(
         "sum_scaled",
         est.alias("estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HDR-style quantile sketch: the fourth sketch family — "how is it
+# distributed" next to CMS ("how often"), HLL ("how many distinct"),
+# Bloom ("have I seen it").
+# ---------------------------------------------------------------------------
+
+
+def hdr_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    sub_bits: int = 5,
+) -> DataFrame:
+    """Mergeable quantile sketch over POSITIVE integers, HdrHistogram-
+    style (Gil Tene's High Dynamic Range histogram; same bucket law as
+    DDSketch but with INTEGER bucket math): a value v lands in bucket
+
+        exp   = floor(log2(v))          = length(bin(v)) - 1
+        shift = max(exp - sub_bits, 0)
+        sub   = (v >> shift) - (1 << min(exp, sub_bits))
+
+    i.e. the exponent plus the next ``sub_bits`` mantissa bits. Every
+    step is integer/bit arithmetic on BIGINT — bin()/shift behave
+    identically in Spark and DuckDB (the proven HLL rank idiom), so
+    the WHOLE sketch hash-checks cross-engine, unlike log-gamma
+    bucketing (DDSketch's ceil(log_gamma(v)) is a float-boundary trap).
+
+    Returns one row per (group, exp, sub): cnt plus the bucket's value
+    range [lb, ub] (lb = (2^min(exp,sub_bits) + sub) << shift,
+    ub = lb + 2^shift - 1; buckets tile the positive integers, widths
+    relative to lb bounded by 2^-sub_bits once exp >= sub_bits, exact
+    below). The register table is the mergeable partial: union of
+    sketches = groupBy-SUM of cnt (map-side combinable, associative,
+    commutative), bounded at groups * 64 * 2^sub_bits rows at ANY
+    corpus size — percentiles of doc lengths / token counts / prices
+    over 100 TB without a global sort.
+
+    NOT at-least-once-safe (cnt sums, unlike HLL's max-merge) — the
+    streaming twin must use the batch_id partition-overwrite contract.
+    Non-positive values raise IN-PLAN (raise_error, the m-guard
+    template): silently bucketing v <= 0 would corrupt quantiles.
+    """
+    v = F.col(value_col)
+    guarded = df.withColumn(
+        value_col,
+        F.when(
+            v <= 0,
+            F.raise_error(
+                F.lit(
+                    "hdr_registers: values must be positive integers "
+                    f"(got non-positive in {value_col!r}); shift/offset "
+                    "the domain at the call site"
+                )
+            ).cast("long"),
+        ).otherwise(v.cast("long")),
+    )
+    exp = (F.length(F.bin(F.col(value_col))) - 1).cast("int")
+    b = guarded.withColumn("exp", exp).withColumn(
+        "shift", F.greatest(F.col("exp") - F.lit(sub_bits), F.lit(0)).cast("int")
+    )
+    width = F.expr("shiftleft(CAST(1 AS BIGINT), shift)")
+    sub = (
+        F.expr(f"shiftright({value_col}, shift)")
+        - F.expr(f"shiftleft(CAST(1 AS BIGINT), least(exp, {sub_bits}))")
+    ).cast("int")
+    lb = F.expr(
+        f"shiftleft(shiftleft(CAST(1 AS BIGINT), least(exp, {sub_bits})) + sub, shift)"
+    )
+    return (
+        b.withColumn("sub", sub)
+        .withColumn("lb", lb)
+        .withColumn("ub", F.col("lb") + width - 1)
+        .groupBy(*group_cols, "exp", "sub", "lb", "ub")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("hdr_sub_bits", F.lit(sub_bits).cast("int"))
+    )
+
+
+def hdr_quantiles(
+    reg: DataFrame,
+    group_cols: list[str],
+    qs: list[tuple[str, int, int]] = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)),
+) -> DataFrame:
+    """Quantile estimates from an hdr_registers table: for q = num/den
+    the DISC rank is r = ceil(q * n) = (num*n + den - 1) div den (pure
+    integer — never float-multiply a rank), and the estimate is the
+    bucket containing rank r in (exp, sub) order. Because lb and ub
+    are both strictly increasing along that order, "the first bucket
+    with cumulative count >= r" is simply min(lb)/min(ub) over the
+    qualifying buckets — no argmin struct tricks, and the exact
+    rank-r value provably lies in [q_lb, q_ub] (the sketch invariant
+    the oracle pins). Output: one row per (group, q)."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("exp", "sub")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = reg.withColumn("cum", F.sum("cnt").over(w)).withColumn(
+        "n", F.sum("cnt").over(Window.partitionBy(*group_cols))
+    )
+    q_lit = F.array(
+        *[
+            F.struct(
+                F.lit(label).alias("q"),
+                F.lit(num).cast("long").alias("q_num"),
+                F.lit(den).cast("long").alias("q_den"),
+            )
+            for label, num, den in qs
+        ]
+    )
+    exploded = cum.withColumn("qq", F.explode(q_lit)).select(
+        *group_cols,
+        "lb",
+        "ub",
+        "cum",
+        "n",
+        F.col("qq.q").alias("q"),
+        # ceil(num*n/den) in INTEGER division — `/` would be a float
+        # quotient whose truncation can miss the floor by 1 ulp
+        F.expr("(qq.q_num * n + qq.q_den - 1) DIV qq.q_den").alias("r"),
+    )
+    return (
+        exploded.filter(F.col("cum") >= F.col("r"))
+        .groupBy(*group_cols, "q")
+        .agg(
+            F.min("lb").alias("q_lb"),
+            F.min("ub").alias("q_ub"),
+            F.min("r").alias("rank"),
+            F.min("n").alias("n"),
+        )
+    )

@@ -963,26 +963,173 @@ def agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_distinct_count(lineitem, ["l_returnflag"], "l_orderkey", num_salts=32)
 
 
+_HDR_SUB_BITS = 5
+
+
 @register(
     "agg_percentiles",
-    oracle="""
-    SELECT o_orderpriority,
+    oracle=f"""
+    WITH cents AS (
+      SELECT o_orderpriority, CAST(o_totalprice * 100 AS BIGINT) AS v
+      FROM orders
+    ),
+    b AS (
+      SELECT o_orderpriority, v,
+             CAST(length(bin(v)) - 1 AS INT) AS exp,
+             CAST(greatest(length(bin(v)) - 1 - {_HDR_SUB_BITS}, 0) AS INT)
+               AS shift
+      FROM cents
+    ),
+    b2 AS (
+      SELECT o_orderpriority, exp, shift,
+             CAST((v >> shift) - (CAST(1 AS BIGINT) << least(exp, {_HDR_SUB_BITS}))
+                  AS INT) AS sub,
+             ((CAST(1 AS BIGINT) << least(exp, {_HDR_SUB_BITS}))
+              + ((v >> shift)
+                 - (CAST(1 AS BIGINT) << least(exp, {_HDR_SUB_BITS})))) << shift
+               AS lb
+      FROM b
+    ),
+    reg AS (
+      SELECT o_orderpriority, exp, sub,
+             min(lb) AS lb,
+             min(lb) + (CAST(1 AS BIGINT) << min(shift)) - 1 AS ub,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM b2 GROUP BY o_orderpriority, exp, sub
+    ),
+    cum AS (
+      SELECT *,
+             CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY exp, sub) AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+      FROM reg
+    ),
+    qs AS (
+      SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100))
+        t(q, num, den)
+    ),
+    qpick AS (
+      SELECT o_orderpriority, q,
+             min(lb) AS q_lb, min(ub) AS q_ub,
+             CAST(min(r) AS BIGINT) AS rank, min(n) AS n
+      FROM (SELECT c.*, q.q,
+                   (q.num * c.n + q.den - 1) // q.den AS r
+            FROM cum c CROSS JOIN qs q)
+      WHERE cum >= r GROUP BY o_orderpriority, q
+    ),
+    sorted_vals AS (
+      SELECT o_orderpriority, list_sort(list(v)) AS arr
+      FROM cents GROUP BY o_orderpriority
+    )
+    SELECT 'exact' AS kind, o_orderpriority,
            quantile_cont(o_totalprice, 0.5) AS p50,
            quantile_cont(o_totalprice, 0.9) AS p90,
-           CAST(COUNT(*) AS BIGINT) AS n
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(NULL AS INT) AS exp, CAST(NULL AS INT) AS sub,
+           CAST(NULL AS BIGINT) AS cnt,
+           CAST(NULL AS BIGINT) AS lb, CAST(NULL AS BIGINT) AS ub,
+           CAST(NULL AS VARCHAR) AS q,
+           CAST(NULL AS BIGINT) AS q_lb, CAST(NULL AS BIGINT) AS q_ub,
+           CAST(NULL AS BIGINT) AS exact_disc,
+           CAST(NULL AS BOOLEAN) AS within_bound
     FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'hdr_bucket', o_orderpriority, NULL, NULL, NULL,
+           exp, sub, cnt, lb, ub, NULL, NULL, NULL, NULL, NULL
+    FROM reg
+    UNION ALL
+    SELECT 'hdr_quantile', p.o_orderpriority, NULL, NULL, p.n,
+           NULL, NULL, NULL, NULL, NULL,
+           p.q, p.q_lb, p.q_ub,
+           s.arr[CAST(p.rank AS INT)] AS exact_disc,
+           s.arr[CAST(p.rank AS INT)] BETWEEN p.q_lb AND p.q_ub
+    FROM qpick p JOIN sorted_vals s USING (o_orderpriority)
     """,
-    tags=("EXT", "AGG"),
-    doc="Exact interpolated percentiles per group (Spark `percentile` == "
-    "DuckDB `quantile_cont`, verified bit-exact). The exact baseline for "
-    "approx_percentile at scale.",
+    tags=("EXT", "AGG", "SKETCH"),
+    doc="Quantile gauntlet per order priority, one row group per kind "
+    "(round-9 consolidation — the former exact-only entry is the "
+    "'exact' group). kind='exact': interpolated percentiles (Spark "
+    "`percentile` == DuckDB `quantile_cont`, bit-exact) — at 100 TB "
+    "this arm is the verification fixture, like exact COUNT(DISTINCT) "
+    "in agg_approx_distinct. kind='hdr_bucket' + 'hdr_quantile': the "
+    "engine-PORTABLE mergeable quantile sketch (operators/sketch.py:"
+    "hdr_registers/hdr_quantiles) — HdrHistogram-style integer bucket "
+    "law (exp = length(bin(v))-1 plus the next 5 mantissa bits; never "
+    "DDSketch's float log-gamma boundary trap) over o_totalprice "
+    "CENTS, whose EVERY bucket (exp, sub, lb, ub, cnt) and every "
+    "quantile pick (integer ceil-rank, first bucket with cum >= r via "
+    "monotone min(lb)) the DuckDB oracle recomputes value-for-value. "
+    "within_bound pins the sketch INVARIANT: the exact disc rank-r "
+    "value lies inside the picked bucket [q_lb, q_ub] (width/lb <= "
+    "2^-5 = 3.1% relative error). Registers merge by SUM — map-side "
+    "combinable, bounded at groups * 64 * 32 rows at any corpus "
+    "size: distribution telemetry over 100 TB without a global sort.",
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketch import hdr_quantiles, hdr_registers
+
     orders = load_table(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderpriority").agg(
+    null_cols = {
+        "p50": "double",
+        "p90": "double",
+        "n": "bigint",
+        "exp": "int",
+        "sub": "int",
+        "cnt": "bigint",
+        "lb": "bigint",
+        "ub": "bigint",
+        "q": "string",
+        "q_lb": "bigint",
+        "q_ub": "bigint",
+        "exact_disc": "bigint",
+        "within_bound": "boolean",
+    }
+
+    def pad(df: DataFrame, kind: str, have: set[str]) -> DataFrame:
+        out = df.withColumn("kind", F.lit(kind))
+        for c, t in null_cols.items():
+            if c not in have:
+                out = out.withColumn(c, F.lit(None).cast(t))
+        return out.select("kind", "o_orderpriority", *null_cols)
+
+    exact = orders.groupBy("o_orderpriority").agg(
         F.expr("percentile(o_totalprice, 0.5)").alias("p50"),
         F.expr("percentile(o_totalprice, 0.9)").alias("p90"),
         F.count(F.lit(1)).alias("n"),
+    )
+    cents = orders.select(
+        "o_orderpriority", F.expr("CAST(o_totalprice * 100 AS BIGINT)").alias("v")
+    )
+    reg = hdr_registers(cents, "v", ["o_orderpriority"], sub_bits=_HDR_SUB_BITS)
+    buckets = reg.select("o_orderpriority", "exp", "sub", "cnt", "lb", "ub")
+    picks = hdr_quantiles(reg, ["o_orderpriority"])
+    disc = (
+        cents.groupBy("o_orderpriority")
+        .agg(F.sort_array(F.collect_list("v")).alias("arr"))
+        .join(picks, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "q",
+            "q_lb",
+            "q_ub",
+            "n",
+            F.element_at("arr", F.col("rank").cast("int")).alias("exact_disc"),
+        )
+        .withColumn(
+            "within_bound",
+            F.col("exact_disc").between(F.col("q_lb"), F.col("q_ub")),
+        )
+    )
+    return (
+        pad(exact, "exact", {"p50", "p90", "n"})
+        .unionByName(pad(buckets, "hdr_bucket", {"exp", "sub", "cnt", "lb", "ub"}))
+        .unionByName(
+            pad(
+                disc,
+                "hdr_quantile",
+                {"q", "q_lb", "q_ub", "n", "exact_disc", "within_bound"},
+            )
+        )
     )
 
 

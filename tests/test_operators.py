@@ -2494,3 +2494,70 @@ def test_excise_duplicate_spans_contracts(spark):
         hashlib.md5(t1.encode()).hexdigest(),
         hashlib.md5(b"").hexdigest(),
     )
+
+
+def test_hdr_registers_merge_and_quantile_invariant(spark, sf_dir):
+    """HDR quantile sketch properties: (1) registers built over the
+    whole table equal the SUM-merge of per-split partials (mergeable
+    partial law); (2) bucket law is exact — every value lands in a
+    bucket whose [lb, ub] contains it, widths bounded at 2^-sub_bits
+    relative; (3) the picked quantile bucket contains the exact disc
+    rank-r value for every q; (4) non-positive values raise in-plan."""
+    import pytest
+
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import (
+        hdr_quantiles,
+        hdr_registers,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.expr("CAST(l_extendedprice * 100 AS BIGINT)").alias("v"),
+        )
+    )
+    full = hdr_registers(li, "v", ["l_returnflag"])
+    split_a = li.filter(F.col("v") % 2 == 0)
+    split_b = li.filter(F.col("v") % 2 == 1)
+    merged = (
+        hdr_registers(split_a, "v", ["l_returnflag"])
+        .unionByName(hdr_registers(split_b, "v", ["l_returnflag"]))
+        .groupBy("l_returnflag", "exp", "sub", "lb", "ub", "hdr_sub_bits")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select(*full.columns)
+    )
+    assert full.exceptAll(merged).count() == 0
+    assert merged.exceptAll(full).count() == 0
+
+    # bucket law: lb <= v <= ub for every value, rel width bound holds
+    joined = li.join(full, "l_returnflag").filter(
+        (F.col("v") >= F.col("lb")) & (F.col("v") <= F.col("ub"))
+    )
+    assert joined.select("v").distinct().count() == li.select("v").distinct().count()
+    bad_width = full.filter(
+        (F.col("exp") >= 5) & ((F.col("ub") - F.col("lb") + 1) * 32 > F.col("lb"))
+    )
+    assert bad_width.count() == 0
+
+    # quantile invariant: exact disc rank-r value inside picked bucket
+    picks = hdr_quantiles(full, ["l_returnflag"])
+    arrs = li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_list("v")).alias("arr")
+    )
+    checked = picks.join(arrs, "l_returnflag").select(
+        "q",
+        F.element_at("arr", F.col("rank").cast("int")).alias("exact"),
+        "q_lb",
+        "q_ub",
+    )
+    rows = checked.collect()
+    assert len(rows) == 3 * 3  # 3 flags x 3 quantiles
+    for r in rows:
+        assert r.q_lb <= r.exact <= r.q_ub, r
+
+    with pytest.raises(Exception, match="positive"):
+        hdr_registers(
+            spark.createDataFrame([(1, 0)], "g int, v long"), "v", ["g"]
+        ).collect()

@@ -393,3 +393,33 @@ def test_span_excise_no_cartesian_no_single_partition(spark, sf_dir):
     # explode — the wide gf shuffles carry 8-byte fingerprints only.
     assert re.search(r"substr\(t#\d+, cast\(i#\d+L? as int\), \d+\)", plan), plan
     assert "xxhash64" in plan, plan
+
+
+def test_hdr_sketch_partial_aggs_no_single_partition(spark, sf_dir):
+    """HDR quantile sketch plan shape: the register build is ONE
+    map-side-combinable HashAggregate pair over ONE exchange on the
+    integer bucket key (partial counts combine before the shuffle —
+    the property that bounds shuffle rows at groups * buckets however
+    large the input), and the quantile walk's windows partition by the
+    group key — never SinglePartition."""
+    from pyspark.sql import functions as F
+
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import (
+        hdr_quantiles,
+        hdr_registers,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.expr("CAST(l_extendedprice * 100 AS BIGINT)").alias("v")
+    )
+    reg = hdr_registers(li, "v", ["l_returnflag"])
+    plan = _formatted(spark, reg)
+    ops = re.findall(r"\n\(\d+\) (\S+)", plan)
+    assert sum(1 for op in ops if op == "Exchange") == 1, ops
+    assert sum(1 for op in ops if op == "HashAggregate") == 2, ops
+    assert "partial_count" in plan, plan
+
+    plan_q = _formatted(spark, hdr_quantiles(reg, ["l_returnflag"]))
+    assert "SinglePartition" not in plan_q, plan_q
+    assert "CartesianProduct" not in plan_q, plan_q
