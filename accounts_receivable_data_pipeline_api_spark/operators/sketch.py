@@ -450,3 +450,48 @@ def hdr_quantiles(
             F.min("n").alias("n"),
         )
     )
+
+
+def cms_counters(
+    df: DataFrame, item_col: str, depth: int = 4, width: int = 2048
+) -> DataFrame:
+    """All-DataFrame count-min counter table: one row per (d, pos) hash
+    cell with its collision-summed count — the distributed twin of
+    cms_build's numpy block, for when the sketch should live as a
+    TABLE (driver-checkable, joinable, mergeable by groupBy-SUM like
+    hdr_registers) instead of a driver-side array. One
+    map-side-combinable shuffle on the (d, pos) cell key; output
+    bounded at depth * width rows at ANY input size. Positions use the
+    engine-portable salted-md5 idiom, so a SQL oracle recomputes every
+    cell. NULL items quarantine (no countable identity), matching
+    cms_build."""
+    items = df.filter(F.col(item_col).isNotNull()).select(
+        F.col(item_col).cast("string").alias("_it")
+    )
+    return (
+        items.select(
+            F.posexplode(_cms_positions(F.col("_it"), depth, width)).alias("d", "pos")
+        )
+        .groupBy("d", "pos")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_lookup(
+    counters: DataFrame, watch: DataFrame, item_col: str, depth: int = 4, width: int = 2048
+) -> DataFrame:
+    """Point estimates for a bounded watch-list of items against a
+    cms_counters table: est = min over the depth cells — the classic
+    one-sided CMS read (est >= true count always; over by <= eps*N
+    w.h.p.). The watch side is small by contract (hot tokens,
+    monitored domains), so the cell join broadcasts it; cost is one
+    broadcast equi-join on (d, pos) + a depth-row min per item."""
+    probes = watch.select(F.col(item_col).cast("string").alias("item")).select(
+        "item",
+        F.posexplode(_cms_positions(F.col("item"), depth, width)).alias("d", "pos"),
+    )
+    return (
+        counters.join(F.broadcast(probes), ["d", "pos"])
+        .groupBy("item")
+        .agg(F.min("cnt").alias("cms_est"))
+    )

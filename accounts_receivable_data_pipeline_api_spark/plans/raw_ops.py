@@ -325,11 +325,25 @@ def op_span_excise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.excise_duplicate_spans(_parallel_docs(spark, sf_dir))
 
 
+def op_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-quantile throughput: HDR register build (one
+    map-side-combinable agg over lineitem price cents) + the bounded
+    quantile walk — the no-global-sort distribution-telemetry path."""
+    from ..operators.sketch import hdr_quantiles, hdr_registers
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.expr("CAST(l_extendedprice * 100 AS BIGINT)").alias("v")
+    )
+    reg = hdr_registers(li, "v", ["l_returnflag"])
+    return hdr_quantiles(reg, ["l_returnflag"])
+
+
 RAW_OPS.update(
     {
         "op_bm25_topk": (op_bm25_topk, "documents"),
         "op_winnow_pairs": (op_winnow_pairs, "documents"),
         "op_hll_distinct": (op_hll_distinct, "lineitem"),
         "op_span_excise": (op_span_excise, "documents"),
+        "op_hdr_quantiles": (op_hdr_quantiles, "lineitem"),
     }
 )

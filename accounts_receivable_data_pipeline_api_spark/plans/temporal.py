@@ -159,25 +159,75 @@ def _hll_oracle() -> str:
              CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
              CAST(COUNT(*) AS BIGINT) AS n_orders
       FROM orders GROUP BY o_orderstatus
-    )
+    ),
+    -- count-min sketch over o_custkey (global): salted-md5 cells,
+    -- exact mirror of operators/sketch.py:_cms_positions
+    cpos AS (
+      SELECT CAST(d.d AS INT) AS d,
+             CAST('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':'
+                                     || CAST(o_custkey AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 512 AS pos
+      FROM orders CROSS JOIN (SELECT unnest(range(0, 4)) AS d) d
+    ),
+    ccnt AS (
+      SELECT d, pos, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cpos GROUP BY d, pos
+    ),
+    ckexact AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY o_custkey
+    ),
+    watch AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS item, cnt AS exact_cnt
+      FROM ckexact ORDER BY cnt DESC, o_custkey ASC LIMIT 5
+    ),
+    wpos AS (
+      SELECT w.item, w.exact_cnt, CAST(d.d AS INT) AS d,
+             CAST('0x' || substr(md5(CAST(d.d AS VARCHAR) || ':' || w.item),
+                                 1, 8) AS BIGINT) % 512 AS pos
+      FROM watch w CROSS JOIN (SELECT unnest(range(0, 4)) AS d) d
+    ),
+    west AS (
+      SELECT p.item, p.exact_cnt, CAST(MIN(c.cnt) AS BIGINT) AS est
+      FROM wpos p JOIN ccnt c ON c.d = p.d AND c.pos = p.pos
+      GROUP BY p.item, p.exact_cnt
+    ),
+    ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders)
     SELECT 'spark_hllpp' AS kind, o_orderstatus, exact_customers, n_orders,
            TRUE AS within_bound,
            CAST(NULL AS BIGINT) AS hll_bucket, CAST(NULL AS INT) AS hll_rank,
            CAST(NULL AS INT) AS hll_m, CAST(NULL AS BIGINT) AS hll_observed,
            CAST(NULL AS BIGINT) AS hll_sum_scaled,
-           CAST(NULL AS DOUBLE) AS hll_estimate
+           CAST(NULL AS DOUBLE) AS hll_estimate,
+           CAST(NULL AS INT) AS cms_d, CAST(NULL AS BIGINT) AS cms_pos,
+           CAST(NULL AS BIGINT) AS cms_cnt, CAST(NULL AS VARCHAR) AS cms_item,
+           CAST(NULL AS BIGINT) AS cms_est, CAST(NULL AS BIGINT) AS cms_exact
     FROM ex
     UNION ALL
     SELECT 'hll_register', o_orderstatus, NULL, NULL, NULL,
-           bucket, max_rank, NULL, NULL, NULL, NULL
+           bucket, max_rank, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL, NULL
     FROM reg
     UNION ALL
     SELECT 'hll_estimate', e.o_orderstatus, x.exact_customers, NULL,
            abs(e.estimate - CAST(x.exact_customers AS DOUBLE))
              / CAST(x.exact_customers AS DOUBLE) <= 0.15,
            NULL, NULL, CAST(1024 AS INT), e.n_observed, e.sum_scaled,
-           e.estimate
+           e.estimate,
+           NULL, NULL, NULL, NULL, NULL, NULL
     FROM est2 e JOIN ex x USING (o_orderstatus)
+    UNION ALL
+    SELECT 'cms_counter', CAST(NULL AS VARCHAR), NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL, NULL,
+           d, pos, cnt, NULL, NULL, NULL
+    FROM ccnt
+    UNION ALL
+    SELECT 'cms_estimate', CAST(NULL AS VARCHAR), NULL, ntot.n,
+           w.est >= w.exact_cnt
+             AND (w.est - w.exact_cnt) * 512 <= 3 * ntot.n,
+           NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, w.item, w.est, w.exact_cnt
+    FROM west w CROSS JOIN ntot
     """
 
 
@@ -199,15 +249,31 @@ def _hll_oracle() -> str:
     "correction branches under round-6 ln) the DuckDB oracle recomputes "
     "value-for-value — a fully hash-checked HLL, not just a bound. The register table is the mergeable partial: union "
     "of sketches = groupBy max over buckets, map-side combinable, "
-    "bounded at groups * m rows at any corpus size. At 100 TB only the "
-    "sketch paths run — exact COUNT(DISTINCT) is the verification "
-    "fixture.",
+    "bounded at groups * m rows at any corpus size. "
+    "kind='cms_counter' + 'cms_estimate' (round 9): the count-min "
+    "sketch joins the scoreboard — every (d, pos) counter cell of a "
+    "4x512 CMS over o_custkey (operators/sketch.py:cms_counters, one "
+    "map-side-combinable shuffle, SUM-mergeable) plus point estimates "
+    "for the 5 hottest keys (cms_lookup: min over depth cells, watch "
+    "list broadcast). within_bound pins the CMS contract: one-sided "
+    "(est >= exact) AND (est - exact) * width <= 3 * N (the eps*N "
+    "overcount bound in pure integer arithmetic). At 100 TB only the "
+    "sketch paths run — exact COUNT(DISTINCT) / per-key exact counts "
+    "are the verification fixtures.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sketch import hll_estimate, hll_registers
+    from ..operators.sketch import cms_counters, cms_lookup, hll_estimate, hll_registers
 
     orders = load_table(spark, sf_dir, "orders")
     group = ("o_orderstatus",)
+    cms_nulls = [
+        F.lit(None).cast("int").alias("cms_d"),
+        F.lit(None).cast("bigint").alias("cms_pos"),
+        F.lit(None).cast("bigint").alias("cms_cnt"),
+        F.lit(None).cast("string").alias("cms_item"),
+        F.lit(None).cast("bigint").alias("cms_est"),
+        F.lit(None).cast("bigint").alias("cms_exact"),
+    ]
     exact = orders.groupBy("o_orderstatus").agg(
         F.countDistinct("o_custkey").cast("bigint").alias("exact_customers"),
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
@@ -232,6 +298,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.03)
         ).alias("within_bound"),
         *hll_nulls,
+        *cms_nulls,
     )
     reg = hll_registers(orders, "o_custkey", m=1024, group_cols=group)
     reg_arm = reg.select(
@@ -246,6 +313,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("hll_observed"),
         F.lit(None).cast("bigint").alias("hll_sum_scaled"),
         F.lit(None).cast("double").alias("hll_estimate"),
+        *cms_nulls,
     )
     est_arm = (
         hll_estimate(reg, m=1024, group_cols=group)
@@ -266,9 +334,68 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_observed").alias("hll_observed"),
             F.col("sum_scaled").alias("hll_sum_scaled"),
             F.col("estimate").alias("hll_estimate"),
+            *cms_nulls,
         )
     )
-    return spark_arm.unionByName(reg_arm).unionByName(est_arm)
+    hll_null_all = [
+        F.lit(None).cast("bigint").alias("hll_bucket"),
+        F.lit(None).cast("int").alias("hll_rank"),
+        F.lit(None).cast("int").alias("hll_m"),
+        F.lit(None).cast("bigint").alias("hll_observed"),
+        F.lit(None).cast("bigint").alias("hll_sum_scaled"),
+        F.lit(None).cast("double").alias("hll_estimate"),
+    ]
+    counters = cms_counters(orders, "o_custkey", depth=4, width=512)
+    counter_arm = counters.select(
+        F.lit("cms_counter").alias("kind"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("bigint").alias("exact_customers"),
+        F.lit(None).cast("bigint").alias("n_orders"),
+        F.lit(None).cast("boolean").alias("within_bound"),
+        *hll_null_all,
+        F.col("d").cast("int").alias("cms_d"),
+        F.col("pos").cast("bigint").alias("cms_pos"),
+        F.col("cnt").cast("bigint").alias("cms_cnt"),
+        F.lit(None).cast("string").alias("cms_item"),
+        F.lit(None).cast("bigint").alias("cms_est"),
+        F.lit(None).cast("bigint").alias("cms_exact"),
+    )
+    # watch-list: 5 hottest custkeys, ties broken by key — deterministic
+    watch = (
+        orders.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("o_custkey"))
+        .limit(5)
+    )
+    n_total = orders.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    est_rows = (
+        cms_lookup(counters, watch, "o_custkey", depth=4, width=512)
+        .join(watch.select(F.col("o_custkey").cast("string").alias("item"), "exact_cnt"), "item")
+        .crossJoin(F.broadcast(n_total))
+    )
+    cms_est_arm = est_rows.select(
+        F.lit("cms_estimate").alias("kind"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("bigint").alias("exact_customers"),
+        F.col("n_total").alias("n_orders"),
+        (
+            (F.col("cms_est") >= F.col("exact_cnt"))
+            & ((F.col("cms_est") - F.col("exact_cnt")) * 512 <= 3 * F.col("n_total"))
+        ).alias("within_bound"),
+        *hll_null_all,
+        F.lit(None).cast("int").alias("cms_d"),
+        F.lit(None).cast("bigint").alias("cms_pos"),
+        F.lit(None).cast("bigint").alias("cms_cnt"),
+        F.col("item").alias("cms_item"),
+        F.col("cms_est"),
+        F.col("exact_cnt").alias("cms_exact"),
+    )
+    return (
+        spark_arm.unionByName(reg_arm)
+        .unionByName(est_arm)
+        .unionByName(counter_arm)
+        .unionByName(cms_est_arm)
+    )
 
 
 @register(

@@ -97,6 +97,7 @@ HEADLINE = (
     "op_winnow_pairs",
     "op_hll_distinct",
     "op_span_excise",
+    "op_hdr_quantiles",
 )
 
 # Invariant-summary entries whose in-entry exact twins are O(n^2) oracle
