@@ -894,3 +894,155 @@ def funnel_events_stream(events: DataFrame, steps: list[str]) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def quantile_sketch_stream(
+    items_stream: DataFrame,
+    registers_dir: str,
+    checkpoint_dir: str,
+    value_col: str,
+    sub_bits: int = 5,
+):
+    """Streaming corpus-lifetime quantile telemetry in bounded memory —
+    the HDR sibling of distinct_sketch_stream: each microbatch builds
+    an hdr_registers PARTIAL (bounded at 64 * 2^sub_bits rows) over
+    ``value_col`` (positive integers by hdr_registers' in-plan guard)
+    and writes it under the checkpointed batch_id with dynamic
+    partition overwrite. Unlike HLL registers, HDR partials merge by
+    SUM — NOT idempotent — so correctness leans entirely on the
+    partition contract: a replayed batch REPLACES its own partial,
+    never adds a second copy, and read_hdr_registers excludes
+    partitions already folded by compact_hdr_registers."""
+    from ..operators.sketch import hdr_registers
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            hdr_registers(batch_df, value_col, group_cols=[], sub_bits=sub_bits)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(registers_dir)
+        )
+
+    return (
+        items_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def _hdr_folded_upto(spark: SparkSession, registers_dir: str) -> int | None:
+    """Watermark of the HDR compacted partition, read FROM ITS ROWS
+    (max folded_upto) — the fold and its watermark commit in the same
+    single-partition write, the atomicity SUM-merge needs (a stamp
+    file written before/after the fold would leave a crash window in
+    which folded batches double-count or drop)."""
+    fs, root, jvm = _registers_fs(spark, registers_dir)
+    part = jvm.org.apache.hadoop.fs.Path(
+        f"{registers_dir}/batch_id={COMPACTED_BATCH_ID}"
+    )
+    if not fs.exists(part):
+        return None
+    row = (
+        spark.read.parquet(registers_dir)
+        .filter(F.col("batch_id") == COMPACTED_BATCH_ID)
+        .agg(F.max("folded_upto"))
+        .collect()[0][0]
+    )
+    return None if row is None else int(row)
+
+
+def read_hdr_registers(spark: SparkSession, registers_dir: str) -> DataFrame:
+    """Fold the per-batch HDR partials into the lifetime register
+    table (exp, sub, lb, ub, cnt, hdr_sub_bits). Batch partitions at
+    or below the compacted watermark are EXCLUDED — their counts
+    already live in the compacted partial, and (SUM not being
+    idempotent) folding a resurrected replayed partition twice would
+    inflate counts. Grouping includes hdr_sub_bits on purpose, the
+    hll_m-guard pattern: partials under different sub_bits fold apart
+    instead of silently merging."""
+    mark = _hdr_folded_upto(spark, registers_dir)
+    df = spark.read.parquet(registers_dir)
+    if mark is not None:
+        df = df.filter(
+            (F.col("batch_id") == COMPACTED_BATCH_ID) | (F.col("batch_id") > mark)
+        )
+    return (
+        df.groupBy("exp", "sub", "lb", "ub", "hdr_sub_bits")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select("exp", "sub", "lb", "ub", "cnt", "hdr_sub_bits")
+    )
+
+
+def compact_hdr_registers(
+    spark: SparkSession, registers_dir: str, upto_batch_id: int | None = None
+) -> int | None:
+    """Fold closed HDR batch partials into the reserved batch_id=-1
+    partition. The SUM-merge replay contract (stricter than the HLL
+    one):
+
+      1. the fold (old compacted partial + batch partitions <= upto)
+         is written into batch_id=-1 WITH folded_upto stamped in every
+         row — fold and watermark commit atomically in one partition
+         overwrite. From that instant read_hdr_registers excludes the
+         folded source partitions, so the pre-delete coexistence
+         window never double-counts.
+      2. folded partitions are deleted; a crash mid-way, or a replayed
+         old batch re-creating its partition later, leaves partitions
+         the read already ignores (batch_id <= folded_upto).
+
+    ``upto_batch_id`` must not exceed the stream's last COMMITTED
+    batch (default: all but the highest live partition — correct for
+    at-rest availableNow pipelines; pass an explicit bound when
+    compacting mid-flight). Single concurrent compactor assumed, as
+    with any table-maintenance job."""
+    fs, root, jvm = _registers_fs(spark, registers_dir)
+    if not fs.exists(root):
+        return None
+    live = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("batch_id=") and name != f"batch_id={COMPACTED_BATCH_ID}":
+            try:
+                live.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    mark = _hdr_folded_upto(spark, registers_dir)
+    if upto_batch_id is None:
+        upto_batch_id = max(live) - 1 if live else None
+    folds = sorted(
+        b
+        for b in live
+        if upto_batch_id is not None
+        and b <= upto_batch_id
+        and (mark is None or b > mark)
+    )
+    if not folds:
+        return mark
+    new_mark = folds[-1] if mark is None else max(folds[-1], mark)
+    merged_rows = (
+        spark.read.parquet(registers_dir)
+        .filter(F.col("batch_id").isin([COMPACTED_BATCH_ID] + folds))
+        .groupBy("exp", "sub", "lb", "ub", "hdr_sub_bits")
+        .agg(F.sum("cnt").alias("cnt"))
+        .select("exp", "sub", "lb", "ub", "cnt", "hdr_sub_bits")
+        .collect()
+    )
+    (
+        spark.createDataFrame(
+            merged_rows,
+            "exp int, sub int, lb bigint, ub bigint, cnt bigint, hdr_sub_bits int",
+        )
+        .withColumn("folded_upto", F.lit(new_mark).cast("long"))
+        .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(registers_dir)
+    )
+    for b in folds:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{registers_dir}/batch_id={b}"), True
+        )
+    return new_mark

@@ -1004,3 +1004,101 @@ def test_compact_registers_estimate_invariant_and_replay_safe(spark, tmp_path):
     # compacting an already-compacted table is a no-op that keeps the
     # watermark (nothing left to fold)
     assert compact_registers(spark, reg_dir) == 2
+
+
+def test_quantile_sketch_stream_matches_batch_and_compacts(spark, tmp_path):
+    """Streaming HDR quantile partials: the SUM-fold of per-batch
+    register partials equals the batch register table over the whole
+    corpus; a replayed run leaves the fold unchanged (partition
+    overwrite — SUM is NOT idempotent, so this is the contract doing
+    the work, not the merge math); compaction folds closed batches
+    into the batch_id=-1 partition with folded_upto stamped IN the
+    rows, and a resurrected pre-watermark partition is EXCLUDED by the
+    read rather than double-counted."""
+    import os
+    import shutil
+
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import (
+        hdr_quantiles,
+        hdr_registers,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        COMPACTED_BATCH_ID,
+        compact_hdr_registers,
+        quantile_sketch_stream,
+        read_hdr_registers,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "doc_id long, v long"
+    batches = [
+        [(i, 100 + 17 * i) for i in range(1, 40)],
+        [(i, 5000 + 13 * i) for i in range(40, 90)],
+        [(i, 9 + i % 7) for i in range(90, 120)],
+    ]
+    _stage_ordered_batches(src, [spark.createDataFrame(r, schema) for r in batches])
+    reg_dir = str(tmp_path / "registers")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = _ordered_stream(spark, src, schema)
+        q = quantile_sketch_stream(stream, reg_dir, ckpt, value_col="v").start()
+        q.awaitTermination(120)
+
+    run()
+    all_rows = spark.createDataFrame([r for b in batches for r in b], schema)
+    batch_reg = hdr_registers(all_rows, "v", group_cols=[])
+
+    def folded_set():
+        return {
+            (r["exp"], r["sub"], r["lb"], r["ub"], r["cnt"], r["hdr_sub_bits"])
+            for r in read_hdr_registers(spark, reg_dir).collect()
+        }
+
+    expected = {
+        (r["exp"], r["sub"], r["lb"], r["ub"], r["cnt"], r["hdr_sub_bits"])
+        for r in batch_reg.collect()
+    }
+    assert folded_set() == expected
+
+    # replay: wipe checkpoint, rerun -> partials REWRITTEN not appended
+    shutil.rmtree(ckpt)
+    run()
+    assert folded_set() == expected
+
+    # compact batches 0..1; estimates identical before/after
+    est_before = {
+        (r["q"], r["q_lb"], r["q_ub"])
+        for r in hdr_quantiles(read_hdr_registers(spark, reg_dir), []).collect()
+    }
+    assert compact_hdr_registers(spark, reg_dir) == 1
+    assert folded_set() == expected
+    part_ids = {
+        r["batch_id"]
+        for r in spark.read.parquet(reg_dir).select("batch_id").distinct().collect()
+    }
+    assert part_ids == {COMPACTED_BATCH_ID, 2}, part_ids
+    est_after = {
+        (r["q"], r["q_lb"], r["q_ub"])
+        for r in hdr_quantiles(read_hdr_registers(spark, reg_dir), []).collect()
+    }
+    assert est_after == est_before
+
+    # resurrection: batch 0's partial reappears post-compaction (crash
+    # twin). With SUM-merge this WOULD double-count — the read must
+    # exclude it via the in-row folded_upto watermark.
+    (
+        hdr_registers(spark.createDataFrame(batches[0], schema), "v", group_cols=[])
+        .withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(reg_dir)
+    )
+    assert folded_set() == expected
+    # sweeping compaction ignores the resurrected pre-watermark
+    # partition too (folds = live > mark only); state converges to the
+    # compacted partition + open batch
+    assert compact_hdr_registers(spark, reg_dir, upto_batch_id=2) == 2
+    assert folded_set() == expected
