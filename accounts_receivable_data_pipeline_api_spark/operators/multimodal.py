@@ -1524,8 +1524,11 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
     twiddle weights are EXACT integers — f=0 (DC), f=1/4 (fs/4, the
     band midpoint: cos cycles 1,0,-1,0 and sin 0,1,0,-1), and f=1/2
     (Nyquist, (-1)^n). Integer weights keep every term and partial sum
-    in int64 (|sum| <= 32767 * n, squared sums < 2^63 for any WAV this
-    decoder admits), so the features hash-check cross-engine with ZERO
+    in int64 (|sum| <= 32767 * n; the bands null out past n = 2^16
+    samples, where a worst-case squared sum would overflow int64 —
+    a documented per-row bound, not a malformed-input signal, same
+    policy as the JPEG stored-block cap), so the features hash-check
+    cross-engine with ZERO
     float rounding contract — the same determinism playbook as BM25
     but strictly stronger (no round-6 step at all). Bins needing
     irrational twiddles (fs/8: sqrt(1/2)) are deliberately out: their
@@ -1565,7 +1568,13 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
                 out["rms"].append(round(float(np.sqrt(np.mean(x * x))), 6) if n else None)
                 out["peak"].append(int(np.max(np.abs(x))) if n else None)
                 out["sample_checksum"].append(hashlib.md5(pcm.hex().encode()).hexdigest())
-                if n:
+                # band energies null out past 2^16 samples: |sum| <=
+                # 32767 * n, so n <= 65536 keeps every squared sum
+                # under ~4.7e18 < 2^63 — WITHOUT a cap a valid long WAV
+                # at a strong DC offset overflows int64 and the
+                # OverflowError would break the quarantine contract
+                # (round-9 review; the JPEG stored-block cap's sibling)
+                if n and n <= (1 << 16):
                     xi = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
                     dc = int(xi.sum())
                     re4 = int(xi[0::4].sum() - xi[2::4].sum())

@@ -360,15 +360,20 @@ def hdr_registers(
     template): silently bucketing v <= 0 would corrupt quantiles.
     """
     v = F.col(value_col)
+    # NULL must raise too, not slip through when()'s not-true branch:
+    # a NULL value would bin to a phantom (exp=NULL) bucket that counts
+    # toward n and silently shifts every quantile — and diverges
+    # cross-engine on NULL ordering (round-9 review). Callers filter
+    # NULLs explicitly if "ignore missing" is the intended semantics.
     guarded = df.withColumn(
         value_col,
         F.when(
-            v <= 0,
+            v.isNull() | (v <= 0),
             F.raise_error(
                 F.lit(
-                    "hdr_registers: values must be positive integers "
-                    f"(got non-positive in {value_col!r}); shift/offset "
-                    "the domain at the call site"
+                    "hdr_registers: values must be non-NULL positive "
+                    f"integers (got NULL/non-positive in {value_col!r}); "
+                    "filter or shift the domain at the call site"
                 )
             ).cast("long"),
         ).otherwise(v.cast("long")),
@@ -408,17 +413,31 @@ def hdr_quantiles(
     with cumulative count >= r" is simply min(lb)/min(ub) over the
     qualifying buckets — no argmin struct tricks, and the exact
     rank-r value provably lies in [q_lb, q_ub] (the sketch invariant
-    the oracle pins). Output: one row per (group, q)."""
+    the oracle pins). Output: one row per (group, q).
+
+    Mixed-sub_bits input RAISES in-plan (the hll_m-guard pattern):
+    partials stamped with different hdr_sub_bits are two incompatible
+    bucket systems — interleaving them in one (exp, sub) walk doubles
+    n and silently corrupts every quantile, exactly the failure class
+    read_hdr_registers folds apart by grouping on the stamp."""
     from pyspark.sql import Window
 
+    wg = Window.partitionBy(*group_cols)
     w = (
         Window.partitionBy(*group_cols)
         .orderBy("exp", "sub")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = reg.withColumn("cum", F.sum("cnt").over(w)).withColumn(
-        "n", F.sum("cnt").over(Window.partitionBy(*group_cols))
-    )
+    n_guarded = F.when(
+        F.min("hdr_sub_bits").over(wg) != F.max("hdr_sub_bits").over(wg),
+        F.raise_error(
+            F.lit(
+                "hdr_quantiles: register table mixes hdr_sub_bits stamps "
+                "— incompatible bucket systems cannot fold in one walk"
+            )
+        ).cast("long"),
+    ).otherwise(F.sum("cnt").over(wg))
+    cum = reg.withColumn("cum", F.sum("cnt").over(w)).withColumn("n", n_guarded)
     q_lit = F.array(
         *[
             F.struct(
@@ -483,15 +502,21 @@ def cms_lookup(
     """Point estimates for a bounded watch-list of items against a
     cms_counters table: est = min over the depth cells — the classic
     one-sided CMS read (est >= true count always; over by <= eps*N
-    w.h.p.). The watch side is small by contract (hot tokens,
-    monitored domains), so the cell join broadcasts it; cost is one
-    broadcast equi-join on (d, pos) + a depth-row min per item."""
+    w.h.p.). A cell ABSENT from the counter table is a zero count, so
+    the probe side left-joins and coalesces — an inner join would
+    silently DROP a never-seen watch item (monitored domain with zero
+    traffic) instead of estimating 0, and would over-estimate items
+    with only some cells populated (round-9 review). The counter table
+    is bounded at depth * width rows by construction, so IT broadcasts
+    (not the watch side — the bounded side is the provably small one
+    at any corpus size); cost is one broadcast equi-join on (d, pos)
+    + a depth-row min per item."""
     probes = watch.select(F.col(item_col).cast("string").alias("item")).select(
         "item",
         F.posexplode(_cms_positions(F.col("item"), depth, width)).alias("d", "pos"),
     )
     return (
-        counters.join(F.broadcast(probes), ["d", "pos"])
+        probes.join(F.broadcast(counters), ["d", "pos"], "left")
         .groupBy("item")
-        .agg(F.min("cnt").alias("cms_est"))
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )

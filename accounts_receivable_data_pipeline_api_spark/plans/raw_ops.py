@@ -332,7 +332,7 @@ def op_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketch import hdr_quantiles, hdr_registers
 
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", F.expr("CAST(l_extendedprice * 100 AS BIGINT)").alias("v")
+        "l_returnflag", F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("v")
     )
     reg = hdr_registers(li, "v", ["l_returnflag"])
     return hdr_quantiles(reg, ["l_returnflag"])

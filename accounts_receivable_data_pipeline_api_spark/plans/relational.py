@@ -970,7 +970,11 @@ _HDR_SUB_BITS = 5
     "agg_percentiles",
     oracle=f"""
     WITH cents AS (
-      SELECT o_orderpriority, CAST(o_totalprice * 100 AS BIGINT) AS v
+      -- round(): the double product sits within 1e-8 of an integer, but
+      -- a bare double->BIGINT cast TRUNCATES in Spark and ROUNDS in
+      -- DuckDB (round-9 review: 70,900 of 1.5M sf1 rows diverge by 1);
+      -- rounding first is exact and identical in both engines
+      SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS v
       FROM orders
     ),
     b AS (
@@ -1098,7 +1102,9 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     )
     cents = orders.select(
-        "o_orderpriority", F.expr("CAST(o_totalprice * 100 AS BIGINT)").alias("v")
+        # round() before the BIGINT cast: Spark truncates double casts,
+        # DuckDB rounds them — see the oracle's matching comment
+        "o_orderpriority", F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("v")
     )
     reg = hdr_registers(cents, "v", ["o_orderpriority"], sub_bits=_HDR_SUB_BITS)
     buckets = reg.select("o_orderpriority", "exp", "sub", "cnt", "lb", "ub")

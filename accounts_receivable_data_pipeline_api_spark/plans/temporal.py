@@ -187,9 +187,13 @@ def _hll_oracle() -> str:
                                  1, 8) AS BIGINT) % 512 AS pos
       FROM watch w CROSS JOIN (SELECT unnest(range(0, 4)) AS d) d
     ),
+    -- left join + coalesce mirrors cms_lookup: an absent cell is a
+    -- zero count (unreachable here — watch items come from the data —
+    -- but the estimate definitions must match exactly)
     west AS (
-      SELECT p.item, p.exact_cnt, CAST(MIN(c.cnt) AS BIGINT) AS est
-      FROM wpos p JOIN ccnt c ON c.d = p.d AND c.pos = p.pos
+      SELECT p.item, p.exact_cnt,
+             CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+      FROM wpos p LEFT JOIN ccnt c ON c.d = p.d AND c.pos = p.pos
       GROUP BY p.item, p.exact_cnt
     ),
     ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders)

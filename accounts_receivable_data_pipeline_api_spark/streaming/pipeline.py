@@ -686,7 +686,15 @@ def compaction_watermark(spark: SparkSession, registers_dir: str) -> int | None:
             vals.append(b)
     finally:
         stream.close()
-    return int(bytes(vals).decode("ascii").strip())
+    try:
+        return int(bytes(vals).decode("ascii").strip())
+    except (UnicodeDecodeError, ValueError):
+        # a crash between fs.create's truncation and the write leaves
+        # an empty/garbled stamp; treat it as "no watermark" rather
+        # than failing every future compaction (round-9 review) —
+        # safe for HLL registers because re-folding already-compacted
+        # partials is a no-op under max-merge idempotence
+        return None
 
 
 def compact_registers(
@@ -939,16 +947,16 @@ def _hdr_folded_upto(spark: SparkSession, registers_dir: str) -> int | None:
     file written before/after the fold would leave a crash window in
     which folded batches double-count or drop)."""
     fs, root, jvm = _registers_fs(spark, registers_dir)
-    part = jvm.org.apache.hadoop.fs.Path(
-        f"{registers_dir}/batch_id={COMPACTED_BATCH_ID}"
-    )
-    if not fs.exists(part):
+    part_path = f"{registers_dir}/batch_id={COMPACTED_BATCH_ID}"
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(part_path)):
         return None
+    # read the PARTITION directory, not the table root: folded_upto
+    # exists only in the compacted partition's files, and a root read
+    # with mergeSchema=false infers the schema from whichever single
+    # file the reader happens to pick (round-9 review — a live-batch
+    # file wins on some listings and the column vanishes)
     row = (
-        spark.read.parquet(registers_dir)
-        .filter(F.col("batch_id") == COMPACTED_BATCH_ID)
-        .agg(F.max("folded_upto"))
-        .collect()[0][0]
+        spark.read.parquet(part_path).agg(F.max("folded_upto")).collect()[0][0]
     )
     return None if row is None else int(row)
 
@@ -1011,6 +1019,15 @@ def compact_hdr_registers(
     mark = _hdr_folded_upto(spark, registers_dir)
     if upto_batch_id is None:
         upto_batch_id = max(live) - 1 if live else None
+    # resurrected pre-watermark partitions (a replayed old batch
+    # re-created its partition after compaction): every read already
+    # excludes them, so reclaim the dead files on every compaction
+    # pass — otherwise they are scanned-and-filtered forever
+    # (round-9 review)
+    for b in (b for b in live if mark is not None and b <= mark):
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{registers_dir}/batch_id={b}"), True
+        )
     folds = sorted(
         b
         for b in live

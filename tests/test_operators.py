@@ -2515,7 +2515,7 @@ def test_hdr_registers_merge_and_quantile_invariant(spark, sf_dir):
         load_table(spark, sf_dir, "lineitem")
         .select(
             "l_returnflag",
-            F.expr("CAST(l_extendedprice * 100 AS BIGINT)").alias("v"),
+            F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("v"),
         )
     )
     full = hdr_registers(li, "v", ["l_returnflag"])
@@ -2561,3 +2561,53 @@ def test_hdr_registers_merge_and_quantile_invariant(spark, sf_dir):
         hdr_registers(
             spark.createDataFrame([(1, 0)], "g int, v long"), "v", ["g"]
         ).collect()
+
+
+def test_hdr_quantiles_rejects_mixed_sub_bits_and_null_values(spark):
+    """Round-9 review guards: hdr_quantiles raises in-plan when the
+    register table mixes hdr_sub_bits stamps (two incompatible bucket
+    systems in one walk would silently double n); hdr_registers raises
+    on NULL values (a NULL would bin to a phantom bucket that shifts
+    every quantile — and diverges cross-engine on NULL ordering)."""
+    import pytest
+
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import (
+        hdr_quantiles,
+        hdr_registers,
+    )
+
+    vals = spark.createDataFrame([(1, 10), (1, 300)], "g int, v long")
+    mixed = hdr_registers(vals, "v", ["g"], sub_bits=5).unionByName(
+        hdr_registers(vals, "v", ["g"], sub_bits=6)
+    )
+    with pytest.raises(Exception, match="hdr_sub_bits"):
+        hdr_quantiles(mixed, ["g"]).collect()
+
+    with pytest.raises(Exception, match="NULL"):
+        hdr_registers(
+            spark.createDataFrame([(1, None)], "g int, v long"), "v", ["g"]
+        ).collect()
+
+
+def test_cms_lookup_zero_traffic_item_estimates_zero(spark):
+    """A watch item absent from the counted stream must come back with
+    its correct CMS estimate — 0 when all its cells are empty — not
+    silently vanish from the output (round-9 review: inner-join drop)."""
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import (
+        cms_counters,
+        cms_lookup,
+    )
+
+    counted = spark.createDataFrame(
+        [(f"tok{i % 3}",) for i in range(30)], "item string"
+    )
+    counters = cms_counters(counted, "item", depth=4, width=4096)
+    watch = spark.createDataFrame(
+        [("tok0",), ("never-seen-domain.example",)], "item string"
+    )
+    got = {r["item"]: r["cms_est"] for r in cms_lookup(counters, watch, "item", depth=4, width=4096).collect()}
+    assert set(got) == {"tok0", "never-seen-domain.example"}
+    assert got["tok0"] >= 10  # one-sided: est >= true
+    # width 4096 over 3 distinct tokens: collision-free w.h.p., so the
+    # never-seen item's cells are all absent -> exact zero estimate
+    assert got["never-seen-domain.example"] == 0

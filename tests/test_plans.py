@@ -411,7 +411,7 @@ def test_hdr_sketch_partial_aggs_no_single_partition(spark, sf_dir):
     from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
 
     li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", F.expr("CAST(l_extendedprice * 100 AS BIGINT)").alias("v")
+        "l_returnflag", F.expr("CAST(round(l_extendedprice * 100) AS BIGINT)").alias("v")
     )
     reg = hdr_registers(li, "v", ["l_returnflag"])
     plan = _formatted(spark, reg)

@@ -1097,8 +1097,13 @@ def test_quantile_sketch_stream_matches_batch_and_compacts(spark, tmp_path):
         .parquet(reg_dir)
     )
     assert folded_set() == expected
-    # sweeping compaction ignores the resurrected pre-watermark
-    # partition too (folds = live > mark only); state converges to the
-    # compacted partition + open batch
+    # sweeping compaction: the resurrected pre-watermark partition is
+    # never re-folded (reads exclude it) AND its dead files are
+    # reclaimed; state converges to exactly the compacted partition
     assert compact_hdr_registers(spark, reg_dir, upto_batch_id=2) == 2
     assert folded_set() == expected
+    part_ids = {
+        r["batch_id"]
+        for r in spark.read.parquet(reg_dir).select("batch_id").distinct().collect()
+    }
+    assert part_ids == {COMPACTED_BATCH_ID}, part_ids
