@@ -219,12 +219,11 @@ RAW_OPS.update(
 
 
 def _media_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.media_fixtures import media_payloads
+    from ..sources.media_fixtures import media_payloads_union
 
-    media = media_payloads(spark, sf_dir, "bmp")
-    for codec in ("png", "jpeg", "wav", "avi"):
-        media = media.unionByName(media_payloads(spark, sf_dir, codec))
-    return media
+    return media_payloads_union(
+        spark, sf_dir, ("bmp", "png", "jpeg", "wav", "avi")
+    )
 
 
 def op_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
