@@ -601,14 +601,106 @@ def token_frequency_sketch_stream(
     )
 
 
+def _cms_folded_upto(spark: SparkSession, sketch_dir: str) -> int | None:
+    """Watermark of the CMS compacted partition, read FROM ITS ROWS —
+    the same atomic fold+watermark contract as the HDR compactor
+    (CMS partials merge by elementwise SUM, which like HDR's cnt-SUM
+    is NOT idempotent, so a stamp file's crash window is unacceptable
+    here; see compact_hdr_registers)."""
+    fs, root, jvm = _registers_fs(spark, sketch_dir)
+    part_path = f"{sketch_dir}/batch_id={COMPACTED_BATCH_ID}"
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(part_path)):
+        return None
+    row = spark.read.parquet(part_path).agg(F.max("folded_upto")).collect()[0][0]
+    return None if row is None else int(row)
+
+
 def read_sketch(spark: SparkSession, sketch_dir: str, depth: int = 4, width: int = 2048):
-    """Sum the per-batch CMS partials into the lifetime sketch."""
+    """Sum the per-batch CMS partials into the lifetime sketch. Batch
+    partitions at or below the compacted watermark are EXCLUDED —
+    their counts already live in the compacted block, and summing a
+    resurrected replayed partition twice would inflate every
+    estimate (the HDR read_hdr_registers rule)."""
     import numpy as np
 
+    mark = _cms_folded_upto(spark, sketch_dir)
+    df = spark.read.parquet(sketch_dir)
+    if mark is not None:
+        df = df.filter(
+            (F.col("batch_id") == COMPACTED_BATCH_ID) | (F.col("batch_id") > mark)
+        )
     out = np.zeros((depth, width), dtype=np.int64)
-    for row in spark.read.parquet(sketch_dir).select("block").collect():
+    for row in df.select("block").collect():
         out += np.frombuffer(row["block"], dtype=np.int64).reshape(depth, width)
     return out
+
+
+def compact_sketch(
+    spark: SparkSession, sketch_dir: str, upto_batch_id: int | None = None
+) -> int | None:
+    """Fold closed CMS batch partials into the reserved batch_id=-1
+    partition — the count-min twin of compact_hdr_registers, same
+    SUM-merge replay contract: the folded block and its watermark
+    commit atomically in one partition overwrite (folded_upto lives IN
+    the row), reads exclude folded partitions from that instant, and
+    resurrected pre-watermark partitions are reclaimed on later
+    passes. State converges to ONE depth x width block + open batches
+    regardless of stream lifetime."""
+    import numpy as np
+
+    fs, root, jvm = _registers_fs(spark, sketch_dir)
+    if not fs.exists(root):
+        return None
+    live = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("batch_id=") and name != f"batch_id={COMPACTED_BATCH_ID}":
+            try:
+                live.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    mark = _cms_folded_upto(spark, sketch_dir)
+    if upto_batch_id is None:
+        upto_batch_id = max(live) - 1 if live else None
+    for b in (b for b in live if mark is not None and b <= mark):
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{sketch_dir}/batch_id={b}"), True
+        )
+    folds = sorted(
+        b
+        for b in live
+        if upto_batch_id is not None
+        and b <= upto_batch_id
+        and (mark is None or b > mark)
+    )
+    if not folds:
+        return mark
+    new_mark = folds[-1] if mark is None else max(folds[-1], mark)
+    merged = None
+    rows = (
+        spark.read.parquet(sketch_dir)
+        .filter(F.col("batch_id").isin([COMPACTED_BATCH_ID] + folds))
+        .select("block")
+        .collect()
+    )
+    for row in rows:
+        block = np.frombuffer(row["block"], dtype=np.int64)
+        merged = block.copy() if merged is None else merged + block
+    (
+        spark.createDataFrame(
+            [(bytes(merged.tobytes()), new_mark)], "block binary, folded_upto long"
+        )
+        .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(sketch_dir)
+    )
+    for b in folds:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(f"{sketch_dir}/batch_id={b}"), True
+        )
+    return new_mark
 
 
 def distinct_sketch_stream(

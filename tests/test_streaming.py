@@ -1107,3 +1107,72 @@ def test_quantile_sketch_stream_matches_batch_and_compacts(spark, tmp_path):
         for r in spark.read.parquet(reg_dir).select("batch_id").distinct().collect()
     }
     assert part_ids == {COMPACTED_BATCH_ID}, part_ids
+
+
+def test_compact_sketch_sum_invariant_and_resurrection_excluded(spark, tmp_path):
+    """CMS partial compaction lifecycle — the count-min twin of the
+    HDR contract: folding closed batches into batch_id=-1 leaves the
+    lifetime sketch bitwise unchanged, the fold+watermark commit
+    atomically (folded_upto in-row), a resurrected pre-watermark
+    partition is excluded (SUM would double-count) and reclaimed by
+    the next pass, and state converges to one block + open batch."""
+    import os
+
+    import numpy as np
+
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import cms_build
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        COMPACTED_BATCH_ID,
+        compact_sketch,
+        read_sketch,
+        token_frequency_sketch_stream,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, "spark spark shuffle"), (2, "spark join")],
+        [(10, "shuffle shuffle partition")],
+        [(20, "join broadcast join")],
+    ]
+    _stage_ordered_batches(src, [spark.createDataFrame(r, schema) for r in batches])
+    sk_dir = str(tmp_path / "sketch")
+    ckpt = str(tmp_path / "ckpt")
+    stream = _ordered_stream(spark, src, schema)
+    q = token_frequency_sketch_stream(stream, sk_dir, ckpt).start()
+    q.awaitTermination(120)
+
+    before = read_sketch(spark, sk_dir)
+    assert compact_sketch(spark, sk_dir) == 1  # folds 0..1, keeps open 2
+    assert np.array_equal(read_sketch(spark, sk_dir), before)
+    part_ids = {
+        r["batch_id"]
+        for r in spark.read.parquet(sk_dir).select("batch_id").distinct().collect()
+    }
+    assert part_ids == {COMPACTED_BATCH_ID, 2}, part_ids
+
+    # resurrection: batch 0's partial reappears after compaction; the
+    # read must exclude it (elementwise SUM is not idempotent)
+    tokens0 = spark.createDataFrame(batches[0], schema).select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    )
+    block0 = cms_build(tokens0, "token")
+    (
+        spark.createDataFrame([(bytes(block0.tobytes()),)], "block binary")
+        .withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(sk_dir)
+    )
+    assert np.array_equal(read_sketch(spark, sk_dir), before)
+    assert compact_sketch(spark, sk_dir, upto_batch_id=2) == 2
+    assert np.array_equal(read_sketch(spark, sk_dir), before)
+    part_ids = {
+        r["batch_id"]
+        for r in spark.read.parquet(sk_dir).select("batch_id").distinct().collect()
+    }
+    assert part_ids == {COMPACTED_BATCH_ID}, part_ids
+    # idempotent no-op on an already-compacted table
+    assert compact_sketch(spark, sk_dir) == 2
