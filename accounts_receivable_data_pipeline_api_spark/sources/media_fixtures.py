@@ -14,7 +14,9 @@ Cache contract:
 - Synthesis is fully deterministic from the documents table, so a
   cache hit is value-identical to a fresh synthesis (the corpus entry
   stays hash-checkable).
-- The path is versioned (``v3``) the way the round-7 media cache tag
+- The path is versioned (``v4`` — v3 pre-dated the 8-file
+  repartition, and a stale v3 dir would silently keep the slow
+  ~32-tiny-file layout) the way the round-7 media cache tag
   was: payload-shape changes bump the version, never reuse a stale dir.
 - Writes go to a process-unique temp dir then ``os.rename`` into
   place — atomic on POSIX, so concurrent bench child processes race
@@ -32,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .star import load_table
 
-_CACHE_VERSION = "v3"
+_CACHE_VERSION = "v4"
 _PUBLISHED: dict[tuple[str, str], str] = {}
 
 #: codec -> synthesizer attribute on operators.multimodal

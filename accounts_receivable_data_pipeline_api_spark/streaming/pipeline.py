@@ -601,34 +601,16 @@ def token_frequency_sketch_stream(
     )
 
 
-def _cms_folded_upto(spark: SparkSession, sketch_dir: str) -> int | None:
-    """Watermark of the CMS compacted partition, read FROM ITS ROWS —
-    the same atomic fold+watermark contract as the HDR compactor
-    (CMS partials merge by elementwise SUM, which like HDR's cnt-SUM
-    is NOT idempotent, so a stamp file's crash window is unacceptable
-    here; see compact_hdr_registers)."""
-    fs, root, jvm = _registers_fs(spark, sketch_dir)
-    part_path = f"{sketch_dir}/batch_id={COMPACTED_BATCH_ID}"
-    if not fs.exists(jvm.org.apache.hadoop.fs.Path(part_path)):
-        return None
-    row = spark.read.parquet(part_path).agg(F.max("folded_upto")).collect()[0][0]
-    return None if row is None else int(row)
-
-
 def read_sketch(spark: SparkSession, sketch_dir: str, depth: int = 4, width: int = 2048):
     """Sum the per-batch CMS partials into the lifetime sketch. Batch
     partitions at or below the compacted watermark are EXCLUDED —
     their counts already live in the compacted block, and summing a
-    resurrected replayed partition twice would inflate every
-    estimate (the HDR read_hdr_registers rule)."""
+    resurrected replayed partition twice would inflate every estimate
+    (the non-idempotent-merge read rule; see _read_excluding_folded
+    for the reader-vs-compactor race contract)."""
     import numpy as np
 
-    mark = _cms_folded_upto(spark, sketch_dir)
-    df = spark.read.parquet(sketch_dir)
-    if mark is not None:
-        df = df.filter(
-            (F.col("batch_id") == COMPACTED_BATCH_ID) | (F.col("batch_id") > mark)
-        )
+    df = _read_excluding_folded(spark, sketch_dir)
     out = np.zeros((depth, width), dtype=np.int64)
     for row in df.select("block").collect():
         out += np.frombuffer(row["block"], dtype=np.int64).reshape(depth, width)
@@ -639,68 +621,24 @@ def compact_sketch(
     spark: SparkSession, sketch_dir: str, upto_batch_id: int | None = None
 ) -> int | None:
     """Fold closed CMS batch partials into the reserved batch_id=-1
-    partition — the count-min twin of compact_hdr_registers, same
-    SUM-merge replay contract: the folded block and its watermark
-    commit atomically in one partition overwrite (folded_upto lives IN
-    the row), reads exclude folded partitions from that instant, and
-    resurrected pre-watermark partitions are reclaimed on later
-    passes. State converges to ONE depth x width block + open batches
+    partition — the count-min instance of the shared non-idempotent-
+    merge compaction protocol (_compact_sum_partials): fold + watermark
+    commit atomically via in-row folded_upto, reads exclude folded
+    partitions, resurrected pre-watermark partitions are reclaimed.
+    State converges to ONE depth x width block + open batches
     regardless of stream lifetime."""
     import numpy as np
 
-    fs, root, jvm = _registers_fs(spark, sketch_dir)
-    if not fs.exists(root):
-        return None
-    live = []
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if name.startswith("batch_id=") and name != f"batch_id={COMPACTED_BATCH_ID}":
-            try:
-                live.append(int(name.split("=", 1)[1]))
-            except ValueError:
-                continue
-    mark = _cms_folded_upto(spark, sketch_dir)
-    if upto_batch_id is None:
-        upto_batch_id = max(live) - 1 if live else None
-    for b in (b for b in live if mark is not None and b <= mark):
-        fs.delete(
-            jvm.org.apache.hadoop.fs.Path(f"{sketch_dir}/batch_id={b}"), True
-        )
-    folds = sorted(
-        b
-        for b in live
-        if upto_batch_id is not None
-        and b <= upto_batch_id
-        and (mark is None or b > mark)
+    def merge(df: DataFrame) -> list[tuple]:
+        merged = None
+        for row in df.select("block").collect():
+            block = np.frombuffer(row["block"], dtype=np.int64)
+            merged = block.copy() if merged is None else merged + block
+        return [] if merged is None else [(bytes(merged.tobytes()),)]
+
+    return _compact_sum_partials(
+        spark, sketch_dir, upto_batch_id, merge, "block binary"
     )
-    if not folds:
-        return mark
-    new_mark = folds[-1] if mark is None else max(folds[-1], mark)
-    merged = None
-    rows = (
-        spark.read.parquet(sketch_dir)
-        .filter(F.col("batch_id").isin([COMPACTED_BATCH_ID] + folds))
-        .select("block")
-        .collect()
-    )
-    for row in rows:
-        block = np.frombuffer(row["block"], dtype=np.int64)
-        merged = block.copy() if merged is None else merged + block
-    (
-        spark.createDataFrame(
-            [(bytes(merged.tobytes()), new_mark)], "block binary, folded_upto long"
-        )
-        .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(sketch_dir)
-    )
-    for b in folds:
-        fs.delete(
-            jvm.org.apache.hadoop.fs.Path(f"{sketch_dir}/batch_id={b}"), True
-        )
-    return new_mark
 
 
 def distinct_sketch_stream(
@@ -1032,25 +970,126 @@ def quantile_sketch_stream(
     )
 
 
-def _hdr_folded_upto(spark: SparkSession, registers_dir: str) -> int | None:
-    """Watermark of the HDR compacted partition, read FROM ITS ROWS
-    (max folded_upto) — the fold and its watermark commit in the same
-    single-partition write, the atomicity SUM-merge needs (a stamp
-    file written before/after the fold would leave a crash window in
-    which folded batches double-count or drop)."""
-    fs, root, jvm = _registers_fs(spark, registers_dir)
-    part_path = f"{registers_dir}/batch_id={COMPACTED_BATCH_ID}"
+def _folded_upto(spark: SparkSession, state_dir: str) -> int | None:
+    """Watermark of a non-idempotent-merge state table's compacted
+    partition, read FROM ITS ROWS (max folded_upto) — the fold and its
+    watermark commit in the same single-partition write, the atomicity
+    SUM-merge needs (a stamp file written before/after the fold would
+    leave a crash window in which folded batches double-count or
+    drop). Reads the PARTITION directory, not the table root:
+    folded_upto exists only in the compacted partition's files, and a
+    root read with mergeSchema=false infers the schema from whichever
+    single file the reader happens to pick (round-9 review — a
+    live-batch file wins on some listings and the column vanishes).
+    COMPACTOR-side helper; readers use _read_excluding_folded, whose
+    single-snapshot contract closes the reader-vs-compactor race."""
+    fs, root, jvm = _registers_fs(spark, state_dir)
+    part_path = f"{state_dir}/batch_id={COMPACTED_BATCH_ID}"
     if not fs.exists(jvm.org.apache.hadoop.fs.Path(part_path)):
         return None
-    # read the PARTITION directory, not the table root: folded_upto
-    # exists only in the compacted partition's files, and a root read
-    # with mergeSchema=false infers the schema from whichever single
-    # file the reader happens to pick (round-9 review — a live-batch
-    # file wins on some listings and the column vanishes)
-    row = (
-        spark.read.parquet(part_path).agg(F.max("folded_upto")).collect()[0][0]
-    )
+    row = spark.read.parquet(part_path).agg(F.max("folded_upto")).collect()[0][0]
     return None if row is None else int(row)
+
+
+def _read_excluding_folded(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Read a batch-partitioned state table, excluding partitions the
+    compactor already folded (batch_id <= in-row watermark). Watermark
+    and data come from ONE spark.read (mergeSchema=true guarantees the
+    folded_upto column surfaces whenever any compacted file exists),
+    so both actions share the same resolved file-index snapshot — a
+    compaction committing between the watermark lookup and the data
+    read can never be half-seen, the double-count a two-read protocol
+    allows under a concurrent compactor (round-9 review #2). A file
+    deleted after this snapshot fails the read LOUDLY (retry) instead
+    of silently inflating counts."""
+    df = spark.read.option("mergeSchema", "true").parquet(state_dir)
+    if "folded_upto" not in df.columns:
+        return df
+    mark = df.agg(F.max("folded_upto")).collect()[0][0]
+    if mark is None:
+        return df
+    return df.filter(
+        (F.col("batch_id") == COMPACTED_BATCH_ID) | (F.col("batch_id") > int(mark))
+    )
+
+
+def _compact_sum_partials(
+    spark: SparkSession,
+    state_dir: str,
+    upto_batch_id: int | None,
+    merge,
+    schema: str,
+) -> int | None:
+    """Shared compaction protocol for SUM-merged (non-idempotent)
+    batch-partitioned state tables — one implementation so a protocol
+    fix can never land in one sketch family and miss another
+    (round-9 review #5). ``merge`` folds a DataFrame of partials
+    (compacted partition + fold-eligible batches) to a bounded list of
+    row tuples matching ``schema`` (WITHOUT folded_upto/batch_id —
+    the protocol stamps those). Steps, each crash-safe:
+
+      1. reclaim resurrected partitions at or below the current
+         watermark (reads already exclude them);
+      2. pick folds: live partitions in (watermark, upto_batch_id];
+         ``upto_batch_id`` must not exceed the stream's last COMMITTED
+         batch (default: all but the highest live partition — correct
+         for at-rest availableNow pipelines);
+      3. write merge(...) + folded_upto into batch_id=-1 in ONE
+         dynamic partition overwrite — fold and watermark commit
+         atomically, so the pre-delete coexistence window never
+         double-counts;
+      4. delete the folded partitions.
+
+    Zero-readable-row folds (a crashed writer's empty partition dir)
+    delete their dirs without touching the compacted partial. Single
+    concurrent compactor assumed, as with any table-maintenance job.
+    """
+    fs, root, jvm = _registers_fs(spark, state_dir)
+    if not fs.exists(root):
+        return None
+    live = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("batch_id=") and name != f"batch_id={COMPACTED_BATCH_ID}":
+            try:
+                live.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    mark = _folded_upto(spark, state_dir)
+    if upto_batch_id is None:
+        upto_batch_id = max(live) - 1 if live else None
+    for b in (b for b in live if mark is not None and b <= mark):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_dir}/batch_id={b}"), True)
+    folds = sorted(
+        b
+        for b in live
+        if upto_batch_id is not None
+        and b <= upto_batch_id
+        and (mark is None or b > mark)
+    )
+    if not folds:
+        return mark
+    new_mark = folds[-1] if mark is None else max(folds[-1], mark)
+    merged_rows = merge(
+        spark.read.option("mergeSchema", "true")
+        .parquet(state_dir)
+        .filter(F.col("batch_id").isin([COMPACTED_BATCH_ID] + folds))
+    )
+    if merged_rows:
+        (
+            spark.createDataFrame(merged_rows, schema)
+            .withColumn("folded_upto", F.lit(new_mark).cast("long"))
+            .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(state_dir)
+        )
+    for b in folds:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_dir}/batch_id={b}"), True)
+    # empty merge (no readable rows anywhere): nothing was written, so
+    # the watermark cannot advance — return the prior mark
+    return new_mark if merged_rows else mark
 
 
 def read_hdr_registers(spark: SparkSession, registers_dir: str) -> DataFrame:
@@ -1059,17 +1098,13 @@ def read_hdr_registers(spark: SparkSession, registers_dir: str) -> DataFrame:
     or below the compacted watermark are EXCLUDED — their counts
     already live in the compacted partial, and (SUM not being
     idempotent) folding a resurrected replayed partition twice would
-    inflate counts. Grouping includes hdr_sub_bits on purpose, the
+    inflate counts; see _read_excluding_folded for the snapshot
+    contract. Grouping includes hdr_sub_bits on purpose, the
     hll_m-guard pattern: partials under different sub_bits fold apart
     instead of silently merging."""
-    mark = _hdr_folded_upto(spark, registers_dir)
-    df = spark.read.parquet(registers_dir)
-    if mark is not None:
-        df = df.filter(
-            (F.col("batch_id") == COMPACTED_BATCH_ID) | (F.col("batch_id") > mark)
-        )
     return (
-        df.groupBy("exp", "sub", "lb", "ub", "hdr_sub_bits")
+        _read_excluding_folded(spark, registers_dir)
+        .groupBy("exp", "sub", "lb", "ub", "hdr_sub_bits")
         .agg(F.sum("cnt").alias("cnt"))
         .select("exp", "sub", "lb", "ub", "cnt", "hdr_sub_bits")
     )
@@ -1092,66 +1127,22 @@ def compact_hdr_registers(
          old batch re-creating its partition later, leaves partitions
          the read already ignores (batch_id <= folded_upto).
 
-    ``upto_batch_id`` must not exceed the stream's last COMMITTED
-    batch (default: all but the highest live partition — correct for
-    at-rest availableNow pipelines; pass an explicit bound when
-    compacting mid-flight). Single concurrent compactor assumed, as
-    with any table-maintenance job."""
-    fs, root, jvm = _registers_fs(spark, registers_dir)
-    if not fs.exists(root):
-        return None
-    live = []
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if name.startswith("batch_id=") and name != f"batch_id={COMPACTED_BATCH_ID}":
-            try:
-                live.append(int(name.split("=", 1)[1]))
-            except ValueError:
-                continue
-    mark = _hdr_folded_upto(spark, registers_dir)
-    if upto_batch_id is None:
-        upto_batch_id = max(live) - 1 if live else None
-    # resurrected pre-watermark partitions (a replayed old batch
-    # re-created its partition after compaction): every read already
-    # excludes them, so reclaim the dead files on every compaction
-    # pass — otherwise they are scanned-and-filtered forever
-    # (round-9 review)
-    for b in (b for b in live if mark is not None and b <= mark):
-        fs.delete(
-            jvm.org.apache.hadoop.fs.Path(f"{registers_dir}/batch_id={b}"), True
+    ``upto_batch_id`` caveats, resurrection reclaim, and crash-safety
+    live in the shared protocol (_compact_sum_partials); only the
+    merge — the hdr_sub_bits-grouped SUM — is HDR-specific."""
+
+    def merge(df: DataFrame) -> list:
+        return (
+            df.groupBy("exp", "sub", "lb", "ub", "hdr_sub_bits")
+            .agg(F.sum("cnt").alias("cnt"))
+            .select("exp", "sub", "lb", "ub", "cnt", "hdr_sub_bits")
+            .collect()
         )
-    folds = sorted(
-        b
-        for b in live
-        if upto_batch_id is not None
-        and b <= upto_batch_id
-        and (mark is None or b > mark)
+
+    return _compact_sum_partials(
+        spark,
+        registers_dir,
+        upto_batch_id,
+        merge,
+        "exp int, sub int, lb bigint, ub bigint, cnt bigint, hdr_sub_bits int",
     )
-    if not folds:
-        return mark
-    new_mark = folds[-1] if mark is None else max(folds[-1], mark)
-    merged_rows = (
-        spark.read.parquet(registers_dir)
-        .filter(F.col("batch_id").isin([COMPACTED_BATCH_ID] + folds))
-        .groupBy("exp", "sub", "lb", "ub", "hdr_sub_bits")
-        .agg(F.sum("cnt").alias("cnt"))
-        .select("exp", "sub", "lb", "ub", "cnt", "hdr_sub_bits")
-        .collect()
-    )
-    (
-        spark.createDataFrame(
-            merged_rows,
-            "exp int, sub int, lb bigint, ub bigint, cnt bigint, hdr_sub_bits int",
-        )
-        .withColumn("folded_upto", F.lit(new_mark).cast("long"))
-        .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(registers_dir)
-    )
-    for b in folds:
-        fs.delete(
-            jvm.org.apache.hadoop.fs.Path(f"{registers_dir}/batch_id={b}"), True
-        )
-    return new_mark
