@@ -346,3 +346,62 @@ RAW_OPS.update(
         "op_hdr_quantiles": (op_hdr_quantiles, "lineitem"),
     }
 )
+
+
+def op_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL training-corpus curation story, end to end — the
+    composition a 100 TB pretraining pipeline actually runs, probed
+    for throughput at every sf (scripts/scale_probe.py; probe-only,
+    not bench-gated — the per-stage operators carry the anchors):
+
+      1. quality gate        zero-shuffle projection (text.quality_score)
+      2. exact dedup         one md5-key shuffle (drop_exact_dups)
+      3. near-dup canonical  MinHash-LSH pairs -> components ->
+                             quality-argmax survivor (canonical_keep),
+                             iteration over pair ENDPOINTS only
+      4. decontamination     broadcast Bloom bitmap of benchmark grams
+                             (offline-built, cached like IVF/BPE)
+      5. split + accounting  content-addressed train/val/test stamp,
+                             per-split doc + token totals
+
+    Every stage's SEMANTICS is independently driver-oracled by its own
+    corpus entry (text_quality, dedup_exact_groups, dedup_canonical,
+    text_bloom_decontaminate, curation_splits); this composition
+    answers the remaining question — does the whole chain hold its
+    shape when the stages feed each other — with a measured number.
+    Output: one row per split (split, n_docs, n_tokens, n_flagged).
+    """
+    from ..operators import text
+    from ..operators.curation import assign_split
+
+    docs = _parallel_docs(spark, sf_dir)
+    if sf_dir not in _BLOOM_BITMAPS:
+        _BLOOM_BITMAPS[sf_dir] = text.bloom_build(
+            docs.filter(F.col("doc_id") % 37 == 0), n=5
+        )
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+
+    kept = corpus.filter(text.quality_score("text") > 0.2)
+    kept = dedup.drop_exact_dups(kept)
+    pairs = dedup.minhash_lsh_pairs(kept, verify_threshold=0.5)
+    decision = dedup.canonical_keep(kept, pairs, text.quality_score("text"))
+    survivors = kept.join(
+        decision.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
+    )
+    flags = text.decontaminate_bloom(survivors, _BLOOM_BITMAPS[sf_dir], n=5)
+    final = (
+        survivors.join(flags.select("doc_id", "flagged"), "doc_id")
+        .filter(~F.col("flagged"))
+    )
+    return (
+        assign_split(final, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(text.token_count("text")).alias("n_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+RAW_OPS.update({"op_curation_pipeline": (op_curation_pipeline, "documents")})
