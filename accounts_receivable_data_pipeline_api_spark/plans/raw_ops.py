@@ -129,16 +129,27 @@ def op_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOOM_BITMAPS: dict[str, bytes] = {}
 
 
-def op_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bloom_bitmap(spark: SparkSession, sf_dir: str, docs: DataFrame) -> bytes:
+    """The offline benchmark bitmap (doc_id % 37 == 0 holdout, 5-grams),
+    built once per sf_dir — ONE definition of the cache-key contract so
+    every op sharing _BLOOM_BITMAPS decontaminates against the same
+    gram set (round-9 review #3)."""
     from ..operators import text
 
-    docs = _parallel_docs(spark, sf_dir)
     if sf_dir not in _BLOOM_BITMAPS:
         _BLOOM_BITMAPS[sf_dir] = text.bloom_build(
             docs.filter(F.col("doc_id") % 37 == 0), n=5
         )
+    return _BLOOM_BITMAPS[sf_dir]
+
+
+def op_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text
+
+    docs = _parallel_docs(spark, sf_dir)
+    bitmap = _bloom_bitmap(spark, sf_dir, docs)
     return text.decontaminate_bloom(
-        docs.filter(F.col("doc_id") % 37 != 0), _BLOOM_BITMAPS[sf_dir], n=5
+        docs.filter(F.col("doc_id") % 37 != 0), bitmap, n=5
     )
 
 
@@ -375,10 +386,7 @@ def op_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import assign_split
 
     docs = _parallel_docs(spark, sf_dir)
-    if sf_dir not in _BLOOM_BITMAPS:
-        _BLOOM_BITMAPS[sf_dir] = text.bloom_build(
-            docs.filter(F.col("doc_id") % 37 == 0), n=5
-        )
+    bitmap = _bloom_bitmap(spark, sf_dir, docs)
     corpus = docs.filter(F.col("doc_id") % 37 != 0)
 
     kept = corpus.filter(text.quality_score("text") > 0.2)
@@ -388,17 +396,21 @@ def op_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = kept.join(
         decision.filter(F.col("keep")).select("doc_id"), "doc_id", "left_semi"
     )
-    flags = text.decontaminate_bloom(survivors, _BLOOM_BITMAPS[sf_dir], n=5)
-    final = (
-        survivors.join(flags.select("doc_id", "flagged"), "doc_id")
-        .filter(~F.col("flagged"))
+    flags = text.decontaminate_bloom(survivors, bitmap, n=5)
+    # flagged docs are EXCLUDED from the final corpus but COUNTED per
+    # split — the accounting the docstring promises (n_flagged), so
+    # the flag information survives into the output
+    stamped = assign_split(
+        survivors.join(flags.select("doc_id", "flagged"), "doc_id"), "doc_id"
     )
     return (
-        assign_split(final, "doc_id")
-        .groupBy("split")
+        stamped.groupBy("split")
         .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(text.token_count("text")).alias("n_tokens"),
+            F.sum(F.when(~F.col("flagged"), 1).otherwise(0)).alias("n_docs"),
+            F.sum(
+                F.when(~F.col("flagged"), text.token_count("text")).otherwise(0)
+            ).alias("n_tokens"),
+            F.sum(F.when(F.col("flagged"), 1).otherwise(0)).alias("n_flagged"),
         )
         .orderBy("split")
     )

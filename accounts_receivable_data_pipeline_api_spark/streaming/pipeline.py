@@ -620,11 +620,12 @@ def read_sketch(spark: SparkSession, sketch_dir: str, depth: int = 4, width: int
 def compact_sketch(
     spark: SparkSession, sketch_dir: str, upto_batch_id: int | None = None
 ) -> int | None:
-    """Fold closed CMS batch partials into the reserved batch_id=-1
-    partition — the count-min instance of the shared non-idempotent-
-    merge compaction protocol (_compact_sum_partials): fold + watermark
-    commit atomically via in-row folded_upto, reads exclude folded
-    partitions, resurrected pre-watermark partitions are reclaimed.
+    """Fold closed CMS batch partials into a compacted
+    generation — the count-min instance of the shared compaction
+    protocol (_compact_partials): fold + watermark commit atomically
+    (the watermark is the generation partition's NAME), reads exclude
+    folded partitions, resurrected pre-watermark partitions are
+    reclaimed.
     State converges to ONE depth x width block + open batches
     regardless of stream lifetime."""
     import numpy as np
@@ -636,7 +637,7 @@ def compact_sketch(
             merged = block.copy() if merged is None else merged + block
         return [] if merged is None else [(bytes(merged.tobytes()),)]
 
-    return _compact_sum_partials(
+    return _compact_partials(
         spark, sketch_dir, upto_batch_id, merge, "block binary"
     )
 
@@ -683,9 +684,14 @@ def distinct_sketch_stream(
     )
 
 
-#: Reserved partition for the folded lifetime partial. Streaming batch
-#: ids are non-negative, so -1 can never collide with a live batch.
-COMPACTED_BATCH_ID = -1
+def compacted_generation_id(mark: int) -> int:
+    """Partition id of the compacted GENERATION whose watermark is
+    ``mark``: -(mark + 2), so the watermark is encoded in the partition
+    NAME — committed atomically with the partition's own existence
+    (streaming batch ids are non-negative, so generations can never
+    collide with live batches; -1 is skipped so a legacy reserved
+    partition can never read as mark=-1)."""
+    return -(mark + 2)
 
 
 def _registers_fs(spark: SparkSession, registers_dir: str):
@@ -699,32 +705,22 @@ def _registers_fs(spark: SparkSession, registers_dir: str):
 
 
 def compaction_watermark(spark: SparkSession, registers_dir: str) -> int | None:
-    """Highest batch_id folded into the compacted partition, or None if
-    no compaction has run. Stored in an underscore-prefixed stamp file
-    (``_compacted_upto``) so parquet readers ignore it, like _SUCCESS."""
+    """Highest batch_id folded into a compacted generation, or None if
+    no compaction has run — decoded from the newest (most negative)
+    generation partition's NAME, never from file contents or a stamp
+    file, so there is no partially-written state to misread."""
     fs, root, jvm = _registers_fs(spark, registers_dir)
-    stamp = jvm.org.apache.hadoop.fs.Path(registers_dir + "/_compacted_upto")
-    if not fs.exists(stamp):
+    if not fs.exists(root):
         return None
-    stream = fs.open(stamp)
-    try:
-        vals = []
-        for _ in range(32):  # stamp is a small ASCII integer
-            b = stream.read()  # java int per byte, -1 at EOF
-            if b == -1:
-                break
-            vals.append(b)
-    finally:
-        stream.close()
-    try:
-        return int(bytes(vals).decode("ascii").strip())
-    except (UnicodeDecodeError, ValueError):
-        # a crash between fs.create's truncation and the write leaves
-        # an empty/garbled stamp; treat it as "no watermark" rather
-        # than failing every future compaction (round-9 review) —
-        # safe for HLL registers because re-folding already-compacted
-        # partials is a no-op under max-merge idempotence
-        return None
+    gens = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith("batch_id=-"):
+            try:
+                gens.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return None if not gens else -min(gens) - 2
 
 
 def compact_registers(
@@ -735,95 +731,46 @@ def compact_registers(
     distinct_sketch_stream grows n_batches x m rows; this folds every
     batch partition with batch_id <= ``upto_batch_id`` (default: all
     but the highest live batch, which may still be un-committed in the
-    stream's checkpoint) into the reserved ``batch_id=-1`` partition
-    and deletes the folded partitions, returning the new watermark.
+    stream's checkpoint) into a compacted GENERATION partition and
+    deletes the folded partitions, returning the new watermark.
+    Protocol, crash-windows, and generation mechanics live in the
+    shared _compact_partials; only the merge — groupBy-max per
+    (bucket, hll_m), exact by register-max idempotence — is
+    HLL-specific. The fold's result is collected through the driver on
+    purpose: it is bounded at m rows per distinct hll_m stamp (the
+    sketch size — state, not data)."""
 
-    Replay contract (same as the writer's): every step is safe against
-    a crash at any point AND against a replayed old batch re-creating
-    its partition afterwards, because register merge is max() —
-    associative, commutative, IDEMPOTENT:
-
-      1. write the fold (compacted partial + folded batches) into the
-         batch_id=-1 partition via dynamic partition overwrite. Crash
-         after: folded batches coexist with the compacted partial —
-         read_registers' max-fold is unchanged.
-      2. stamp ``_compacted_upto`` (underscore file — invisible to
-         parquet scans). Crash after: same as (1).
-      3. delete the folded batch partitions. Crash mid-way: leftovers
-         are duplicate partials — unchanged fold, next compaction
-         removes them. A REPLAYED batch <= watermark re-creating its
-         partition is the same case: its registers are already <= the
-         compacted maxima, so estimates never move (resurrection-proof
-         by idempotence, proven in test_streaming.py).
-
-    The fold's result is collected through the driver on purpose: it
-    is bounded at m rows per distinct hll_m stamp (the sketch size,
-    ~1024 rows — state, not data), and routing it through the driver
-    breaks the read-then-overwrite cycle on the register path without
-    a staging directory.
-    """
-    fs, root, jvm = _registers_fs(spark, registers_dir)
-    if not fs.exists(root):
-        return None
-    live = []
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if name.startswith("batch_id=") and name != f"batch_id={COMPACTED_BATCH_ID}":
-            try:
-                live.append(int(name.split("=", 1)[1]))
-            except ValueError:
-                continue
-    if upto_batch_id is None:
-        # default: everything but the highest live batch — the stream
-        # may not have committed it yet, and an uncommitted batch must
-        # stay replayable under its own partition
-        upto_batch_id = max(live) - 1 if live else None
-    folds = sorted(b for b in live if upto_batch_id is not None and b <= upto_batch_id)
-    if not folds:
-        return compaction_watermark(spark, registers_dir)
-    merged_rows = (
-        spark.read.parquet(registers_dir)
-        .filter(
-            F.col("batch_id").isin([COMPACTED_BATCH_ID] + folds)
+    def merge(df: DataFrame) -> list:
+        return (
+            df.groupBy("bucket", "hll_m")
+            .agg(F.max("max_rank").alias("max_rank"))
+            .select("bucket", "max_rank", "hll_m")
+            .collect()
         )
-        .groupBy("bucket", "hll_m")
-        .agg(F.max("max_rank").alias("max_rank"))
-        .select("bucket", "max_rank", "hll_m")
-        .collect()
+
+    return _compact_partials(
+        spark,
+        registers_dir,
+        upto_batch_id,
+        merge,
+        "bucket bigint, max_rank int, hll_m int",
     )
-    (
-        spark.createDataFrame(merged_rows, "bucket bigint, max_rank int, hll_m int")
-        .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(registers_dir)
-    )
-    new_mark = folds[-1]
-    prior = compaction_watermark(spark, registers_dir)
-    if prior is not None:
-        new_mark = max(new_mark, prior)
-    stamp = jvm.org.apache.hadoop.fs.Path(registers_dir + "/_compacted_upto")
-    out = fs.create(stamp, True)
-    try:
-        out.write(bytearray(str(new_mark).encode("ascii")))
-    finally:
-        out.close()
-    for b in folds:
-        fs.delete(
-            jvm.org.apache.hadoop.fs.Path(f"{registers_dir}/batch_id={b}"), True
-        )
-    return new_mark
 
 
 def read_registers(spark: SparkSession, registers_dir: str) -> DataFrame:
     """Fold the per-batch HLL partials into the lifetime register
-    table (bucket, max_rank, hll_m). Grouping includes the stamped
-    hll_m on purpose: partials written under different m values are
-    incompatible, and folding them apart (duplicate buckets) lets
-    hll_estimate's in-plan guard raise instead of silently merging."""
+    table (bucket, max_rank, hll_m). Reads through
+    _read_excluding_folded like every compactable state table — for
+    HLL the max-merge would tolerate double-folding a resurrected
+    partition anyway, but the shared read also protects against the
+    subtler hazard of MISSING state mid-compaction (generation
+    visibility, see _read_excluding_folded). Grouping includes the
+    stamped hll_m on purpose: partials written under different m
+    values are incompatible, and folding them apart (duplicate
+    buckets) lets hll_estimate's in-plan guard raise instead of
+    silently merging."""
     return (
-        spark.read.parquet(registers_dir)
+        _read_excluding_folded(spark, registers_dir)
         .groupBy("bucket", "hll_m")
         .agg(F.max("max_rank").alias("max_rank"))
         .select("bucket", "max_rank", "hll_m")  # hll_registers' layout
@@ -970,92 +917,96 @@ def quantile_sketch_stream(
     )
 
 
-def _folded_upto(spark: SparkSession, state_dir: str) -> int | None:
-    """Watermark of a non-idempotent-merge state table's compacted
-    partition, read FROM ITS ROWS (max folded_upto) — the fold and its
-    watermark commit in the same single-partition write, the atomicity
-    SUM-merge needs (a stamp file written before/after the fold would
-    leave a crash window in which folded batches double-count or
-    drop). Reads the PARTITION directory, not the table root:
-    folded_upto exists only in the compacted partition's files, and a
-    root read with mergeSchema=false infers the schema from whichever
-    single file the reader happens to pick (round-9 review — a
-    live-batch file wins on some listings and the column vanishes).
-    COMPACTOR-side helper; readers use _read_excluding_folded, whose
-    single-snapshot contract closes the reader-vs-compactor race."""
-    fs, root, jvm = _registers_fs(spark, state_dir)
-    part_path = f"{state_dir}/batch_id={COMPACTED_BATCH_ID}"
-    if not fs.exists(jvm.org.apache.hadoop.fs.Path(part_path)):
-        return None
-    row = spark.read.parquet(part_path).agg(F.max("folded_upto")).collect()[0][0]
-    return None if row is None else int(row)
-
-
 def _read_excluding_folded(spark: SparkSession, state_dir: str) -> DataFrame:
-    """Read a batch-partitioned state table, excluding partitions the
-    compactor already folded (batch_id <= in-row watermark). Watermark
-    and data come from ONE spark.read (mergeSchema=true guarantees the
-    folded_upto column surfaces whenever any compacted file exists),
-    so both actions share the same resolved file-index snapshot — a
-    compaction committing between the watermark lookup and the data
-    read can never be half-seen, the double-count a two-read protocol
-    allows under a concurrent compactor (round-9 review #2). A file
-    deleted after this snapshot fails the read LOUDLY (retry) instead
-    of silently inflating counts."""
-    df = spark.read.option("mergeSchema", "true").parquet(state_dir)
-    if "folded_upto" not in df.columns:
+    """Read a batch-partitioned state table under the GENERATION
+    protocol: keep the newest compacted generation (most negative
+    batch_id — its name encodes the highest watermark) plus the live
+    batches above that watermark; exclude older generations (their
+    contents are subsumed by the newest) and folded/resurrected
+    batches (their contents live in a generation — for SUM merges,
+    including them would double-count).
+
+    Race contract (round-9 reviews #2 and #3): generation and data
+    come from ONE spark.read, so both derive from the same resolved
+    file-index snapshot, and a generation is a SINGLE file written to
+    a FRESH partition id — it appears atomically and nothing existing
+    is ever overwritten in place, so there is no delete-then-rename
+    window in which prior folded history is invisible (the hazard of
+    a fixed compacted-partition id under dynamic overwrite). A
+    snapshot taken before a new generation lands still sees the old
+    generation AND the yet-undeleted fold sources — complete either
+    way; files deleted after the snapshot fail the read LOUDLY
+    (retry) instead of silently dropping counts."""
+    df = spark.read.parquet(state_dir)
+    gens = [
+        r[0]
+        for r in df.select("batch_id")
+        .filter(F.col("batch_id") < 0)
+        .distinct()
+        .collect()
+    ]
+    if not gens:
         return df
-    mark = df.agg(F.max("folded_upto")).collect()[0][0]
-    if mark is None:
-        return df
+    newest = min(gens)
+    mark = -newest - 2
     return df.filter(
-        (F.col("batch_id") == COMPACTED_BATCH_ID) | (F.col("batch_id") > int(mark))
+        (F.col("batch_id") == newest) | (F.col("batch_id") > mark)
     )
 
 
-def _compact_sum_partials(
+def _compact_partials(
     spark: SparkSession,
     state_dir: str,
     upto_batch_id: int | None,
     merge,
     schema: str,
 ) -> int | None:
-    """Shared compaction protocol for SUM-merged (non-idempotent)
-    batch-partitioned state tables — one implementation so a protocol
-    fix can never land in one sketch family and miss another
-    (round-9 review #5). ``merge`` folds a DataFrame of partials
-    (compacted partition + fold-eligible batches) to a bounded list of
-    row tuples matching ``schema`` (WITHOUT folded_upto/batch_id —
-    the protocol stamps those). Steps, each crash-safe:
+    """Shared compaction protocol for batch-partitioned sketch state
+    tables (HLL max-merge, HDR/CMS sum-merge) — one implementation so
+    a protocol fix can never land in one sketch family and miss
+    another (round-9 review #5). ``merge`` folds a DataFrame of
+    partials (newest generation + fold-eligible batches) to a bounded
+    list of row tuples matching ``schema`` (WITHOUT batch_id — the
+    protocol assigns the generation partition).
 
-      1. reclaim resurrected partitions at or below the current
-         watermark (reads already exclude them);
-      2. pick folds: live partitions in (watermark, upto_batch_id];
+    Generations (round-9 review #3): each fold is written as ONE file
+    into a FRESH partition batch_id = compacted_generation_id(mark) =
+    -(mark+2). Nothing is ever overwritten in place, so readers never
+    hit the delete-then-rename visibility window of a fixed compacted
+    partition; the watermark rides in the partition NAME, atomic with
+    the data. Steps, each crash-safe:
+
+      1. reclaim resurrected batches at or below the current watermark
+         (reads already exclude them);
+      2. pick folds: live batches in (watermark, upto_batch_id];
          ``upto_batch_id`` must not exceed the stream's last COMMITTED
          batch (default: all but the highest live partition — correct
          for at-rest availableNow pipelines);
-      3. write merge(...) + folded_upto into batch_id=-1 in ONE
-         dynamic partition overwrite — fold and watermark commit
-         atomically, so the pre-delete coexistence window never
-         double-counts;
-      4. delete the folded partitions.
+      3. write merge(newest generation + folds) into the NEW
+         generation partition (coalesce(1): single file => atomic
+         appearance);
+      4. delete the folded batches, then the superseded generations —
+         a crash mid-way leaves partitions every read already ignores,
+         reclaimed by the next pass.
 
     Zero-readable-row folds (a crashed writer's empty partition dir)
-    delete their dirs without touching the compacted partial. Single
-    concurrent compactor assumed, as with any table-maintenance job.
+    delete their dirs without writing a generation. Single concurrent
+    compactor assumed, as with any table-maintenance job.
     """
     fs, root, jvm = _registers_fs(spark, state_dir)
     if not fs.exists(root):
         return None
-    live = []
+    live, gens = [], []
     for st in fs.listStatus(root):
         name = st.getPath().getName()
-        if name.startswith("batch_id=") and name != f"batch_id={COMPACTED_BATCH_ID}":
+        if name.startswith("batch_id="):
             try:
-                live.append(int(name.split("=", 1)[1]))
+                b = int(name.split("=", 1)[1])
             except ValueError:
                 continue
-    mark = _folded_upto(spark, state_dir)
+            (gens if b < 0 else live).append(b)
+    mark = -min(gens) - 2 if gens else None
+    newest_gen = min(gens) if gens else None
     if upto_batch_id is None:
         upto_batch_id = max(live) - 1 if live else None
     for b in (b for b in live if mark is not None and b <= mark):
@@ -1068,28 +1019,38 @@ def _compact_sum_partials(
         and (mark is None or b > mark)
     )
     if not folds:
+        # still sweep superseded generations a crashed pass left behind
+        for g in (g for g in gens if g != newest_gen):
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{state_dir}/batch_id={g}"), True
+            )
         return mark
     new_mark = folds[-1] if mark is None else max(folds[-1], mark)
+    src_ids = folds if newest_gen is None else [newest_gen] + folds
     merged_rows = merge(
-        spark.read.option("mergeSchema", "true")
-        .parquet(state_dir)
-        .filter(F.col("batch_id").isin([COMPACTED_BATCH_ID] + folds))
+        spark.read.parquet(state_dir).filter(F.col("batch_id").isin(src_ids))
     )
     if merged_rows:
         (
             spark.createDataFrame(merged_rows, schema)
-            .withColumn("folded_upto", F.lit(new_mark).cast("long"))
-            .withColumn("batch_id", F.lit(COMPACTED_BATCH_ID))
+            .coalesce(1)
+            .withColumn("batch_id", F.lit(compacted_generation_id(new_mark)))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(state_dir)
         )
+    else:
+        # no readable rows anywhere: nothing to fold, watermark stays
+        new_mark = mark
     for b in folds:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{state_dir}/batch_id={b}"), True)
-    # empty merge (no readable rows anywhere): nothing was written, so
-    # the watermark cannot advance — return the prior mark
-    return new_mark if merged_rows else mark
+    for g in gens:
+        if merged_rows and g != compacted_generation_id(new_mark):
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(f"{state_dir}/batch_id={g}"), True
+            )
+    return new_mark
 
 
 def read_hdr_registers(spark: SparkSession, registers_dir: str) -> DataFrame:
@@ -1113,23 +1074,13 @@ def read_hdr_registers(spark: SparkSession, registers_dir: str) -> DataFrame:
 def compact_hdr_registers(
     spark: SparkSession, registers_dir: str, upto_batch_id: int | None = None
 ) -> int | None:
-    """Fold closed HDR batch partials into the reserved batch_id=-1
-    partition. The SUM-merge replay contract (stricter than the HLL
-    one):
-
-      1. the fold (old compacted partial + batch partitions <= upto)
-         is written into batch_id=-1 WITH folded_upto stamped in every
-         row — fold and watermark commit atomically in one partition
-         overwrite. From that instant read_hdr_registers excludes the
-         folded source partitions, so the pre-delete coexistence
-         window never double-counts.
-      2. folded partitions are deleted; a crash mid-way, or a replayed
-         old batch re-creating its partition later, leaves partitions
-         the read already ignores (batch_id <= folded_upto).
-
-    ``upto_batch_id`` caveats, resurrection reclaim, and crash-safety
-    live in the shared protocol (_compact_sum_partials); only the
-    merge — the hdr_sub_bits-grouped SUM — is HDR-specific."""
+    """Fold closed HDR batch partials into a compacted generation.
+    SUM merge is NOT idempotent, so correctness rides entirely on the
+    generation protocol (_compact_partials): the fold is a fresh
+    single-file partition whose NAME is the watermark, reads take the
+    newest generation + batches above it, folded/resurrected batches
+    are excluded and reclaimed. Only the merge — the
+    hdr_sub_bits-grouped SUM — is HDR-specific."""
 
     def merge(df: DataFrame) -> list:
         return (
@@ -1139,7 +1090,7 @@ def compact_hdr_registers(
             .collect()
         )
 
-    return _compact_sum_partials(
+    return _compact_partials(
         spark,
         registers_dir,
         upto_batch_id,

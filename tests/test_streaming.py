@@ -924,8 +924,8 @@ def test_compact_registers_estimate_invariant_and_replay_safe(spark, tmp_path):
         hll_registers,
     )
     from accounts_receivable_data_pipeline_api_spark.streaming import (
-        COMPACTED_BATCH_ID,
         compact_registers,
+        compacted_generation_id,
         compaction_watermark,
         distinct_sketch_stream,
         read_registers,
@@ -960,7 +960,7 @@ def test_compact_registers_estimate_invariant_and_replay_safe(spark, tmp_path):
         r["batch_id"]
         for r in spark.read.parquet(reg_dir).select("batch_id").distinct().collect()
     }
-    assert part_ids == {COMPACTED_BATCH_ID, 2}, part_ids
+    assert part_ids == {compacted_generation_id(1), 2}, part_ids
     after = {
         (r["bucket"], r["max_rank"], r["hll_m"])
         for r in read_registers(spark, reg_dir).collect()
@@ -995,7 +995,7 @@ def test_compact_registers_estimate_invariant_and_replay_safe(spark, tmp_path):
         r["batch_id"]
         for r in spark.read.parquet(reg_dir).select("batch_id").distinct().collect()
     }
-    assert part_ids == {COMPACTED_BATCH_ID}, part_ids
+    assert part_ids == {compacted_generation_id(2)}, part_ids
     final = {
         (r["bucket"], r["max_rank"], r["hll_m"])
         for r in read_registers(spark, reg_dir).collect()
@@ -1023,8 +1023,8 @@ def test_quantile_sketch_stream_matches_batch_and_compacts(spark, tmp_path):
         hdr_registers,
     )
     from accounts_receivable_data_pipeline_api_spark.streaming import (
-        COMPACTED_BATCH_ID,
         compact_hdr_registers,
+        compacted_generation_id,
         quantile_sketch_stream,
         read_hdr_registers,
     )
@@ -1078,7 +1078,7 @@ def test_quantile_sketch_stream_matches_batch_and_compacts(spark, tmp_path):
         r["batch_id"]
         for r in spark.read.parquet(reg_dir).select("batch_id").distinct().collect()
     }
-    assert part_ids == {COMPACTED_BATCH_ID, 2}, part_ids
+    assert part_ids == {compacted_generation_id(1), 2}, part_ids
     est_after = {
         (r["q"], r["q_lb"], r["q_ub"])
         for r in hdr_quantiles(read_hdr_registers(spark, reg_dir), []).collect()
@@ -1106,7 +1106,7 @@ def test_quantile_sketch_stream_matches_batch_and_compacts(spark, tmp_path):
         r["batch_id"]
         for r in spark.read.parquet(reg_dir).select("batch_id").distinct().collect()
     }
-    assert part_ids == {COMPACTED_BATCH_ID}, part_ids
+    assert part_ids == {compacted_generation_id(2)}, part_ids
 
 
 def test_compact_sketch_sum_invariant_and_resurrection_excluded(spark, tmp_path):
@@ -1122,8 +1122,8 @@ def test_compact_sketch_sum_invariant_and_resurrection_excluded(spark, tmp_path)
 
     from accounts_receivable_data_pipeline_api_spark.operators.sketch import cms_build
     from accounts_receivable_data_pipeline_api_spark.streaming import (
-        COMPACTED_BATCH_ID,
         compact_sketch,
+        compacted_generation_id,
         read_sketch,
         token_frequency_sketch_stream,
     )
@@ -1150,7 +1150,7 @@ def test_compact_sketch_sum_invariant_and_resurrection_excluded(spark, tmp_path)
         r["batch_id"]
         for r in spark.read.parquet(sk_dir).select("batch_id").distinct().collect()
     }
-    assert part_ids == {COMPACTED_BATCH_ID, 2}, part_ids
+    assert part_ids == {compacted_generation_id(1), 2}, part_ids
 
     # resurrection: batch 0's partial reappears after compaction; the
     # read must exclude it (elementwise SUM is not idempotent)
@@ -1173,6 +1173,6 @@ def test_compact_sketch_sum_invariant_and_resurrection_excluded(spark, tmp_path)
         r["batch_id"]
         for r in spark.read.parquet(sk_dir).select("batch_id").distinct().collect()
     }
-    assert part_ids == {COMPACTED_BATCH_ID}, part_ids
+    assert part_ids == {compacted_generation_id(2)}, part_ids
     # idempotent no-op on an already-compacted table
     assert compact_sketch(spark, sk_dir) == 2
