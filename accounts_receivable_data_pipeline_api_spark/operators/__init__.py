@@ -1,3 +1,3 @@
-from . import dedup, similarity, text  # noqa: F401
+from . import dedup, graph, similarity, text  # noqa: F401
 
-__all__ = ["dedup", "similarity", "text"]
+__all__ = ["dedup", "graph", "similarity", "text"]

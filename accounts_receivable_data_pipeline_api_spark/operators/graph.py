@@ -1,0 +1,192 @@
+"""Graph analytics over near-duplicate pair graphs ([EXT] north star).
+
+The dedup family (minhash/cosine/simhash pair miners + connected
+components in operators/dedup.py) produces an undirected PAIR GRAPH;
+this module adds the two classic whole-graph signals a curation
+pipeline derives from it:
+
+  pagerank_portable — power-iteration PageRank: which documents sit at
+                      the center of a duplication cluster (centrality is
+                      a standard spam / boilerplate-hub signal — hubs
+                      that near-duplicate against many pages rank high).
+  triangle_counts   — per-node triangle counts via the degree-ordered
+                      edge-iterator (compact-forward): local clustering
+                      density separates tight copy-cliques from loose
+                      chains at the same component size.
+
+Both are pure DataFrame compositions (no Python UDFs) whose per-round
+cost is bounded by O(|E|) shuffles, and both use deterministic math
+(fixed iteration counts, 6-dp per-term rounding + exact DECIMAL sums)
+so their full output hash-checks against an independent DuckDB
+formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import _release_checkpoint
+
+
+def pagerank_portable(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    damping: float = 0.85,
+    iterations: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """PageRank over an UNDIRECTED pair graph by fixed-round power
+    iteration: (node, rank) for every pair endpoint.
+
+    Determinism / oracle portability (the house recipe): per-edge
+    contributions are round()ed to ``round_dp`` and summed through
+    DECIMAL(28,dp) (order-free); every OTHER value — the initial 1/N
+    and each updated rank — is the RAW IEEE result of an identical op
+    sequence, never re-rounded. Rounding ranks looked safer but is the
+    known half-tie trap: a 6-dp rank times 1/deg lands EXACTLY on a
+    7th-digit tie whenever deg is 2/4/5/8/..., and Spark (shortest-
+    decimal-repr HALF_UP) and DuckDB (exact-binary) then round to
+    DIFFERENT sides (measured: 0.00144 vs 0.001439 in iteration 1).
+    Raw ranks keep mantissas long, so the per-term round sites are
+    tie-free with the same odds the BM25/tfidf entries rely on. The
+    damping constants are embedded via repr() by callers that mirror
+    this in SQL (1 - 0.85 in Python is 0.15000000000000002, NOT the
+    SQL literal 0.15 — interpolating repr() keeps both engines on the
+    same double).
+
+    Dangling mass: an undirected pair graph has no dangling nodes
+    (every endpoint has degree >= 1), so no redistribution term is
+    needed; rank mass is exactly conserved up to the per-term rounding.
+
+    Scale: the degree weighting is folded into the edge list ONCE
+    before the loop (edges_w = symmetric edges + 1/deg at the source),
+    so each round is exactly one equi-join (ranks ⋈ edges_w on src —
+    shuffle keyed by node id) and one map-side-combinable SUM keyed by
+    dst. State per round is one (node, rank) row per node; lineage is
+    truncated every round (localCheckpoint, released deterministically
+    when superseded — the iterative-operator rule from
+    connected_components). At 100 TB the joins shuffle O(|E|) rows of
+    (long, double) — no corpus text ever enters the loop.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # one-time fold of 1/deg onto the edges; the loop never touches deg
+    edges_w = (
+        sym.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("inv_deg"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    base = (1.0 - damping) / n  # python double; oracle interpolates repr()
+    ranks = nodes.select(
+        "node", F.lit(1.0 / n).alias("rank")
+    ).localCheckpoint(eager=True)
+    dec = f"decimal(28,{round_dp})"
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(edges_w, ranks.node == edges_w.src)
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("rank") * F.col("inv_deg"), round_dp)
+                .cast(dec)
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("double").alias("s"))
+        )
+        new_ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        _release_checkpoint(ranks)
+        ranks = new_ranks
+    # only the result-backing ranks checkpoint may survive the call
+    # (the components/minhash hygiene contract, asserted in
+    # tests/test_memory_hygiene.py)
+    _release_checkpoint(edges_w)
+    _release_checkpoint(nodes)
+    return ranks
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle counts over an undirected pair graph:
+    (node, n_triangles) for every pair endpoint (0 for endpoints in no
+    triangle).
+
+    Algorithm: the degree-ordered edge-iterator (Schank & Wagner's
+    compact-forward — the standard distributed formulation, e.g.
+    Suri & Vassilvitskii's MR-friendly variant). Edges are oriented
+    low -> high by the TOTAL order (degree, id); wedges are enumerated
+    only at their minimum-order apex and closed by joining the oriented
+    edge list. Orienting by degree bounds per-node out-degree by
+    O(sqrt(|E|)) on any graph, so wedge volume is O(|E|^{3/2}) worst
+    case instead of sum(deg^2) — the difference between a hub node
+    exploding the join and not. The (degree, id) tuple is compared as
+    a struct (Spark) / row value (SQL), never materialized as a global
+    rank — a global dense rank would need a one-partition window.
+
+    Plan: degree agg (one shuffle) -> orient (broadcastable-free
+    projection after one join back to degrees) -> wedge self-join on
+    the apex -> closing equi-join on (lo, hi) -> explode the 3 corners
+    -> count per node, left-joined back to endpoints so zero-triangle
+    nodes surface. All shuffles carry (long, long) pairs only.
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("a", "node")
+    # orient every canonical edge by the (deg, id) total order
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    # identical field names in both branches — a struct CASE/least is
+    # type-checked on field NAMES as well as types
+    ka = F.struct(F.col("deg_a").alias("deg"), F.col("a").alias("id"))
+    kb = F.struct(F.col("deg_b").alias("deg"), F.col("b").alias("id"))
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("hi"),
+            F.when(ka < kb, kb).otherwise(ka).alias("hi_key"),
+        )
+    )
+    w1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"), F.col("hi_key").alias("kv"))
+    w2 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w"), F.col("hi_key").alias("kw"))
+    # wedges at the minimum-order apex u; close with the oriented edge
+    # (v, w) — v precedes w in the order by construction (kv < kw)
+    wedges = w1.join(w2, "u").filter(F.col("kv") < F.col("kw")).select("u", "v", "w")
+    closing = oriented.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])
+    corner_counts = (
+        tri.select(F.explode(F.array("u", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.select("node")
+        .join(corner_counts, "node", "left")
+        .select("node", F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_triangles"))
+    )

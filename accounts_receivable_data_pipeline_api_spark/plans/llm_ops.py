@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators import dedup, similarity, text
+from ..operators import dedup, graph, similarity, text
 from ..operators.multimodal import attach_binary, decode_resize
 from ..sources.star import load_table
 from .registry import register
@@ -1533,9 +1533,63 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # operators/text.py:redact_pii, pinned in tests/test_operators.py.
 
 
+_PR_DAMPING = 0.85
+_PR_ITER = 3
+
+
+def _pagerank_ctes() -> tuple[str, str]:
+    """Unrolled power-iteration CTE chain for the PageRank oracle
+    (the kmeans playbook: a fixed iteration count unrolls to one CTE
+    level per round, each mirroring the Spark side's math op-for-op).
+    Returns (cte_sql, final_cte_name). Double-typing is explicit
+    everywhere: a bare ``1.0 / x`` in DuckDB is DECIMAL division, not
+    the IEEE double division Spark performs — and the damping constants
+    interpolate repr() because ``1 - 0.85`` in Python is
+    0.15000000000000002, NOT the SQL literal 0.15."""
+    one_minus = repr(1.0 - _PR_DAMPING)
+    damp = repr(_PR_DAMPING)
+    parts = [
+        """
+    prnodes AS (SELECT DISTINCT s AS node FROM edges),
+    prn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM prnodes),
+    prdeg AS (SELECT s AS node, COUNT(*) AS deg FROM edges GROUP BY s),
+    predge AS (
+      SELECT e.s, e.d AS dst, CAST(1.0 AS DOUBLE) / dg.deg AS inv_deg
+      FROM edges e JOIN prdeg dg ON dg.node = e.s
+    ),
+    pr0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM prn) AS r
+      FROM prnodes
+    )"""
+    ]
+    prev = "pr0"
+    for k in range(1, _PR_ITER + 1):
+        parts.append(
+            f""",
+    prc{k} AS (
+      SELECT e.dst AS node,
+             CAST(round(r.r * e.inv_deg, 6) AS DECIMAL(28,6)) AS c
+      FROM predge e JOIN {prev} r ON r.node = e.s
+    ),
+    pr{k} AS (
+      SELECT n.node,
+             CAST({one_minus} AS DOUBLE) / (SELECT n FROM prn)
+                 + CAST({damp} AS DOUBLE)
+                   * CAST(COALESCE(SUM(c.c), 0) AS DOUBLE) AS r
+      FROM prnodes n LEFT JOIN prc{k} c ON c.node = n.node
+      GROUP BY n.node
+    )"""
+        )
+        prev = f"pr{k}"
+    return "".join(parts), prev
+
+
+_PR_CTES, _PR_FINAL = _pagerank_ctes()
+
+
 @register(
     "dedup_components",
-    oracle="""
+    oracle=f"""
     WITH RECURSIVE v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
@@ -1555,22 +1609,74 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s, s FROM (SELECT DISTINCT s FROM edges)
       UNION
       SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+    ),
+    comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a),
+    {_PR_CTES},
+    tri AS (
+      SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+      FROM p e1
+        JOIN p e2 ON e2.id_a = e1.id_b
+        JOIN p e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    tcount AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+      FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+      GROUP BY node
     )
-    SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a
+    SELECT 'component' AS kind, node, component AS ival,
+           CAST(NULL AS DOUBLE) AS dval
+    FROM comp
+    UNION ALL
+    SELECT 'pagerank', node, CAST(NULL AS BIGINT), r FROM {_PR_FINAL}
+    UNION ALL
+    SELECT 'triangle', n.node, CAST(COALESCE(t.n_tri, 0) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM prnodes n LEFT JOIN tcount t ON t.node = n.node
     """,
-    tags=("EXT", "DEDUP"),
-    doc="Near-dup clusters: connected components over the exact "
-    "embedding-cosine pair graph via iterative min-label propagation "
-    "(operators/dedup.py:connected_components). Oracled as a recursive "
-    "reachability closure — the iterative Spark operator and the "
-    "recursive SQL agree exactly. The exact O(n^2) pair input is the "
-    "ORACLE-PARITY baseline only; dedup_components_lsh is the scale "
-    "path (LSH-blocked candidates, no cross join).",
+    tags=("EXT", "DEDUP", "GRAPH"),
+    doc="Graph-analytics gauntlet over the exact embedding-cosine pair "
+    "graph, one row group per algorithm (round-9 widening of the former "
+    "components-only entry; the component map keeps its full hash "
+    "check). kind='component' — connected components via iterative "
+    "min-label propagation (operators/dedup.py:connected_components), "
+    "oracled as a recursive reachability closure. kind='pagerank' — "
+    f"{_PR_ITER}-round power-iteration PageRank (operators/graph.py:"
+    "pagerank_portable): 6-dp per-term rounding + DECIMAL sums make the "
+    "fixed-round ranks bit-identical across engines (damping constants "
+    "interpolated via repr() — 1-0.85 in Python is not the SQL literal "
+    "0.15). kind='triangle' — per-node triangle counts via the degree-"
+    "ordered edge-iterator (operators/graph.py:triangle_counts); the "
+    "oracle counts triangles with an order-free canonical triple join, "
+    "so the check also proves the degree-ordering misses nothing. The "
+    "exact O(n^2) pair input is the ORACLE-PARITY baseline only; "
+    "dedup_components_lsh is the scale path for candidate generation "
+    "(LSH-blocked, no cross join).",
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = dedup.embedding_cosine_pairs(emb, threshold=0.3)
-    return dedup.connected_components(pairs)
+    # the pair graph feeds three independent consumers (two of them
+    # iterative); one eager checkpoint stops each from re-running the
+    # exact-cosine scoring
+    pairs = dedup.embedding_cosine_pairs(emb, threshold=0.3).localCheckpoint(eager=True)
+    comp = dedup.connected_components(pairs).select(
+        F.lit("component").alias("kind"),
+        "node",
+        F.col("component").cast("bigint").alias("ival"),
+        F.lit(None).cast("double").alias("dval"),
+    )
+    pr = graph.pagerank_portable(pairs, damping=_PR_DAMPING, iterations=_PR_ITER).select(
+        F.lit("pagerank").alias("kind"),
+        "node",
+        F.lit(None).cast("bigint").alias("ival"),
+        F.col("rank").alias("dval"),
+    )
+    tri = graph.triangle_counts(pairs).select(
+        F.lit("triangle").alias("kind"),
+        "node",
+        F.col("n_triangles").alias("ival"),
+        F.lit(None).cast("double").alias("dval"),
+    )
+    return comp.unionByName(pr).unionByName(tri)
 
 
 @register(

@@ -128,3 +128,41 @@ def test_table_cache_is_lru_bounded(spark, sf_dir):
     finally:
         star._TABLE_CACHE.clear()
         star._TABLE_CACHE.update(before)
+
+
+def test_pagerank_checkpoints_are_released(spark, sf_dir):
+    """pagerank_portable checkpoints the weighted edge list, the node
+    set, and every round's ranks; all but the result-backing final
+    ranks must be released deterministically before the call returns
+    (the connected_components hygiene contract)."""
+    import gc
+    import time
+
+    pairs = (
+        load_table(spark, sf_dir, "documents")
+        .limit(50)
+        .select(
+            (F.col("doc_id") % 10).alias("id_a"),
+            (F.col("doc_id") % 7 + 1).alias("id_b"),
+        )
+    )
+    from accounts_receivable_data_pipeline_api_spark.operators import graph
+
+    baseline = _n_persistent(spark)
+    graph.pagerank_portable(pairs, iterations=4).collect()
+    assert _n_persistent(spark) <= baseline + 1
+    del pairs
+    for _ in range(60):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        if _n_persistent(spark) <= baseline:
+            break
+        time.sleep(0.5)
+    residual = _n_persistent(spark)
+    assert residual <= baseline + 1
+    if residual > baseline:
+        pytest.skip(
+            "async ContextCleaner has not freed the single result-backing "
+            "checkpoint within 30 s (environment GC latency, not a leak: "
+            "the in-loop release bound held)"
+        )

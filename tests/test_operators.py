@@ -2611,3 +2611,117 @@ def test_cms_lookup_zero_traffic_item_estimates_zero(spark):
     # width 4096 over 3 distinct tokens: collision-free w.h.p., so the
     # never-seen item's cells are all absent -> exact zero estimate
     assert got["never-seen-domain.example"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_reference(pairs, damping=0.85, iterations=3, dp=6):
+    """Driver-side mirror of pagerank_portable's exact math (round-6
+    per-term contributions, order-free sums, raw IEEE rank updates)."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    nodes = sorted(adj)
+    n = len(nodes)
+    base = (1.0 - damping) / n
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        s = defaultdict(Decimal)
+        for u in nodes:
+            inv = 1.0 / len(adj[u])
+            c = round(r[u] * inv, dp)
+            for v in adj[u]:
+                s[v] += Decimal(repr(c))
+        r = {v: base + damping * float(s[v]) for v in nodes}
+    return r
+
+
+def test_pagerank_star_graph(spark):
+    """Hub-and-spokes: the hub out-ranks every leaf, leaves tie, and the
+    ranks equal the driver-side reference mirror bit-for-bit."""
+    from accounts_receivable_data_pipeline_api_spark.operators import graph
+
+    pairs_py = [(0, i) for i in range(1, 6)]
+    pairs = spark.createDataFrame(pairs_py, ["id_a", "id_b"])
+    got = {r.node: r["rank"] for r in graph.pagerank_portable(pairs).collect()}
+    ref = _pagerank_reference(pairs_py)
+    assert got == ref
+    assert got[0] > got[1]
+    assert len({got[i] for i in range(1, 6)}) == 1
+    # rank mass is conserved up to per-term rounding
+    assert abs(sum(got.values()) - 1.0) < 1e-4
+
+
+def test_pagerank_cycle_stays_uniform(spark):
+    """On a k-regular graph the uniform distribution is stationary:
+    every node keeps (approximately) rank 1/N through every round, and
+    symmetry is exact — all ranks identical."""
+    from accounts_receivable_data_pipeline_api_spark.operators import graph
+
+    n = 6
+    pairs = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], ["id_a", "id_b"]
+    )
+    got = [r["rank"] for r in graph.pagerank_portable(pairs).collect()]
+    assert len(set(got)) == 1
+    assert abs(got[0] - 1.0 / n) < 1e-5
+
+
+def test_pagerank_two_components_independent(spark):
+    """Disconnected components never exchange mass: a dense K3 and an
+    isolated edge produce rank profiles identical to running each
+    component alone (modulo the shared 1/N init)."""
+    from accounts_receivable_data_pipeline_api_spark.operators import graph
+
+    pairs_py = [(1, 2), (2, 3), (1, 3), (10, 11)]
+    pairs = spark.createDataFrame(pairs_py, ["id_a", "id_b"])
+    got = {r.node: r["rank"] for r in graph.pagerank_portable(pairs).collect()}
+    ref = _pagerank_reference(pairs_py)
+    assert got == ref
+    assert got[10] == got[11]
+
+
+def test_triangle_counts_known_graph(spark):
+    """Explicit fixture: one triangle with a pendant, a K4 (every node
+    in C(3,2)=3 triangles), and a triangle-free star."""
+    from accounts_receivable_data_pipeline_api_spark.operators import graph
+
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    edges += [(a, b) for a in (10, 11, 12, 13) for b in (10, 11, 12, 13) if a < b]
+    edges += [(20, 21), (20, 22), (20, 23)]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r.node: r.n_triangles for r in graph.triangle_counts(pairs).collect()}
+    expect = {1: 1, 2: 1, 3: 1, 4: 0, 10: 3, 11: 3, 12: 3, 13: 3,
+              20: 0, 21: 0, 22: 0, 23: 0}
+    assert got == expect
+
+
+def test_triangle_counts_random_vs_bruteforce(spark):
+    """Property: the degree-ordered edge-iterator counts exactly the
+    brute-force triangle set on seeded random graphs (including dup
+    pairs, reversed pairs, and self-loops, which must all be ignored
+    or canonicalized)."""
+    import itertools
+    import random
+
+    from accounts_receivable_data_pipeline_api_spark.operators import graph
+
+    for seed, n, m in [(11, 12, 25), (12, 20, 60), (13, 8, 40)]:
+        rng = random.Random(seed)
+        raw = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edge_set = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+        expect = {v: 0 for e in edge_set for v in e}
+        for x, y, z in itertools.combinations(sorted(expect), 3):
+            if {(x, y), (x, z), (y, z)} <= edge_set:
+                for v in (x, y, z):
+                    expect[v] += 1
+        pairs = spark.createDataFrame(raw, ["id_a", "id_b"])
+        got = {r.node: r.n_triangles for r in graph.triangle_counts(pairs).collect()}
+        assert got == expect, f"seed {seed}"

@@ -423,3 +423,26 @@ def test_hdr_sketch_partial_aggs_no_single_partition(spark, sf_dir):
     plan_q = _formatted(spark, hdr_quantiles(reg, ["l_returnflag"]))
     assert "SinglePartition" not in plan_q, plan_q
     assert "CartesianProduct" not in plan_q, plan_q
+
+
+def test_triangle_counts_equi_joins_only(spark, sf_dir):
+    """triangle_counts must stay pure equi-joins: the wedge join keys on
+    the apex node, the closing join on the (lo, hi) edge pair — no
+    cartesian/nested-loop product and no single-partition stage anywhere
+    (a global dense-rank formulation of the degree order would show up
+    as a SinglePartition window)."""
+    from accounts_receivable_data_pipeline_api_spark.operators.dedup import (
+        embedding_cosine_pairs,
+    )
+    from accounts_receivable_data_pipeline_api_spark.operators.graph import (
+        triangle_counts,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_cosine_pairs(emb, threshold=0.3).localCheckpoint(eager=True)
+    plan = _formatted(spark, triangle_counts(pairs))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert not re.findall(r"MapInPandas|ArrowEval", plan), plan
