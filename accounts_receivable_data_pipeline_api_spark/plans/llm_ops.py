@@ -194,10 +194,98 @@ _EXACT_JACCARD_CTE = f"""
 """
 
 
+# Deterministically corrupted vocabulary for the edit-distance row
+# group: the synthetic corpus vocabulary is too clean to contain
+# natural typos (probed: zero distance-1 pairs at any sf), so the
+# fixture derives misspellings from the corpus words themselves — the
+# media-fixture playbook (the MINER doesn't know which words were
+# corrupted; it must recover exactly the injected neighbors plus any
+# incidental ones). Three corruption families, each kept for the
+# md5-even half of eligible (len>=5) source words: delete the 2nd
+# char, duplicate the 3rd char, substitute the 1st char with 'z' —
+# one deletion, one insertion, one substitution, all at levenshtein
+# distance exactly 1 from their source.
+_EV_CTE = f"""
+    evbase AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(list_filter(string_split({_NORM_SQL}, ' '),
+                                  x -> x != '')) AS w
+        FROM documents WHERE doc_id < 200
+      ) WHERE length(w) >= 4
+    ),
+    evsrc AS (SELECT w FROM evbase WHERE length(w) >= 5),
+    evcor AS (
+      SELECT concat(substr(w, 1, 1), substr(w, 3)) AS w FROM evsrc
+      WHERE CAST('0x' || substr(md5(w || '|del'), 1, 8) AS BIGINT) % 2 = 0
+      UNION ALL
+      SELECT concat(substr(w, 1, 3), substr(w, 3)) FROM evsrc
+      WHERE CAST('0x' || substr(md5(w || '|dup'), 1, 8) AS BIGINT) % 2 = 0
+      UNION ALL
+      SELECT concat('z', substr(w, 2)) FROM evsrc
+      WHERE CAST('0x' || substr(md5(w || '|sub'), 1, 8) AS BIGINT) % 2 = 0
+        AND substr(w, 1, 1) != 'z'
+    ),
+    evvocab AS (
+      SELECT DISTINCT w FROM (
+        SELECT w FROM evbase UNION ALL
+        SELECT w FROM evcor WHERE length(w) >= 4
+      )
+    ),
+    evw AS (
+      SELECT w, CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) AS wid
+      FROM evvocab
+    ),
+    evpairs AS (
+      SELECT a.wid AS id_a, b.wid AS id_b,
+             CAST(levenshtein(a.w, b.w) AS DOUBLE) AS score
+      FROM evw a JOIN evw b ON a.wid < b.wid
+      WHERE levenshtein(a.w, b.w) <= 1
+    )
+"""
+
+
+def _noisy_vocab(docs: DataFrame) -> DataFrame:
+    """Spark twin of _EV_CTE's corrupted-vocabulary synthesis: one
+    column ``w``. Must mirror the SQL op-for-op (same normalization,
+    same md5 coin flips, same corruption expressions)."""
+    base = (
+        docs.select(
+            F.explode(F.split(dedup.normalized("text"), " ")).alias("w")
+        )
+        .filter((F.col("w") != "") & (F.length("w") >= 4))
+        .distinct()
+    )
+    src = base.filter(F.length("w") >= 5)
+
+    def _kept(tag: str):
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.col("w"), F.lit("|" + tag))), 1, 8),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+            == 0
+        )
+
+    del2 = src.filter(_kept("del")).select(
+        F.concat(F.substring("w", 1, 1), F.expr("substr(w, 3)")).alias("w")
+    )
+    dup3 = src.filter(_kept("dup")).select(
+        F.expr("concat(substr(w, 1, 3), substr(w, 3))").alias("w")
+    )
+    sub1 = src.filter(_kept("sub") & (F.substring("w", 1, 1) != "z")).select(
+        F.expr("concat('z', substr(w, 2))").alias("w")
+    )
+    corrupted = del2.unionAll(dup3).unionAll(sub1).filter(F.length("w") >= 4)
+    return base.unionAll(corrupted).distinct()
+
+
 @register(
     "dedup_near_pairs",
     oracle=f"""
     WITH {_EXACT_JACCARD_CTE},
+    {_EV_CTE},
     v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
     ),
@@ -249,6 +337,9 @@ _EXACT_JACCARD_CTE = f"""
     UNION ALL
     SELECT 'winnow_overlap' AS method, id_a, id_b, score
     FROM wj WHERE score >= 0.5
+    UNION ALL
+    SELECT 'edit_distance' AS method, id_a, id_b, score
+    FROM evpairs
     """,
     tags=("EXT", "DEDUP"),
     doc="Exact near-dup PAIR gauntlet, one row group per method "
@@ -267,7 +358,16 @@ _EXACT_JACCARD_CTE = f"""
     "zero-shuffle array projection; operators/dedup.py:"
     "winnow_overlap_pairs) at threshold 0.5 — substring-level copy "
     "detection whose fingerprints the oracle recomputes via the "
-    "window-min SQL formulation.",
+    "window-min SQL formulation; method='edit_distance' (round 9) — "
+    "fuzzy vocabulary matching via SymSpell deletion-neighborhood "
+    "blocking (operators/dedup.py:edit_distance_pairs, sound+complete "
+    "for d<=1, exact levenshtein verify) over a deterministically "
+    "corrupted corpus vocabulary (_noisy_vocab — the synthetic corpus "
+    "has zero natural typo pairs); ids are portable 48-bit md5 word "
+    "fingerprints, score = the exact edit distance, and the oracle "
+    "mines the same vocabulary with an UNBLOCKED all-pairs levenshtein "
+    "join, so the hash check also proves the deletion blocking misses "
+    "nothing.",
 )
 def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -287,7 +387,13 @@ def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.col("jaccard").alias("score"),
     )
-    return ngram.unionByName(cos).unionByName(winnow)
+    edit = dedup.edit_distance_pairs(_noisy_vocab(docs), word_col="w").select(
+        F.lit("edit_distance").alias("method"),
+        "id_a",
+        "id_b",
+        F.col("distance").cast("double").alias("score"),
+    )
+    return ngram.unionByName(cos).unionByName(winnow).unionByName(edit)
 
 
 @register(

@@ -446,3 +446,28 @@ def test_triangle_counts_equi_joins_only(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SinglePartition" not in plan, plan
     assert not re.findall(r"MapInPandas|ArrowEval", plan), plan
+
+
+def test_edit_distance_pairs_equi_join_no_cartesian(spark, sf_dir):
+    """edit_distance_pairs must key its one join on the deletion
+    variant string (SymSpell blocking) — no cartesian/nested-loop
+    product anywhere, no Python stage."""
+    from pyspark.sql import functions as F
+
+    from accounts_receivable_data_pipeline_api_spark.operators.dedup import (
+        edit_distance_pairs,
+        normalized,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(normalized("text"), " ")).alias("word"))
+        .distinct()
+    )
+    plan = _formatted(spark, edit_distance_pairs(vocab))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert not re.findall(r"MapInPandas|ArrowEval", plan), plan
+    assert "levenshtein" in plan, plan
