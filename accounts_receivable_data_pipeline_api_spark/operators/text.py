@@ -968,3 +968,121 @@ def compression_ratio(
             F.col("n_compressed").cast("double") / F.col("n_bytes").cast("double"),
         ),
     )
+
+
+def tfidf_query_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "query_text",
+) -> DataFrame:
+    """TF-IDF query retrieval: for each query, the k highest-scoring
+    documents under the same smoothed tf-idf weighting top_terms uses
+    (score(q, d) = sum over distinct query terms of
+    round(tf * (ln((N+1)/(df+1)) + 1), 6), decimal-summed) — the
+    second lexical ranker the RRF fusion entry pairs with BM25. BM25
+    length-normalizes and saturates tf; tf-idf doesn't — exactly the
+    kind of ranker disagreement reciprocal-rank fusion exploits.
+
+    Plan shape: identical to bm25_topk's pruned form — the broadcast
+    query vocabulary reduces BOTH token-join sides to query-term
+    postings before any shuffle (df stays exact corpus-wide math: the
+    docfreq agg runs full, only its JOIN is pruned), corpus size joins
+    in as a 1-row broadcast, and the final window partitions by
+    query_id over scored candidates only.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("token"))
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    qterms = queries.select(
+        F.col(qid_col), F.explode(tokens_expr(qtext_col)).alias("token")
+    ).distinct()
+    score6 = F.round(
+        F.col("tf")
+        * (
+            F.log((F.col("n_docs") + 1).cast("double") / (F.col("df_t") + 1))
+            + F.lit(1.0)
+        ),
+        6,
+    )
+    df_q = docfreq.join(F.broadcast(qterms.select("token").distinct()), "token")
+    scores = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(df_q), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy(qid_col, id_col)
+        .agg(F.sum(score6.cast("decimal(28,6)")).cast("double").alias("score"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "score", "rank")
+    )
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    rrf_k: int = 60,
+    topk: int = 10,
+    qid_col: str = "query_id",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR'09):
+    fuse per-query top-k lists from N rankers into one ranking with
+    score(q, d) = sum over rankers of 1 / (rrf_k + rank_r(q, d)),
+    summing only over rankers whose list contains d — the standard
+    hybrid-retrieval combiner (lexical + semantic, or two lexical
+    variants), robust because it consumes only RANKS, never the
+    rankers' incomparable score scales.
+
+    Determinism: each contribution is the raw IEEE quotient
+    1.0/(rrf_k + rank) — never rounded (1/(60+4) = 1/64 terminates but
+    1/128 = 0.0078125 is a 7-decimal half-tie: round()ing it is the
+    cross-engine tie trap). The per-(query, doc) sum folds
+    contributions in RANKER-INDEX order (array_sort over (ridx, c)
+    structs + F.aggregate — the index-order-fold idiom the cosine
+    oracle pair uses), so the float result is order-deterministic for
+    ANY ranker count; for <= 2 rankers a plain SUM is equivalent
+    (two-term IEEE addition is commutative), which is what a SQL
+    oracle can mirror.
+
+    Scale: inputs are already top-k lists (bounded by queries x k);
+    every shuffle here is tiny. Each ranking frame must carry
+    (qid_col, id_col, rank).
+    """
+    from pyspark.sql import Window
+
+    tagged = [
+        r.select(
+            F.col(qid_col),
+            F.col(id_col),
+            F.lit(i).alias("ridx"),
+            (
+                F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank").cast("double"))
+            ).alias("c"),
+        )
+        for i, r in enumerate(rankings)
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    fused = u.groupBy(qid_col, id_col).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("ridx", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("score")
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(qid_col, id_col, "score", "rank")
+    )

@@ -1576,6 +1576,39 @@ _BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
       SELECT query_id, doc_id,
              CAST(SUM(CAST(c AS DECIMAL(28,6))) AS DOUBLE) AS score
       FROM contrib GROUP BY query_id, doc_id
+    ),
+    bm25r AS (
+      SELECT query_id, doc_id, score, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id
+      ) AS rank FROM bm25
+    ),
+    tfq AS (
+      SELECT qt.query_id, s.doc_id,
+             CAST(SUM(CAST(s.score AS DECIMAL(28,6))) AS DOUBLE) AS score
+      FROM scored s JOIN qt USING (token)
+      GROUP BY qt.query_id, s.doc_id
+    ),
+    tfqr AS (
+      SELECT query_id, doc_id, score, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id
+      ) AS rank FROM tfq
+    ),
+    rrfc AS (
+      -- raw IEEE reciprocal-rank contributions, never rounded (1/128
+      -- is a 7-decimal half-tie); the 2-term SUM is commutative so a
+      -- plain aggregate mirrors Spark's ranker-index-ordered fold
+      SELECT query_id, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS c
+      FROM bm25r WHERE rank <= 20
+      UNION ALL
+      SELECT query_id, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank)
+      FROM tfqr WHERE rank <= 20
+    ),
+    rrfr AS (
+      SELECT query_id, doc_id, score, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id
+      ) AS rank
+      FROM (SELECT query_id, doc_id, SUM(c) AS score
+            FROM rrfc GROUP BY query_id, doc_id)
     )
     SELECT 'tfidf' AS method, CAST(NULL AS VARCHAR) AS query_id,
            doc_id, token, tf, score, rank
@@ -1587,11 +1620,11 @@ _BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
     UNION ALL
     SELECT 'bm25', query_id, doc_id, CAST(NULL AS VARCHAR),
            CAST(NULL AS BIGINT), score, rank
-    FROM (
-      SELECT *, ROW_NUMBER() OVER (
-        PARTITION BY query_id ORDER BY score DESC, doc_id
-      ) AS rank FROM bm25
-    ) WHERE rank <= 10
+    FROM bm25r WHERE rank <= 10
+    UNION ALL
+    SELECT 'rrf', query_id, doc_id, CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), score, rank
+    FROM rrfr WHERE rank <= 10
     """,
     tags=("EXT", "TEXT"),
     doc="Lexical scoring gauntlet, one row group per method (round-7 "
@@ -1604,8 +1637,16 @@ _BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
     "b=0.75) over a 3-query fixture: per-term contributions "
     "round-6-then-decimal-sum, avgdl as the raw IEEE quotient, "
     "broadcast query vocabulary pruning both token-join sides so no "
-    "corpus-wide table shuffles. Every score in both groups "
-    "hash-checks cross-engine.",
+    "corpus-wide table shuffles. method='rrf' (round 9) — reciprocal-"
+    "rank fusion (Cormack et al., SIGIR'09) of the BM25 top-20 and a "
+    "tf-idf query-retrieval top-20 (operators/text.py:"
+    "tfidf_query_topk + rrf_fuse): score = sum of raw-IEEE "
+    "1/(60+rank) contributions (never rounded — 1/128 is a 7-decimal "
+    "half-tie), folded in ranker-index order, re-ranked top-10 per "
+    "query — the standard hybrid-retrieval combiner. The bm25 row "
+    "group is the k<=10 prefix of the same k=20 ranking the fusion "
+    "consumes (one BM25 plan, two row groups). Every score in all "
+    "groups hash-checks cross-engine.",
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1621,7 +1662,10 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = docs.sparkSession.createDataFrame(
         _BM25_QUERIES, ["query_id", "query_text"]
     )
-    bm25 = text.bm25_topk(docs, queries, k=10).select(
+    # one BM25 ranking at k=20 feeds BOTH the bm25 row group (its
+    # rank<=10 prefix) and the fusion below
+    bm25_20 = text.bm25_topk(docs, queries, k=20)
+    bm25 = bm25_20.filter(F.col("rank") <= 10).select(
         F.lit("bm25").alias("method"),
         "query_id",
         "doc_id",
@@ -1630,7 +1674,17 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         "rank",
     )
-    return tfidf.unionByName(bm25)
+    tfq_20 = text.tfidf_query_topk(docs, queries, k=20)
+    rrf = text.rrf_fuse([bm25_20, tfq_20], rrf_k=60, topk=10).select(
+        F.lit("rrf").alias("method"),
+        "query_id",
+        "doc_id",
+        F.lit(None).cast("string").alias("token"),
+        F.lit(None).cast("bigint").alias("tf"),
+        "score",
+        "rank",
+    )
+    return tfidf.unionByName(bm25).unionByName(rrf)
 
 
 # text_redact_pii is merged into text_quality (round-5 consolidation):

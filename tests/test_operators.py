@@ -2811,3 +2811,78 @@ def test_edit_distance_pairs_min_len_and_d2_guard(spark):
     assert dedup.edit_distance_pairs(vocab, word_col="word").count() == 0
     with _pytest.raises(NotImplementedError):
         dedup.edit_distance_pairs(vocab, word_col="word", max_distance=2)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: tfidf_query_topk + reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_query_topk_manual(spark):
+    """4-doc fixture scored by hand: per-query scores are the decimal
+    sums of round-6 tf*idf terms over DISTINCT query tokens, ranked
+    score-desc with doc_id tie-break."""
+    import math
+
+    rows = [
+        (1, "hash join hash join hash"),
+        (2, "join table scan"),
+        (3, "window agg window"),
+        (4, "hash table"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    queries = spark.createDataFrame([("q1", "hash hash table")], ["query_id", "query_text"])
+    out = text.tfidf_query_topk(docs, queries, k=10).collect()
+    got = {(r.query_id, r.doc_id): (r.score, r.rank) for r in out}
+
+    def idf(df_t):
+        return math.log((4 + 1) / (df_t + 1)) + 1.0
+
+    # df: hash->2, table->2; 'hash hash table' dedupes to {hash, table}
+    s1 = round(3 * idf(2), 6)                      # doc 1: hash tf=3
+    s2 = round(1 * idf(2), 6)                      # doc 2: table tf=1
+    s4 = round(1 * idf(2), 6) + round(1 * idf(2), 6)  # doc 4: both
+    assert got == {
+        ("q1", 1): (s1, 1),
+        ("q1", 4): (s4, 2),
+        ("q1", 2): (s2, 3),
+    } or got[("q1", 1)][1] == 1  # doc 3 matches nothing
+    assert ("q1", 3) not in got
+    assert got[("q1", 1)][0] == s1
+    assert got[("q1", 4)][0] == s4
+    assert got[("q1", 2)][0] == s2
+    # ranking: s1 (3 hash hits) > s4 (two singles) > s2
+    assert [got[("q1", d)][1] for d in (1, 4, 2)] == [1, 2, 3]
+
+
+def test_rrf_fuse_manual_and_missing_docs(spark):
+    """Known rank lists: fused score = sum of 1/(60+rank) over the
+    rankers that list the doc; docs in only one list still surface;
+    final ranking re-sorts by fused score with doc-id tie-break."""
+    r1 = spark.createDataFrame(
+        [("q", 101, 1), ("q", 102, 2), ("q", 103, 3)],
+        ["query_id", "doc_id", "rank"],
+    )
+    r2 = spark.createDataFrame(
+        [("q", 102, 1), ("q", 104, 2)], ["query_id", "doc_id", "rank"]
+    )
+    out = {r.doc_id: (r.score, r.rank) for r in text.rrf_fuse([r1, r2]).collect()}
+    assert out[102] == (1.0 / 62 + 1.0 / 61, 1)
+    assert out[101] == (1.0 / 61, 2)
+    assert out[104] == (1.0 / 62, 3)
+    assert out[103] == (1.0 / 63, 4)
+
+
+def test_rrf_fuse_three_rankers_order_deterministic(spark):
+    """With >2 rankers the fold order matters in IEEE float; the
+    operator pins ranker-index order, so the score must equal the
+    left-to-right Python fold over rankers 0,1,2 exactly."""
+    frames = [
+        spark.createDataFrame([("q", 7, r)], ["query_id", "doc_id", "rank"])
+        for r in (3, 5, 11)
+    ]
+    out = text.rrf_fuse(frames, topk=5).collect()
+    expect = 0.0
+    for r in (3, 5, 11):
+        expect = expect + 1.0 / (60 + r)
+    assert len(out) == 1 and out[0].score == expect

@@ -471,3 +471,24 @@ def test_edit_distance_pairs_equi_join_no_cartesian(spark, sf_dir):
     assert "SinglePartition" not in plan, plan
     assert not re.findall(r"MapInPandas|ArrowEval", plan), plan
     assert "levenshtein" in plan, plan
+
+
+def test_tfidf_query_topk_broadcasts_query_vocabulary(spark, sf_dir):
+    """tfidf_query_topk must carry bm25_topk's scale contract: both
+    token joins reduce to the broadcast query vocabulary, corpus size
+    arrives as a 1-row broadcast, and no sort-merge join or cartesian
+    product appears in the executed plan."""
+    from accounts_receivable_data_pipeline_api_spark.operators.text import (
+        tfidf_query_topk,
+    )
+    from accounts_receivable_data_pipeline_api_spark.plans.llm_ops import _BM25_QUERIES
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
+    plan = _formatted(spark, tfidf_query_topk(docs, queries, k=20))
+    ops = re.findall(r"\n\(\d+\) (\S+)", plan)
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert sum(1 for op in ops if op == "BroadcastHashJoin") >= 3, ops
+    assert not re.findall(r"MapInPandas|ArrowEval", plan), plan
