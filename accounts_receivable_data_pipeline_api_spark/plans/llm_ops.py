@@ -1746,6 +1746,62 @@ def _pagerank_ctes() -> tuple[str, str]:
 
 _PR_CTES, _PR_FINAL = _pagerank_ctes()
 
+# Everything after the graph CTEs (v/p/edges/reach/comp) — shared with
+# scripts/sf1_oracle.py's capped-graph twin, which swaps in a capped
+# node subset but keeps the same CTE names and this same tail.
+GRAPH_GAUNTLET_ORACLE_TAIL = f"""{_PR_CTES},
+    tri AS (
+      SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+      FROM p e1
+        JOIN p e2 ON e2.id_a = e1.id_b
+        JOIN p e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    ),
+    tcount AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
+      FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+      GROUP BY node
+    )
+    SELECT 'component' AS kind, node, component AS ival,
+           CAST(NULL AS DOUBLE) AS dval
+    FROM comp
+    UNION ALL
+    SELECT 'pagerank', node, CAST(NULL AS BIGINT), r FROM {_PR_FINAL}
+    UNION ALL
+    SELECT 'triangle', n.node, CAST(COALESCE(t.n_tri, 0) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+    FROM prnodes n LEFT JOIN tcount t ON t.node = n.node
+"""
+
+
+def graph_gauntlet_over(emb: DataFrame) -> DataFrame:
+    """The dedup_components gauntlet body over an arbitrary embedding
+    frame — shared by the sf0.01 entry and the sf1 capped-graph twin
+    (scripts/sf1_oracle.py), so the scale harness exercises the exact
+    operators the driver checks."""
+    # the pair graph feeds three independent consumers (two of them
+    # iterative); one eager checkpoint stops each from re-running the
+    # exact-cosine scoring
+    pairs = dedup.embedding_cosine_pairs(emb, threshold=0.3).localCheckpoint(eager=True)
+    comp = dedup.connected_components(pairs).select(
+        F.lit("component").alias("kind"),
+        "node",
+        F.col("component").cast("bigint").alias("ival"),
+        F.lit(None).cast("double").alias("dval"),
+    )
+    pr = graph.pagerank_portable(pairs, damping=_PR_DAMPING, iterations=_PR_ITER).select(
+        F.lit("pagerank").alias("kind"),
+        "node",
+        F.lit(None).cast("bigint").alias("ival"),
+        F.col("rank").alias("dval"),
+    )
+    tri = graph.triangle_counts(pairs).select(
+        F.lit("triangle").alias("kind"),
+        "node",
+        F.col("n_triangles").alias("ival"),
+        F.lit(None).cast("double").alias("dval"),
+    )
+    return comp.unionByName(pr).unionByName(tri)
+
 
 @register(
     "dedup_components",
@@ -1771,27 +1827,7 @@ _PR_CTES, _PR_FINAL = _pagerank_ctes()
       SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
     ),
     comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a),
-    {_PR_CTES},
-    tri AS (
-      SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
-      FROM p e1
-        JOIN p e2 ON e2.id_a = e1.id_b
-        JOIN p e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
-    ),
-    tcount AS (
-      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri
-      FROM (SELECT unnest([x, y, z]) AS node FROM tri)
-      GROUP BY node
-    )
-    SELECT 'component' AS kind, node, component AS ival,
-           CAST(NULL AS DOUBLE) AS dval
-    FROM comp
-    UNION ALL
-    SELECT 'pagerank', node, CAST(NULL AS BIGINT), r FROM {_PR_FINAL}
-    UNION ALL
-    SELECT 'triangle', n.node, CAST(COALESCE(t.n_tri, 0) AS BIGINT),
-           CAST(NULL AS DOUBLE)
-    FROM prnodes n LEFT JOIN tcount t ON t.node = n.node
+    {GRAPH_GAUNTLET_ORACLE_TAIL}
     """,
     tags=("EXT", "DEDUP", "GRAPH"),
     doc="Graph-analytics gauntlet over the exact embedding-cosine pair "
@@ -1813,30 +1849,7 @@ _PR_CTES, _PR_FINAL = _pagerank_ctes()
     "(LSH-blocked, no cross join).",
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    # the pair graph feeds three independent consumers (two of them
-    # iterative); one eager checkpoint stops each from re-running the
-    # exact-cosine scoring
-    pairs = dedup.embedding_cosine_pairs(emb, threshold=0.3).localCheckpoint(eager=True)
-    comp = dedup.connected_components(pairs).select(
-        F.lit("component").alias("kind"),
-        "node",
-        F.col("component").cast("bigint").alias("ival"),
-        F.lit(None).cast("double").alias("dval"),
-    )
-    pr = graph.pagerank_portable(pairs, damping=_PR_DAMPING, iterations=_PR_ITER).select(
-        F.lit("pagerank").alias("kind"),
-        "node",
-        F.lit(None).cast("bigint").alias("ival"),
-        F.col("rank").alias("dval"),
-    )
-    tri = graph.triangle_counts(pairs).select(
-        F.lit("triangle").alias("kind"),
-        "node",
-        F.col("n_triangles").alias("ival"),
-        F.lit(None).cast("double").alias("dval"),
-    )
-    return comp.unionByName(pr).unionByName(tri)
+    return graph_gauntlet_over(load_table(spark, sf_dir, "embeddings"))
 
 
 @register(

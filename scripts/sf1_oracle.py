@@ -87,14 +87,17 @@ CAP_MOD = 29
 def _capped_components_build(spark, sf_dir):
     from pyspark.sql import functions as F
 
-    from accounts_receivable_data_pipeline_api_spark.operators import dedup
+    from accounts_receivable_data_pipeline_api_spark.plans.llm_ops import (
+        graph_gauntlet_over,
+    )
     from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
 
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % CAP_MOD == 0
     )
-    pairs = dedup.embedding_cosine_pairs(emb, threshold=0.3)
-    return dedup.connected_components(pairs)
+    # the full round-9 gauntlet (components + pagerank + triangles),
+    # not just the component map — same code path as the entry
+    return graph_gauntlet_over(emb)
 
 
 def _capped_components_lsh_build(spark, sf_dir):
@@ -174,10 +177,18 @@ _CAPPED_CLOSURE = f"""
     comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a)
 """
 
+def _capped_components_oracle() -> str:
+    from accounts_receivable_data_pipeline_api_spark.plans.llm_ops import (
+        GRAPH_GAUNTLET_ORACLE_TAIL,
+    )
+
+    return _CAPPED_CLOSURE + ", " + GRAPH_GAUNTLET_ORACLE_TAIL
+
+
 CAPPED_TWINS = {
     "dedup_components": (
         _capped_components_build,
-        _CAPPED_CLOSURE + "SELECT node, component FROM comp",
+        _capped_components_oracle(),
     ),
     "dedup_components_lsh": (
         _capped_components_lsh_build,
