@@ -72,6 +72,10 @@ def pagerank_portable(
     """
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # materialize the (possibly expensive) pair-generation pipeline
+    # exactly ONCE — deg, edges_w and nodes all read this checkpoint
+    # instead of re-running an LSH candidate build per consumer
+    sym = sym.localCheckpoint(eager=True)
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # one-time fold of 1/deg onto the edges; the loop never touches deg
     edges_w = (
@@ -79,7 +83,8 @@ def pagerank_portable(
         .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("inv_deg"))
         .localCheckpoint(eager=True)
     )
-    nodes = deg.select(F.col("src").alias("node")).localCheckpoint(eager=True)
+    _release_checkpoint(sym)
+    nodes = edges_w.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
         return nodes.select("node", F.lit(0.0).alias("rank"))
@@ -147,6 +152,12 @@ def triangle_counts(
     -> count per node, left-joined back to endpoints so zero-triangle
     nodes surface. All shuffles carry (long, long) pairs only.
     """
+    # the canonical edge list feeds FIVE plan branches (degree agg, two
+    # orientation joins, both wedge sides, the closing join); one eager
+    # checkpoint stops each branch from re-running the (possibly LSH-
+    # candidate-generating) pair pipeline — this is the call's one
+    # result-backing checkpoint (hygiene contract; swap for
+    # checkpoint(dir) on a cluster, as in connected_components)
     e = (
         pairs.select(
             F.least(F.col(id_a), F.col(id_b)).alias("a"),
@@ -154,6 +165,7 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("a", "node")

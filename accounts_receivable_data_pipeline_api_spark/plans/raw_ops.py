@@ -417,3 +417,54 @@ def op_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RAW_OPS.update({"op_curation_pipeline": (op_curation_pipeline, "documents")})
+
+def _lsh_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the SCALE path for graph construction: LSH-blocked candidates,
+    # exact-verified — never the O(n^2) oracle-parity cross join
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dedup.embedding_cosine_pairs_lsh(emb, dim=64, threshold=0.3)
+
+
+def op_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    return graph.pagerank_portable(_lsh_pair_graph(spark, sf_dir))
+
+
+def op_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import graph
+
+    return graph.triangle_counts(_lsh_pair_graph(spark, sf_dir))
+
+
+def op_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llm_ops import _noisy_vocab
+
+    return dedup.edit_distance_pairs(
+        _noisy_vocab(_parallel_docs(spark, sf_dir)), word_col="w"
+    )
+
+
+def op_rrf_fuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as text_ops
+    from .llm_ops import _BM25_QUERIES
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, ["query_id", "query_text"])
+    return text_ops.rrf_fuse(
+        [
+            text_ops.bm25_topk(docs, queries, k=20),
+            text_ops.tfidf_query_topk(docs, queries, k=20),
+        ],
+        topk=10,
+    )
+
+
+RAW_OPS.update(
+    {
+        "op_pagerank": (op_pagerank, "embeddings"),
+        "op_triangles": (op_triangles, "embeddings"),
+        "op_edit_pairs": (op_edit_pairs, "documents"),
+        "op_rrf_fuse": (op_rrf_fuse, "documents"),
+    }
+)

@@ -98,6 +98,10 @@ HEADLINE = (
     "op_hll_distinct",
     "op_span_excise",
     "op_hdr_quantiles",
+    "op_pagerank",
+    "op_triangles",
+    "op_edit_pairs",
+    "op_rrf_fuse",
 )
 
 # Invariant-summary entries whose in-entry exact twins are O(n^2) oracle
