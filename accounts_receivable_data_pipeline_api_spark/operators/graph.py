@@ -38,7 +38,10 @@ def pagerank_portable(
     round_dp: int = 6,
 ) -> DataFrame:
     """PageRank over an UNDIRECTED pair graph by fixed-round power
-    iteration: (node, rank) for every pair endpoint.
+    iteration: (node, rank) for every pair endpoint. Input pairs are
+    canonicalized first (low->high, self-loops dropped, duplicates
+    collapsed — the triangle_counts contract), so reversed or repeated
+    representations of the same undirected edge count one neighbor.
 
     Determinism / oracle portability (the house recipe): per-edge
     contributions are round()ed to ``round_dp`` and summed through
@@ -70,12 +73,25 @@ def pagerank_portable(
     connected_components). At 100 TB the joins shuffle O(|E|) rows of
     (long, double) — no corpus text ever enters the loop.
     """
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    # materialize the (possibly expensive) pair-generation pipeline
-    # exactly ONCE — deg, edges_w and nodes all read this checkpoint
-    # instead of re-running an LSH candidate build per consumer
-    sym = sym.localCheckpoint(eager=True)
+    # canonicalize like triangle_counts: low -> high orientation,
+    # self-loops out, duplicates collapsed — a caller handing both
+    # orientations of an undirected edge (or repeated pairs) must not
+    # double every degree, and a self-loop must not diverge from the
+    # set-semantics UNION a SQL twin uses for its symmetric edge list.
+    # The checkpoint sits BEFORE the self-union so the (possibly
+    # expensive, un-checkpointed) pair-generation pipeline materializes
+    # exactly ONCE — union-then-checkpoint puts two copies of the
+    # subtree under a single job and runs the pipeline twice.
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("src"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # one-time fold of 1/deg onto the edges; the loop never touches deg
     edges_w = (
@@ -83,10 +99,13 @@ def pagerank_portable(
         .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("inv_deg"))
         .localCheckpoint(eager=True)
     )
-    _release_checkpoint(sym)
+    _release_checkpoint(e)
     nodes = edges_w.select(F.col("src").alias("node")).distinct().localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
+        # edges_w is dead on this path (the returned frame reads only
+        # the nodes checkpoint) — release it like the normal exit does
+        _release_checkpoint(edges_w)
         return nodes.select("node", F.lit(0.0).alias("rank"))
     base = (1.0 - damping) / n  # python double; oracle interpolates repr()
     ranks = nodes.select(

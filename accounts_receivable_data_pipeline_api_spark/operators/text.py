@@ -1059,6 +1059,8 @@ def rrf_fuse(
     """
     from pyspark.sql import Window
 
+    if not rankings:
+        raise ValueError("rrf_fuse: rankings must be a non-empty list")
     tagged = [
         r.select(
             F.col(qid_col),

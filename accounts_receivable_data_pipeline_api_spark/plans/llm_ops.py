@@ -232,8 +232,11 @@ _EV_CTE = f"""
       )
     ),
     evw AS (
+      -- mirror edit_distance_pairs' max_len=64 cap (min_len=4 is
+      -- already enforced upstream in evbase/evcor) — without it a
+      -- 64+-char token would pair here while Spark drops it
       SELECT w, CAST('0x' || substr(md5(w), 1, 12) AS BIGINT) AS wid
-      FROM evvocab
+      FROM evvocab WHERE length(w) <= 64
     ),
     evpairs AS (
       SELECT a.wid AS id_a, b.wid AS id_b,
@@ -1800,6 +1803,12 @@ def graph_gauntlet_over(emb: DataFrame) -> DataFrame:
         F.col("n_triangles").alias("ival"),
         F.lit(None).cast("double").alias("dval"),
     )
+    # each consumer's returned plan is backed by its OWN eager
+    # checkpoint (labels / ranks / the canonical edge list), so the
+    # pairs checkpoint is dead once the three builds return — release
+    # it now rather than leaking one pinned RDD per gauntlet build
+    # (the hygiene contract in tests/test_memory_hygiene.py)
+    dedup._release_checkpoint(pairs)
     return comp.unionByName(pr).unionByName(tri)
 
 

@@ -2846,8 +2846,8 @@ def test_tfidf_query_topk_manual(spark):
         ("q1", 1): (s1, 1),
         ("q1", 4): (s4, 2),
         ("q1", 2): (s2, 3),
-    } or got[("q1", 1)][1] == 1  # doc 3 matches nothing
-    assert ("q1", 3) not in got
+    }
+    assert ("q1", 3) not in got  # doc 3 matches nothing
     assert got[("q1", 1)][0] == s1
     assert got[("q1", 4)][0] == s4
     assert got[("q1", 2)][0] == s2
