@@ -520,3 +520,208 @@ def cms_lookup(
         .groupBy("item")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / theta-style) sketch: the fifth sketch family —
+# "how much do these sets OVERLAP" next to HLL ("how many distinct"),
+# CMS ("how often"), HDR ("how distributed"), Bloom ("have I seen it").
+# An HLL register table estimates each group's cardinality but cannot
+# intersect two groups; the KMV sample CAN, because it keeps an actual
+# uniform sample of the distinct-value hash space: the k smallest
+# 48-bit fingerprints per group. Union/intersection/Jaccard between
+# any two groups then come from the samples alone — the theta-sketch
+# set-operation story (Dasgupta et al., "Theta sketch framework"), and
+# the Beyer et al. (SIGMOD'07) distinct-value estimator.
+#
+# Portability inventory (registry determinism rules): the sample is
+# EXACT integer selection — hv = md5-first-12-hex (48-bit BIGINT, the
+# HLL rank-hash idiom), per-group k smallest DISTINCT hv, positions by
+# integer ordering. No float enters until the final estimates:
+#   estimate      = (k-1) * 2^48 / hv_k   (one IEEE division of exact
+#                   doubles — hv < 2^48 and (k-1)*2^48 are both exact)
+#   jaccard       = c / k'                (exact small integers)
+#   intersection  = jaccard * union_est   (one multiply)
+# so every row of the sample AND every estimate hash-checks
+# cross-engine with no rounding contract at all.
+# ---------------------------------------------------------------------------
+
+#: Sample-hash width; shared with the HLL rank hash (12 hex = 48 bits).
+KMV_HASH_BITS = 48
+_KMV_SPACE = float(1 << KMV_HASH_BITS)  # 2^48 as an exact double
+
+
+def kmv_sample(
+    df: DataFrame,
+    item_col: str,
+    k: int = 256,
+    group_cols: tuple[str, ...] = (),
+    salt: str = "kmv",
+    shards: int = 32,
+) -> DataFrame:
+    """KMV sample: per group, the ``k`` smallest distinct 48-bit item
+    fingerprints as (group..., pos 1..k, hv BIGINT, kmv_k).
+
+    The sample IS the sketch: a uniform order-statistics sample of the
+    hashed distinct-value space. It merges by union + re-selection —
+    kmv_sample over a union of inputs equals the k smallest of the
+    unioned samples (min-k is multiset-invariant and composable), so
+    the same frame serves as partition partial, shard sketch, and
+    cross-day rollup, like the HLL register table.
+
+    Plan shape at 100 TB: one map-side-combinable distinct on
+    (group, hv), then a TWO-LEVEL bottom-k — a window per
+    (group, hv % shards) keeps each sort shard-local (never the
+    classic one-task-per-group window trap when groups are few), and
+    the final per-group window sorts at most shards * k survivor
+    rows. Output identical to a single per-group window (selection
+    commutes with sharding); the SQL oracle uses the naive
+    single-window form, so the cross-engine check also proves the
+    shard tree exact. NULL items quarantine, matching cms_build."""
+    item = F.col(item_col).cast("string")
+    hv = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), item)), 1, 12), 16, 10
+    ).cast("long")
+    from pyspark.sql import Window
+
+    base = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(*group_cols, hv.alias("hv"))
+        .distinct()
+    )
+    w1 = Window.partitionBy(*group_cols, F.col("hv") % shards).orderBy("hv")
+    lvl1 = (
+        base.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy("hv")
+    return (
+        lvl1.withColumn("pos", F.row_number().over(w2))
+        .filter(F.col("pos") <= k)
+        .select(*group_cols, F.col("pos").cast("int").alias("pos"), "hv")
+        # the sketch parameter travels WITH the sample (the hll_m
+        # policy): estimates are meaningless without the k the sample
+        # was built under, and kmv_estimate guards on it in-plan
+        .withColumn("kmv_k", F.lit(k).cast("int"))
+    )
+
+
+def kmv_estimate(
+    sample: DataFrame,
+    k: int = 256,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distinct-count estimate from a KMV sample: per group,
+    (kmv_k, n_observed, hv_k, estimate).
+
+    * n_observed < k — the group has fewer than k distinct hashes, so
+      the sample is the COMPLETE distinct-hash set and the estimate is
+      exactly n_observed (the theta = 1 branch of a theta sketch);
+    * otherwise the Beyer et al. unbiased estimator
+      (k - 1) * 2^48 / hv_k, where hv_k (the largest sampled hv) is
+      the k-th order statistic of the hashed space. One IEEE division
+      of exactly-representable doubles — deterministic cross-engine
+      with no rounding recipe needed.
+
+    In-plan k-mismatch guard (the hll_estimate policy): a persisted
+    sample read back under a different k would silently re-scale the
+    estimator, so a kmv_k != k raises at execution."""
+    checked = sample.withColumn(
+        "_hv_ok",
+        F.when(F.col("kmv_k") == F.lit(k), F.col("hv")).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"kmv_estimate(k={k}) over a sample built with a "
+                    "different k (see the sample's kmv_k column)"
+                )
+            ).cast("long")
+        ),
+    )
+    agg = checked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_observed"),
+        F.max("_hv_ok").cast("long").alias("hv_k"),
+    )
+    numer = float(k - 1) * _KMV_SPACE  # exact double: small int * 2^48
+    est = F.when(
+        F.col("n_observed") < k, F.col("n_observed").cast("double")
+    ).otherwise(F.lit(numer) / F.col("hv_k").cast("double"))
+    return agg.select(
+        *group_cols,
+        F.lit(k).cast("int").alias("kmv_k"),
+        "n_observed",
+        "hv_k",
+        est.alias("estimate"),
+    )
+
+
+def kmv_overlap(
+    sample: DataFrame,
+    group_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Set-operation estimates for every unordered PAIR of groups in a
+    KMV sample table: (group_a, group_b, kmv_k, n_union_obs, n_common,
+    hv_k, jaccard, union_est, intersect_est), group_a < group_b.
+
+    The union sketch of two groups is the k smallest of their combined
+    samples (selection composes); its threshold theta_U is <= BOTH
+    groups' own thresholds (the union k-min is a subset of the merged
+    k-mins), so for every hv in the union sample, membership of the
+    underlying item in set A is decidable FROM SAMPLE A alone — the
+    soundness condition of the Beyer et al. intersection estimator.
+    Then with k' = min(k, |union distinct|):
+
+      jaccard       = n_common / k'          (exact integers)
+      union_est     = KMV estimate of the union sample
+      intersect_est = jaccard * union_est    (one multiply)
+
+    Everything before the two final float ops is exact integer
+    selection, so the whole output hash-checks cross-engine. Cost:
+    the sample table is bounded at groups * k rows, so every join
+    here is over bounded frames — pair enumeration never touches the
+    corpus."""
+    from pyspark.sql import Window
+
+    s = sample.select(F.col(group_col).alias("g"), "pos", "hv", "kmv_k")
+    groups = s.select("g").distinct()
+    prs = (
+        groups.select(F.col("g").alias("g_a"))
+        .crossJoin(groups.select(F.col("g").alias("g_b")))
+        .filter(F.col("g_a") < F.col("g_b"))
+    )
+    # one equi-join per side (an OR join would not hash-partition)
+    in_a = prs.join(s.select(F.col("g").alias("g_a"), "hv"), "g_a").select(
+        "g_a", "g_b", "hv", F.lit(1).alias("a"), F.lit(0).alias("b")
+    )
+    in_b = prs.join(s.select(F.col("g").alias("g_b"), "hv"), "g_b").select(
+        "g_a", "g_b", "hv", F.lit(0).alias("a"), F.lit(1).alias("b")
+    )
+    merged = (
+        in_a.unionByName(in_b)
+        .groupBy("g_a", "g_b", "hv")
+        .agg(F.max("a").alias("in_a"), F.max("b").alias("in_b"))
+    )
+    w = Window.partitionBy("g_a", "g_b").orderBy("hv")
+    topk = merged.withColumn("pos", F.row_number().over(w)).filter(F.col("pos") <= k)
+    agg = topk.groupBy("g_a", "g_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_obs"),
+        F.max("hv").cast("long").alias("hv_k"),
+        F.sum((F.col("in_a") * F.col("in_b")).cast("long")).alias("n_common"),
+    )
+    numer = float(k - 1) * _KMV_SPACE
+    union_est = F.when(
+        F.col("n_union_obs") < k, F.col("n_union_obs").cast("double")
+    ).otherwise(F.lit(numer) / F.col("hv_k").cast("double"))
+    jac = F.col("n_common").cast("double") / F.col("n_union_obs").cast("double")
+    return agg.select(
+        F.col("g_a"),
+        F.col("g_b"),
+        F.lit(k).cast("int").alias("kmv_k"),
+        "n_union_obs",
+        "n_common",
+        "hv_k",
+        jac.alias("jaccard"),
+        union_est.alias("union_est"),
+        (jac * union_est).alias("intersect_est"),
+    )

@@ -468,3 +468,20 @@ RAW_OPS.update(
         "op_rrf_fuse": (op_rrf_fuse, "documents"),
     }
 )
+
+
+def op_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation sketch at corpus scale: per-event-type k-min
+    samples over user_id, then pairwise union/intersection/Jaccard
+    estimates between event types — audience-overlap without a
+    corpus-sized set intersection. The only corpus-sized work is the
+    distinct + two-level shard-tree bottom-k inside kmv_sample; every
+    overlap join runs on frames bounded at groups * k rows."""
+    from ..operators.sketch import kmv_overlap, kmv_sample
+
+    events = load_table(spark, sf_dir, "events")
+    sample = kmv_sample(events, "user_id", k=256, group_cols=("event_type",))
+    return kmv_overlap(sample, "event_type", k=256)
+
+
+RAW_OPS.update({"op_kmv_overlap": (op_kmv_overlap, "events")})

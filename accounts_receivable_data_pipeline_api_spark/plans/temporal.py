@@ -105,6 +105,9 @@ def _hll_oracle() -> str:
     hash_space = float(1 << HLL_HASH_BITS)  # 2^48
     msq_scaled = float(1024) * float(1024) * float(scale_pow)
     large_thresh = hash_space / 30.0
+    # KMV: (k-1) * 2^48 as ONE exact double literal, embedded via
+    # repr() on both engines (the Beyer et al. estimator numerator)
+    kmv_numer = float(256 - 1) * hash_space
     return f"""
     WITH items AS (
       SELECT o_orderstatus, CAST(o_custkey AS VARCHAR) AS item
@@ -196,7 +199,75 @@ def _hll_oracle() -> str:
       FROM wpos p LEFT JOIN ccnt c ON c.d = p.d AND c.pos = p.pos
       GROUP BY p.item, p.exact_cnt
     ),
-    ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders)
+    ntot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+    -- KMV sample: the NAIVE single-window formulation (the Spark side
+    -- runs a two-level shard tree with identical output, so this
+    -- comparison also proves the shard tree exact)
+    kitems AS (
+      SELECT DISTINCT o_orderstatus,
+             CAST('0x' || substr(md5('kmv:' || CAST(o_custkey AS VARCHAR)),
+                                 1, 12) AS BIGINT) AS hv
+      FROM orders
+    ),
+    ksamp AS (
+      SELECT o_orderstatus, hv, pos FROM (
+        SELECT o_orderstatus, hv,
+               CAST(row_number() OVER (PARTITION BY o_orderstatus
+                                       ORDER BY hv) AS INT) AS pos
+        FROM kitems
+      ) WHERE pos <= 256
+    ),
+    kest AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_obs,
+             CAST(MAX(hv) AS BIGINT) AS hv_k,
+             CASE WHEN COUNT(*) < 256 THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE {kmv_numer!r} / CAST(MAX(hv) AS DOUBLE) END AS estimate
+      FROM ksamp GROUP BY o_orderstatus
+    ),
+    kg AS (SELECT DISTINCT o_orderstatus AS g FROM orders),
+    kpr AS (SELECT a.g AS g_a, b.g AS g_b FROM kg a JOIN kg b ON a.g < b.g),
+    kmerged AS (
+      SELECT p.g_a, p.g_b, s.hv,
+             MAX(CASE WHEN s.o_orderstatus = p.g_a THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN s.o_orderstatus = p.g_b THEN 1 ELSE 0 END) AS in_b
+      FROM kpr p JOIN ksamp s ON s.o_orderstatus IN (p.g_a, p.g_b)
+      GROUP BY p.g_a, p.g_b, s.hv
+    ),
+    ktop AS (
+      SELECT g_a, g_b, hv, in_a, in_b FROM (
+        SELECT g_a, g_b, hv, in_a, in_b,
+               row_number() OVER (PARTITION BY g_a, g_b ORDER BY hv) AS pos
+        FROM kmerged
+      ) WHERE pos <= 256
+    ),
+    kov AS (
+      SELECT g_a, g_b,
+             CAST(COUNT(*) AS BIGINT) AS n_union_obs,
+             CAST(MAX(hv) AS BIGINT) AS hv_k,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_common
+      FROM ktop GROUP BY g_a, g_b
+    ),
+    kov2 AS (
+      SELECT g_a, g_b, n_union_obs, hv_k,
+             CAST(n_common AS DOUBLE) / CAST(n_union_obs AS DOUBLE) AS jaccard,
+             CASE WHEN n_union_obs < 256 THEN CAST(n_union_obs AS DOUBLE)
+                  ELSE {kmv_numer!r} / CAST(hv_k AS DOUBLE) END AS union_est
+      FROM kov
+    ),
+    kcu AS (SELECT DISTINCT o_orderstatus AS g, o_custkey AS c FROM orders),
+    kisect AS (
+      SELECT p.g_a, p.g_b, CAST(COUNT(*) AS BIGINT) AS exact_isect
+      FROM kpr p
+        JOIN kcu a ON a.g = p.g_a
+        JOIN kcu b ON b.g = p.g_b AND b.c = a.c
+      GROUP BY p.g_a, p.g_b
+    ),
+    kuni AS (
+      SELECT p.g_a, p.g_b, CAST(COUNT(DISTINCT s.c) AS BIGINT) AS exact_uni
+      FROM kpr p JOIN kcu s ON s.g IN (p.g_a, p.g_b)
+      GROUP BY p.g_a, p.g_b
+    )
     SELECT 'spark_hllpp' AS kind, o_orderstatus, exact_customers, n_orders,
            TRUE AS within_bound,
            CAST(NULL AS BIGINT) AS hll_bucket, CAST(NULL AS INT) AS hll_rank,
@@ -205,12 +276,16 @@ def _hll_oracle() -> str:
            CAST(NULL AS DOUBLE) AS hll_estimate,
            CAST(NULL AS INT) AS cms_d, CAST(NULL AS BIGINT) AS cms_pos,
            CAST(NULL AS BIGINT) AS cms_cnt, CAST(NULL AS VARCHAR) AS cms_item,
-           CAST(NULL AS BIGINT) AS cms_est, CAST(NULL AS BIGINT) AS cms_exact
+           CAST(NULL AS BIGINT) AS cms_est, CAST(NULL AS BIGINT) AS cms_exact,
+           CAST(NULL AS INT) AS kmv_pos, CAST(NULL AS BIGINT) AS kmv_hv,
+           CAST(NULL AS DOUBLE) AS kmv_est, CAST(NULL AS DOUBLE) AS kmv_jaccard,
+           CAST(NULL AS DOUBLE) AS kmv_union
     FROM ex
     UNION ALL
     SELECT 'hll_register', o_orderstatus, NULL, NULL, NULL,
            bucket, max_rank, NULL, NULL, NULL, NULL,
-           NULL, NULL, NULL, NULL, NULL, NULL
+           NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL
     FROM reg
     UNION ALL
     SELECT 'hll_estimate', e.o_orderstatus, x.exact_customers, NULL,
@@ -218,20 +293,51 @@ def _hll_oracle() -> str:
              / CAST(x.exact_customers AS DOUBLE) <= 0.15,
            NULL, NULL, CAST(1024 AS INT), e.n_observed, e.sum_scaled,
            e.estimate,
-           NULL, NULL, NULL, NULL, NULL, NULL
+           NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL
     FROM est2 e JOIN ex x USING (o_orderstatus)
     UNION ALL
     SELECT 'cms_counter', CAST(NULL AS VARCHAR), NULL, NULL, NULL,
            NULL, NULL, NULL, NULL, NULL, NULL,
-           d, pos, cnt, NULL, NULL, NULL
+           d, pos, cnt, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL
     FROM ccnt
     UNION ALL
     SELECT 'cms_estimate', CAST(NULL AS VARCHAR), NULL, ntot.n,
            w.est >= w.exact_cnt
              AND (w.est - w.exact_cnt) * 512 <= 3 * ntot.n,
            NULL, NULL, NULL, NULL, NULL, NULL,
-           NULL, NULL, NULL, w.item, w.est, w.exact_cnt
+           NULL, NULL, NULL, w.item, w.est, w.exact_cnt,
+           NULL, NULL, NULL, NULL, NULL
     FROM west w CROSS JOIN ntot
+    UNION ALL
+    SELECT 'kmv_sample', o_orderstatus, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL, NULL,
+           pos, hv, NULL, NULL, NULL
+    FROM ksamp
+    UNION ALL
+    SELECT 'kmv_estimate', e.o_orderstatus, x.exact_customers, NULL,
+           abs(e.estimate - CAST(x.exact_customers AS DOUBLE))
+             / CAST(x.exact_customers AS DOUBLE) <= 0.2,
+           NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, e.hv_k, e.estimate, NULL, NULL
+    FROM kest e JOIN ex x USING (o_orderstatus)
+    UNION ALL
+    SELECT 'kmv_overlap', o.g_a || '|' || o.g_b,
+           COALESCE(i.exact_isect, 0), u.exact_uni,
+           abs(o.union_est - CAST(u.exact_uni AS DOUBLE))
+             / CAST(u.exact_uni AS DOUBLE) <= 0.2
+           AND abs(o.jaccard * o.union_est
+                   - CAST(COALESCE(i.exact_isect, 0) AS DOUBLE))
+             <= 0.3 * CAST(u.exact_uni AS DOUBLE),
+           NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, o.hv_k, o.jaccard * o.union_est, o.jaccard, o.union_est
+    FROM kov2 o
+      JOIN kuni u ON u.g_a = o.g_a AND u.g_b = o.g_b
+      LEFT JOIN kisect i ON i.g_a = o.g_a AND i.g_b = o.g_b
     """
 
 
@@ -263,13 +369,42 @@ def _hll_oracle() -> str:
     "(est >= exact) AND (est - exact) * width <= 3 * N (the eps*N "
     "overcount bound in pure integer arithmetic). At 100 TB only the "
     "sketch paths run — exact COUNT(DISTINCT) / per-key exact counts "
-    "are the verification fixtures.",
+    "are the verification fixtures. "
+    "kind='kmv_sample' + 'kmv_estimate' + 'kmv_overlap' (round 9): the "
+    "KMV / theta-style set-OPERATION sketch "
+    "(operators/sketch.py:kmv_sample/kmv_estimate/kmv_overlap) — the "
+    "k=256 smallest distinct 48-bit custkey fingerprints per status "
+    "(EXACT integer selection, every sample row hash-checked; Spark "
+    "runs a two-level shard-tree bottom-k, the oracle the naive "
+    "single window, so the check also proves the tree exact), the "
+    "Beyer et al. (k-1)*2^48/hv_k distinct estimate (one IEEE "
+    "division, no rounding contract at all), and pairwise "
+    "union/intersection/Jaccard estimates between statuses — the "
+    "set-operation question an HLL register table cannot answer. "
+    "within_bound pins union_est within 20% of the exact union and "
+    "intersect_est within 0.3*union additively; exact pair overlaps "
+    "are fixtures like the exact distinct counts.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sketch import cms_counters, cms_lookup, hll_estimate, hll_registers
+    from ..operators.sketch import (
+        cms_counters,
+        cms_lookup,
+        hll_estimate,
+        hll_registers,
+        kmv_estimate,
+        kmv_overlap,
+        kmv_sample,
+    )
 
     orders = load_table(spark, sf_dir, "orders")
     group = ("o_orderstatus",)
+    kmv_nulls = [
+        F.lit(None).cast("int").alias("kmv_pos"),
+        F.lit(None).cast("bigint").alias("kmv_hv"),
+        F.lit(None).cast("double").alias("kmv_est"),
+        F.lit(None).cast("double").alias("kmv_jaccard"),
+        F.lit(None).cast("double").alias("kmv_union"),
+    ]
     cms_nulls = [
         F.lit(None).cast("int").alias("cms_d"),
         F.lit(None).cast("bigint").alias("cms_pos"),
@@ -303,6 +438,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("within_bound"),
         *hll_nulls,
         *cms_nulls,
+        *kmv_nulls,
     )
     reg = hll_registers(orders, "o_custkey", m=1024, group_cols=group)
     reg_arm = reg.select(
@@ -318,6 +454,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("hll_sum_scaled"),
         F.lit(None).cast("double").alias("hll_estimate"),
         *cms_nulls,
+        *kmv_nulls,
     )
     est_arm = (
         hll_estimate(reg, m=1024, group_cols=group)
@@ -339,6 +476,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sum_scaled").alias("hll_sum_scaled"),
             F.col("estimate").alias("hll_estimate"),
             *cms_nulls,
+            *kmv_nulls,
         )
     )
     hll_null_all = [
@@ -363,6 +501,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("cms_item"),
         F.lit(None).cast("bigint").alias("cms_est"),
         F.lit(None).cast("bigint").alias("cms_exact"),
+        *kmv_nulls,
     )
     # watch-list: 5 hottest custkeys, ties broken by key — deterministic
     watch = (
@@ -393,12 +532,125 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("item").alias("cms_item"),
         F.col("cms_est"),
         F.col("exact_cnt").alias("cms_exact"),
+        *kmv_nulls,
+    )
+    cms_null_all = [
+        F.lit(None).cast("int").alias("cms_d"),
+        F.lit(None).cast("bigint").alias("cms_pos"),
+        F.lit(None).cast("bigint").alias("cms_cnt"),
+        F.lit(None).cast("string").alias("cms_item"),
+        F.lit(None).cast("bigint").alias("cms_est"),
+        F.lit(None).cast("bigint").alias("cms_exact"),
+    ]
+    # --- KMV arms (round 9): the set-OPERATION sketch the HLL cannot
+    # be — per-status k-min samples, their distinct estimates, and
+    # pairwise union/intersection/Jaccard estimates between statuses,
+    # every row exact integer selection until the final IEEE division
+    # (operators/sketch.py:kmv_sample/kmv_estimate/kmv_overlap).
+    ksample = kmv_sample(orders, "o_custkey", k=256, group_cols=group)
+    ksample_arm = ksample.select(
+        F.lit("kmv_sample").alias("kind"),
+        "o_orderstatus",
+        F.lit(None).cast("bigint").alias("exact_customers"),
+        F.lit(None).cast("bigint").alias("n_orders"),
+        F.lit(None).cast("boolean").alias("within_bound"),
+        *hll_null_all,
+        *cms_null_all,
+        F.col("pos").alias("kmv_pos"),
+        F.col("hv").alias("kmv_hv"),
+        F.lit(None).cast("double").alias("kmv_est"),
+        F.lit(None).cast("double").alias("kmv_jaccard"),
+        F.lit(None).cast("double").alias("kmv_union"),
+    )
+    kest_arm = (
+        kmv_estimate(ksample, k=256, group_cols=group)
+        .join(exact.select("o_orderstatus", "exact_customers"), "o_orderstatus")
+        .select(
+            F.lit("kmv_estimate").alias("kind"),
+            "o_orderstatus",
+            "exact_customers",
+            F.lit(None).cast("bigint").alias("n_orders"),
+            (
+                F.abs(F.col("estimate") - F.col("exact_customers").cast("double"))
+                / F.col("exact_customers").cast("double")
+                <= F.lit(0.2)
+            ).alias("within_bound"),
+            *hll_null_all,
+            *cms_null_all,
+            F.lit(None).cast("int").alias("kmv_pos"),
+            F.col("hv_k").alias("kmv_hv"),
+            F.col("estimate").alias("kmv_est"),
+            F.lit(None).cast("double").alias("kmv_jaccard"),
+            F.lit(None).cast("double").alias("kmv_union"),
+        )
+    )
+    # exact pairwise fixtures (verification only — never the scale
+    # path, like the exact COUNT DISTINCT next to the HLL arms)
+    cu = orders.select("o_orderstatus", "o_custkey").distinct()
+    ia = cu.select(F.col("o_orderstatus").alias("g_a"), F.col("o_custkey").alias("c"))
+    ib = cu.select(F.col("o_orderstatus").alias("g_b"), F.col("o_custkey").alias("c"))
+    exact_i = (
+        ia.join(ib, "c")
+        .filter(F.col("g_a") < F.col("g_b"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_isect"))
+    )
+    statuses = cu.select(F.col("o_orderstatus").alias("g")).distinct()
+    prs = (
+        statuses.select(F.col("g").alias("g_a"))
+        .crossJoin(statuses.select(F.col("g").alias("g_b")))
+        .filter(F.col("g_a") < F.col("g_b"))
+    )
+    exact_u = (
+        prs.join(ia, "g_a")
+        .select("g_a", "g_b", "c")
+        .unionByName(prs.join(ib, "g_b").select("g_a", "g_b", "c"))
+        .groupBy("g_a", "g_b")
+        .agg(F.countDistinct("c").cast("bigint").alias("exact_uni"))
+    )
+    # left join + coalesce: a pair with ZERO shared customers must
+    # still surface with exact_isect = 0, not vanish (round-9 review
+    # class: inner joins silently dropping zero-traffic rows)
+    kov_arm = (
+        kmv_overlap(ksample, "o_orderstatus", k=256)
+        .join(exact_u, ["g_a", "g_b"])
+        .join(exact_i, ["g_a", "g_b"], "left")
+        .select(
+            F.lit("kmv_overlap").alias("kind"),
+            F.concat(F.col("g_a"), F.lit("|"), F.col("g_b")).alias("o_orderstatus"),
+            F.coalesce(F.col("exact_isect"), F.lit(0)).cast("bigint").alias("exact_customers"),
+            F.col("exact_uni").alias("n_orders"),
+            (
+                (
+                    F.abs(F.col("union_est") - F.col("exact_uni").cast("double"))
+                    / F.col("exact_uni").cast("double")
+                    <= F.lit(0.2)
+                )
+                & (
+                    F.abs(
+                        F.col("intersect_est")
+                        - F.coalesce(F.col("exact_isect"), F.lit(0)).cast("double")
+                    )
+                    <= F.lit(0.3) * F.col("exact_uni").cast("double")
+                )
+            ).alias("within_bound"),
+            *hll_null_all,
+            *cms_null_all,
+            F.lit(None).cast("int").alias("kmv_pos"),
+            F.col("hv_k").alias("kmv_hv"),
+            F.col("intersect_est").alias("kmv_est"),
+            F.col("jaccard").alias("kmv_jaccard"),
+            F.col("union_est").alias("kmv_union"),
+        )
     )
     return (
         spark_arm.unionByName(reg_arm)
         .unionByName(est_arm)
         .unionByName(counter_arm)
         .unionByName(cms_est_arm)
+        .unionByName(ksample_arm)
+        .unionByName(kest_arm)
+        .unionByName(kov_arm)
     )
 
 

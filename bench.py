@@ -102,6 +102,7 @@ HEADLINE = (
     "op_triangles",
     "op_edit_pairs",
     "op_rrf_fuse",
+    "op_kmv_overlap",
 )
 
 # Invariant-summary entries whose in-entry exact twins are O(n^2) oracle

@@ -2886,3 +2886,145 @@ def test_rrf_fuse_three_rankers_order_deterministic(spark):
     for r in (3, 5, 11):
         expect = expect + 1.0 / (60 + r)
     assert len(out) == 1 and out[0].score == expect
+
+
+def test_kmv_sample_exact_selection_and_shard_invariance(spark, sf_dir):
+    """The KMV sample is EXACT integer selection: (a) it equals the k
+    smallest distinct md5-derived fingerprints computed independently
+    in Python; (b) the two-level shard tree is selection-invariant
+    (shards=1 == shards=7); (c) multiset-invariant (duplicating rows
+    changes nothing)."""
+    import hashlib
+
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import kmv_sample
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    got = kmv_sample(orders, "o_custkey", k=16).collect()
+    keys = {r["o_custkey"] for r in orders.collect()}
+    expect = sorted(
+        int(hashlib.md5(f"kmv:{k}".encode()).hexdigest()[:12], 16) for k in keys
+    )[:16]
+    assert [r["hv"] for r in sorted(got, key=lambda r: r["pos"])] == expect
+    assert all(r["kmv_k"] == 16 for r in got)
+
+    s1 = kmv_sample(orders, "o_custkey", k=16, shards=1).collect()
+    s7 = kmv_sample(orders, "o_custkey", k=16, shards=7).collect()
+    assert sorted((r["pos"], r["hv"]) for r in s1) == sorted(
+        (r["pos"], r["hv"]) for r in s7
+    )
+    doubled = kmv_sample(orders.unionByName(orders), "o_custkey", k=16).collect()
+    assert sorted((r["pos"], r["hv"]) for r in doubled) == sorted(
+        (r["pos"], r["hv"]) for r in got
+    )
+
+
+def test_kmv_estimate_exact_mode_sketch_mode_and_guard(spark, sf_dir):
+    """(a) Fewer than k distinct items -> the estimate IS the exact
+    distinct count (theta = 1 branch); (b) at k << n the Beyer
+    estimator lands within 3/sqrt(k-2) of the exact count; (c) a
+    k-mismatch raises in-plan (the hll_m guard policy)."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_sample,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    exact = li.distinct().count()
+
+    small = kmv_sample(li, "l_orderkey", k=exact + 10)
+    est = kmv_estimate(small, k=exact + 10).collect()[0]
+    assert est["estimate"] == float(exact)
+    assert est["n_observed"] == exact
+
+    k = 64
+    sk = kmv_sample(li, "l_orderkey", k=k)
+    est2 = kmv_estimate(sk, k=k).collect()[0]
+    rel = abs(est2["estimate"] - exact) / exact
+    assert rel <= 3.0 / (k - 2) ** 0.5, (est2["estimate"], exact, rel)
+
+    with _pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        kmv_estimate(sk, k=128).collect()
+
+
+def test_kmv_merge_law(spark, sf_dir):
+    """The sample MERGES by union + re-selection: kmv over the whole
+    input equals kmv_sample applied to the union of the halves'
+    samples — the mergeable-partial contract that makes the same frame
+    a partition partial, a shard sketch, and a cross-day rollup."""
+    from pyspark.sql import Window
+
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import kmv_sample
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    k = 32
+    full = kmv_sample(li, "l_orderkey", k=k).collect()
+    lo = kmv_sample(li.filter(F.col("l_orderkey") % 2 == 0), "l_orderkey", k=k)
+    hi = kmv_sample(li.filter(F.col("l_orderkey") % 2 == 1), "l_orderkey", k=k)
+    w = Window.orderBy("hv")
+    merged = (
+        lo.unionByName(hi)
+        .select("hv")
+        .distinct()
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .collect()
+    )
+    assert sorted((r["pos"], r["hv"]) for r in merged) == sorted(
+        (r["pos"], r["hv"]) for r in full
+    )
+
+
+def test_kmv_overlap_exact_mode_and_estimates(spark):
+    """Constructed sets with KNOWN overlap. Exact mode (fewer than k
+    union distincts): jaccard is the true Jaccard and intersect_est
+    recovers the true intersection; sketch mode (k << n): union and
+    intersection estimates land near truth; theta soundness holds
+    (hv_k of the union sample <= both groups' own thresholds)."""
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import (
+        kmv_overlap,
+        kmv_sample,
+    )
+
+    rows = [("A", i) for i in range(60)] + [("B", i) for i in range(40, 100)]
+    df = spark.createDataFrame(rows, ["g", "item"])
+    sample = kmv_sample(df, "item", k=256, group_cols=("g",))
+    ov = kmv_overlap(sample, "g", k=256).collect()
+    assert len(ov) == 1
+    r = ov[0]
+    assert (r["g_a"], r["g_b"]) == ("A", "B")
+    # |A|=|B|=60, |A ∩ B| = 20, |A ∪ B| = 100 — exact mode
+    assert r["n_union_obs"] == 100
+    assert r["n_common"] == 20
+    assert r["jaccard"] == 20.0 / 100.0
+    assert r["union_est"] == 100.0
+    assert abs(r["intersect_est"] - 20.0) < 1e-9
+
+    big = [("A", i) for i in range(4000)] + [("B", i) for i in range(2000, 6000)]
+    bdf = spark.createDataFrame(big, ["g", "item"])
+    k = 256
+    bs = kmv_sample(bdf, "item", k=k, group_cols=("g",))
+    bov = kmv_overlap(bs, "g", k=k).collect()[0]
+    assert abs(bov["union_est"] - 6000) / 6000 <= 3.0 / (k - 2) ** 0.5
+    # intersection adds jaccard noise on top of the union estimator
+    assert abs(bov["intersect_est"] - 2000) / 2000 <= 0.35, bov["intersect_est"]
+    # theta soundness: the union sample's threshold is <= each group's
+    thetas = {
+        r["g"]: r["hv"]
+        for r in bs.groupBy("g").agg(F.max("hv").alias("hv")).collect()
+    }
+    union_theta = max(
+        r["hv"]
+        for r in bs.select("hv")
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+        .collect()
+    )
+    assert union_theta <= min(thetas.values())

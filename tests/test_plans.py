@@ -492,3 +492,28 @@ def test_tfidf_query_topk_broadcasts_query_vocabulary(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert sum(1 for op in ops if op == "BroadcastHashJoin") >= 3, ops
     assert not re.findall(r"MapInPandas|ArrowEval", plan), plan
+
+
+def test_kmv_sample_shard_tree_no_group_wide_sort(spark, sf_dir):
+    """The KMV sample's bottom-k is the two-level shard tree: the
+    first window partitions by (group, hv % shards) — shard-local
+    sorts, never the one-task-per-group trap when groups are few —
+    and the final per-group window only ever sees <= shards * k
+    survivor rows. Plan: two Window nodes, key-partitioned exchanges
+    only, zero Python stages, no cartesian."""
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import kmv_sample
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plan = _formatted(
+        spark, kmv_sample(li, "l_orderkey", k=64, group_cols=("l_returnflag",))
+    )
+    ops = re.findall(r"\n\(\d+\) (\S+)", plan)
+    assert sum(1 for op in ops if op == "Window") == 2, ops
+    assert "SinglePartition" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert not re.findall(r"MapInPandas|ArrowEval", plan), plan
+    # level-1 exchange hashes on (group, shard), not group alone
+    assert re.search(r"hashpartitioning\([^)]*l_returnflag[^)]*%", plan) or re.search(
+        r"hashpartitioning\([^)]*_w\d+", plan
+    ), plan
