@@ -1527,6 +1527,20 @@ _BM25_QUERIES = [
 
 _BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
 
+# Literal substring patterns for the trigram-blocked grep row group:
+# multi-word literals that cross word boundaries in the synthetic
+# vocabulary, plus a guaranteed zero-match pattern so the empty path
+# is pinned. ASCII-only so the VALUES literal is dialect-safe.
+_SUBSTR_PATTERNS = [
+    ("p1", "hash join"),
+    ("p2", "window agg stream"),
+    ("p3", "fast vector"),
+    ("p4", "merge batch part"),
+    ("p5", "zzz never present"),
+]
+
+_SUBSTR_VALUES = ", ".join(f"('{p}', '{t}')" for p, t in _SUBSTR_PATTERNS)
+
 
 @register(
     "text_tfidf_topk",
@@ -1628,6 +1642,15 @@ _BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
     SELECT 'rrf', query_id, doc_id, CAST(NULL AS VARCHAR),
            CAST(NULL AS BIGINT), score, rank
     FROM rrfr WHERE rank <= 10
+    UNION ALL
+    -- UNBLOCKED grep oracle: plain contains() over every (pattern,
+    -- doc) pair — Spark runs the trigram-index path, so this check
+    -- proves the blocking misses nothing (the SymSpell playbook)
+    SELECT 'substr', p.pattern_id, d.doc_id, p.pattern,
+           CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), CAST(NULL AS INT)
+    FROM documents d
+      JOIN (VALUES {_SUBSTR_VALUES}) p(pattern_id, pattern)
+        ON instr(d.text, p.pattern) > 0
     """,
     tags=("EXT", "TEXT"),
     doc="Lexical scoring gauntlet, one row group per method (round-7 "
@@ -1648,7 +1671,14 @@ _BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
     "half-tie), folded in ranker-index order, re-ranked top-10 per "
     "query — the standard hybrid-retrieval combiner. The bm25 row "
     "group is the k<=10 prefix of the same k=20 ranking the fusion "
-    "consumes (one BM25 plan, two row groups). Every score in all "
+    "consumes (one BM25 plan, two row groups). method='substr' "
+    "(round 9) — trigram-blocked grep (operators/text.py:"
+    "trigram_postings/substring_search): LIKE '%pat%' over a 5-pattern "
+    "fixture (incl. one zero-match pattern) via an inverted trigram "
+    "index, broadcast query-gram pruning before any shuffle, "
+    "all-grams-present candidates, contains() verify on candidates "
+    "only; the oracle is the UNBLOCKED contains() join, so the check "
+    "proves the blocking complete. Every score in all "
     "groups hash-checks cross-engine.",
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1687,7 +1717,29 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         "rank",
     )
-    return tfidf.unionByName(bm25).unionByName(rrf)
+    pats = docs.sparkSession.createDataFrame(
+        _SUBSTR_PATTERNS, ["pattern_id", "pattern"]
+    )
+    # the INDEX path (postings built in-entry): trigram blocking +
+    # verify-on-candidates vs the oracle's unblocked contains() join —
+    # the completeness proof; the direct-scan path is plan-gated and
+    # pinned against this same result in tests
+    grep = (
+        text.substring_search(
+            docs, pats, postings=text.trigram_postings(docs)
+        )
+        .join(F.broadcast(pats), "pattern_id")
+        .select(
+            F.lit("substr").alias("method"),
+            F.col("pattern_id").alias("query_id"),
+            "doc_id",
+            F.col("pattern").alias("token"),
+            F.lit(None).cast("bigint").alias("tf"),
+            F.lit(None).cast("double").alias("score"),
+            F.lit(None).cast("int").alias("rank"),
+        )
+    )
+    return tfidf.unionByName(bm25).unionByName(rrf).unionByName(grep)
 
 
 # text_redact_pii is merged into text_quality (round-5 consolidation):

@@ -103,6 +103,7 @@ HEADLINE = (
     "op_edit_pairs",
     "op_rrf_fuse",
     "op_kmv_overlap",
+    "op_substr_search",
 )
 
 # Invariant-summary entries whose in-entry exact twins are O(n^2) oracle

@@ -3028,3 +3028,58 @@ def test_kmv_overlap_exact_mode_and_estimates(spark):
         .collect()
     )
     assert union_theta <= min(thetas.values())
+
+
+def test_substring_search_completeness_vs_bruteforce(spark, sf_dir):
+    """Trigram blocking is COMPLETE: the operator returns exactly the
+    unblocked contains() matches — including a zero-match pattern —
+    and a prebuilt posting index gives identical results."""
+    from accounts_receivable_data_pipeline_api_spark.operators.text import (
+        substring_search,
+        trigram_postings,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pats = spark.createDataFrame(
+        [
+            ("p1", "hash join"),
+            ("p2", "window agg"),
+            ("p3", "zzz never there"),
+        ],
+        ["pattern_id", "pattern"],
+    )
+    got = {
+        (r["pattern_id"], r["doc_id"])
+        for r in substring_search(docs, pats).collect()
+    }
+    brute = {
+        (r["pattern_id"], r["doc_id"])
+        for r in docs.crossJoin(pats)
+        .filter(F.expr("instr(text, pattern) > 0"))
+        .select("pattern_id", "doc_id")
+        .collect()
+    }
+    assert got == brute
+    assert not any(p == "p3" for p, _ in got)
+    assert len(got) > 0  # the corpus vocabulary guarantees matches
+
+    idx = trigram_postings(docs)
+    got_idx = {
+        (r["pattern_id"], r["doc_id"])
+        for r in substring_search(docs, pats, postings=idx).collect()
+    }
+    assert got_idx == got
+
+
+def test_substring_search_short_pattern_raises(spark):
+    import pytest as _pytest
+
+    from accounts_receivable_data_pipeline_api_spark.operators.text import (
+        substring_search,
+    )
+
+    docs = spark.createDataFrame([(1, "abcdef")], ["doc_id", "text"])
+    pats = spark.createDataFrame([("p1", "ab")], ["pattern_id", "pattern"])
+    with _pytest.raises(ValueError, match="shorter than 3"):
+        substring_search(docs, pats)

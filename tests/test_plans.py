@@ -517,3 +517,35 @@ def test_kmv_sample_shard_tree_no_group_wide_sort(spark, sf_dir):
     assert re.search(r"hashpartitioning\([^)]*l_returnflag[^)]*%", plan) or re.search(
         r"hashpartitioning\([^)]*_w\d+", plan
     ), plan
+
+
+def test_substring_search_plan_shapes_both_paths(spark, sf_dir):
+    """INDEX path: the posting table joins the BOUNDED query-gram
+    frame via broadcast hash join (postings for other grams never
+    shuffle), no nested-loop anywhere, zero Python stages. DIRECT
+    path: exactly ONE corpus scan and one BroadcastNestedLoopJoin
+    whose BROADCAST side is the bounded pattern list — the corpus is
+    never the replicated side."""
+    from accounts_receivable_data_pipeline_api_spark.operators.text import (
+        substring_search,
+        trigram_postings,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pats = docs.sparkSession.createDataFrame(
+        [("p1", "hash join"), ("p2", "fast vector")], ["pattern_id", "pattern"]
+    )
+    plan = _formatted(
+        spark, substring_search(docs, pats, postings=trigram_postings(docs))
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert not re.findall(r"MapInPandas|ArrowEval", plan), plan
+
+    direct = _formatted(spark, substring_search(docs, pats))
+    assert len(re.findall(r"\n\(\d+\) Scan parquet", direct)) == 1, direct
+    # the broadcast (replicated) side is the tiny pattern frame
+    assert re.search(r"BroadcastNestedLoopJoin Inner BuildRight", direct), direct
+    assert not re.findall(r"MapInPandas|ArrowEval", direct), direct
