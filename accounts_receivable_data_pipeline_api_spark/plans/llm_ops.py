@@ -1461,9 +1461,15 @@ def curation_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.layout import zorder_sql as _zorder_sql
+
+_Z_BITS = 11
+_Z_EXPR = _zorder_sql(["x_val", "y_val"], _Z_BITS)
+
+
 @register(
     "curation_pack_batches",
-    oracle="""
+    oracle=f"""
     WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
     ch AS (
       SELECT doc_id,
@@ -1479,24 +1485,51 @@ def curation_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
       WHERE length(substr(text, CAST(chunk_start AS INT), 512)) > 0
     )
-    SELECT doc_id, shard, chunk_idx, chunk_start, chunk_hash, n_chars,
+    SELECT 'pack' AS kind,
+           doc_id, shard, chunk_idx, chunk_start, chunk_hash, n_chars,
            CAST(floor(COALESCE(SUM(n_chars) OVER (
              PARTITION BY shard
              ORDER BY doc_id, chunk_idx
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-           ), 0) / 4096) AS BIGINT) AS batch_id
+           ), 0) / 4096) AS BIGINT) AS batch_id,
+           CAST(NULL AS INT) AS x_val, CAST(NULL AS INT) AS y_val,
+           CAST(NULL AS BIGINT) AS z_key
     FROM ch
+    UNION ALL
+    -- z-order keys from the SAME expression text the Spark side
+    -- runs (operators/layout.py:zorder_sql - one formula, two
+    -- engines)
+    SELECT 'zorder', event_id, NULL, NULL, NULL, NULL, NULL, NULL,
+           x_val, y_val, CAST({_Z_EXPR} AS BIGINT)
+    FROM (
+      SELECT event_id,
+             CAST(user_id % 2048 AS INT) AS x_val,
+             CAST(event_id % 2048 AS INT) AS y_val
+      FROM events WHERE event_id < 5000
+    )
     """,
     tags=("EXT", "CURATION"),
-    doc="Chunking + token-budget sequence packing, SHARDED form "
+    doc="Layout gauntlet, one row group per kind (round-9 widening of "
+    "the former pack-only entry). kind='pack' — chunking + "
+    "token-budget sequence packing, SHARDED form "
     "(operators/curation.py:chunk_documents -> pack_batches, subsuming "
     "the former curation_chunks entry): overlapping 512-char/64-overlap "
     "chunks fan out inside the scan stage (no shuffle), chunk content "
     "hash-checked via md5(chunk_text), shard = content-addressed hash "
     "bucket of doc_id, batch_id = floor(exclusive prefix sum / 4096) "
-    "within the shard. Prefix sums run per-shard in parallel — no "
+    "within the shard; prefix sums run per-shard in parallel — no "
     "single-partition window anywhere in the plan (asserted in "
-    "test_plans.py); (shard, batch_id) is the global batch key.",
+    "test_plans.py); (shard, batch_id) is the global batch key. "
+    "kind='zorder' (round 9) — Morton z-order keys over "
+    "(user_id % 2048, event_id % 2048), bits=11 "
+    "(operators/layout.py:zorder_key): the multi-dimensional layout "
+    "key behind file-stat skipping at 100 TB; the oracle runs the "
+    "IDENTICAL zorder_sql expression TEXT (one formula, two engines), "
+    "so every key hash-checks with zero formulation drift; range "
+    "guards raise in-plan on out-of-domain coordinates; the "
+    "write-side layout (repartitionByRange + sortWithinPartitions) "
+    "and its quantitative pruning win over a linear layout are "
+    "pinned in test_operators.py.",
 )
 def curation_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import chunk_documents, hash_bucket, pack_batches
@@ -1514,9 +1547,44 @@ def curation_pack_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("shard", hash_bucket(F.col("doc_id").cast("string"), 4))
     )
     packed = pack_batches(chunks, "n_chars", budget=4096, shard_cols=("shard",))
-    return packed.select(
-        "doc_id", "shard", "chunk_idx", "chunk_start", "chunk_hash", "n_chars", "batch_id"
+    pack_rows = packed.select(
+        F.lit("pack").alias("kind"),
+        "doc_id",
+        "shard",
+        "chunk_idx",
+        "chunk_start",
+        "chunk_hash",
+        "n_chars",
+        "batch_id",
+        F.lit(None).cast("int").alias("x_val"),
+        F.lit(None).cast("int").alias("y_val"),
+        F.lit(None).cast("bigint").alias("z_key"),
     )
+    from ..operators.layout import zorder_key
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 5000)
+        .select(
+            "event_id",
+            (F.col("user_id") % 2048).cast("int").alias("x_val"),
+            (F.col("event_id") % 2048).cast("int").alias("y_val"),
+        )
+    )
+    zorder_rows = ev.select(
+        F.lit("zorder").alias("kind"),
+        F.col("event_id").alias("doc_id"),
+        F.lit(None).cast("int").alias("shard"),
+        F.lit(None).cast("int").alias("chunk_idx"),
+        F.lit(None).cast("int").alias("chunk_start"),
+        F.lit(None).cast("string").alias("chunk_hash"),
+        F.lit(None).cast("bigint").alias("n_chars"),
+        F.lit(None).cast("bigint").alias("batch_id"),
+        "x_val",
+        "y_val",
+        zorder_key(["x_val", "y_val"], _Z_BITS),
+    )
+    return pack_rows.unionByName(zorder_rows)
 
 
 _BM25_QUERIES = [

@@ -544,3 +544,31 @@ def op_substr_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RAW_OPS.update({"op_substr_search": (op_substr_search, "documents")})
+
+
+def op_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side z-order layout cost minus the IO: Morton key
+    projection (pure integer codegen), the sampled RangePartitioning
+    exchange, the in-partition sort, and a per-output-file summary
+    (min/max z-range + row count — the file-stat footprint a reader
+    would prune on). Everything but the parquet encode of a real
+    OPTIMIZE ZORDER BY pass."""
+    from ..operators.layout import zorder_layout
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2048).cast("int").alias("x"),
+        (F.col("event_id") % 2048).cast("int").alias("y"),
+    )
+    laid = zorder_layout(ev, ["x", "y"], bits=11, n_files=32)
+    return (
+        laid.groupBy(F.spark_partition_id().alias("file_id"))
+        .agg(
+            F.min("z_key").alias("z_min"),
+            F.max("z_key").alias("z_max"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("file_id")
+    )
+
+
+RAW_OPS.update({"op_zorder_layout": (op_zorder_layout, "events")})

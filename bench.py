@@ -104,6 +104,7 @@ HEADLINE = (
     "op_rrf_fuse",
     "op_kmv_overlap",
     "op_substr_search",
+    "op_zorder_layout",
 )
 
 # Invariant-summary entries whose in-entry exact twins are O(n^2) oracle

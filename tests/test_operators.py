@@ -3083,3 +3083,85 @@ def test_substring_search_short_pattern_raises(spark):
     pats = spark.createDataFrame([("p1", "ab")], ["pattern_id", "pattern"])
     with _pytest.raises(ValueError, match="shorter than 3"):
         substring_search(docs, pats)
+
+
+def test_zorder_key_cross_engine_and_bijective(spark):
+    """The SAME expression text computes the key in Spark and DuckDB
+    (one formula, two engines — zero drift possible), the interleave
+    is bijective on its domain, and out-of-range/null inputs raise
+    in-plan instead of silently wrapping into wrong spatial cells."""
+    import duckdb
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from accounts_receivable_data_pipeline_api_spark.operators.layout import (
+        zorder_key,
+        zorder_sql,
+    )
+
+    rows = [(x, y) for x in range(0, 64, 5) for y in range(0, 64, 7)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = {
+        (r["x"], r["y"]): r["z_key"]
+        for r in df.select("x", "y", zorder_key(["x", "y"], bits=6)).collect()
+    }
+    con = duckdb.connect()
+    expect = {
+        (x, y): z
+        for x, y, z in con.execute(
+            f"SELECT x, y, {zorder_sql(['x', 'y'], 6)} FROM "
+            "(SELECT unnest($1) AS x, unnest($2) AS y)",
+            [[r[0] for r in rows], [r[1] for r in rows]],
+        ).fetchall()
+    }
+    assert got == expect
+    assert len(set(got.values())) == len(rows)  # bijective on the grid
+
+    bad = spark.createDataFrame([(64, 1)], ["x", "y"])
+    with _pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        bad.select(zorder_key(["x", "y"], bits=6)).collect()
+    withnull = spark.createDataFrame([(None, 1)], "x int, y int")
+    with _pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        withnull.select(zorder_key(["x", "y"], bits=6)).collect()
+
+
+def test_zorder_locality_beats_linear_layout(spark, tmp_path):
+    """WHY z-order, quantitatively: on a uniform 2D grid written to 16
+    files, a y-band predicate intersects EVERY file of an x-sorted
+    layout (each file spans the full y range) but only a minority of
+    the z-ordered files (near-square bounding boxes) — the file-stat
+    skipping a 100 TB reader does with parquet min/max footers."""
+    import pyarrow.parquet as pq
+
+    from accounts_receivable_data_pipeline_api_spark.operators.layout import (
+        zorder_layout,
+    )
+
+    rows = [(x, y) for x in range(128) for y in range(128)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "linear")
+    zorder_layout(df, ["x", "y"], bits=7, n_files=16).write.parquet(zdir)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(ldir)
+
+    def y_band_files(d):
+        import glob
+
+        hit = total = 0
+        for f in glob.glob(f"{d}/part-*.parquet"):
+            md = pq.read_metadata(f)
+            lo = min(
+                md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups)
+            )
+            total += 1
+            if lo <= 40 and hi >= 33:  # band 33 <= y <= 40
+                hit += 1
+        return hit, total
+
+    z_hit, z_total = y_band_files(zdir)
+    l_hit, l_total = y_band_files(ldir)
+    assert l_hit == l_total  # linear-by-x: every file spans all y
+    assert z_hit <= z_total // 2, (z_hit, z_total)

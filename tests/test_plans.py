@@ -549,3 +549,25 @@ def test_substring_search_plan_shapes_both_paths(spark, sf_dir):
     # the broadcast (replicated) side is the tiny pattern frame
     assert re.search(r"BroadcastNestedLoopJoin Inner BuildRight", direct), direct
     assert not re.findall(r"MapInPandas|ArrowEval", direct), direct
+
+
+def test_zorder_layout_range_partitions_no_python(spark, sf_dir):
+    """The z-order write-side layout is ONE sampled RangePartitioning
+    exchange on the Morton key plus an in-partition sort — pure
+    integer codegen expressions, zero Python stages, never a global
+    single-partition sort."""
+    from pyspark.sql import functions as F
+
+    from accounts_receivable_data_pipeline_api_spark.operators.layout import (
+        zorder_layout,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2048).cast("int").alias("x"),
+        (F.col("event_id") % 2048).cast("int").alias("y"),
+    )
+    plan = _formatted(spark, zorder_layout(ev, ["x", "y"], bits=11, n_files=8))
+    assert "rangepartitioning(z_key" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert not re.findall(r"MapInPandas|ArrowEval", plan), plan
