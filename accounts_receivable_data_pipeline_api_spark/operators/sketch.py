@@ -680,10 +680,28 @@ def kmv_overlap(
     selection, so the whole output hash-checks cross-engine. Cost:
     the sample table is bounded at groups * k rows, so every join
     here is over bounded frames — pair enumeration never touches the
-    corpus."""
+    corpus.
+
+    In-plan k-mismatch guard (the kmv_estimate/hll_m policy): a
+    persisted sample read back under a different k would truncate
+    every group at the OLD k and silently drive the exact-mode branch
+    (n_union_obs < k) with a tiny fraction of the real union, so a
+    kmv_k != k raises at execution."""
     from pyspark.sql import Window
 
-    s = sample.select(F.col(group_col).alias("g"), "pos", "hv", "kmv_k")
+    s = sample.select(
+        F.col(group_col).alias("g"),
+        F.when(F.col("kmv_k") == F.lit(k), F.col("hv"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"kmv_overlap(k={k}) over a sample built with a "
+                    "different k (see the sample's kmv_k column)"
+                )
+            ).cast("long")
+        )
+        .alias("hv"),
+    )
     groups = s.select("g").distinct()
     prs = (
         groups.select(F.col("g").alias("g_a"))

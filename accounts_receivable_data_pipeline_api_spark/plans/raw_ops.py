@@ -522,7 +522,11 @@ def _trigram_index_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.rename(tmp, path)
             except OSError:
                 shutil.rmtree(tmp, ignore_errors=True)
-        _TRIGRAM_PUBLISHED[sf_dir] = path
+        # only memoize a path that actually exists: rename can fail for
+        # transient NON-race reasons too, and publishing a missing path
+        # would poison every later call in this process with no retry
+        if os.path.isdir(path):
+            _TRIGRAM_PUBLISHED[sf_dir] = path
     return spark.read.parquet(path)
 
 

@@ -534,14 +534,9 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_cnt").alias("cms_exact"),
         *kmv_nulls,
     )
-    cms_null_all = [
-        F.lit(None).cast("int").alias("cms_d"),
-        F.lit(None).cast("bigint").alias("cms_pos"),
-        F.lit(None).cast("bigint").alias("cms_cnt"),
-        F.lit(None).cast("string").alias("cms_item"),
-        F.lit(None).cast("bigint").alias("cms_est"),
-        F.lit(None).cast("bigint").alias("cms_exact"),
-    ]
+    # Column objects are reusable across selects — the KMV arms reuse
+    # the same cms_nulls list the earlier arms use (one definition)
+    cms_null_all = cms_nulls
     # --- KMV arms (round 9): the set-OPERATION sketch the HLL cannot
     # be — per-status k-min samples, their distinct estimates, and
     # pairwise union/intersection/Jaccard estimates between statuses,

@@ -3010,6 +3010,14 @@ def test_kmv_overlap_exact_mode_and_estimates(spark):
     bdf = spark.createDataFrame(big, ["g", "item"])
     k = 256
     bs = kmv_sample(bdf, "item", k=k, group_cols=("g",))
+    # k-mismatch guard: overlap over a sample built under a different
+    # k must raise in-plan, not silently truncate the union estimate
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    with _pytest.raises((SparkRuntimeException, Py4JJavaError)):
+        kmv_overlap(bs, "g", k=128).collect()
     bov = kmv_overlap(bs, "g", k=k).collect()[0]
     assert abs(bov["union_est"] - 6000) / 6000 <= 3.0 / (k - 2) ** 0.5
     # intersection adds jaccard noise on top of the union estimator
