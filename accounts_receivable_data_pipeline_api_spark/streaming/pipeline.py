@@ -1097,3 +1097,99 @@ def compact_hdr_registers(
         merge,
         "exp int, sub int, lb bigint, ub bigint, cnt bigint, hdr_sub_bits int",
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming KMV sample partials: the set-operation sketch joins the
+# streaming state-table family (CMS counts, HLL distincts, HDR
+# quantiles). Like the HLL registers — and unlike the SUM-merged HDR/
+# CMS — the merge (k smallest distinct hash values of a union) is
+# idempotent and order-free, so replayed or double-folded partials can
+# never move the sample; the generation protocol is still shared so
+# readers keep the same snapshot guarantees.
+# ---------------------------------------------------------------------------
+
+
+def overlap_sketch_stream(
+    items_stream: DataFrame,
+    samples_dir: str,
+    checkpoint_dir: str,
+    item_col: str = "text",
+    k: int = 256,
+):
+    """Streaming corpus-lifetime KMV sample in bounded memory: each
+    microbatch writes its own k-min sample partial
+    (operators/sketch.py:kmv_sample, <= k rows) into ``samples_dir``
+    partitioned by the checkpointed batch_id (dynamic partition
+    overwrite — the replay contract every sketch state table here
+    uses). The lifetime sample is the re-selection over all partials
+    (read_kmv_sample); feed it to kmv_estimate for the running
+    distinct count, or union two streams' folded samples into
+    kmv_overlap for cross-corpus audience overlap — the question that
+    motivates persisting SAMPLES instead of registers."""
+    from ..operators.sketch import kmv_sample
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            kmv_sample(batch_df, item_col, k=k)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(samples_dir)
+        )
+
+    return (
+        items_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def _kmv_reselect(df: DataFrame) -> DataFrame:
+    """Fold KMV partials by union + re-selection: the k smallest
+    DISTINCT hv per kmv_k stamp, re-ranked. Grouping by the stamped
+    kmv_k is the hll_m-guard pattern — partials written under
+    different k fold apart, and kmv_estimate's in-plan guard raises
+    on the mismatch instead of a silent re-scale."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("kmv_k").orderBy("hv")
+    return (
+        df.select("hv", "kmv_k")
+        .distinct()
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= F.col("kmv_k"))
+        .select("pos", "hv", "kmv_k")
+    )
+
+
+def read_kmv_sample(spark: SparkSession, samples_dir: str) -> DataFrame:
+    """The lifetime KMV sample: re-selection over the newest
+    generation + unfolded batch partials (_read_excluding_folded
+    snapshot contract). Min-k-of-distinct is idempotent, so even a
+    double-visible resurrected partition could not move the result —
+    the shared read path is used for the same reason as the HLL's:
+    one snapshot semantics for every state table."""
+    return _kmv_reselect(_read_excluding_folded(spark, samples_dir))
+
+
+def compact_kmv_sample(
+    spark: SparkSession, samples_dir: str, upto_batch_id: int | None = None
+) -> int | None:
+    """Fold closed per-batch KMV partials into one generation partial
+    (bounded at k rows per kmv_k stamp — state, not data). Protocol,
+    crash windows, and generation mechanics in _compact_partials;
+    only the merge (union + re-selection, exact by min-k idempotence)
+    is KMV-specific."""
+
+    def merge(df: DataFrame) -> list:
+        return _kmv_reselect(df).collect()
+
+    return _compact_partials(
+        spark,
+        samples_dir,
+        upto_batch_id,
+        merge,
+        "pos int, hv bigint, kmv_k int",
+    )

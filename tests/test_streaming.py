@@ -1176,3 +1176,77 @@ def test_compact_sketch_sum_invariant_and_resurrection_excluded(spark, tmp_path)
     assert part_ids == {compacted_generation_id(2)}, part_ids
     # idempotent no-op on an already-compacted table
     assert compact_sketch(spark, sk_dir) == 2
+
+
+def test_overlap_sketch_stream_matches_batch_and_compacts(spark, tmp_path):
+    """Streaming KMV sample lifecycle: (1) the re-selection fold of
+    per-batch k-min partials equals the batch kmv_sample over the
+    whole corpus (min-k merges exactly) and kmv_estimate over the
+    fold equals the batch estimate; (2) compaction leaves sample and
+    estimate EXACTLY unchanged while shrinking state and advancing
+    the watermark; (3) a replayed run and a post-compaction
+    resurrected partial never move the fold (min-k of distinct is
+    idempotent — and the snapshot read excludes folded batches
+    anyway)."""
+    import os
+    import shutil
+
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import (
+        kmv_estimate,
+        kmv_sample,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        compact_kmv_sample,
+        compaction_watermark,
+        overlap_sketch_stream,
+        read_kmv_sample,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "doc_id long, text string"
+    batches = [
+        [(i, f"user{i % 9}") for i in range(1, 7)],
+        [(i, f"user{i % 13}") for i in range(7, 16)],
+        [(i, f"user{i % 5}") for i in range(16, 20)],
+    ]
+    _stage_ordered_batches(src, [spark.createDataFrame(r, schema) for r in batches])
+
+    smp_dir = str(tmp_path / "samples")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = _ordered_stream(spark, src, schema)
+        q = overlap_sketch_stream(stream, smp_dir, ckpt, item_col="text", k=8).start()
+        q.awaitTermination(120)
+
+    run()
+    all_rows = spark.createDataFrame([r for b in batches for r in b], schema)
+    batch_sample = kmv_sample(all_rows, "text", k=8)
+    folded = read_kmv_sample(spark, smp_dir)
+    assert sorted((r["pos"], r["hv"]) for r in folded.collect()) == sorted(
+        (r["pos"], r["hv"]) for r in batch_sample.collect()
+    )
+    est = kmv_estimate(folded, k=8).collect()[0]
+    batch_est = kmv_estimate(batch_sample, k=8).collect()[0]
+    assert est["estimate"] == batch_est["estimate"]
+
+    # compaction: fold all but the open batch; sample + estimate move not
+    mark = compact_kmv_sample(spark, smp_dir)
+    assert mark == 1
+    assert compaction_watermark(spark, smp_dir) == 1
+    compacted = read_kmv_sample(spark, smp_dir)
+    assert sorted((r["pos"], r["hv"]) for r in compacted.collect()) == sorted(
+        (r["pos"], r["hv"]) for r in batch_sample.collect()
+    )
+    parts = [p for p in os.listdir(smp_dir) if p.startswith("batch_id=")]
+    assert "batch_id=-3" in parts and "batch_id=0" not in parts, parts
+
+    # resurrection: a replayed old batch rewrites its partition after
+    # compaction — the snapshot read excludes it, fold unchanged
+    shutil.rmtree(ckpt)
+    run()
+    refolded = read_kmv_sample(spark, smp_dir)
+    assert sorted((r["pos"], r["hv"]) for r in refolded.collect()) == sorted(
+        (r["pos"], r["hv"]) for r in batch_sample.collect()
+    )
