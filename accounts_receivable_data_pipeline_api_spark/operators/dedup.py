@@ -1446,17 +1446,30 @@ def edit_distance_pairs(
     by SymSpell-style deletion-neighborhood blocking — never an
     all-pairs product.
 
-    Blocking (sound AND complete for distance <= 1): two words within
-    one edit share at least one element of their deletion
-    neighborhoods D(w) = {w} ∪ {w minus one char} — a substitution at
-    position i leaves both deletions-at-i equal; an insertion makes the
-    shorter word itself a deletion of the longer. Each word explodes to
-    len+1 variant rows, the self-join keys on the variant string, and
-    survivors are verified with the exact levenshtein() (candidates at
-    distance 2 — e.g. transposed neighbors sharing two variants — are
-    filtered here). The d=2 extension (2-deletion neighborhoods) is the
-    same plan with a quadratic-in-len variant list; unimplemented, so
-    ``max_distance`` must be 1.
+    Blocking (sound AND complete for distance <= d, d in {1, 2}): two
+    words within d edits share at least one element of their d-deletion
+    neighborhoods D_d(w) = {w minus any <= d chars} — take an optimal
+    alignment and delete, from each word, its side of every non-match
+    column (a substitution deletes one char from BOTH words, an
+    insertion/deletion deletes one char from the LONGER side), at most
+    d deletions per word, landing both on the same string. The
+    self-join keys on the variant string and survivors are verified
+    with the exact levenshtein(), which removes coincidental
+    co-occupants (e.g. at d=1, transposed neighbors at true distance 2
+    share two variants and are filtered here; at d=2 they survive, as
+    they should).
+
+    Variant generation is the codegen position-explode form, not a
+    transform() HOF (higher-order functions are CodegenFallback —
+    interpreted per element; the round-9 trigram lesson, 10x). d=1
+    explodes len+1 rows per word (delete position i, 0 = identity);
+    d=2 explodes the (i, j) index pairs 0 <= i < j plus the i = 0 row
+    block — ~len^2/2 rows per word. Duplicate variants from repeated
+    letters ("hello" deleting either 'l' -> "helo" twice) are NOT
+    deduped per word: the array_distinct that could do it is itself a
+    HOF, the duplicates only thicken candidate multiplicity (bounded
+    by per-word repeat counts), and the final pair-level distinct
+    restores set semantics either way.
 
     Output: (id_a, id_b, word_a, word_b, distance) with id_a < id_b.
     Ids are PORTABLE 48-bit md5 fingerprints of the word
@@ -1468,22 +1481,24 @@ def edit_distance_pairs(
     identically in every engine (the join keys on the words' ids, the
     order check on the ids).
 
-    Scale: the variant explode ships sum(len+1) ~ avg_len * |vocab|
-    short-string rows through ONE equi-join shuffle. ``min_len`` is
-    the skew guard — very short words share variants with huge cohorts
-    (every 2-char word deletes into single chars), and a variant shared
-    by k words emits k^2/2 candidates, so the floor bounds the hottest
-    key. ``max_len`` bounds per-row fanout. Vocabularies are heavy-
+    Scale: the variant explode ships sum(len+1) (d=1) or
+    ~sum(len^2/2) (d=2) short-string rows through ONE equi-join
+    shuffle. ``min_len`` is the skew guard — very short words share
+    variants with huge cohorts (every 2-char word deletes into single
+    chars), and a variant shared by k words emits k^2/2 candidates, so
+    the floor bounds the hottest key; at d=2 the floor matters twice
+    as much (variants are len-2 chars, two deletions reach more
+    cohabitants). ``max_len`` bounds per-row fanout — quadratically at
+    d=2, so consider a lower cap there. Vocabularies are heavy-
     hitter-shaped (token types, not tokens), so |vocab| is millions
     even at 100 TB corpus scale — this join is small next to any
     corpus-wide operator; run it AFTER the frequency cut that any real
     canonicalization pipeline applies.
     """
-    if max_distance != 1:
+    if max_distance not in (1, 2):
         raise NotImplementedError(
             "deletion-neighborhood blocking is implemented for "
-            f"max_distance=1 only (got {max_distance}); the d=2 "
-            "2-deletion variant list is the documented extension"
+            f"max_distance in (1, 2) only (got {max_distance})"
         )
     words = (
         df.select(F.col(word_col).alias("word"))
@@ -1496,19 +1511,55 @@ def edit_distance_pairs(
             F.conv(F.substring(F.md5("word"), 1, 12), 16, 10).cast("bigint"),
         )
     )
-    variants = words.select(
-        "wid",
-        "word",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(0, length(word)), i -> "
-                    "if(i = 0, word, concat(substr(word, 1, i - 1), "
-                    "substr(word, i + 1))))"
-                )
+    if max_distance == 1:
+        # delete position i (1-based), i = 0 keeps the word itself
+        variants = words.select(
+            "wid",
+            "word",
+            F.expr("explode(sequence(0, length(word)))").alias("_i"),
+        ).select(
+            "wid",
+            "word",
+            F.expr(
+                "if(_i = 0, word, concat(substr(word, 1, _i - 1), "
+                "substr(word, _i + 1)))"
+            ).alias("v"),
+        )
+    else:
+        # (i, j) deletion-position pairs: the i = 0 block carries the
+        # 0- and 1-deletion variants (j = 0 -> word itself, j >= 1 ->
+        # delete j alone); i >= 1 requires j > i (delete both). The
+        # inner sequence() start is branched because sequence(a, b)
+        # with a > b silently generates a DESCENDING range (no error),
+        # which would emit bogus negative-length substrings; i is
+        # capped at length-1 so the i >= 1 branch is never empty.
+        variants = (
+            words.select(
+                "wid",
+                "word",
+                F.expr("explode(sequence(0, length(word) - 1))").alias("_i"),
             )
-        ).alias("v"),
-    )
+            .select(
+                "wid",
+                "word",
+                "_i",
+                F.expr(
+                    "explode(sequence(if(_i = 0, 0, _i + 1), length(word)))"
+                ).alias("_j"),
+            )
+            .select(
+                "wid",
+                "word",
+                F.expr(
+                    "if(_i = 0,"
+                    " if(_j = 0, word,"
+                    "    concat(substr(word, 1, _j - 1), substr(word, _j + 1))),"
+                    " concat(substr(word, 1, _i - 1),"
+                    "        substr(word, _i + 1, _j - _i - 1),"
+                    "        substr(word, _j + 1)))"
+                ).alias("v"),
+            )
+        )
     a = variants.select(
         F.col("wid").alias("id_a"), F.col("word").alias("word_a"), "v"
     )

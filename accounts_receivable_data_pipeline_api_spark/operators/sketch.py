@@ -510,8 +510,29 @@ def cms_lookup(
     is bounded at depth * width rows by construction, so IT broadcasts
     (not the watch side — the bounded side is the provably small one
     at any corpus size); cost is one broadcast equi-join on (d, pos)
-    + a depth-row min per item."""
-    probes = watch.select(F.col(item_col).cast("string").alias("item")).select(
+    + a depth-row min per item.
+
+    A NULL watch item raises IN-PLAN (the hdr_registers loud-guard
+    idiom): md5(NULL) yields a NULL position array and posexplode
+    would emit no rows, so without the guard a NULL probe silently
+    VANISHES from the output — neither an estimate nor a quarantine
+    row. Build-side NULLs are data (no countable identity —
+    cms_counters quarantines them); a NULL in a bounded watch list is
+    a caller bug and must be loud (round-9 ADVICE)."""
+    probes = watch.select(
+        F.when(
+            F.col(item_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    "cms_lookup: NULL watch item would silently vanish "
+                    "(md5(NULL) -> no hash cells); drop NULLs from the "
+                    "watch list before probing"
+                )
+            ).cast("string"),
+        )
+        .otherwise(F.col(item_col).cast("string"))
+        .alias("item")
+    ).select(
         "item",
         F.posexplode(_cms_positions(F.col("item"), depth, width)).alias("d", "pos"),
     )

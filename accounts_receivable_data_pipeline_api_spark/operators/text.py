@@ -1139,6 +1139,7 @@ def substring_search(
     pattern_id_col: str = "pattern_id",
     pattern_col: str = "pattern",
     postings: DataFrame | None = None,
+    scan_prune_grams: "list[str] | None" = None,
 ) -> DataFrame:
     """Grep over a corpus: (pattern_id, doc_id) for every document
     whose text CONTAINS the literal pattern — LIKE '%pat%' for a
@@ -1171,36 +1172,83 @@ def substring_search(
       BroadcastNestedLoopJoin BY DESIGN: the broadcast side is the
       bounded pattern list, never the corpus.
 
-    Patterns shorter than 3 characters cannot be trigram-blocked and
-    raise (both paths, for contract consistency)."""
+    ``scan_prune_grams`` (postings path only): the literal query
+    trigram list, pushed as an IN-filter on the posting scan BEFORE
+    the broadcast join. Semantically redundant with the join (which
+    keeps exactly those grams) but it is what lets a BUCKETED posting
+    table prune whole buckets (SelectedBucketsCount in the plan) and
+    a sorted layout skip row groups — Catalyst cannot derive a
+    pushable IN-list from a join's build side (DPP/runtime filters
+    don't reach a broadcast build over a bucketed scan here), so the
+    caller supplies it when the patterns are driver-side literals.
+    MUST contain every 3-substring of every pattern (derive it
+    mechanically from the same strings that built ``patterns``) — a
+    missing gram silently loses matches, because the verify step only
+    re-checks candidates the scan produced.
+
+    Pattern guards are IN-PLAN (raise_error, the hll_m-guard idiom) so
+    calling this function never runs an eager driver action (round-9
+    ADVICE found a patterns.count() Spark job paid on every call before
+    any plan was returned). Each path enforces only what IT needs: the
+    postings path raises on length < 3 (can't be trigram-blocked —
+    sequence(1, len-2) with start > stop would silently generate
+    descending bogus indices, not error); the direct path legally scans
+    short patterns and raises only on NULL/empty (instr against either
+    would silently drop or trivially match every document)."""
     import pyspark.sql.functions as _F
 
-    short = patterns.filter(F.length(F.col(pattern_col)) < 3).count()
-    if short:
-        raise ValueError(
-            f"substring_search: {short} pattern(s) shorter than 3 chars "
-            "cannot be trigram-blocked; scan them directly instead"
+    def _guarded_pattern(min_len: int, why: str):
+        p = F.col(pattern_col)
+        return (
+            F.when(
+                p.isNull() | (F.length(p) < min_len),
+                F.raise_error(
+                    F.lit(f"substring_search: {why}")
+                ).cast("string"),
+            )
+            .otherwise(p)
+            .alias("pattern")
         )
-    pats = patterns.select(
-        F.col(pattern_id_col).alias("pattern_id"), F.col(pattern_col).alias("pattern")
-    )
+
     if postings is None:
+        pats = patterns.select(
+            F.col(pattern_id_col).alias("pattern_id"),
+            _guarded_pattern(
+                1, "NULL/empty pattern (instr would silently drop it "
+                "or match every document); drop it at the call site"
+            ),
+        )
         return (
             docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_t"))
             .join(_F.broadcast(pats))
             .filter(F.expr("instr(_t, pattern) > 0"))
             .select("pattern_id", "doc_id")
         )
-    pg = pats.select(
-        "pattern_id",
-        F.explode(
-            F.expr(
-                "array_distinct(transform(sequence(1, length(pattern) - 2),"
-                " i -> substr(pattern, i, 3)))"
-            )
-        ).alias("gram"),
+    pats = patterns.select(
+        F.col(pattern_id_col).alias("pattern_id"),
+        _guarded_pattern(
+            3, "pattern shorter than 3 chars cannot be trigram-blocked; "
+            "use the direct path (postings=None) for short patterns"
+        ),
+    )
+    # pattern grams via codegen position-explode + substr (the
+    # _gram_explode form) — transform/array_distinct HOFs are
+    # CodegenFallback (round-9 measured 10x on the corpus side; the
+    # patterns side is bounded, this is hygiene/consistency). The
+    # distinct runs on a patterns-bounded frame (total pattern length
+    # rows), never corpus-sized.
+    pg = (
+        pats.select(
+            "pattern_id",
+            F.col("pattern").alias("_p"),
+            F.expr("explode(sequence(1, length(pattern) - 2))").alias("_i"),
+        )
+        .select("pattern_id", F.expr("substr(_p, _i, 3)").alias("gram"))
+        .distinct()
     )
     n_g = pg.groupBy("pattern_id").agg(F.countDistinct("gram").alias("n_grams"))
+    if scan_prune_grams is not None:
+        postings = postings.filter(F.col("gram").isin(list(scan_prune_grams)))
     # the postings contract is one row per (doc, gram) — trigram_
     # postings output — so the all-grams-present test is a plain COUNT
     pruned = postings.join(_F.broadcast(pg), "gram")

@@ -242,7 +242,7 @@ _EV_CTE = f"""
       SELECT a.wid AS id_a, b.wid AS id_b,
              CAST(levenshtein(a.w, b.w) AS DOUBLE) AS score
       FROM evw a JOIN evw b ON a.wid < b.wid
-      WHERE levenshtein(a.w, b.w) <= 1
+      WHERE levenshtein(a.w, b.w) <= 2
     )
 """
 
@@ -364,7 +364,8 @@ def _noisy_vocab(docs: DataFrame) -> DataFrame:
     "window-min SQL formulation; method='edit_distance' (round 9) — "
     "fuzzy vocabulary matching via SymSpell deletion-neighborhood "
     "blocking (operators/dedup.py:edit_distance_pairs, sound+complete "
-    "for d<=1, exact levenshtein verify) over a deterministically "
+    "for d<=2 since round 10 — 2-deletion (i,j) position-pair "
+    "neighborhoods, exact levenshtein verify) over a deterministically "
     "corrupted corpus vocabulary (_noisy_vocab — the synthetic corpus "
     "has zero natural typo pairs); ids are portable 48-bit md5 word "
     "fingerprints, score = the exact edit distance, and the oracle "
@@ -390,7 +391,9 @@ def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.col("jaccard").alias("score"),
     )
-    edit = dedup.edit_distance_pairs(_noisy_vocab(docs), word_col="w").select(
+    edit = dedup.edit_distance_pairs(
+        _noisy_vocab(docs), word_col="w", max_distance=2
+    ).select(
         F.lit("edit_distance").alias("method"),
         "id_a",
         "id_b",
@@ -1232,9 +1235,18 @@ def embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
            a.sample_rate, a.n_samples,
            a.n_samples * 1000 // a.sample_rate,
            t.rms, t.peak, md5(a.hexstream),
-           CAST(b.dcs * b.dcs AS BIGINT),
-           CAST(b.re4 * b.re4 + b.im4 * b.im4 AS BIGINT),
-           CAST(b.nyq * b.nyq AS BIGINT),
+           -- mirror decode_audio_features' int64-overflow cap: band
+           -- energies NULL out past 2^16 samples (|sum| <= 32767*n
+           -- keeps squared sums under 2^63 only up to n = 65536).
+           -- Unreachable at fixture n_samples <= 1599, but pinned here
+           -- so a widened fixture diverges loudly instead of silently
+           -- (round-9 ADVICE; the HLL saturation-mirror idiom)
+           CASE WHEN a.n_samples > 65536 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(b.dcs * b.dcs AS BIGINT) END,
+           CASE WHEN a.n_samples > 65536 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(b.re4 * b.re4 + b.im4 * b.im4 AS BIGINT) END,
+           CASE WHEN a.n_samples > 65536 THEN CAST(NULL AS BIGINT)
+                ELSE CAST(b.nyq * b.nyq AS BIGINT) END,
            NULL, NULL, NULL
     FROM awav a JOIN astat t USING (doc_id) JOIN abands b USING (doc_id)
     UNION ALL

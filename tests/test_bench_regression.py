@@ -103,6 +103,24 @@ def _merged_anchor() -> dict:
     return merged
 
 
+def test_every_headline_query_is_anchored():
+    """Hard invariant (round-9 VERDICT #1): every bench.py HEADLINE
+    name must have a warm anchor in the merged BENCH_ANCHOR.json —
+    the per-query gate silently SKIPS un-anchored names (`if name in
+    anchor`), so a HEADLINE widened without a fresh anchor block
+    leaves the new ops ungated and any later regression invisible.
+    This test needs no Spark run, so the drift fails at commit time.
+    """
+    import bench as bench_mod
+
+    anchored = set(_merged_anchor()["queries_warm"])
+    missing = [n for n in bench_mod.HEADLINE if n not in anchored]
+    assert not missing, (
+        f"HEADLINE queries with no BENCH_ANCHOR.json warm entry "
+        f"(append a fresh anchor block from a clean bench run): {missing}"
+    )
+
+
 def test_suite_within_anchor(bench):
     anchor = _merged_anchor()
     assert bench.first["value"] <= FACTOR * anchor["suite_seconds_cold"], (

@@ -2802,15 +2802,56 @@ def test_edit_distance_pairs_blocking_complete_random(spark):
     assert len(brute) > 0  # fixture really exercises the path
 
 
-def test_edit_distance_pairs_min_len_and_d2_guard(spark):
+def test_edit_distance_pairs_min_len_and_d3_guard(spark):
     """Words under min_len never pair (the skew guard is a hard
-    filter), and the unimplemented d=2 path raises."""
+    filter), and the unimplemented d>=3 path raises."""
     import pytest as _pytest
 
     vocab = spark.createDataFrame([("ab",), ("ac",), ("abcd",)], ["word"])
     assert dedup.edit_distance_pairs(vocab, word_col="word").count() == 0
     with _pytest.raises(NotImplementedError):
-        dedup.edit_distance_pairs(vocab, word_col="word", max_distance=2)
+        dedup.edit_distance_pairs(vocab, word_col="word", max_distance=3)
+
+
+def test_edit_distance_pairs_d2_blocking_complete_random(spark):
+    """Property at d=2 (round 10): on random short words over a
+    3-letter alphabet (dense edit neighborhoods), the 2-deletion
+    (i,j) pair blocking finds EXACTLY the brute-force d<=2 pair set
+    with exact distances — completeness of the pair enumeration
+    (including the i=0 identity/single-deletion block) and soundness
+    of the levenshtein verify. Transpositions (distance 2 in plain
+    Levenshtein) MUST now pair, unlike at d=1."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    words = list({"".join(rng.choice("abc") for _ in range(rng.randint(4, 7)))
+                  for _ in range(50)})
+    vocab = spark.createDataFrame([(w,) for w in words], ["word"])
+    out = dedup.edit_distance_pairs(vocab, word_col="word", max_distance=2)
+    got = {
+        tuple(sorted((r.word_a, r.word_b))): r.distance for r in out.collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    brute = {
+        tuple(sorted((x, y))): lev(x, y)
+        for x, y in itertools.combinations(words, 2)
+        if lev(x, y) <= 2
+    }
+    assert got == brute
+    assert any(d == 2 for d in brute.values())  # d=2 pairs exercised
+    # a transposition fixture pairs at d=2
+    v2 = spark.createDataFrame([("spark",), ("sprak",)], ["word"])
+    out2 = dedup.edit_distance_pairs(v2, word_col="word", max_distance=2)
+    assert [r.distance for r in out2.collect()] == [2]
 
 
 # ---------------------------------------------------------------------------
@@ -3080,17 +3121,39 @@ def test_substring_search_completeness_vs_bruteforce(spark, sf_dir):
     assert got_idx == got
 
 
-def test_substring_search_short_pattern_raises(spark):
+def test_substring_search_pattern_guards_in_plan(spark):
+    """Round-10 guard contract (per-path, in-plan — no eager driver
+    action at call time): the DIRECT path legally scans patterns
+    shorter than 3 chars (instr needs no trigram blocking) but raises
+    on NULL/empty patterns, which instr would silently drop or
+    trivially match; the POSTINGS path raises on any pattern under 3
+    chars (can't be trigram-blocked). All guards fire at collect(),
+    via raise_error."""
     import pytest as _pytest
 
     from accounts_receivable_data_pipeline_api_spark.operators.text import (
         substring_search,
+        trigram_postings,
     )
 
-    docs = spark.createDataFrame([(1, "abcdef")], ["doc_id", "text"])
-    pats = spark.createDataFrame([("p1", "ab")], ["pattern_id", "pattern"])
-    with _pytest.raises(ValueError, match="shorter than 3"):
-        substring_search(docs, pats)
+    docs = spark.createDataFrame(
+        [(1, "abcdef"), (2, "xyz")], ["doc_id", "text"]
+    )
+    short = spark.createDataFrame([("p1", "ab")], ["pattern_id", "pattern"])
+    got = {
+        (r["pattern_id"], r["doc_id"])
+        for r in substring_search(docs, short).collect()
+    }
+    assert got == {("p1", 1)}
+    for bad in (None, ""):
+        pats = spark.createDataFrame(
+            [("p1", bad)], "pattern_id string, pattern string"
+        )
+        with _pytest.raises(Exception, match="substring_search"):
+            substring_search(docs, pats).collect()
+    idx = trigram_postings(docs)
+    with _pytest.raises(Exception, match="trigram-blocked"):
+        substring_search(docs, short, postings=idx).collect()
 
 
 def test_zorder_key_cross_engine_and_bijective(spark):

@@ -551,6 +551,41 @@ def test_substring_search_plan_shapes_both_paths(spark, sf_dir):
     assert not re.findall(r"MapInPandas|ArrowEval", direct), direct
 
 
+def test_substr_search_bucket_pruned_posting_scan(spark, sf_dir):
+    """The persisted posting index is bucketed by gram, and the probe
+    path's literal gram IN-list prunes buckets at the SCAN — the
+    executed plan carries SelectedBucketsCount with a strict minority
+    of buckets selected (round-9 VERDICT #6; the point_lookup gate).
+    The pruned scan must still produce exactly the direct-scan
+    matches (completeness of the prune list)."""
+    from accounts_receivable_data_pipeline_api_spark.operators.text import (
+        substring_search,
+    )
+    from accounts_receivable_data_pipeline_api_spark.plans.raw_ops import (
+        _TRIGRAM_BUCKETS,
+        op_substr_search,
+    )
+    from accounts_receivable_data_pipeline_api_spark.plans.llm_ops import (
+        _SUBSTR_PATTERNS,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    q = op_substr_search(spark, sf_dir)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, plan
+    assert int(m.group(2)) == _TRIGRAM_BUCKETS
+    assert int(m.group(1)) < int(m.group(2)) // 2, m.group(0)
+    got = {(r["pattern_id"], r["doc_id"]) for r in q.collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    pats = spark.createDataFrame(_SUBSTR_PATTERNS, ["pattern_id", "pattern"])
+    direct = {
+        (r["pattern_id"], r["doc_id"])
+        for r in substring_search(docs, pats).collect()
+    }
+    assert got == direct and len(got) > 0
+
+
 def test_zorder_layout_range_partitions_no_python(spark, sf_dir):
     """The z-order write-side layout is ONE sampled RangePartitioning
     exchange on the Morton key plus an in-partition sort — pure

@@ -910,7 +910,7 @@ def test_distinct_sketch_stream_matches_batch(spark, tmp_path):
 
 def test_compact_registers_estimate_invariant_and_replay_safe(spark, tmp_path):
     """Register compaction lifecycle (round-7 VERDICT #5): folding
-    closed-batch partials into the reserved batch_id=-1 partition
+    closed-batch partials into a fresh generation partition
     (1) leaves the folded register table and the estimate EXACTLY
     unchanged, (2) stamps and advances the watermark, (3) physically
     shrinks state to <= m rows + the open batch, and (4) is immune to
@@ -1012,9 +1012,13 @@ def test_quantile_sketch_stream_matches_batch_and_compacts(spark, tmp_path):
     corpus; a replayed run leaves the fold unchanged (partition
     overwrite — SUM is NOT idempotent, so this is the contract doing
     the work, not the merge math); compaction folds closed batches
-    into the batch_id=-1 partition with folded_upto stamped IN the
-    rows, and a resurrected pre-watermark partition is EXCLUDED by the
-    read rather than double-counted."""
+    into a FRESH GENERATION partition at batch_id =
+    compacted_generation_id(mark) = -(mark+2), with the watermark
+    encoded in the partition NAME (the generation protocol — one
+    coalesced file appears atomically, readers take newest generation
+    + batches > mark in one snapshot, no in-place overwrite), and a
+    resurrected pre-watermark partition is EXCLUDED by the read rather
+    than double-counted."""
     import os
     import shutil
 
@@ -1087,7 +1091,8 @@ def test_quantile_sketch_stream_matches_batch_and_compacts(spark, tmp_path):
 
     # resurrection: batch 0's partial reappears post-compaction (crash
     # twin). With SUM-merge this WOULD double-count — the read must
-    # exclude it via the in-row folded_upto watermark.
+    # exclude it via the watermark decoded from the newest generation
+    # partition's NAME.
     (
         hdr_registers(spark.createDataFrame(batches[0], schema), "v", group_cols=[])
         .withColumn("batch_id", F.lit(0))
@@ -1111,11 +1116,13 @@ def test_quantile_sketch_stream_matches_batch_and_compacts(spark, tmp_path):
 
 def test_compact_sketch_sum_invariant_and_resurrection_excluded(spark, tmp_path):
     """CMS partial compaction lifecycle — the count-min twin of the
-    HDR contract: folding closed batches into batch_id=-1 leaves the
-    lifetime sketch bitwise unchanged, the fold+watermark commit
-    atomically (folded_upto in-row), a resurrected pre-watermark
+    HDR contract: folding closed batches into a fresh generation
+    partition (batch_id = compacted_generation_id(mark), watermark in
+    the partition NAME) leaves the lifetime sketch bitwise unchanged,
+    the fold and watermark commit atomically via the generation
+    partition's single-file appearance, a resurrected pre-watermark
     partition is excluded (SUM would double-count) and reclaimed by
-    the next pass, and state converges to one block + open batch."""
+    the next pass, and state converges to one generation + open batch."""
     import os
 
     import numpy as np
