@@ -1268,3 +1268,79 @@ def substring_search(
         .filter(F.expr("instr(_t, pattern) > 0"))
     )
     return verify.select("pattern_id", "doc_id")
+
+
+def collocation_topk(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    topk: int = 50,
+) -> DataFrame:
+    """Corpus-level collocation mining: the top-``topk`` adjacent word
+    pairs ranked by LIFT — the association statistic behind PMI:
+
+        lift(a, b) = P(ab) / (P(a) P(b)) = n_ab * N / (n_a * n_b)
+
+    where n_ab counts the adjacent bigram over the whole corpus, n_a /
+    n_b the unigrams, and N the total token count. PMI = ln(lift) is
+    MONOTONE in lift, so ranking by lift is ranking by PMI — the
+    operator reports lift and skips the ln entirely (the ngram_lm_score
+    log-domain lesson taken one step further: no transcendental, no
+    rounding contract; every value is integer counts pushed through
+    ONE fixed float expression, bit-identical in any IEEE engine that
+    evaluates the same op order). ``min_count`` is the standard
+    low-frequency cut — a pair seen twice has huge lift and zero
+    evidence (Manning & Schütze ch. 5).
+
+    Output: (w1, w2, n_ab, n_a, n_b, lift DOUBLE, rank) — rank 1..topk
+    by (lift desc, w1, w2).
+
+    Plan shape at 100 TB: two corpus passes (token explode -> unigram
+    hash agg; bigram explode -> bigram hash agg), both map-side
+    combinable onto vocabulary-bounded outputs; two equi-joins of the
+    bigram table against the unigram table (AQE broadcasts the unigram
+    side when it fits); N is a 1-row aggregate combined via broadcast,
+    never collect()ed. The global top-k is TakeOrdered (distributed
+    partial top-k per partition), and the rank window runs on the
+    bounded ``topk``-row survivor frame only — the single partition it
+    implies holds <= topk rows by construction.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(F.explode(tokens_expr(text_col)).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    n_tok = toks.agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    bi = (
+        docs.select(F.explode(word_ngrams_expr(text_col, 2)).alias("g"))
+        .select(
+            F.substring_index("g", " ", 1).alias("w1"),
+            F.substring_index("g", " ", -1).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    scored = (
+        bi.join(
+            uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a")), "w1"
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b")), "w2"
+        )
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_ab").cast("double")
+                * F.col("n_tok").cast("double")
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    top = scored.orderBy(F.col("lift").desc(), "w1", "w2").limit(topk)
+    w = Window.orderBy(F.col("lift").desc(), "w1", "w2")
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))

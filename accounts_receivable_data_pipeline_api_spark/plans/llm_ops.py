@@ -2257,17 +2257,65 @@ _GRAMS2_SQL = """
       SELECT doc_id, COUNT(*) AS n_bigrams,
              SUM(CAST(lp AS DECIMAL(28, 6))) AS sum_dec
       FROM scored GROUP BY doc_id
+    ),
+    lm AS (
+      SELECT d.doc_id,
+             CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+             CAST(coalesce(a.sum_dec, 0) AS DOUBLE) AS sum_logprob,
+             CASE WHEN coalesce(a.n_bigrams, 0) > 0
+                  THEN -CAST(a.sum_dec AS DOUBLE) / a.n_bigrams END
+               AS nll_per_token
+      FROM sdocs d LEFT JOIN agg a USING (doc_id)
+    ),
+    -- collocation row group (round 10): corpus-wide lift over the
+    -- WHOLE corpus (no bucket split), same token/bigram machinery
+    ctoks AS (SELECT unnest(tok) AS w FROM grams),
+    cn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tok FROM ctoks),
+    cuni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM ctoks GROUP BY w),
+    cbi AS (
+      SELECT string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM (SELECT unnest(gs) AS g FROM grams) GROUP BY 1, 2
+    ),
+    cscored AS (
+      SELECT w1, w2, n_ab, a.n_w AS n_a, b.n_w AS n_b,
+             CAST(n_ab AS DOUBLE) * CAST(n.n_tok AS DOUBLE)
+               / (CAST(a.n_w AS DOUBLE) * CAST(b.n_w AS DOUBLE)) AS lift
+      FROM cbi JOIN cuni a ON cbi.w1 = a.w JOIN cuni b ON cbi.w2 = b.w
+      CROSS JOIN cn n
+      WHERE n_ab >= 5
+    ),
+    ctop AS (
+      SELECT w1, w2, n_ab, n_a, n_b, lift,
+             CAST(row_number() OVER (ORDER BY lift DESC, w1, w2) AS BIGINT)
+               AS rank
+      FROM cscored
     )
-    SELECT d.doc_id,
-           CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-           CAST(coalesce(a.sum_dec, 0) AS DOUBLE) AS sum_logprob,
-           CASE WHEN coalesce(a.n_bigrams, 0) > 0
-                THEN -CAST(a.sum_dec AS DOUBLE) / a.n_bigrams END
-             AS nll_per_token
-    FROM sdocs d LEFT JOIN agg a USING (doc_id)
+    SELECT 'lm_score' AS kind, doc_id, n_bigrams, sum_logprob, nll_per_token,
+           CAST(NULL AS VARCHAR) AS w1, CAST(NULL AS VARCHAR) AS w2,
+           CAST(NULL AS BIGINT) AS n_ab, CAST(NULL AS BIGINT) AS n_a,
+           CAST(NULL AS BIGINT) AS n_b, CAST(NULL AS DOUBLE) AS lift,
+           CAST(NULL AS BIGINT) AS rank
+    FROM lm
+    UNION ALL
+    SELECT 'collocation', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           w1, w2, n_ab, n_a, n_b, lift, rank
+    FROM ctop WHERE rank <= 50
     """,
     tags=("EXT", "TEXT", "LM"),
-    doc="Bigram-LM quality scoring with add-0.5 smoothing "
+    doc="Language-model text-statistics gauntlet, one row group per "
+    "method. kind='collocation' (round 10) — corpus-level collocation "
+    "mining (operators/text.py:collocation_topk): top-50 adjacent "
+    "word pairs by LIFT = n_ab*N/(n_a*n_b) with count floor 5; PMI = "
+    "ln(lift) is monotone in lift, so this ranks by PMI with ZERO "
+    "transcendentals — every value is integer counts through one "
+    "fixed float expression, hash-exact cross-engine with no rounding "
+    "contract at all (the log-domain rule taken one step further); "
+    "the oracle recomputes unigram/bigram/total counts from the same "
+    "token lists and ranks with a naive global window, so the hash "
+    "check also proves the TakeOrdered top-k + bounded rank window "
+    "exact. kind='lm_score' — bigram-LM quality scoring "
     "(operators/text.py:ngram_lm_score) — the KenLM-style perplexity "
     "filter: train bigram counts on the md5-bucket>=20 split of the "
     "corpus, score the bucket<20 split, report per-doc total logprob "
@@ -2282,9 +2330,40 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     b = hash_bucket(F.col("doc_id").cast("string"))
-    return text.ngram_lm_score(
+    _s = lambda: F.lit(None).cast("string")  # noqa: E731
+    _l = lambda: F.lit(None).cast("long")  # noqa: E731
+    _d = lambda: F.lit(None).cast("double")  # noqa: E731
+    lm = text.ngram_lm_score(
         docs.filter(b >= 20), docs.filter(b < 20), k=0.5
+    ).select(
+        F.lit("lm_score").alias("kind"),
+        "doc_id",
+        "n_bigrams",
+        "sum_logprob",
+        "nll_per_token",
+        _s().alias("w1"),
+        _s().alias("w2"),
+        _l().alias("n_ab"),
+        _l().alias("n_a"),
+        _l().alias("n_b"),
+        _d().alias("lift"),
+        _l().alias("rank"),
     )
+    colloc = text.collocation_topk(docs, min_count=5, topk=50).select(
+        F.lit("collocation").alias("kind"),
+        _l().alias("doc_id"),
+        _l().alias("n_bigrams"),
+        _d().alias("sum_logprob"),
+        _d().alias("nll_per_token"),
+        "w1",
+        "w2",
+        "n_ab",
+        "n_a",
+        "n_b",
+        "lift",
+        "rank",
+    )
+    return lm.unionByName(colloc)
 
 
 @register(

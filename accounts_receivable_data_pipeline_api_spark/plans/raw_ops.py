@@ -601,3 +601,19 @@ def op_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RAW_OPS.update({"op_zorder_layout": (op_zorder_layout, "events")})
+
+
+def op_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level collocation mining at scale: top-50 adjacent word
+    pairs by lift (monotone PMI) with a count-5 floor. Two map-side-
+    combinable corpus aggs onto vocabulary-bounded frames, two
+    unigram joins, TakeOrdered top-k; the rank window runs on the
+    50-row survivor frame only."""
+    from ..operators import text as text_ops
+
+    return text_ops.collocation_topk(
+        _parallel_docs(spark, sf_dir), min_count=5, topk=50
+    )
+
+
+RAW_OPS.update({"op_collocations": (op_collocations, "documents")})

@@ -109,6 +109,7 @@ HEADLINE = (
     "op_kmv_overlap",
     "op_substr_search",
     "op_zorder_layout",
+    "op_collocations",
 )
 
 # Invariant-summary entries whose in-entry exact twins are O(n^2) oracle

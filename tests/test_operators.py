@@ -2859,6 +2859,55 @@ def test_edit_distance_pairs_d2_blocking_complete_random(spark):
 # ---------------------------------------------------------------------------
 
 
+def test_collocation_topk_manual_and_bruteforce(spark):
+    """Hand fixture plus a python brute-force twin: lift counts, the
+    min_count floor, the (lift desc, w1, w2) tie-break, and the top-k
+    cut all match an independent recomputation over the same corpus.
+    """
+    from collections import Counter
+
+    from accounts_receivable_data_pipeline_api_spark.operators.text import (
+        collocation_topk,
+    )
+
+    rows = [
+        (1, "new york is a big city"),
+        (2, "New York and new jersey"),
+        (3, "the big apple is new york"),
+        (4, "a city so big it never sleeps"),
+        (5, "york new york new york"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [
+        (r.w1, r.w2, r.n_ab, r.n_a, r.n_b, r.lift, r.rank)
+        for r in collocation_topk(docs, min_count=2, topk=3)
+        .orderBy("rank")
+        .collect()
+    ]
+
+    toks = [t for _, s in rows for t in s.lower().split()]
+    uni = Counter(toks)
+    bi = Counter()
+    for _, s in rows:
+        ws = s.lower().split()
+        bi.update(zip(ws, ws[1:]))
+    n = len(toks)
+    scored = [
+        (w1, w2, c, uni[w1], uni[w2], float(c) * float(n) / (float(uni[w1]) * float(uni[w2])))
+        for (w1, w2), c in bi.items()
+        if c >= 2
+    ]
+    scored.sort(key=lambda t: (-t[5], t[0], t[1]))
+    want = [t + (i + 1,) for i, t in enumerate(scored[:3])]
+    assert got == want
+    # "new york" must be the top collocation of this fixture
+    assert got[0][:2] == ("new", "york")
+    # the top-k selection is TakeOrdered (distributed partial top-k),
+    # never a corpus-wide single-partition sort
+    plan = collocation_topk(docs, min_count=2, topk=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+
+
 def test_tfidf_query_topk_manual(spark):
     """4-doc fixture scored by hand: per-query scores are the decimal
     sums of round-6 tf*idf terms over DISTINCT query tokens, ranked
