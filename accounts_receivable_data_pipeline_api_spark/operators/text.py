@@ -1248,6 +1248,15 @@ def substring_search(
     )
     n_g = pg.groupBy("pattern_id").agg(F.countDistinct("gram").alias("n_grams"))
     if scan_prune_grams is not None:
+        if not scan_prune_grams:
+            # an EMPTY list can never be a complete gram cover of a
+            # non-empty pattern set — isin([]) would filter the whole
+            # posting table and return zero matches silently, the
+            # exact loss mode the parameter contract warns about
+            raise ValueError(
+                "substring_search: scan_prune_grams is empty — derive "
+                "it from the same pattern literals or pass None"
+            )
         postings = postings.filter(F.col("gram").isin(list(scan_prune_grams)))
     # the postings contract is one row per (doc, gram) — trigram_
     # postings output — so the all-grams-present test is a plain COUNT
@@ -1295,26 +1304,36 @@ def collocation_topk(
     Output: (w1, w2, n_ab, n_a, n_b, lift DOUBLE, rank) — rank 1..topk
     by (lift desc, w1, w2).
 
-    Plan shape at 100 TB: two corpus passes (token explode -> unigram
-    hash agg; bigram explode -> bigram hash agg), both map-side
-    combinable onto vocabulary-bounded outputs; two equi-joins of the
-    bigram table against the unigram table (AQE broadcasts the unigram
-    side when it fits); N is a 1-row aggregate combined via broadcast,
-    never collect()ed. The global top-k is TakeOrdered (distributed
-    partial top-k per partition), and the rank window runs on the
-    bounded ``topk``-row survivor frame only — the single partition it
-    implies holds <= topk rows by construction.
+    Plan shape at 100 TB: two corpus passes — token explode -> unigram
+    hash agg, and a codegen position-explode bigram pass (array index
+    pairs, NOT word_ngrams_expr's transform() HOF: higher-order
+    functions are CodegenFallback, the measured-10x trigram lesson) ->
+    bigram hash agg — both map-side combinable onto
+    vocabulary-bounded outputs; two equi-joins of the bigram table
+    against the unigram table (AQE broadcasts the unigram side when
+    it fits). N never touches the corpus a third time: total tokens =
+    SUM(n_w) over the already-bounded unigram frame, a 1-row aggregate
+    combined via broadcast, never collect()ed. The global top-k is
+    TakeOrdered (distributed partial top-k per partition), and the
+    rank window runs on the bounded ``topk``-row survivor frame only —
+    the single partition it implies holds <= topk rows by
+    construction.
     """
     from pyspark.sql import Window
 
     toks = docs.select(F.explode(tokens_expr(text_col)).alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n_w"))
-    n_tok = toks.agg(F.count(F.lit(1)).cast("long").alias("n_tok"))
+    n_tok = uni.agg(F.sum("n_w").cast("long").alias("n_tok"))
     bi = (
-        docs.select(F.explode(word_ngrams_expr(text_col, 2)).alias("g"))
+        docs.select(tokens_expr(text_col).alias("_tk"))
+        .filter(F.size("_tk") >= 2)  # sequence(1, 0) would DESCEND
         .select(
-            F.substring_index("g", " ", 1).alias("w1"),
-            F.substring_index("g", " ", -1).alias("w2"),
+            "_tk",
+            F.expr("explode(sequence(1, size(_tk) - 1))").alias("_i"),
+        )
+        .select(
+            F.expr("_tk[_i - 1]").alias("w1"),
+            F.expr("_tk[_i]").alias("w2"),
         )
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))

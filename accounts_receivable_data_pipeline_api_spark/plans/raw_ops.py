@@ -517,30 +517,66 @@ def _trigram_index_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     LOCATION whose bucket ids are encoded in the file names, so a new
     process re-registers the same spec over the existing files with
     one DDL statement and pruning works immediately — no rebuild, no
-    rewrite. Completed builds are detected via the _SUCCESS marker
-    (a crashed insert leaves no marker and is rebuilt)."""
+    rewrite.
+
+    Publication is ATOMIC (the media_fixtures/v1 contract the first
+    v2 draft dropped — review catch): the build writes through a
+    throwaway table at a uuid tmp location, then os.rename()s the
+    whole directory to the pinned path. Two processes building
+    concurrently each write their own tmp dir; the rename loser (the
+    path already exists) discards its copy and reads the winner's —
+    identical content, deterministic build. A non-atomic
+    mode('overwrite').insertInto against the SHARED location would
+    instead let the second builder's pre-write delete yank files a
+    concurrent reader already listed (FileNotFoundException, or a
+    silently incomplete probe under ignoreMissingFiles)."""
     import os
+    import re as _re
+    import shutil
+    import uuid
 
     from ..operators import text as text_ops
 
-    tag = (
-        f"{_TRIGRAM_CACHE_VERSION}_b{_TRIGRAM_BUCKETS}_"
-        + sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    # sanitize to a SQL identifier: any char outside [A-Za-z0-9_] in
+    # sf_dir would otherwise break the unquoted CREATE TABLE
+    tag = f"{_TRIGRAM_CACHE_VERSION}_b{_TRIGRAM_BUCKETS}_" + _re.sub(
+        r"[^A-Za-z0-9_]", "_", sf_dir.strip("/")
     )
     tbl = f"trigram_postings_{tag}"
     loc = f"/tmp/spark_graft_trigram_{tag}"
-    built = os.path.isfile(os.path.join(loc, "_SUCCESS"))
-    if not spark.catalog.tableExists(tbl):
-        spark.sql(
-            f"CREATE TABLE {tbl} (doc_id BIGINT, gram STRING) USING parquet "
-            f"CLUSTERED BY (gram) SORTED BY (gram) "
-            f"INTO {_TRIGRAM_BUCKETS} BUCKETS LOCATION '{loc}'"
+    ddl = (
+        "CREATE TABLE {name} (doc_id BIGINT, gram STRING) USING parquet "
+        f"CLUSTERED BY (gram) SORTED BY (gram) "
+        f"INTO {_TRIGRAM_BUCKETS} BUCKETS LOCATION '{{loc}}'"
+    )
+
+    def _built() -> bool:
+        return os.path.isfile(os.path.join(loc, "_SUCCESS"))
+
+    if not _built():
+        nonce = uuid.uuid4().hex
+        tmp_tbl = f"{tbl}_build_{nonce[:8]}"
+        tmp_loc = f"{loc}.tmp-{nonce}"
+        spark.sql(ddl.format(name=tmp_tbl, loc=tmp_loc))
+        try:
+            docs = load_table(spark, sf_dir, "documents")
+            text_ops.trigram_postings(docs).select(
+                F.col("doc_id").cast("long"), "gram"
+            ).write.mode("overwrite").insertInto(tmp_tbl)
+            try:
+                os.rename(tmp_loc, loc)
+            except OSError:
+                pass  # lost the publish race / transient: use the winner
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")  # external: keeps files
+            shutil.rmtree(tmp_loc, ignore_errors=True)
+    if not _built():
+        raise RuntimeError(
+            f"trigram posting cache build did not publish a complete "
+            f"index at {loc} (no _SUCCESS marker)"
         )
-    if not built:
-        docs = load_table(spark, sf_dir, "documents")
-        text_ops.trigram_postings(docs).select(
-            F.col("doc_id").cast("long"), "gram"
-        ).write.mode("overwrite").insertInto(tbl)
+    if not spark.catalog.tableExists(tbl):
+        spark.sql(ddl.format(name=tbl, loc=loc))
     return spark.table(tbl)
 
 
