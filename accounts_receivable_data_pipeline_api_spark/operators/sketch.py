@@ -683,7 +683,30 @@ def kmv_overlap(
 ) -> DataFrame:
     """Set-operation estimates for every unordered PAIR of groups in a
     KMV sample table: (group_a, group_b, kmv_k, n_union_obs, n_common,
-    hv_k, jaccard, union_est, intersect_est), group_a < group_b.
+    n_a_only, n_b_only, hv_k, jaccard, union_est, intersect_est,
+    a_only_est, b_only_est), group_a < group_b.
+
+    a_only_est / b_only_est (round 10) are the theta-framework
+    A-NOT-B estimates (set difference — "in status a but not b"):
+    within the union's k-min sample every retained hash's membership
+    on EACH side is decidable (the same soundness argument as the
+    intersection), so the sample partitions exactly into a-only /
+    b-only / common integer counts, and each estimate is its sample
+    fraction times union_est — the inclusion-consistent family:
+    n_a_only + n_b_only + n_common = n_union_obs EXACTLY (integers),
+    so the three estimates partition union_est up to one float
+    rounding per product. Exact-mode branch included for free: when
+    n_union_obs < k the union sample is the complete hash set and
+    every estimate is exact.
+
+    Accuracy honesty (standard theta-framework caveat): the error of
+    EVERY derived set-operation estimate scales with the UNION's
+    sampling error, not with the result's size — a small difference
+    between two heavily-overlapping large sets has large RELATIVE
+    error at any fixed k (the corpus entry's fixture shows estimates
+    off 2-3x on differences that are ~3% of the union, all inside the
+    0.3 * union additive bound). Size k to the union you query, or
+    use exact anti-joins when the difference itself is the product.
 
     The union sketch of two groups is the k smallest of their combined
     samples (selection composes); its threshold theta_U is <= BOTH
@@ -747,20 +770,32 @@ def kmv_overlap(
         F.count(F.lit(1)).cast("long").alias("n_union_obs"),
         F.max("hv").cast("long").alias("hv_k"),
         F.sum((F.col("in_a") * F.col("in_b")).cast("long")).alias("n_common"),
+        F.sum((F.col("in_a") * (1 - F.col("in_b"))).cast("long")).alias(
+            "n_a_only"
+        ),
+        F.sum(((1 - F.col("in_a")) * F.col("in_b")).cast("long")).alias(
+            "n_b_only"
+        ),
     )
     numer = float(k - 1) * _KMV_SPACE
     union_est = F.when(
         F.col("n_union_obs") < k, F.col("n_union_obs").cast("double")
     ).otherwise(F.lit(numer) / F.col("hv_k").cast("double"))
     jac = F.col("n_common").cast("double") / F.col("n_union_obs").cast("double")
+    a_frac = F.col("n_a_only").cast("double") / F.col("n_union_obs").cast("double")
+    b_frac = F.col("n_b_only").cast("double") / F.col("n_union_obs").cast("double")
     return agg.select(
         F.col("g_a"),
         F.col("g_b"),
         F.lit(k).cast("int").alias("kmv_k"),
         "n_union_obs",
         "n_common",
+        "n_a_only",
+        "n_b_only",
         "hv_k",
         jac.alias("jaccard"),
         union_est.alias("union_est"),
         (jac * union_est).alias("intersect_est"),
+        (a_frac * union_est).alias("a_only_est"),
+        (b_frac * union_est).alias("b_only_est"),
     )

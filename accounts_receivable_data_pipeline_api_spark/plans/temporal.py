@@ -245,12 +245,16 @@ def _hll_oracle() -> str:
       SELECT g_a, g_b,
              CAST(COUNT(*) AS BIGINT) AS n_union_obs,
              CAST(MAX(hv) AS BIGINT) AS hv_k,
-             CAST(SUM(in_a * in_b) AS BIGINT) AS n_common
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_common,
+             CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS n_a_only,
+             CAST(SUM((1 - in_a) * in_b) AS BIGINT) AS n_b_only
       FROM ktop GROUP BY g_a, g_b
     ),
     kov2 AS (
       SELECT g_a, g_b, n_union_obs, hv_k,
              CAST(n_common AS DOUBLE) / CAST(n_union_obs AS DOUBLE) AS jaccard,
+             CAST(n_a_only AS DOUBLE) / CAST(n_union_obs AS DOUBLE) AS a_frac,
+             CAST(n_b_only AS DOUBLE) / CAST(n_union_obs AS DOUBLE) AS b_frac,
              CASE WHEN n_union_obs < 256 THEN CAST(n_union_obs AS DOUBLE)
                   ELSE {kmv_numer!r} / CAST(hv_k AS DOUBLE) END AS union_est
       FROM kov
@@ -338,6 +342,28 @@ def _hll_oracle() -> str:
     FROM kov2 o
       JOIN kuni u ON u.g_a = o.g_a AND u.g_b = o.g_b
       LEFT JOIN kisect i ON i.g_a = o.g_a AND i.g_b = o.g_b
+    UNION ALL
+    -- A-NOT-B (set difference) estimates, round 10: exact
+    -- |A\\B| = |A u B| - |B|, |B\\A| = |A u B| - |A|; slots
+    -- kmv_est = a_only_est, kmv_jaccard = b_only_est,
+    -- kmv_union = union_est (the partition identity rides along)
+    SELECT 'kmv_difference', o.g_a || '|' || o.g_b,
+           u.exact_uni - xb.exact_customers,
+           u.exact_uni - xa.exact_customers,
+           abs(o.a_frac * o.union_est
+               - CAST(u.exact_uni - xb.exact_customers AS DOUBLE))
+             <= 0.3 * CAST(u.exact_uni AS DOUBLE)
+           AND abs(o.b_frac * o.union_est
+                   - CAST(u.exact_uni - xa.exact_customers AS DOUBLE))
+             <= 0.3 * CAST(u.exact_uni AS DOUBLE),
+           NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, o.hv_k, o.a_frac * o.union_est, o.b_frac * o.union_est,
+           o.union_est
+    FROM kov2 o
+      JOIN kuni u ON u.g_a = o.g_a AND u.g_b = o.g_b
+      JOIN ex xa ON xa.o_orderstatus = o.g_a
+      JOIN ex xb ON xb.o_orderstatus = o.g_b
     """
 
 
@@ -383,7 +409,16 @@ def _hll_oracle() -> str:
     "set-operation question an HLL register table cannot answer. "
     "within_bound pins union_est within 20% of the exact union and "
     "intersect_est within 0.3*union additively; exact pair overlaps "
-    "are fixtures like the exact distinct counts.",
+    "are fixtures like the exact distinct counts. "
+    "kind='kmv_difference' (round 10): the theta A-NOT-B estimates "
+    "from the SAME union sample — the union's k-min partitions "
+    "exactly into a-only/b-only/common counts, each estimate is its "
+    "sample fraction times union_est (inclusion-consistent: the three "
+    "partition union_est), exact fixtures via |A\\\\B| = |AuB| - |B|; "
+    "slot reuse documented in-line (kmv_est = a_only_est, "
+    "kmv_jaccard = b_only_est, kmv_union = union_est); error scales "
+    "with the UNION per the theta framework — pinned additively at "
+    "0.3*union like the intersection.",
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketch import (
@@ -606,9 +641,9 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # left join + coalesce: a pair with ZERO shared customers must
     # still surface with exact_isect = 0, not vanish (round-9 review
     # class: inner joins silently dropping zero-traffic rows)
+    kov = kmv_overlap(ksample, "o_orderstatus", k=256)
     kov_arm = (
-        kmv_overlap(ksample, "o_orderstatus", k=256)
-        .join(exact_u, ["g_a", "g_b"])
+        kov.join(exact_u, ["g_a", "g_b"])
         .join(exact_i, ["g_a", "g_b"], "left")
         .select(
             F.lit("kmv_overlap").alias("kind"),
@@ -638,6 +673,57 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("union_est").alias("kmv_union"),
         )
     )
+    # --- A-NOT-B (set difference) arm, round 10: the third theta-style
+    # set operation from the SAME union sample — exact |A\B| fixtures
+    # via the identity |A\B| = |A u B| - |B|; slots kmv_est/kmv_jaccard
+    # carry a_only_est/b_only_est (documented slot reuse), kmv_union
+    # carries union_est so the partition identity rides along.
+    exact_a = exact.select(
+        F.col("o_orderstatus").alias("g_a"),
+        F.col("exact_customers").alias("_exact_a"),
+    )
+    exact_b = exact.select(
+        F.col("o_orderstatus").alias("g_b"),
+        F.col("exact_customers").alias("_exact_b"),
+    )
+    kdiff_arm = (
+        kov.join(exact_u, ["g_a", "g_b"])
+        .join(exact_a, "g_a")
+        .join(exact_b, "g_b")
+        .select(
+            F.lit("kmv_difference").alias("kind"),
+            F.concat(F.col("g_a"), F.lit("|"), F.col("g_b")).alias("o_orderstatus"),
+            (F.col("exact_uni") - F.col("_exact_b")).cast("bigint").alias(
+                "exact_customers"
+            ),
+            (F.col("exact_uni") - F.col("_exact_a")).cast("bigint").alias(
+                "n_orders"
+            ),
+            (
+                (
+                    F.abs(
+                        F.col("a_only_est")
+                        - (F.col("exact_uni") - F.col("_exact_b")).cast("double")
+                    )
+                    <= F.lit(0.3) * F.col("exact_uni").cast("double")
+                )
+                & (
+                    F.abs(
+                        F.col("b_only_est")
+                        - (F.col("exact_uni") - F.col("_exact_a")).cast("double")
+                    )
+                    <= F.lit(0.3) * F.col("exact_uni").cast("double")
+                )
+            ).alias("within_bound"),
+            *hll_null_all,
+            *cms_null_all,
+            F.lit(None).cast("int").alias("kmv_pos"),
+            F.col("hv_k").alias("kmv_hv"),
+            F.col("a_only_est").alias("kmv_est"),
+            F.col("b_only_est").alias("kmv_jaccard"),
+            F.col("union_est").alias("kmv_union"),
+        )
+    )
     return (
         spark_arm.unionByName(reg_arm)
         .unionByName(est_arm)
@@ -646,6 +732,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ksample_arm)
         .unionByName(kest_arm)
         .unionByName(kov_arm)
+        .unionByName(kdiff_arm)
     )
 
 

@@ -3095,6 +3095,13 @@ def test_kmv_overlap_exact_mode_and_estimates(spark):
     assert r["jaccard"] == 20.0 / 100.0
     assert r["union_est"] == 100.0
     assert abs(r["intersect_est"] - 20.0) < 1e-9
+    # A-NOT-B (round 10), exact mode: the union sample IS the union,
+    # so both difference estimates are the true set differences, and
+    # the integer counts partition the union sample exactly
+    assert r["n_a_only"] == 40 and r["n_b_only"] == 40
+    assert r["n_a_only"] + r["n_b_only"] + r["n_common"] == r["n_union_obs"]
+    assert abs(r["a_only_est"] - 40.0) < 1e-9
+    assert abs(r["b_only_est"] - 40.0) < 1e-9
 
     big = [("A", i) for i in range(4000)] + [("B", i) for i in range(2000, 6000)]
     bdf = spark.createDataFrame(big, ["g", "item"])
@@ -3112,6 +3119,19 @@ def test_kmv_overlap_exact_mode_and_estimates(spark):
     assert abs(bov["union_est"] - 6000) / 6000 <= 3.0 / (k - 2) ** 0.5
     # intersection adds jaccard noise on top of the union estimator
     assert abs(bov["intersect_est"] - 2000) / 2000 <= 0.35, bov["intersect_est"]
+    # sketch-mode A-NOT-B: counts partition the sample; estimates
+    # partition union_est (one float rounding per product); each
+    # difference (truth 2000) lands inside the theta-framework bound —
+    # error scales with the UNION, so allow 0.35 * union like the
+    # intersection
+    assert (
+        bov["n_a_only"] + bov["n_b_only"] + bov["n_common"]
+        == bov["n_union_obs"]
+    )
+    part = bov["a_only_est"] + bov["b_only_est"] + bov["intersect_est"]
+    assert abs(part - bov["union_est"]) < 1e-6
+    assert abs(bov["a_only_est"] - 2000) <= 0.35 * 6000, bov["a_only_est"]
+    assert abs(bov["b_only_est"] - 2000) <= 0.35 * 6000, bov["b_only_est"]
     # theta soundness: the union sample's threshold is <= each group's
     thetas = {
         r["g"]: r["hv"]
