@@ -695,9 +695,13 @@ def kmv_overlap(
     fraction times union_est — the inclusion-consistent family:
     n_a_only + n_b_only + n_common = n_union_obs EXACTLY (integers),
     so the three estimates partition union_est up to one float
-    rounding per product. Exact-mode branch included for free: when
-    n_union_obs < k the union sample is the complete hash set and
-    every estimate is exact.
+    rounding per product. Exact mode: when n_union_obs < k the union
+    sample is the complete hash set, and the difference estimates are
+    emitted as the integer counts DIRECTLY (cast to double), not as
+    fraction * union_est — (a/n)*n is off by one ulp for ~30% of
+    integer pairs (7/25*25 = 7.000000000000001), and the branch makes
+    the exactness claim literally true instead of approximately
+    (second-pass review catch).
 
     Accuracy honesty (standard theta-framework caveat): the error of
     EVERY derived set-operation estimate scales with the UNION's
@@ -782,8 +786,17 @@ def kmv_overlap(
         F.col("n_union_obs") < k, F.col("n_union_obs").cast("double")
     ).otherwise(F.lit(numer) / F.col("hv_k").cast("double"))
     jac = F.col("n_common").cast("double") / F.col("n_union_obs").cast("double")
-    a_frac = F.col("n_a_only").cast("double") / F.col("n_union_obs").cast("double")
-    b_frac = F.col("n_b_only").cast("double") / F.col("n_union_obs").cast("double")
+    exact_mode = F.col("n_union_obs") < k
+    a_only = F.when(exact_mode, F.col("n_a_only").cast("double")).otherwise(
+        F.col("n_a_only").cast("double")
+        / F.col("n_union_obs").cast("double")
+        * union_est
+    )
+    b_only = F.when(exact_mode, F.col("n_b_only").cast("double")).otherwise(
+        F.col("n_b_only").cast("double")
+        / F.col("n_union_obs").cast("double")
+        * union_est
+    )
     return agg.select(
         F.col("g_a"),
         F.col("g_b"),
@@ -796,6 +809,6 @@ def kmv_overlap(
         jac.alias("jaccard"),
         union_est.alias("union_est"),
         (jac * union_est).alias("intersect_est"),
-        (a_frac * union_est).alias("a_only_est"),
-        (b_frac * union_est).alias("b_only_est"),
+        a_only.alias("a_only_est"),
+        b_only.alias("b_only_est"),
     )

@@ -253,8 +253,15 @@ def _hll_oracle() -> str:
     kov2 AS (
       SELECT g_a, g_b, n_union_obs, hv_k,
              CAST(n_common AS DOUBLE) / CAST(n_union_obs AS DOUBLE) AS jaccard,
-             CAST(n_a_only AS DOUBLE) / CAST(n_union_obs AS DOUBLE) AS a_frac,
-             CAST(n_b_only AS DOUBLE) / CAST(n_union_obs AS DOUBLE) AS b_frac,
+             -- exact mode emits the integer counts directly: (a/n)*n
+             -- is off by one ulp for ~30 percent of integer pairs, and
+             -- the operator's exactness claim is literal (r10 review)
+             CASE WHEN n_union_obs < 256 THEN CAST(n_a_only AS DOUBLE)
+                  ELSE CAST(n_a_only AS DOUBLE) / CAST(n_union_obs AS DOUBLE)
+                       * ({kmv_numer!r} / CAST(hv_k AS DOUBLE)) END AS a_only_est,
+             CASE WHEN n_union_obs < 256 THEN CAST(n_b_only AS DOUBLE)
+                  ELSE CAST(n_b_only AS DOUBLE) / CAST(n_union_obs AS DOUBLE)
+                       * ({kmv_numer!r} / CAST(hv_k AS DOUBLE)) END AS b_only_est,
              CASE WHEN n_union_obs < 256 THEN CAST(n_union_obs AS DOUBLE)
                   ELSE {kmv_numer!r} / CAST(hv_k AS DOUBLE) END AS union_est
       FROM kov
@@ -350,15 +357,15 @@ def _hll_oracle() -> str:
     SELECT 'kmv_difference', o.g_a || '|' || o.g_b,
            u.exact_uni - xb.exact_customers,
            u.exact_uni - xa.exact_customers,
-           abs(o.a_frac * o.union_est
+           abs(o.a_only_est
                - CAST(u.exact_uni - xb.exact_customers AS DOUBLE))
              <= 0.3 * CAST(u.exact_uni AS DOUBLE)
-           AND abs(o.b_frac * o.union_est
+           AND abs(o.b_only_est
                    - CAST(u.exact_uni - xa.exact_customers AS DOUBLE))
              <= 0.3 * CAST(u.exact_uni AS DOUBLE),
            NULL, NULL, NULL, NULL, NULL, NULL,
            NULL, NULL, NULL, NULL, NULL, NULL,
-           NULL, o.hv_k, o.a_frac * o.union_est, o.b_frac * o.union_est,
+           NULL, o.hv_k, o.a_only_est, o.b_only_est,
            o.union_est
     FROM kov2 o
       JOIN kuni u ON u.g_a = o.g_a AND u.g_b = o.g_b
@@ -641,9 +648,15 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # left join + coalesce: a pair with ZERO shared customers must
     # still surface with exact_isect = 0, not vanish (round-9 review
     # class: inner joins silently dropping zero-traffic rows)
-    kov = kmv_overlap(ksample, "o_orderstatus", k=256)
+    # ONE joined frame feeds both pairwise arms (overlap + difference):
+    # the kmv_overlap pair-enumeration/window subtree and the exact_u
+    # union-distinct agg appear once in the plan, not once per arm
+    # (round-10 second-pass review)
+    kovx = kmv_overlap(ksample, "o_orderstatus", k=256).join(
+        exact_u, ["g_a", "g_b"]
+    )
     kov_arm = (
-        kov.join(exact_u, ["g_a", "g_b"])
+        kovx
         .join(exact_i, ["g_a", "g_b"], "left")
         .select(
             F.lit("kmv_overlap").alias("kind"),
@@ -687,8 +700,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_customers").alias("_exact_b"),
     )
     kdiff_arm = (
-        kov.join(exact_u, ["g_a", "g_b"])
-        .join(exact_a, "g_a")
+        kovx.join(exact_a, "g_a")
         .join(exact_b, "g_b")
         .select(
             F.lit("kmv_difference").alias("kind"),
