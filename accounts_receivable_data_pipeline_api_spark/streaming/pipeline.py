@@ -960,6 +960,7 @@ def _compact_partials(
     upto_batch_id: int | None,
     merge,
     schema: str,
+    distributed_merge: bool = False,
 ) -> int | None:
     """Shared compaction protocol for batch-partitioned sketch state
     tables (HLL max-merge, HDR/CMS sum-merge) — one implementation so
@@ -992,6 +993,18 @@ def _compact_partials(
     Zero-readable-row folds (a crashed writer's empty partition dir)
     delete their dirs without writing a generation. Single concurrent
     compactor assumed, as with any table-maintenance job.
+
+    ``distributed_merge=True`` (round 10): for state whose merged form
+    is NOT driver-bounded (exact term counts — vocabulary-sized, vs
+    the register tables' fixed m rows), ``merge`` returns a DataFrame
+    instead of a row list, and the generation is published by writing
+    the FULL distributed result to a dot-prefixed tmp dir inside
+    ``state_dir`` (hidden from parquet readers) and then renaming the
+    directory onto the generation partition path — POSIX/HDFS
+    directory rename, atomic like the single-file appearance the
+    driver-bounded path relies on, with no file-count limit. A crash
+    before the rename leaves only a hidden tmp dir (swept by the next
+    pass); a crash after it is the committed state.
     """
     fs, root, jvm = _registers_fs(spark, state_dir)
     if not fs.exists(root):
@@ -999,6 +1012,11 @@ def _compact_partials(
     live, gens = [], []
     for st in fs.listStatus(root):
         name = st.getPath().getName()
+        if name.startswith(".gen_tmp_"):
+            # a crashed distributed-merge pass's unpublished tmp dir:
+            # hidden from readers, safe to sweep (single compactor)
+            fs.delete(st.getPath(), True)
+            continue
         if name.startswith("batch_id="):
             try:
                 b = int(name.split("=", 1)[1])
@@ -1030,7 +1048,25 @@ def _compact_partials(
     merged_rows = merge(
         spark.read.parquet(state_dir).filter(F.col("batch_id").isin(src_ids))
     )
-    if merged_rows:
+    if distributed_merge:
+        # merge returned a DataFrame (vocabulary-sized state): publish
+        # via hidden tmp dir + atomic DIRECTORY rename — any file
+        # count, same all-or-nothing appearance as the single file
+        import uuid as _uuid
+
+        merged_df = merged_rows
+        merged_rows = not merged_df.isEmpty()
+        if merged_rows:
+            gid = compacted_generation_id(new_mark)
+            tmp = f"{state_dir}/.gen_tmp_{_uuid.uuid4().hex}"
+            merged_df.write.mode("overwrite").parquet(tmp)
+            dest = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/batch_id={gid}")
+            if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dest):
+                fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+                raise RuntimeError(
+                    f"compaction: atomic publish rename to {dest} failed"
+                )
+    elif merged_rows:
         (
             spark.createDataFrame(merged_rows, schema)
             .coalesce(1)
@@ -1040,7 +1076,7 @@ def _compact_partials(
             .partitionBy("batch_id")
             .parquet(state_dir)
         )
-    else:
+    if not merged_rows:
         # no readable rows anywhere: nothing to fold, watermark stays
         new_mark = mark
     for b in folds:
@@ -1192,4 +1228,81 @@ def compact_kmv_sample(
         upto_batch_id,
         merge,
         "pos int, hv bigint, kmv_k int",
+    )
+
+
+def term_count_stream(
+    docs_stream: DataFrame,
+    counts_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+):
+    """Streaming corpus-lifetime EXACT term counts — the text twin of
+    the sketch partials, and the feed for running collocation / top-k
+    term telemetry: each microbatch tokenizes JVM-side
+    (text.tokens_expr — the same normalization the batch collocation
+    and LM operators pin against DuckDB) and writes an exact
+    (term, cnt) partial under the checkpointed batch_id with dynamic
+    partition overwrite. Counts merge by SUM — NOT idempotent — so
+    replay safety leans on the partition contract (a replayed batch
+    REPLACES its own partial) exactly like the HDR/CMS partials.
+
+    Unlike the register tables, the merged state here is
+    VOCABULARY-sized, not fixed-size: compaction goes through the
+    distributed-merge generation path (tmp dir + atomic directory
+    rename), never a driver-side collect."""
+    from ..operators.text import tokens_expr
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.select(F.explode(tokens_expr(text_col)).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(counts_dir)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def read_term_counts(spark: SparkSession, counts_dir: str) -> DataFrame:
+    """The lifetime term-count table: SUM over the newest generation +
+    unfolded batch partials (one-snapshot _read_excluding_folded
+    contract — SUM merges double-count resurrected partitions, so the
+    exclusion is load-bearing, as with HDR/CMS)."""
+    return (
+        _read_excluding_folded(spark, counts_dir)
+        .groupBy("term")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def compact_term_counts(
+    spark: SparkSession,
+    counts_dir: str,
+    upto_batch_id: int | None = None,
+) -> int | None:
+    """Fold closed term-count partials into a fresh generation via the
+    shared protocol's distributed-merge path: the merged vocabulary is
+    written as a full Spark job to a hidden tmp dir and published by
+    one atomic directory rename — no driver-side collect, no file-count
+    limit, state converges to one generation + open batches."""
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.groupBy("term").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+    return _compact_partials(
+        spark,
+        counts_dir,
+        upto_batch_id,
+        merge,
+        "term string, cnt long",
+        distributed_merge=True,
     )

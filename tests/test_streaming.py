@@ -1257,3 +1257,108 @@ def test_overlap_sketch_stream_matches_batch_and_compacts(spark, tmp_path):
     assert sorted((r["pos"], r["hv"]) for r in refolded.collect()) == sorted(
         (r["pos"], r["hv"]) for r in batch_sample.collect()
     )
+
+
+def test_term_count_stream_matches_batch_and_compacts_distributed(spark, tmp_path):
+    """Streaming EXACT term counts (round 10 — the text twin of the
+    sketch partials): the SUM-fold of per-batch (term, cnt) partials
+    equals the batch token counts over the whole corpus; a replayed
+    run leaves the fold unchanged (partition overwrite — SUM is not
+    idempotent); compaction goes through the DISTRIBUTED-merge
+    generation path (hidden tmp dir + atomic directory rename — no
+    driver collect, vocabulary-sized state) and leaves the counts,
+    the watermark, and top-k reads invariant; a resurrected
+    pre-watermark partition is excluded and reclaimed."""
+    import os
+    import shutil
+
+    from accounts_receivable_data_pipeline_api_spark.operators.text import (
+        tokens_expr,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        compact_term_counts,
+        compacted_generation_id,
+        read_term_counts,
+        term_count_stream,
+    )
+
+    src = str(tmp_path / "src")
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, "spark joins Spark  SHUFFLES"), (2, "window agg window")],
+        [(3, "spark shuffles spill"), (4, "agg agg window")],
+        [(5, "joins and spills and spark")],
+    ]
+    _stage_ordered_batches(
+        src, [spark.createDataFrame(r, schema) for r in batches]
+    )
+    cnt_dir = str(tmp_path / "counts")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = _ordered_stream(spark, src, schema)
+        q = term_count_stream(stream, cnt_dir, ckpt).start()
+        q.awaitTermination(120)
+
+    run()
+    all_rows = spark.createDataFrame([r for b in batches for r in b], schema)
+    expected = {
+        (r["term"], r["cnt"])
+        for r in all_rows.select(F.explode(tokens_expr("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
+    }
+
+    def folded():
+        return {
+            (r["term"], r["cnt"])
+            for r in read_term_counts(spark, cnt_dir).collect()
+        }
+
+    assert folded() == expected
+    # normalization parity spot-check: "Spark"/"SHUFFLES" lowercased,
+    # multi-space collapsed — 4 sparks, 3 aggs, 3 windows
+    as_map = dict(folded())
+    assert as_map["spark"] == 4 and as_map["agg"] == 3 and as_map["window"] == 3
+
+    # replay: wipe checkpoint, rerun -> partials rewritten, not added
+    shutil.rmtree(ckpt)
+    run()
+    assert folded() == expected
+
+    # compact batches 0..1 through the distributed-merge path
+    assert compact_term_counts(spark, cnt_dir, upto_batch_id=1) == 1
+    assert folded() == expected
+    parts = {
+        r["batch_id"]
+        for r in spark.read.parquet(cnt_dir).select("batch_id").distinct().collect()
+    }
+    assert parts == {compacted_generation_id(1), 2}, parts
+    # the atomic-publish tmp dir never survives a successful pass
+    assert not [d for d in os.listdir(cnt_dir) if d.startswith(".gen_tmp_")]
+
+    # resurrection: batch 0's partial reappears post-compaction; with
+    # SUM-merge this WOULD double-count — the generation-name watermark
+    # excludes it, and the next pass reclaims it and converges
+    (
+        spark.createDataFrame(batches[0], schema)
+        .select(F.explode(tokens_expr("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(cnt_dir)
+    )
+    assert folded() == expected
+    assert compact_term_counts(spark, cnt_dir, upto_batch_id=2) == 2
+    assert folded() == expected
+    parts = {
+        r["batch_id"]
+        for r in spark.read.parquet(cnt_dir).select("batch_id").distinct().collect()
+    }
+    assert parts == {compacted_generation_id(2)}, parts
+    # compacting an already-compacted table keeps the watermark
+    assert compact_term_counts(spark, cnt_dir) == 2
