@@ -696,12 +696,13 @@ def kmv_overlap(
     n_a_only + n_b_only + n_common = n_union_obs EXACTLY (integers),
     so the three estimates partition union_est up to one float
     rounding per product. Exact mode: when n_union_obs < k the union
-    sample is the complete hash set, and the difference estimates are
-    emitted as the integer counts DIRECTLY (cast to double), not as
+    sample is the complete hash set, and ALL THREE partition
+    estimates (intersection and both differences) are emitted as the
+    integer counts DIRECTLY (cast to double), not as
     fraction * union_est — (a/n)*n is off by one ulp for ~30% of
     integer pairs (7/25*25 = 7.000000000000001), and the branch makes
     the exactness claim literally true instead of approximately
-    (second-pass review catch).
+    (round-10 review catches, second and third pass).
 
     Accuracy honesty (standard theta-framework caveat): the error of
     EVERY derived set-operation estimate scales with the UNION's
@@ -787,6 +788,9 @@ def kmv_overlap(
     ).otherwise(F.lit(numer) / F.col("hv_k").cast("double"))
     jac = F.col("n_common").cast("double") / F.col("n_union_obs").cast("double")
     exact_mode = F.col("n_union_obs") < k
+    intersect = F.when(exact_mode, F.col("n_common").cast("double")).otherwise(
+        jac * union_est
+    )
     a_only = F.when(exact_mode, F.col("n_a_only").cast("double")).otherwise(
         F.col("n_a_only").cast("double")
         / F.col("n_union_obs").cast("double")
@@ -808,7 +812,7 @@ def kmv_overlap(
         "hv_k",
         jac.alias("jaccard"),
         union_est.alias("union_est"),
-        (jac * union_est).alias("intersect_est"),
+        intersect.alias("intersect_est"),
         a_only.alias("a_only_est"),
         b_only.alias("b_only_est"),
     )

@@ -262,6 +262,10 @@ def _hll_oracle() -> str:
              CASE WHEN n_union_obs < 256 THEN CAST(n_b_only AS DOUBLE)
                   ELSE CAST(n_b_only AS DOUBLE) / CAST(n_union_obs AS DOUBLE)
                        * ({kmv_numer!r} / CAST(hv_k AS DOUBLE)) END AS b_only_est,
+             CASE WHEN n_union_obs < 256 THEN CAST(n_common AS DOUBLE)
+                  ELSE (CAST(n_common AS DOUBLE) / CAST(n_union_obs AS DOUBLE))
+                       * ({kmv_numer!r} / CAST(hv_k AS DOUBLE)) END
+               AS intersect_est,
              CASE WHEN n_union_obs < 256 THEN CAST(n_union_obs AS DOUBLE)
                   ELSE {kmv_numer!r} / CAST(hv_k AS DOUBLE) END AS union_est
       FROM kov
@@ -340,12 +344,12 @@ def _hll_oracle() -> str:
            COALESCE(i.exact_isect, 0), u.exact_uni,
            abs(o.union_est - CAST(u.exact_uni AS DOUBLE))
              / CAST(u.exact_uni AS DOUBLE) <= 0.2
-           AND abs(o.jaccard * o.union_est
+           AND abs(o.intersect_est
                    - CAST(COALESCE(i.exact_isect, 0) AS DOUBLE))
              <= 0.3 * CAST(u.exact_uni AS DOUBLE),
            NULL, NULL, NULL, NULL, NULL, NULL,
            NULL, NULL, NULL, NULL, NULL, NULL,
-           NULL, o.hv_k, o.jaccard * o.union_est, o.jaccard, o.union_est
+           NULL, o.hv_k, o.intersect_est, o.jaccard, o.union_est
     FROM kov2 o
       JOIN kuni u ON u.g_a = o.g_a AND u.g_b = o.g_b
       LEFT JOIN kisect i ON i.g_a = o.g_a AND i.g_b = o.g_b

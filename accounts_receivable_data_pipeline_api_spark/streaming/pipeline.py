@@ -704,18 +704,37 @@ def _registers_fs(spark: SparkSession, registers_dir: str):
     return fs, path, jvm
 
 
+def _dir_has_visible_file(fs, status) -> bool:
+    """True if the partition directory contains at least one
+    non-hidden file — the same visibility rule Spark's file index
+    applies. A batch_id dir WITHOUT visible files is invisible to
+    every reader (file-based listing) but WOULD be seen by a naive
+    directory-based discovery; classifying such a dir as a real
+    generation lets a crashed write (dir created, file never moved)
+    SPOOF the watermark and reclaim unfolded live batches (round-10
+    review/test catch), so generation discovery must apply the
+    file-visibility rule too."""
+    for child in fs.listStatus(status.getPath()):
+        n = child.getPath().getName()
+        if not n.startswith(".") and not n.startswith("_"):
+            return True
+    return False
+
+
 def compaction_watermark(spark: SparkSession, registers_dir: str) -> int | None:
     """Highest batch_id folded into a compacted generation, or None if
     no compaction has run — decoded from the newest (most negative)
     generation partition's NAME, never from file contents or a stamp
-    file, so there is no partially-written state to misread."""
+    file, so there is no partially-written state to misread. Empty
+    generation dirs (a crashed write's debris — invisible to readers)
+    are ignored, mirroring _compact_partials' discovery."""
     fs, root, jvm = _registers_fs(spark, registers_dir)
     if not fs.exists(root):
         return None
     gens = []
     for st in fs.listStatus(root):
         name = st.getPath().getName()
-        if name.startswith("batch_id=-"):
+        if name.startswith("batch_id=-") and _dir_has_visible_file(fs, st):
             try:
                 gens.append(int(name.split("=", 1)[1]))
             except ValueError:
@@ -1022,6 +1041,17 @@ def _compact_partials(
                 b = int(name.split("=", 1)[1])
             except ValueError:
                 continue
+            if b < 0 and not _dir_has_visible_file(fs, st):
+                # a generation dir with NO visible file is a crashed
+                # write's debris: readers (file-based listing) never
+                # saw it, but counting it here would spoof the
+                # watermark from its NAME and reclaim live batches
+                # that were never folded — delete it instead
+                # (round-10 review/test catch). Live (b >= 0) dirs
+                # are left alone: the highest may be mid-write by the
+                # stream, and an empty live dir contributes no rows.
+                fs.delete(st.getPath(), True)
+                continue
             (gens if b < 0 else live).append(b)
     mark = -min(gens) - 2 if gens else None
     newest_gen = min(gens) if gens else None
@@ -1045,28 +1075,50 @@ def _compact_partials(
         return mark
     new_mark = folds[-1] if mark is None else max(folds[-1], mark)
     src_ids = folds if newest_gen is None else [newest_gen] + folds
-    merged_rows = merge(
-        spark.read.parquet(state_dir).filter(F.col("batch_id").isin(src_ids))
-    )
+    src = spark.read.parquet(state_dir).filter(F.col("batch_id").isin(src_ids))
     if distributed_merge:
-        # merge returned a DataFrame (vocabulary-sized state): publish
+        # merge returns a DataFrame (vocabulary-sized state): publish
         # via hidden tmp dir + atomic DIRECTORY rename — any file
-        # count, same all-or-nothing appearance as the single file
+        # count, same all-or-nothing appearance as the single file.
+        # Emptiness is tested on the SOURCE (limit-1 scan), not on the
+        # merged aggregate — isEmpty() on the merge would run the full
+        # vocabulary shuffle once and the write would rerun it (review
+        # catch); a fold-style merge of non-empty partials is
+        # non-empty by construction.
         import uuid as _uuid
 
-        merged_df = merged_rows
-        merged_rows = not merged_df.isEmpty()
+        merged_rows = not src.isEmpty()
         if merged_rows:
             gid = compacted_generation_id(new_mark)
+            dest = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/batch_id={gid}")
+            # rename onto an EXISTING directory would nest the tmp dir
+            # inside it and return true (silent data loss — readers
+            # filter dot-dirs, the generation looks empty, folds get
+            # deleted); under the protocol a same-gid generation can
+            # never exist (folds are all > mark, so new_mark > mark),
+            # so an existing dest is a protocol violation — raise
+            # BEFORE any write (review catch)
+            if fs.exists(dest):
+                raise RuntimeError(
+                    f"compaction: generation {dest} already exists — "
+                    "concurrent compactor or protocol violation"
+                )
+            # pin the published schema: select exactly the declared
+            # columns (order + types) so a merge that leaks batch_id
+            # (or drifts a type) can never publish a corrupt
+            # generation; the protocol owns the partition column
+            st = spark.createDataFrame([], schema).schema
+            merged_df = merge(src).select(
+                *[F.col(f.name).cast(f.dataType) for f in st.fields]
+            )
             tmp = f"{state_dir}/.gen_tmp_{_uuid.uuid4().hex}"
             merged_df.write.mode("overwrite").parquet(tmp)
-            dest = jvm.org.apache.hadoop.fs.Path(f"{state_dir}/batch_id={gid}")
             if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dest):
                 fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
                 raise RuntimeError(
                     f"compaction: atomic publish rename to {dest} failed"
                 )
-    elif merged_rows:
+    elif merged_rows := merge(src):
         (
             spark.createDataFrame(merged_rows, schema)
             .coalesce(1)

@@ -1362,3 +1362,68 @@ def test_term_count_stream_matches_batch_and_compacts_distributed(spark, tmp_pat
     assert parts == {compacted_generation_id(2)}, parts
     # compacting an already-compacted table keeps the watermark
     assert compact_term_counts(spark, cnt_dir) == 2
+
+
+def test_compaction_sweeps_crashed_debris(spark, tmp_path):
+    """Crash-debris handling in the generation protocol (round 10):
+    (1) a distributed-merge pass that crashed between write and rename
+    leaves a hidden .gen_tmp_* dir — invisible to readers
+    (dot-prefix), swept at the top of the NEXT pass, fold unaffected;
+    (2) a write that crashed after creating a generation PARTITION DIR
+    but before any file landed leaves an EMPTY batch_id=-N dir —
+    invisible to readers (file-based listing), but a naive
+    directory-based discovery would decode a SPOOFED watermark from
+    its name and reclaim live batches that were never folded (silent
+    data loss — caught by this test's first version); compaction must
+    treat it as debris: delete it, keep the true watermark, lose
+    nothing. compaction_watermark must ignore it too."""
+    import os
+
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        compact_term_counts,
+        compacted_generation_id,
+        compaction_watermark,
+        read_term_counts,
+    )
+
+    cnt_dir = str(tmp_path / "counts")
+    for b, rows in enumerate([[("spark", 2)], [("spark", 1), ("agg", 3)]]):
+        (
+            spark.createDataFrame(rows, "term string, cnt long")
+            .withColumn("batch_id", F.lit(b))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(cnt_dir)
+        )
+    # crashed-pass debris: hidden tmp dir with junk parquet
+    junk = os.path.join(cnt_dir, ".gen_tmp_deadbeef")
+    spark.createDataFrame([("junk", 99)], "term string, cnt long").write.parquet(junk)
+    before = {
+        (r["term"], r["cnt"]) for r in read_term_counts(spark, cnt_dir).collect()
+    }
+    assert before == {("spark", 3), ("agg", 3)}  # junk invisible
+    assert compact_term_counts(spark, cnt_dir, upto_batch_id=0) == 0
+    assert not os.path.isdir(junk)  # swept
+    assert {
+        (r["term"], r["cnt"]) for r in read_term_counts(spark, cnt_dir).collect()
+    } == before
+    # crashed-write debris: EMPTY generation dir claiming watermark 3
+    spoof = os.path.join(cnt_dir, f"batch_id={compacted_generation_id(3)}")
+    os.makedirs(spoof)
+    assert compaction_watermark(spark, cnt_dir) == 0  # name ignored
+    assert {
+        (r["term"], r["cnt"]) for r in read_term_counts(spark, cnt_dir).collect()
+    } == before
+    # the next pass deletes the spoof, folds batch 1 under the TRUE
+    # watermark, and loses nothing
+    assert compact_term_counts(spark, cnt_dir, upto_batch_id=1) == 1
+    assert not os.path.isdir(spoof)
+    assert {
+        (r["term"], r["cnt"]) for r in read_term_counts(spark, cnt_dir).collect()
+    } == before
+    parts = {
+        r["batch_id"]
+        for r in spark.read.parquet(cnt_dir).select("batch_id").distinct().collect()
+    }
+    assert parts == {compacted_generation_id(1)}, parts
