@@ -221,3 +221,96 @@ def triangle_counts(
         .join(corner_counts, "node", "left")
         .select("node", F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias("n_triangles"))
     )
+
+
+def kcore_nodes(
+    pairs: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected pair graph:
+    (node, degree, converged) for every node surviving ``rounds``
+    rounds of "remove nodes with degree < k" — the standard coreness
+    gate separating densely-embedded duplicate clusters from loose
+    chains (a triangle count is LOCAL density; the k-core is the
+    GLOBAL "still dense after the fringe peels away" signal).
+
+    Fixed-round determinism (the pagerank/kmeans recipe): full k-core
+    runs to a data-dependent fixed point, which no unrolled SQL twin
+    can mirror, so the operator pins the round count and REPORTS
+    convergence instead of iterating to it. The alive set only ever
+    SHRINKS, so "no node was removed in the last round" — checked as
+    count equality, which for a monotone set chain IS set equality —
+    certifies the fixed point was reached: converged=true means these
+    ARE the k-core members (plus exact degrees within it), not an
+    approximation; converged=false says rounds were too few, loudly.
+
+    ``degree`` is the node's degree within the SURVIVOR-induced
+    subgraph (the final alive set), all integer counts — the whole
+    output hash-checks cross-engine with no float anywhere but the
+    converged flag's encoding at the caller.
+
+    Scale: each round is two alive-set equi-joins against the
+    symmetric edge list + one map-side-combinable degree agg — O(|E|)
+    shuffles of (long, long) rows, alive-set lineage truncated per
+    round (localCheckpoint, released when superseded; the iterative-
+    operator rule). The per-round count() actions read checkpointed
+    frames. Cite: reference has no graph surface ([EXT] north star).
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("src"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    alive = sym.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    counts = [alive.count()]
+
+    def _induced(alive_df: DataFrame) -> DataFrame:
+        return sym.join(
+            alive_df.select(F.col("node").alias("src")), "src"
+        ).join(alive_df.select(F.col("node").alias("dst")), "dst")
+
+    for _ in range(rounds):
+        new_alive = (
+            _induced(alive)
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("_deg"))
+            .filter(F.col("_deg") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        _release_checkpoint(alive)
+        alive = new_alive
+        counts.append(alive.count())
+    converged = counts[-1] == counts[-2]
+    # LEFT join: a not-yet-converged alive set can contain nodes with
+    # ZERO induced degree (a path peels one layer per round and the
+    # middle node outlives its neighbors) — they are survivors of the
+    # rounds run so far and must surface with degree 0, not vanish
+    # (an inner groupBy would silently drop them). A CONVERGED core
+    # never has them (every member's degree >= k by definition).
+    deg = (
+        _induced(alive)
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .select(F.col("src").alias("node"), "degree")
+    )
+    result = (
+        alive.join(deg, "node", "left")
+        .select("node", F.coalesce(F.col("degree"), F.lit(0)).cast("bigint").alias("degree"))
+        .localCheckpoint(eager=True)
+    )
+    _release_checkpoint(alive)
+    _release_checkpoint(e)
+    return result.select(
+        "node", "degree", F.lit(converged).alias("converged")
+    )

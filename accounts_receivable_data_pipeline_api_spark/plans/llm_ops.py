@@ -1898,10 +1898,59 @@ def _pagerank_ctes() -> tuple[str, str]:
 
 _PR_CTES, _PR_FINAL = _pagerank_ctes()
 
+#: k-core row-group parameters — shared by the Spark consumer and the
+#: unrolled oracle below; k=2 / 3 rounds CONVERGES on the sf0.01 exact
+#: pair graph (483 -> 444 nodes by round 2, fixed point certified by
+#: the monotone count check), so the row group pins the true 2-core.
+_KC_K = 2
+_KC_ROUNDS = 3
+
+
+def _kcore_ctes() -> str:
+    """Unrolled fixed-round k-core peel for the gauntlet oracle (the
+    pagerank/kmeans playbook): round r filters to nodes whose degree
+    within the round-(r-1) alive-induced subgraph is >= k; kcf is the
+    final survivor-induced degree table. All integer counts — no
+    rounding contract anywhere."""
+    parts = ["""
+    kc0 AS (SELECT DISTINCT s AS node FROM edges)"""]
+    prev = "kc0"
+    for r in range(1, _KC_ROUNDS + 1):
+        parts.append(
+            f""",
+    kcd{r} AS (
+      SELECT e.s AS node, COUNT(*) AS deg FROM edges e
+        JOIN {prev} a ON a.node = e.s
+        JOIN {prev} b ON b.node = e.d
+      GROUP BY e.s
+    ),
+    kc{r} AS (SELECT node FROM kcd{r} WHERE deg >= {_KC_K})"""
+        )
+        prev = f"kc{r}"
+    parts.append(
+        f""",
+    kcfd AS (
+      SELECT e.s AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM edges e
+        JOIN {prev} a ON a.node = e.s
+        JOIN {prev} b ON b.node = e.d
+      GROUP BY e.s
+    ),
+    kcf AS (
+      -- LEFT join mirrors the operator: a not-yet-converged survivor
+      -- with zero induced degree surfaces with deg 0, never vanishes
+      SELECT a.node, CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg
+      FROM {prev} a LEFT JOIN kcfd d ON d.node = a.node
+    )"""
+    )
+    return "".join(parts)
+
+
+_KC_CTES = _kcore_ctes()
+
 # Everything after the graph CTEs (v/p/edges/reach/comp) — shared with
 # scripts/sf1_oracle.py's capped-graph twin, which swaps in a capped
 # node subset but keeps the same CTE names and this same tail.
-GRAPH_GAUNTLET_ORACLE_TAIL = f"""{_PR_CTES},
+GRAPH_GAUNTLET_ORACLE_TAIL = f"""{_PR_CTES},{_KC_CTES},
     tri AS (
       SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
       FROM p e1
@@ -1922,6 +1971,11 @@ GRAPH_GAUNTLET_ORACLE_TAIL = f"""{_PR_CTES},
     SELECT 'triangle', n.node, CAST(COALESCE(t.n_tri, 0) AS BIGINT),
            CAST(NULL AS DOUBLE)
     FROM prnodes n LEFT JOIN tcount t ON t.node = n.node
+    UNION ALL
+    SELECT 'kcore', node, deg,
+           (SELECT CAST((SELECT COUNT(*) FROM kc{_KC_ROUNDS - 1})
+                        = (SELECT COUNT(*) FROM kc{_KC_ROUNDS}) AS DOUBLE))
+    FROM kcf
 """
 
 
@@ -1952,13 +2006,23 @@ def graph_gauntlet_over(emb: DataFrame) -> DataFrame:
         F.col("n_triangles").alias("ival"),
         F.lit(None).cast("double").alias("dval"),
     )
+    # k-core row group (round 10): survivors of the fixed-round peel
+    # with their in-core degrees; the converged certificate rides in
+    # dval (1.0 = the monotone count check proved the fixed point, so
+    # these ARE the k-core members)
+    kc = graph.kcore_nodes(pairs, k=_KC_K, rounds=_KC_ROUNDS).select(
+        F.lit("kcore").alias("kind"),
+        "node",
+        F.col("degree").alias("ival"),
+        F.col("converged").cast("double").alias("dval"),
+    )
     # each consumer's returned plan is backed by its OWN eager
     # checkpoint (labels / ranks / the canonical edge list), so the
-    # pairs checkpoint is dead once the three builds return — release
+    # pairs checkpoint is dead once the four builds return — release
     # it now rather than leaking one pinned RDD per gauntlet build
     # (the hygiene contract in tests/test_memory_hygiene.py)
     dedup._release_checkpoint(pairs)
-    return comp.unionByName(pr).unionByName(tri)
+    return comp.unionByName(pr).unionByName(tri).unionByName(kc)
 
 
 @register(
@@ -2001,7 +2065,14 @@ def graph_gauntlet_over(emb: DataFrame) -> DataFrame:
     "0.15). kind='triangle' — per-node triangle counts via the degree-"
     "ordered edge-iterator (operators/graph.py:triangle_counts); the "
     "oracle counts triangles with an order-free canonical triple join, "
-    "so the check also proves the degree-ordering misses nothing. The "
+    "so the check also proves the degree-ordering misses nothing. "
+    f"kind='kcore' (round 10) — fixed-{_KC_ROUNDS}-round k={_KC_K} "
+    "core peeling (operators/graph.py:kcore_nodes): survivors with "
+    "their survivor-induced degrees, all integer counts; dval carries "
+    "the convergence certificate (the alive set only shrinks, so a "
+    "count-equal final round proves the fixed point — 1.0 here, i.e. "
+    "the row group pins the TRUE 2-core, not an approximation); the "
+    "oracle unrolls the peel as one CTE pair per round. The "
     "exact O(n^2) pair input is the ORACLE-PARITY baseline only; "
     "dedup_components_lsh is the scale path for candidate generation "
     "(LSH-blocked, no cross join).",

@@ -653,3 +653,18 @@ def op_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RAW_OPS.update({"op_collocations": (op_collocations, "documents")})
+
+
+def op_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-core peeling over the LSH pair graph — the scale
+    path for core extraction (probe-only this round: corpus-oracled in
+    the dedup_components gauntlet, scale-probed via RAW_OPS; joins the
+    bench HEADLINE at the next anchor refresh). Each round is two
+    alive-set equi-joins + one map-side-combinable degree agg over
+    O(|E|) (long, long) rows."""
+    from ..operators import graph
+
+    return graph.kcore_nodes(_lsh_pair_graph(spark, sf_dir), k=2, rounds=3)
+
+
+RAW_OPS.update({"op_kcore": (op_kcore, "embeddings")})

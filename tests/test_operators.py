@@ -2727,6 +2727,59 @@ def test_triangle_counts_random_vs_bruteforce(spark):
         assert got == expect, f"seed {seed}"
 
 
+def test_kcore_nodes_matches_bruteforce_and_certifies(spark):
+    """Property: on random multigraph-ish pair lists (duplicates, both
+    orientations, self-loops), fixed-round k-core peeling returns
+    exactly the brute-force survivor set with exact induced degrees,
+    and the converged certificate (monotone count check) matches the
+    brute-force fixed-point test. Also pins the honest failure mode:
+    rounds too few => converged=False, never a silently-wrong core."""
+    import random
+
+    from accounts_receivable_data_pipeline_api_spark.operators import graph
+
+    def brute(edges, k, rounds):
+        sym = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+        alive = {n for e in sym for n in e}
+        counts = [len(alive)]
+        for _ in range(rounds):
+            deg: dict = {}
+            for a, b in sym:
+                if a in alive and b in alive:
+                    deg[a] = deg.get(a, 0) + 1
+                    deg[b] = deg.get(b, 0) + 1
+            alive = {n for n in alive if deg.get(n, 0) >= k}
+            counts.append(len(alive))
+        deg = {}
+        for a, b in sym:
+            if a in alive and b in alive:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        conv = counts[-1] == counts[-2]
+        return {(n, deg.get(n, 0), conv) for n in alive}
+
+    rng = random.Random(3)
+    for trial in range(3):
+        edges = [(rng.randrange(25), rng.randrange(25)) for _ in range(35)]
+        edges += [(b, a) for a, b in edges[:5]]  # reversed duplicates
+        df = spark.createDataFrame(edges, ["id_a", "id_b"])
+        for k in (2, 3):
+            got = {
+                (r.node, r.degree, r.converged)
+                for r in graph.kcore_nodes(df, k=k, rounds=3).collect()
+            }
+            assert got == brute(edges, k, 3), (trial, k)
+    # a long path needs one round per peeled layer: 2 rounds on a
+    # 5-node path at k=2 is NOT converged (and says so), 4 rounds is
+    # converged with an empty core
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], ["id_a", "id_b"]
+    )
+    few = graph.kcore_nodes(path, k=2, rounds=2).collect()
+    assert few and all(not r.converged for r in few)
+    assert graph.kcore_nodes(path, k=2, rounds=4).collect() == []
+
+
 def test_edit_distance_pairs_known_typos(spark):
     """Explicit fixture: each corruption family (deletion, insertion,
     substitution, adjacent transposition at d=2) against its source."""
