@@ -259,6 +259,11 @@ def kcore_nodes(
     operator rule). The per-round count() actions read checkpointed
     frames. Cite: reference has no graph surface ([EXT] north star).
     """
+    if rounds < 1:
+        raise ValueError(
+            f"kcore_nodes needs at least one peel round (got {rounds}); "
+            "the convergence certificate compares the last two rounds"
+        )
     e = (
         pairs.select(
             F.least(F.col(id_a), F.col(id_b)).alias("src"),
@@ -291,6 +296,13 @@ def kcore_nodes(
         _release_checkpoint(alive)
         alive = new_alive
         counts.append(alive.count())
+        if counts[-1] == counts[-2]:
+            # the monotone count check already certifies the fixed
+            # point — the remaining rounds are provably no-ops (two
+            # O(|E|) joins + an agg each), so stop paying for them;
+            # output and certificate are exactly what the full loop
+            # would produce
+            break
     converged = counts[-1] == counts[-2]
     # LEFT join: a not-yet-converged alive set can contain nodes with
     # ZERO induced degree (a path peels one layer per round and the

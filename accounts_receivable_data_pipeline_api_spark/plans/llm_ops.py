@@ -1912,9 +1912,15 @@ def _kcore_ctes() -> str:
     within the round-(r-1) alive-induced subgraph is >= k; kcf is the
     final survivor-induced degree table. All integer counts — no
     rounding contract anywhere."""
-    parts = ["""
-    kc0 AS (SELECT DISTINCT s AS node FROM edges)"""]
-    prev = "kc0"
+    # round-0 alive set IS the node set — reuse the pagerank chain's
+    # prnodes CTE (these CTEs are only ever emitted after _PR_CTES in
+    # GRAPH_GAUNTLET_ORACLE_TAIL) instead of restating it under a
+    # second name (round-10 review)
+    parts = []
+    prev = "prnodes"
+    # NB: each generated fragment leads with "," — the caller splices
+    # this string as {_PR_CTES},{_KC_CTES} with no separator of its
+    # own, so the first fragment's comma is stripped below
     for r in range(1, _KC_ROUNDS + 1):
         parts.append(
             f""",
@@ -1942,7 +1948,7 @@ def _kcore_ctes() -> str:
       FROM {prev} a LEFT JOIN kcfd d ON d.node = a.node
     )"""
     )
-    return "".join(parts)
+    return "".join(parts).lstrip(",")
 
 
 _KC_CTES = _kcore_ctes()
@@ -1984,9 +1990,9 @@ def graph_gauntlet_over(emb: DataFrame) -> DataFrame:
     frame — shared by the sf0.01 entry and the sf1 capped-graph twin
     (scripts/sf1_oracle.py), so the scale harness exercises the exact
     operators the driver checks."""
-    # the pair graph feeds three independent consumers (two of them
-    # iterative); one eager checkpoint stops each from re-running the
-    # exact-cosine scoring
+    # the pair graph feeds FOUR independent consumers (three of them
+    # iterative: components, pagerank, k-core); one eager checkpoint
+    # stops each from re-running the exact-cosine scoring
     pairs = dedup.embedding_cosine_pairs(emb, threshold=0.3).localCheckpoint(eager=True)
     comp = dedup.connected_components(pairs).select(
         F.lit("component").alias("kind"),

@@ -95,7 +95,8 @@ def _capped_components_build(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % CAP_MOD == 0
     )
-    # the full round-9 gauntlet (components + pagerank + triangles),
+    # the full gauntlet (components + pagerank + triangles + the
+    # round-10 kcore row group),
     # not just the component map — same code path as the entry
     return graph_gauntlet_over(emb)
 

@@ -2769,8 +2769,9 @@ def test_kcore_nodes_matches_bruteforce_and_certifies(spark):
                 for r in graph.kcore_nodes(df, k=k, rounds=3).collect()
             }
             assert got == brute(edges, k, 3), (trial, k)
-    # a long path needs one round per peeled layer: 2 rounds on a
-    # 5-node path at k=2 is NOT converged (and says so), 4 rounds is
+    # a long path needs one round per peeled layer: on the 6-node
+    # path 0-1-2-3-4-5 at k=2 the alive counts run [6, 4, 2, 0, 0],
+    # so 2 rounds is NOT converged (and says so) while 4 rounds is
     # converged with an empty core
     path = spark.createDataFrame(
         [(i, i + 1) for i in range(5)], ["id_a", "id_b"]
