@@ -657,9 +657,9 @@ RAW_OPS.update({"op_collocations": (op_collocations, "documents")})
 
 def op_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-round k-core peeling over the LSH pair graph — the scale
-    path for core extraction (probe-only this round: corpus-oracled in
-    the dedup_components gauntlet, scale-probed via RAW_OPS; joins the
-    bench HEADLINE at the next anchor refresh). Each round is two
+    path for core extraction: corpus-oracled in the dedup_components
+    gauntlet, scale-probed via RAW_OPS, gated in the bench HEADLINE
+    since the r10b anchor block. Each round is two
     alive-set equi-joins + one map-side-combinable degree agg over
     O(|E|) (long, long) rows."""
     from ..operators import graph

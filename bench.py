@@ -110,6 +110,7 @@ HEADLINE = (
     "op_substr_search",
     "op_zorder_layout",
     "op_collocations",
+    "op_kcore",
 )
 
 # Invariant-summary entries whose in-entry exact twins are O(n^2) oracle
