@@ -4,8 +4,8 @@ Each method returns the exact JSON-shaped dict the reference's Pydantic
 models serialize (routes, params, envelopes, error codes from
 /root/reference/app/main.py, app/api/invoices.py, app/api/customers.py).
 ``ApiError`` carries the HTTP status (404/400 per quirk Q7); the
-optional FastAPI adapter (api/app.py) is a thin translation layer, so
-all semantics are testable without the web framework (which is not
+stdlib HTTP adapter (api/http_server.py) is a thin translation layer,
+so all semantics are testable without any web framework (none is
 installed in this container).
 
 The engine holds ONE long-lived SparkSession and caches the two AR

@@ -1,14 +1,18 @@
 """Dependency-free HTTP adapter over the endpoint core.
 
-The build container has no FastAPI/uvicorn/httpx and installs are not
-permitted, so the FastAPI adapter (api/app.py) stays import-gated — but
-the HTTP surface itself does not need the framework: this module serves
-the SAME route table through the stdlib ``http.server``, giving a real
-socket-level request/response cycle (URL routing, query-string parsing,
-parameter validation, status codes, JSON bodies) that tests/test_http.py
-replays the reference's SOLUTION.md goldens through.
+This is the single HTTP surface of the package (an import-gated FastAPI
+adapter existed through round 10 but could never execute here — FastAPI
+is not installed and installs are disallowed — so it was removed in
+round 11 per the r10 verdict; git history has it if a deployment ever
+wants a uvicorn mount). The HTTP surface does not need a framework:
+this module serves the reference's route table through the stdlib
+``http.server``, giving a real socket-level request/response cycle
+(URL routing, query-string parsing, parameter validation, status codes,
+JSON bodies) that tests/test_http.py replays the reference's
+SOLUTION.md goldens through.
 
-Parity notes (mirrors api/app.py's FastAPI declarations):
+Parity notes (mirrors the reference's FastAPI declarations,
+/root/reference/app/main.py:6-16 and the two routers):
 - parameter types/bounds validate like FastAPI ``Query``: a malformed
   int/date or out-of-bounds limit/offset returns 422 with a
   ``{"detail": [...]}`` envelope, as FastAPI's RequestValidationError
@@ -16,9 +20,9 @@ Parity notes (mirrors api/app.py's FastAPI declarations):
   api/endpoints.py and surface via ApiError).
 - unknown paths return 404 {"detail": "Not Found"}.
 
-This is a test/serving adapter for environments without FastAPI; a real
-deployment would mount api/app.py under uvicorn — both are thin
-translations over the identical Endpoints core, which is the point.
+All route semantics live in the framework-agnostic Endpoints core; this
+adapter only translates HTTP <-> dicts, so re-adding a framework mount
+later is a thin translation layer, which is the point.
 """
 
 from __future__ import annotations

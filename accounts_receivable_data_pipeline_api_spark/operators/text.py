@@ -1246,7 +1246,6 @@ def substring_search(
         .select("pattern_id", F.expr("substr(_p, _i, 3)").alias("gram"))
         .distinct()
     )
-    n_g = pg.groupBy("pattern_id").agg(F.countDistinct("gram").alias("n_grams"))
     if scan_prune_grams is not None:
         if not scan_prune_grams:
             # an EMPTY list can never be a complete gram cover of a
@@ -1257,7 +1256,34 @@ def substring_search(
                 "substring_search: scan_prune_grams is empty — derive "
                 "it from the same pattern literals or pass None"
             )
-        postings = postings.filter(F.col("gram").isin(list(scan_prune_grams)))
+        grams = list(scan_prune_grams)
+        # Completeness guard IN-PLAN (round-10 ADVICE): the contract
+        # above — every pattern trigram must appear in the prune list —
+        # was documented but unenforced, and an incomplete list fails
+        # SILENTLY (the pruned posting scan drops the missing gram's
+        # postings, the all-grams candidate test then loses every doc
+        # that needed it, and verify only re-checks produced
+        # candidates). pg is patterns-bounded (total pattern length
+        # rows), so guarding each pattern gram costs nothing; applied
+        # BEFORE n_g/join so every consumer of pg evaluates it.
+        pg = pg.select(
+            "pattern_id",
+            F.when(
+                ~F.col("gram").isin(grams),
+                F.raise_error(
+                    F.lit(
+                        "substring_search: scan_prune_grams is missing a "
+                        "pattern trigram — the pruned posting scan would "
+                        "silently lose matches; derive the list from the "
+                        "same pattern literals"
+                    )
+                ).cast("string"),
+            )
+            .otherwise(F.col("gram"))
+            .alias("gram"),
+        )
+        postings = postings.filter(F.col("gram").isin(grams))
+    n_g = pg.groupBy("pattern_id").agg(F.countDistinct("gram").alias("n_grams"))
     # the postings contract is one row per (doc, gram) — trigram_
     # postings output — so the all-grams-present test is a plain COUNT
     pruned = postings.join(_F.broadcast(pg), "gram")

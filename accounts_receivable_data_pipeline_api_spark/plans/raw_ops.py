@@ -538,9 +538,21 @@ def _trigram_index_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as text_ops
 
     # sanitize to a SQL identifier: any char outside [A-Za-z0-9_] in
-    # sf_dir would otherwise break the unquoted CREATE TABLE
-    tag = f"{_TRIGRAM_CACHE_VERSION}_b{_TRIGRAM_BUCKETS}_" + _re.sub(
-        r"[^A-Za-z0-9_]", "_", sf_dir.strip("/")
+    # sf_dir would otherwise break the unquoted CREATE TABLE. The
+    # sanitization is lossy (…/sf0.1 and …/sf0_1 both map to sf0_1),
+    # so an md5 prefix of the RAW path disambiguates — without it two
+    # colliding corpora would share one table/location and the loser
+    # would silently probe the other corpus's postings, failing the
+    # all-grams candidate test and losing matches without error
+    # (round-10 ADVICE).
+    import hashlib as _hashlib
+
+    raw = sf_dir.strip("/")
+    tag = (
+        f"{_TRIGRAM_CACHE_VERSION}_b{_TRIGRAM_BUCKETS}_"
+        + _re.sub(r"[^A-Za-z0-9_]", "_", raw)
+        + "_"
+        + _hashlib.md5(raw.encode()).hexdigest()[:8]
     )
     tbl = f"trigram_postings_{tag}"
     loc = f"/tmp/spark_graft_trigram_{tag}"

@@ -652,10 +652,14 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # left join + coalesce: a pair with ZERO shared customers must
     # still surface with exact_isect = 0, not vanish (round-9 review
     # class: inner joins silently dropping zero-traffic rows)
-    # ONE joined frame feeds both pairwise arms (overlap + difference):
-    # the kmv_overlap pair-enumeration/window subtree and the exact_u
-    # union-distinct agg appear once in the plan, not once per arm
-    # (round-10 second-pass review)
+    # ONE joined frame feeds both pairwise arms (overlap + difference)
+    # so they cannot drift semantically; physically each union arm
+    # still re-derives the lineage, and Spark dedups it only if the
+    # exchanges come out identical (ReusedExchange is best-effort —
+    # the differing downstream joins can defeat it). Left as-is: the
+    # frame is status-pairs-bounded (a handful of rows at any SF), so
+    # a checkpoint would cost more than the possible double-build
+    # (round-10 ADVICE — don't overclaim subtree sharing).
     kovx = kmv_overlap(ksample, "o_orderstatus", k=256).join(
         exact_u, ["g_a", "g_b"]
     )

@@ -277,20 +277,24 @@ def main() -> None:
     # summary as the FINAL line — suite total + per-query warm at 2 dp —
     # and degrade to the slowest-N queries if it would ever exceed the
     # window.
+    # ``value`` is the COLD suite total (same number as the full record);
+    # the per-query dict is explicitly named ``queries_warm`` — round 10
+    # shipped it as ``queries``, which read as cold values in
+    # BENCH_rN.json's parsed record (round-10 VERDICT #1).
     compact_warm = {k: round(v, 2) for k, v in warm.items()}
     summary = {
         "metric": "suite_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "sf": sf,
-        "queries": compact_warm,
+        "queries_warm": compact_warm,
     }
     line = json.dumps(summary, separators=(",", ":"))
     if len(line) > 1500:
         slowest = dict(
             sorted(compact_warm.items(), key=lambda kv: -kv[1])[:15]
         )
-        summary["queries"] = slowest
+        summary["queries_warm"] = slowest
         summary["queries_truncated_to_slowest"] = len(slowest)
         line = json.dumps(summary, separators=(",", ":"))
     print(line)

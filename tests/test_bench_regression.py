@@ -48,11 +48,12 @@ def _run_bench() -> dict:
     )
     assert out.returncode == 0, out.stderr[-2000:]
     # bench.py prints the FULL record first, then a compact driver-facing
-    # summary (last line, no queries_warm) — take the full one.
+    # summary (last line — since r11 it also carries "queries_warm", so
+    # key on "verification", which only the full record has).
     line = [
         l
         for l in out.stdout.splitlines()
-        if re.match(r'^\{"metric"', l) and '"queries_warm"' in l
+        if re.match(r'^\{"metric"', l) and '"verification"' in l
     ][-1]
     return json.loads(line)
 

@@ -2,9 +2,9 @@
 SOLUTION.md goldens through a REAL socket request/response cycle.
 
 FastAPI/httpx are not installed in this container and installs are not
-permitted, so the import-gated FastAPI adapter (api/app.py) cannot be
-exercised; instead the dependency-free stdlib adapter
-(api/http_server.py) serves the IDENTICAL route table over
+permitted, so the package's single HTTP surface is the dependency-free
+stdlib adapter (api/http_server.py — the import-gated FastAPI adapter
+was removed in round 11); it serves the reference's route table over
 http.server, and these tests drive it with urllib over a real TCP
 socket — URL routing, query-string parsing, parameter validation,
 status codes, and JSON bodies all on the wire."""

@@ -3279,6 +3279,40 @@ def test_substring_search_pattern_guards_in_plan(spark):
         substring_search(docs, short, postings=idx).collect()
 
 
+def test_substring_search_prune_gram_completeness_guard(spark):
+    """Round-10 ADVICE: an INCOMPLETE scan_prune_grams list used to
+    fail silently (the pruned posting scan drops the missing gram's
+    postings and the all-grams candidate test loses the match without
+    error). Now it raises in-plan; a COMPLETE list still returns the
+    full match set, and an empty list raises at call time."""
+    import pytest as _pytest
+
+    from accounts_receivable_data_pipeline_api_spark.operators.text import (
+        substring_search,
+        trigram_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abcdef"), (2, "xyzkkk")], ["doc_id", "text"]
+    )
+    pats = spark.createDataFrame([("p1", "abcd")], ["pattern_id", "pattern"])
+    idx = trigram_postings(docs)
+    full = ["abc", "bcd"]  # every 3-substring of "abcd"
+    got = {
+        (r["pattern_id"], r["doc_id"])
+        for r in substring_search(
+            docs, pats, postings=idx, scan_prune_grams=full
+        ).collect()
+    }
+    assert got == {("p1", 1)}
+    with _pytest.raises(Exception, match="scan_prune_grams is missing"):
+        substring_search(
+            docs, pats, postings=idx, scan_prune_grams=["abc"]
+        ).collect()
+    with _pytest.raises(ValueError, match="scan_prune_grams is empty"):
+        substring_search(docs, pats, postings=idx, scan_prune_grams=[])
+
+
 def test_zorder_key_cross_engine_and_bijective(spark):
     """The SAME expression text computes the key in Spark and DuckDB
     (one formula, two engines — zero drift possible), the interleave
