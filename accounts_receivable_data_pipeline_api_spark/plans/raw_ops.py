@@ -65,6 +65,90 @@ def op_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(queries, emb, _IVF_CENTROIDS[sf_dir], k=10, nprobe=8)
 
 
+_SQ8_CACHE_VERSION = "v1"
+
+
+def _sq8_serving_cached(spark: SparkSession, sf_dir: str):
+    """Write-once persisted IVF-SQ8 serving table per sf_dir — the
+    compacted artifact the quantized ANN path scans at 100 TB
+    (round-10 VERDICT #1): (match_id, cluster, q_scale,
+    qvec ARRAY<TINYINT>), cluster-clustered parquet plus the coarse
+    centroids as JSON IN THE SAME published directory. Persisting the
+    centroids with the codes is what makes the cache cross-process
+    safe: ivf_build's float partial sums are pid-ordered (deterministic
+    for a fixed layout, not across layout changes), so a new process
+    recomputing centroids could assign probes inconsistently with the
+    cached table's cluster column — silently costing recall, never
+    erroring. One artifact, one build.
+
+    Publication is atomic (tmp dir + os.rename, the trigram-cache
+    contract); the rename loser discards its copy and reads the
+    winner's. Returns (serving DataFrame, centroids list)."""
+    import hashlib
+    import json as _json
+    import os
+    import re as _re
+    import shutil
+    import uuid
+
+    raw = sf_dir.strip("/")
+    tag = (
+        f"{_SQ8_CACHE_VERSION}_"
+        + _re.sub(r"[^A-Za-z0-9_]", "_", raw)
+        + "_"
+        + hashlib.md5(raw.encode()).hexdigest()[:8]
+    )
+    loc = f"/tmp/spark_graft_sq8_{tag}"
+    data_dir = os.path.join(loc, "data")
+
+    if not os.path.isfile(os.path.join(data_dir, "_SUCCESS")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = similarity.ivf_build(emb, k=None, iters=2)
+        nonce = uuid.uuid4().hex
+        tmp = f"{loc}.tmp-{nonce}"
+        serving = similarity.ivf_sq8_serving_table(emb, cents)
+        # cluster-clustered files + in-file sort: a probe's cluster
+        # equi-join touches few files and tight row groups (the
+        # bucketed-posting layout story, sized small here — the table
+        # is ~1 byte/dim/vector). File count scales with the corpus
+        # (>=5k vectors/file) so per-file footer overhead never
+        # dominates the byte accounting at small SF; at 100 TB this is
+        # the bucket count, sized to executors.
+        nfiles = max(1, min(8, emb.count() // 5000))
+        (
+            serving.repartition(nfiles, F.col("cluster"))
+            .sortWithinPartitions("cluster")
+            .write.parquet(os.path.join(tmp, "data"))
+        )
+        with open(os.path.join(tmp, "centroids.json"), "w") as f:
+            _json.dump(cents, f)
+        try:
+            os.rename(tmp, loc)
+        except OSError:
+            # rename loser: the winner's identical artifact is already
+            # published (deterministic build on the same data)
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    with open(os.path.join(loc, "centroids.json")) as f:
+        cents = _json.load(f)
+    return spark.read.parquet(data_dir), cents
+
+
+def op_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized ANN probe against the persisted serving table: int8
+    candidate scan with asymmetric cosine, exact re-rank of the top-3k
+    shortlist on full vectors (operators/similarity.py:ivf_sq8_topk).
+    Times the amortized PROBE cost — the serving-table compact is the
+    one-time artifact build, the same accounting as op_substr_search's
+    posting index and op_ivf_topk's centroid cache."""
+    serving, cents = _sq8_serving_cached(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_sq8_topk(
+        queries, emb, cents, k=10, nprobe=8, serving=serving
+    )
+
+
 # probe/bench name -> (builder, input table for rows/sec accounting)
 RAW_OPS = {
     "op_minhash_lsh_pairs": (op_minhash_lsh_pairs, "documents"),
@@ -72,6 +156,7 @@ RAW_OPS = {
     "op_components_lsh": (op_components_lsh, "embeddings"),
     "op_lsh_topk": (op_lsh_topk, "embeddings"),
     "op_ivf_topk": (op_ivf_topk, "embeddings"),
+    "op_ivf_sq8_topk": (op_ivf_sq8_topk, "embeddings"),
 }
 
 

@@ -134,6 +134,110 @@ def _probe_ivf_topk_recall(spark, sf_dir: str) -> None:
     assert recall >= 0.5, f"ivf_topk recall@10 {recall:.3f} < 0.5 at {sf_dir}"
 
 
+def _probe_ivf_sq8(spark, sf_dir: str) -> None:
+    """Round-11 quantized-ANN probe, the two VERDICT #1 'done' bars:
+
+    - recall HELD: recall@10 of the SQ-8 asymmetric-scan + exact-rerank
+      path vs brute force, compared against the unquantized ivf path on
+      the SAME centroids/nprobe — quantization may cost at most 0.05
+      recall (and >= the 0.5 absolute floor the other ANN probes pin);
+    - candidate-scan bytes FALL >= 3.5x: the persisted int8 serving
+      table vs the float equivalent of exactly what the unquantized
+      scan reads per candidate — (match_id, cluster, cv float) —
+      written with the identical layout (8 cluster-clustered sorted
+      files), measured as on-disk parquet bytes."""
+    import glob
+    import os
+    import shutil
+
+    from accounts_receivable_data_pipeline_api_spark.plans.raw_ops import (
+        _sq8_serving_cached,
+        op_ivf_sq8_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = {
+        (r["query_id"], r["match_id"])
+        for r in similarity.brute_force_topk(queries, emb, k=10).collect()
+    }
+    sq8 = {
+        (r["query_id"], r["match_id"])
+        for r in op_ivf_sq8_topk(spark, sf_dir).collect()
+    }
+    serving, cents = _sq8_serving_cached(spark, sf_dir)
+    ivf = {
+        (r["query_id"], r["match_id"])
+        for r in similarity.ivf_topk(
+            queries, emb, cents, k=10, nprobe=8
+        ).collect()
+    }
+    recall_sq8 = len(sq8 & brute) / len(brute)
+    recall_ivf = len(ivf & brute) / len(brute)
+
+    # Candidate-scan bytes via parquet COLUMN metadata — the scan is
+    # columnar and reads (match_id, cluster, qvec) from the serving
+    # table (q_scale cancels in cosine and is column-pruned), vs
+    # (match_id, cluster, cv) from the float equivalent written with
+    # the identical writer/layout. File-size totals would charge the
+    # sq8 side for the unread q_scale column and per-file footers.
+    def _scan_bytes(paths, cols) -> int:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for i in range(rg.num_columns):
+                    c = rg.column(i)
+                    if c.path_in_schema.split(".")[0] in cols:
+                        total += c.total_compressed_size
+        return total
+
+    sq8_files = [p.removeprefix("file:") for p in serving.inputFiles()]
+    sq8_bytes = _scan_bytes(sq8_files, {"match_id", "cluster", "qvec"})
+    float_dir = f"/tmp/spark_graft_sq8_probe_float_{os.getpid()}"
+    (
+        similarity.assign_clusters(
+            emb.select(
+                F.col("vec_id").alias("match_id"),
+                F.col("embedding").alias("cv"),
+            ),
+            cents,
+            "cv",
+        )
+        .repartition(max(1, len(sq8_files)), F.col("cluster"))
+        .sortWithinPartitions("cluster")
+        .write.mode("overwrite")
+        .parquet(float_dir)
+    )
+    float_files = glob.glob(float_dir + "/*.parquet")
+    float_bytes = _scan_bytes(float_files, {"match_id", "cluster", "cv"})
+    shutil.rmtree(float_dir, ignore_errors=True)
+    ratio = float_bytes / max(sq8_bytes, 1)
+    print(
+        json.dumps(
+            {
+                "query": "op_ivf_sq8_recall_bytes",
+                "sf": sf_dir.rsplit("sf", 1)[-1],
+                "input_rows": emb.count(),
+                "nlist": len(cents),
+                "recall_at_10_sq8": round(recall_sq8, 3),
+                "recall_at_10_ivf": round(recall_ivf, 3),
+                "candidate_scan_bytes_sq8": sq8_bytes,
+                "candidate_scan_bytes_float": float_bytes,
+                "bytes_ratio": round(ratio, 2),
+            }
+        ),
+        flush=True,
+    )
+    assert recall_sq8 >= max(0.5, recall_ivf - 0.05), (
+        f"sq8 recall {recall_sq8:.3f} not held vs ivf {recall_ivf:.3f} at {sf_dir}"
+    )
+    assert ratio >= 3.5, f"candidate-scan bytes ratio {ratio:.2f} < 3.5 at {sf_dir}"
+
+
 # raw operator builders are shared with bench.py (plans/raw_ops.py)
 OPERATOR_PROBES = RAW_OPS
 
@@ -235,6 +339,9 @@ def main() -> None:
     if wanted("op_ivf_topk_recall"):
         for sf_dir in SFS:
             _probe_ivf_topk_recall(spark, sf_dir)
+    if wanted("op_ivf_sq8_recall_bytes"):
+        for sf_dir in SFS:
+            _probe_ivf_sq8(spark, sf_dir)
     if wanted("stream_windowed_counts"):
         for sf_dir in SFS:
             _probe_streaming_rate(spark, sf_dir)

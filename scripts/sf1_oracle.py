@@ -214,7 +214,9 @@ def main() -> None:
     args = sys.argv[1:]
     while args:
         if args[0] == "--only":
-            only = args[1]
+            # comma-separated substrings (round-11: the sf1 gate passes
+            # the whole changed-entry list in one invocation)
+            only = [s for s in args[1].split(",") if s]
             args = args[2:]
         elif args[0] == "--budget":
             budget = float(args[1])
@@ -229,6 +231,16 @@ def main() -> None:
             check=True,
         )
 
+    # Fingerprint snapshot at RUN START — the code being verified;
+    # see sf1_stamp.update_stamp for the end-of-run race this avoids.
+    from sf1_stamp import entry_fingerprint
+
+    fps = {
+        name: entry_fingerprint(cq)
+        for name, cq in CORPUS.items()
+        if cq.oracle is not None
+    }
+
     spark = get_spark("sf1-oracle")
     spark.sparkContext.setLogLevel("ERROR")
     con = duck_connection(SF1_DIR)
@@ -236,7 +248,9 @@ def main() -> None:
     failed, green, skipped = [], [], []
     for name in sorted(CORPUS):
         cq = CORPUS[name]
-        if cq.oracle is None or (only is not None and only not in name):
+        if cq.oracle is None or (
+            only is not None and not any(s in name for s in only)
+        ):
             continue
         if name in SKIP_BY_DESIGN:
             if name in CAPPED_TWINS:
@@ -391,6 +405,17 @@ def main() -> None:
         flush=True,
     )
     spark.stop()
+    if not failed:
+        # Stamp every entry this run vouched for (round-10 VERDICT #5):
+        # green entries, capped-fixture greens (strip the suffix), and
+        # budget-skips (the Spark side executed; the oracle side is
+        # skipped BY POLICY, the strongest check the entry admits at
+        # sf1). tests/test_sf1_gate.py compares current fingerprints
+        # against this stamp to decide what must rerun.
+        from sf1_stamp import update_stamp
+
+        vouched = [n.split(" ")[0] for n in green] + list(skipped)
+        update_stamp([n for n in vouched if n in CORPUS], CORPUS, fps)
     sys.exit(1 if failed else 0)
 
 

@@ -122,6 +122,48 @@ def test_every_headline_query_is_anchored():
     )
 
 
+def test_anchor_raises_are_explained():
+    """Anchor-drift ledger (round-10 VERDICT #3): the per-query gate
+    compares only to the MERGED LATEST anchors, so a round could
+    silently ratchet anchors upward to absorb a real regression — the
+    r10 suite re-base (+20%) was legitimate (host change + accounting
+    fix), the next one might not be. Every block that RAISES an
+    existing query's warm anchor materially (>1.15x + 0.05s — below
+    that is min-of-two/median timer noise) or the suite cold bar
+    (>1.15x) must name it in a ``raises`` ledger: query -> reason, or
+    "*" -> a block-wide cause (host change, accounting change,
+    pre-ledger adjudication). No Spark run needed — an unexplained
+    anchor ratchet fails at commit time."""
+    doc = json.load(open(ANCHOR_PATH))
+    rounds = sorted(k for k in doc if k.startswith("r"))
+    merged: dict[str, float] = {}
+    prev_suite = None
+    unexplained = []
+    for r in rounds:
+        block = doc[r]
+        raises = block.get("raises", {})
+        blanket = "*" in raises and bool(str(raises["*"]).strip())
+        for name, t in block["queries_warm"].items():
+            prev = merged.get(name)
+            if prev is None or t <= prev * 1.15 + 0.05:
+                continue
+            if not (blanket or str(raises.get(name, "")).strip()):
+                unexplained.append((r, name, prev, t))
+        s = block["suite_seconds_cold"]
+        if (
+            prev_suite is not None
+            and s > prev_suite * 1.15
+            and not (blanket or str(raises.get("suite_seconds_cold", "")).strip())
+        ):
+            unexplained.append((r, "suite_seconds_cold", prev_suite, s))
+        merged.update(block["queries_warm"])
+        prev_suite = s
+    assert not unexplained, (
+        "anchor blocks raise existing warm anchors without a reason in "
+        f"their 'raises' ledger (name the query or '*'): {unexplained}"
+    )
+
+
 def test_suite_within_anchor(bench):
     anchor = _merged_anchor()
     assert bench.first["value"] <= FACTOR * anchor["suite_seconds_cold"], (

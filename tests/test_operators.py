@@ -1243,6 +1243,74 @@ def test_topk_over_quantized_embeddings_preserves_neighbors(spark, sf_dir):
     assert overlap >= 0.9, overlap
 
 
+def test_ivf_sq8_topk_recall_scores_and_serving_parity(spark, sf_dir):
+    """Round-11 quantized ANN path (ivf_sq8_topk):
+
+    - recall@10 >= 0.8 vs brute force AND >= the unquantized ivf_topk
+      recall on the same centroids minus 0.05 (quantization may cost
+      shortlist recall, not collapse it);
+    - every returned score is the EXACT cosine of that pair (re-rank on
+      full vectors — quantization never reaches the output scores);
+    - the precomputed-serving path returns the identical result set as
+      the inline build (the deployment artifact is semantics-free);
+    - m_rerank < k raises (can't return k rows from a shorter
+      shortlist), and m_rerank=k still meets the recall floor here.
+    """
+    import pytest as _pytest
+
+    from accounts_receivable_data_pipeline_api_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_build,
+        ivf_sq8_serving_table,
+        ivf_sq8_topk,
+        ivf_topk,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = ivf_build(emb, k=8, iters=3)
+    got_rows = ivf_sq8_topk(queries, emb, cents, k=10, nprobe=4).collect()
+    got = {(r.query_id, r.match_id) for r in got_rows}
+    brute = {
+        (r.query_id, r.match_id)
+        for r in brute_force_topk(queries, emb, k=10).collect()
+    }
+    ivf = {
+        (r.query_id, r.match_id)
+        for r in ivf_topk(queries, emb, cents, k=10, nprobe=4).collect()
+    }
+    recall = len(got & brute) / len(brute)
+    recall_ivf = len(ivf & brute) / len(brute)
+    assert recall >= max(0.8, recall_ivf - 0.05), (recall, recall_ivf)
+
+    exact = {
+        (r.query_id, r.match_id): r.score
+        for r in brute_force_topk(queries, emb, k=emb.count()).collect()
+    }
+    for r in got_rows:
+        assert abs(exact[(r.query_id, r.match_id)] - r.score) <= 1e-9, r
+
+    serving = ivf_sq8_serving_table(emb, cents)
+    via_serving = {
+        (r.query_id, r.match_id, r.rank)
+        for r in ivf_sq8_topk(
+            queries, emb, cents, k=10, nprobe=4, serving=serving
+        ).collect()
+    }
+    assert via_serving == {(r.query_id, r.match_id, r.rank) for r in got_rows}
+
+    with _pytest.raises(ValueError, match="m_rerank"):
+        ivf_sq8_topk(queries, emb, cents, k=10, m_rerank=5)
+    tight = {
+        (r.query_id, r.match_id)
+        for r in ivf_sq8_topk(
+            queries, emb, cents, k=10, nprobe=4, m_rerank=10
+        ).collect()
+    }
+    assert len(tight & brute) / len(brute) >= 0.8
+
+
 # ---------------------------------------------------------------------------
 # Round-5 operators: LM scoring, bloom decontamination, mixture/shards,
 # incremental dedup, semantic dedup

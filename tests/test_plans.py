@@ -106,11 +106,48 @@ def test_approx_topk_paths_never_cross_join(spark, sf_dir):
     plan_ivf = _formatted(
         spark, similarity.ivf_topk(queries, emb, centroids, k=10, nprobe=4)
     )
-    for plan in (plan_lsh, plan_ivf):
+    plan_sq8 = _formatted(
+        spark, similarity.ivf_sq8_topk(queries, emb, centroids, k=10, nprobe=4)
+    )
+    for plan in (plan_lsh, plan_ivf, plan_sq8):
         assert "CartesianProduct" not in plan, plan
         # The 1-row probe/query side broadcast is expected; a nested-loop
         # join of the CANDIDATE corpus is not. ivf/lsh join on equi keys.
         assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivf_sq8_serving_scan_reads_codes_only(spark, sf_dir):
+    """The 100 TB point of the quantized path (round-10 VERDICT #1):
+    against a PERSISTED serving table the candidate scan must read the
+    int8 codes, not floats — the parquet scan of the serving table
+    carries qvec (tinyint) in its ReadSchema and NOT q_scale (the
+    per-vector scale cancels in cosine, so an un-pruned q_scale column
+    would be dead IO on every candidate); the full float embedding
+    column appears only in the shortlist re-rank scan."""
+    from accounts_receivable_data_pipeline_api_spark.operators import similarity
+    from accounts_receivable_data_pipeline_api_spark.plans.raw_ops import (
+        _sq8_serving_cached,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+    from pyspark.sql import functions as F
+
+    serving, cents = _sq8_serving_cached(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    plan = _formatted(
+        spark,
+        similarity.ivf_sq8_topk(
+            queries, emb, cents, k=10, nprobe=8, serving=serving
+        ),
+    )
+    scans = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ]
+    sq8_scans = [ln for ln in scans if "qvec" in ln]
+    assert sq8_scans, f"no serving-table scan found:\n{plan}"
+    for ln in sq8_scans:
+        assert "tinyint" in ln, ln
+        assert "q_scale" not in ln, f"q_scale not pruned from code scan: {ln}"
 
 
 def test_window_frames_single_shuffle_single_window(spark, sf_dir):
