@@ -1345,11 +1345,8 @@ def collocation_topk(
     the single partition it implies holds <= topk rows by
     construction.
     """
-    from pyspark.sql import Window
-
     toks = docs.select(F.explode(tokens_expr(text_col)).alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n_w"))
-    n_tok = uni.agg(F.sum("n_w").cast("long").alias("n_tok"))
     bi = (
         docs.select(tokens_expr(text_col).alias("_tk"))
         .filter(F.size("_tk") >= 2)  # sequence(1, 0) would DESCEND
@@ -1363,10 +1360,33 @@ def collocation_topk(
         )
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
-        .filter(F.col("n_ab") >= min_count)
     )
+    return collocations_from_counts(uni, bi, min_count=min_count, topk=topk)
+
+
+def collocations_from_counts(
+    uni: DataFrame,
+    bi: DataFrame,
+    min_count: int = 5,
+    topk: int = 50,
+) -> DataFrame:
+    """Lift-ranked collocation top-k from PRE-AGGREGATED exact counts:
+    ``uni = (w, n_w)``, ``bi = (w1, w2, n_ab)`` — the ONE scoring
+    formula shared by the batch operator (collocation_topk feeds it
+    in-plan aggregates) and the streaming consumer
+    (streaming/pipeline.py:read_collocations feeds it the exact
+    term-count state tables), so the two paths cannot drift: identical
+    integer counts in, bit-identical lift out. N = SUM(n_w) over the
+    vocabulary-bounded unigram frame (never a separate corpus pass);
+    ``min_count`` is applied HERE, at read time — state partials must
+    stay unfiltered or batch-local thresholds would drop pairs that
+    only clear min_count after merging."""
+    from pyspark.sql import Window
+
+    n_tok = uni.agg(F.sum("n_w").cast("long").alias("n_tok"))
     scored = (
-        bi.join(
+        bi.filter(F.col("n_ab") >= min_count)
+        .join(
             uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a")), "w1"
         )
         .join(

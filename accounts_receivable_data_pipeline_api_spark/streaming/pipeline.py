@@ -1306,15 +1306,10 @@ def term_count_stream(
     from ..operators.text import tokens_expr
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.select(F.explode(tokens_expr(text_col)).alias("term"))
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(counts_dir)
+        _write_count_partial(
+            batch_df.select(F.explode(tokens_expr(text_col)).alias("term")),
+            counts_dir,
+            batch_id,
         )
 
     return (
@@ -1322,6 +1317,111 @@ def term_count_stream(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def _write_count_partial(terms: DataFrame, counts_dir: str, batch_id: int) -> None:
+    """One (term, cnt) partial under the checkpointed batch_id —
+    dynamic partition overwrite, the replay contract shared by the
+    unigram and bigram count streams."""
+    (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(counts_dir)
+    )
+
+
+def bigram_count_stream(
+    docs_stream: DataFrame,
+    counts_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+):
+    """Streaming exact ADJACENT-BIGRAM counts — the second feed the
+    collocation consumer needs (round-10 VERDICT #4). Each bigram is
+    stored as the single string ``"w1 w2"``: tokens_expr tokens are
+    whitespace-free by construction, so the one-space join is
+    INJECTIVE, and the partials reuse the (term, cnt) state contract
+    verbatim — read_term_counts, compact_term_counts, and the
+    generation/debris protocol all work unchanged on the bigram dir.
+    Counts stay UNFILTERED here (no min_count): a batch-local
+    threshold would drop pairs that only clear it after merging —
+    thresholds belong to the reader (collocations_from_counts).
+    The bigram pass is the batch operator's codegen position-explode
+    (array index pairs, not a transform() HOF)."""
+    from ..operators.text import tokens_expr
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        terms = (
+            batch_df.select(tokens_expr(text_col).alias("_tk"))
+            .filter(F.size("_tk") >= 2)  # sequence(1, 0) would DESCEND
+            .select(
+                "_tk",
+                F.expr("explode(sequence(1, size(_tk) - 1))").alias("_i"),
+            )
+            .select(
+                F.concat(
+                    F.expr("_tk[_i - 1]"), F.lit(" "), F.expr("_tk[_i]")
+                ).alias("term")
+            )
+        )
+        _write_count_partial(terms, counts_dir, batch_id)
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def read_top_terms(spark: SparkSession, counts_dir: str, k: int = 10) -> DataFrame:
+    """Heavy-hitters view over the exact term-count state: top-``k``
+    terms by lifetime count, (cnt desc, term asc) total tie-break so
+    the selected set is unique. TakeOrdered over the vocabulary-bounded
+    folded counts; compaction-invariant because the folds preserve
+    exact counts."""
+    from pyspark.sql import Window
+
+    top = (
+        read_term_counts(spark, counts_dir)
+        .orderBy(F.col("cnt").desc(), "term")
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("cnt").desc(), "term")
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+def read_collocations(
+    spark: SparkSession,
+    unigram_dir: str,
+    bigram_dir: str,
+    min_count: int = 5,
+    topk: int = 50,
+) -> DataFrame:
+    """The collocation consumer over the exact term-count state
+    (round-10 VERDICT #4 — round 10 built the feed, this is the
+    reader): lift-ranked collocation top-k computed from the unigram
+    and bigram state tables through the SAME scoring formula as the
+    batch operator (operators/text.py:collocations_from_counts), so
+    over identical closed batches the streaming view equals
+    text.collocation_topk bit-for-bit — integer counts in, one fixed
+    float expression out — and compaction leaves it invariant (folds
+    preserve exact counts). min_count applies here, at read time, on
+    the MERGED counts."""
+    from ..operators.text import collocations_from_counts
+
+    uni = read_term_counts(spark, unigram_dir).select(
+        F.col("term").alias("w"), F.col("cnt").alias("n_w")
+    )
+    bi = read_term_counts(spark, bigram_dir).select(
+        F.split_part(F.col("term"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("term"), F.lit(" "), F.lit(2)).alias("w2"),
+        F.col("cnt").alias("n_ab"),
+    )
+    return collocations_from_counts(uni, bi, min_count=min_count, topk=topk)
 
 
 def read_term_counts(spark: SparkSession, counts_dir: str) -> DataFrame:

@@ -1427,3 +1427,101 @@ def test_compaction_sweeps_crashed_debris(spark, tmp_path):
         for r in spark.read.parquet(cnt_dir).select("batch_id").distinct().collect()
     }
     assert parts == {compacted_generation_id(1)}, parts
+
+
+def test_collocation_consumer_matches_batch_and_survives_compaction(
+    spark, tmp_path
+):
+    """The heavy-hitters consumer over the exact term-count state
+    (round-10 VERDICT #4): read_collocations over the unigram + bigram
+    state dirs equals text.collocation_topk over the same closed
+    batches BIT-FOR-BIT (shared collocations_from_counts formula —
+    integer counts through one fixed float expression), read_top_terms
+    equals the batch top-k, and compacting EITHER state dir leaves
+    both views unchanged (folds preserve exact counts). The bigram
+    feed's "w1 w2" term encoding round-trips through split_part."""
+    from accounts_receivable_data_pipeline_api_spark.operators.text import (
+        collocation_topk,
+        tokens_expr,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        bigram_count_stream,
+        compact_term_counts,
+        read_collocations,
+        read_top_terms,
+        term_count_stream,
+    )
+
+    src = str(tmp_path / "src")
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, "hash join beats sort join"), (2, "hash join wins again")],
+        [(3, "sort merge join and hash join"), (4, "window agg window agg")],
+        [(5, "hash join hash join window agg")],
+    ]
+    _stage_ordered_batches(src, [spark.createDataFrame(r, schema) for r in batches])
+    uni_dir, bi_dir = str(tmp_path / "uni"), str(tmp_path / "bi")
+
+    stream = _ordered_stream(spark, src, schema)
+    q = term_count_stream(stream, uni_dir, str(tmp_path / "ck_u")).start()
+    q.awaitTermination(120)
+    stream = _ordered_stream(spark, src, schema)
+    q = bigram_count_stream(stream, bi_dir, str(tmp_path / "ck_b")).start()
+    q.awaitTermination(120)
+
+    all_rows = spark.createDataFrame([r for b in batches for r in b], schema)
+    expect_coll = [
+        tuple(r)
+        for r in collocation_topk(all_rows, min_count=2, topk=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert expect_coll, "fixture must produce collocations"
+    assert any(r[0] == "hash" and r[1] == "join" for r in expect_coll)
+
+    def views():
+        coll = [
+            tuple(r)
+            for r in read_collocations(
+                spark, uni_dir, bi_dir, min_count=2, topk=10
+            )
+            .orderBy("rank")
+            .collect()
+        ]
+        top = [
+            tuple(r)
+            for r in read_top_terms(spark, uni_dir, k=3).orderBy("rank").collect()
+        ]
+        return coll, top
+
+    from pyspark.sql import Window
+
+    expect_top = [
+        tuple(r)
+        for r in all_rows.select(F.explode(tokens_expr("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "term")
+        .limit(3)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("cnt").desc(), "term"))
+            .cast("bigint"),
+        )
+        .collect()
+    ]
+
+    coll, top = views()
+    assert coll == expect_coll
+    assert top == expect_top
+
+    # compact the unigram dir (default: newest batch stays open ->
+    # watermark 1), then the bigram dir fully closed (upto 2): each
+    # fold must leave both consumer views unchanged
+    assert compact_term_counts(spark, uni_dir) == 1
+    coll, top = views()
+    assert coll == expect_coll and top == expect_top
+    assert compact_term_counts(spark, bi_dir, upto_batch_id=2) == 2
+    coll, top = views()
+    assert coll == expect_coll and top == expect_top
