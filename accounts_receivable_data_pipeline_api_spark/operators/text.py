@@ -1348,6 +1348,22 @@ def collocation_topk(
     toks = docs.select(F.explode(tokens_expr(text_col)).alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n_w"))
     bi = (
+        adjacent_bigrams(docs, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    return collocations_from_counts(uni, bi, min_count=min_count, topk=topk)
+
+
+def adjacent_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One row per ADJACENT token pair (w1, w2) — the codegen
+    position-explode pairing pass (array index pairs, never a
+    transform() HOF — CodegenFallback, the measured-10x trigram
+    lesson), shared by the batch collocation operator and the
+    streaming bigram count feed so the pairing definition cannot
+    drift between the two (round-11 review; the scoring formula is
+    likewise shared via collocations_from_counts)."""
+    return (
         docs.select(tokens_expr(text_col).alias("_tk"))
         .filter(F.size("_tk") >= 2)  # sequence(1, 0) would DESCEND
         .select(
@@ -1358,10 +1374,7 @@ def collocation_topk(
             F.expr("_tk[_i - 1]").alias("w1"),
             F.expr("_tk[_i]").alias("w2"),
         )
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
     )
-    return collocations_from_counts(uni, bi, min_count=min_count, topk=topk)
 
 
 def collocations_from_counts(

@@ -68,6 +68,51 @@ def op_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQ8_CACHE_VERSION = "v1"
 
 
+def _cache_tag(version_prefix: str, sf_dir: str) -> str:
+    """Per-corpus cache tag, filesystem- and SQL-identifier-safe,
+    shared by every persisted /tmp artifact (trigram postings, SQ8
+    serving table). Chars outside [A-Za-z0-9_] are sanitized for the
+    unquoted CREATE TABLE; the sanitization is lossy (…/sf0.1 and
+    …/sf0_1 both map to sf0_1), so an md5 prefix of the RAW path
+    disambiguates — without it two colliding corpora would share one
+    location and the loser would silently read the other corpus's
+    artifact (round-10 ADVICE)."""
+    import hashlib
+    import re as _re
+
+    raw = sf_dir.strip("/")
+    return (
+        f"{version_prefix}_"
+        + _re.sub(r"[^A-Za-z0-9_]", "_", raw)
+        + "_"
+        + hashlib.md5(raw.encode()).hexdigest()[:8]
+    )
+
+
+def _publish_cache_dir(tmp: str, loc: str, marker: str) -> None:
+    """Atomic cache publication, shared protocol (round-11 review —
+    two hand-maintained copies had already drifted): os.rename the
+    whole tmp dir onto the pinned path; the rename loser (path exists,
+    or any OSError) discards its copy and reads the winner's —
+    identical content, deterministic build. Then VERIFY a complete
+    artifact is actually published (``marker`` relative to ``loc``):
+    a rename that failed for a non-race reason (EACCES, cross-device)
+    with no winner present must raise a clear error here, not a bare
+    FileNotFoundError at first read."""
+    import os
+    import shutil
+
+    try:
+        os.rename(tmp, loc)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    if not os.path.isfile(os.path.join(loc, marker)):
+        raise RuntimeError(
+            f"cache build did not publish a complete artifact at {loc} "
+            f"(missing {marker})"
+        )
+
+
 def _sq8_serving_cached(spark: SparkSession, sf_dir: str):
     """Write-once persisted IVF-SQ8 serving table per sf_dir — the
     compacted artifact the quantized ANN path scans at 100 TB
@@ -84,20 +129,11 @@ def _sq8_serving_cached(spark: SparkSession, sf_dir: str):
     Publication is atomic (tmp dir + os.rename, the trigram-cache
     contract); the rename loser discards its copy and reads the
     winner's. Returns (serving DataFrame, centroids list)."""
-    import hashlib
     import json as _json
     import os
-    import re as _re
-    import shutil
     import uuid
 
-    raw = sf_dir.strip("/")
-    tag = (
-        f"{_SQ8_CACHE_VERSION}_"
-        + _re.sub(r"[^A-Za-z0-9_]", "_", raw)
-        + "_"
-        + hashlib.md5(raw.encode()).hexdigest()[:8]
-    )
+    tag = _cache_tag(_SQ8_CACHE_VERSION, sf_dir)
     loc = f"/tmp/spark_graft_sq8_{tag}"
     data_dir = os.path.join(loc, "data")
 
@@ -122,12 +158,7 @@ def _sq8_serving_cached(spark: SparkSession, sf_dir: str):
         )
         with open(os.path.join(tmp, "centroids.json"), "w") as f:
             _json.dump(cents, f)
-        try:
-            os.rename(tmp, loc)
-        except OSError:
-            # rename loser: the winner's identical artifact is already
-            # published (deterministic build on the same data)
-            shutil.rmtree(tmp, ignore_errors=True)
+        _publish_cache_dir(tmp, loc, os.path.join("data", "_SUCCESS"))
 
     with open(os.path.join(loc, "centroids.json")) as f:
         cents = _json.load(f)
@@ -616,29 +647,16 @@ def _trigram_index_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     concurrent reader already listed (FileNotFoundException, or a
     silently incomplete probe under ignoreMissingFiles)."""
     import os
-    import re as _re
     import shutil
     import uuid
 
     from ..operators import text as text_ops
 
-    # sanitize to a SQL identifier: any char outside [A-Za-z0-9_] in
-    # sf_dir would otherwise break the unquoted CREATE TABLE. The
-    # sanitization is lossy (…/sf0.1 and …/sf0_1 both map to sf0_1),
-    # so an md5 prefix of the RAW path disambiguates — without it two
-    # colliding corpora would share one table/location and the loser
-    # would silently probe the other corpus's postings, failing the
-    # all-grams candidate test and losing matches without error
-    # (round-10 ADVICE).
-    import hashlib as _hashlib
-
-    raw = sf_dir.strip("/")
-    tag = (
-        f"{_TRIGRAM_CACHE_VERSION}_b{_TRIGRAM_BUCKETS}_"
-        + _re.sub(r"[^A-Za-z0-9_]", "_", raw)
-        + "_"
-        + _hashlib.md5(raw.encode()).hexdigest()[:8]
-    )
+    # _cache_tag sanitizes for the unquoted CREATE TABLE and md5-pins
+    # the raw corpus path (round-10 ADVICE: a sanitization collision
+    # would let one corpus silently probe the other's postings,
+    # failing the all-grams candidate test without error)
+    tag = _cache_tag(f"{_TRIGRAM_CACHE_VERSION}_b{_TRIGRAM_BUCKETS}", sf_dir)
     tbl = f"trigram_postings_{tag}"
     loc = f"/tmp/spark_graft_trigram_{tag}"
     ddl = (
@@ -660,18 +678,13 @@ def _trigram_index_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             text_ops.trigram_postings(docs).select(
                 F.col("doc_id").cast("long"), "gram"
             ).write.mode("overwrite").insertInto(tmp_tbl)
-            try:
-                os.rename(tmp_loc, loc)
-            except OSError:
-                pass  # lost the publish race / transient: use the winner
+            # shared publish+verify protocol (raises if no complete
+            # artifact ends up at loc — race loser is fine, a failed
+            # rename with no winner is not)
+            _publish_cache_dir(tmp_loc, loc, "_SUCCESS")
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")  # external: keeps files
             shutil.rmtree(tmp_loc, ignore_errors=True)
-    if not _built():
-        raise RuntimeError(
-            f"trigram posting cache build did not publish a complete "
-            f"index at {loc} (no _SUCCESS marker)"
-        )
     if not spark.catalog.tableExists(tbl):
         spark.sql(ddl.format(name=tbl, loc=loc))
     return spark.table(tbl)

@@ -1350,23 +1350,14 @@ def bigram_count_stream(
     Counts stay UNFILTERED here (no min_count): a batch-local
     threshold would drop pairs that only clear it after merging —
     thresholds belong to the reader (collocations_from_counts).
-    The bigram pass is the batch operator's codegen position-explode
-    (array index pairs, not a transform() HOF)."""
-    from ..operators.text import tokens_expr
+    The pairing pass IS the batch operator's
+    (text.adjacent_bigrams — one shared definition, round-11
+    review)."""
+    from ..operators.text import adjacent_bigrams
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        terms = (
-            batch_df.select(tokens_expr(text_col).alias("_tk"))
-            .filter(F.size("_tk") >= 2)  # sequence(1, 0) would DESCEND
-            .select(
-                "_tk",
-                F.expr("explode(sequence(1, size(_tk) - 1))").alias("_i"),
-            )
-            .select(
-                F.concat(
-                    F.expr("_tk[_i - 1]"), F.lit(" "), F.expr("_tk[_i]")
-                ).alias("term")
-            )
+        terms = adjacent_bigrams(batch_df, text_col).select(
+            F.concat(F.col("w1"), F.lit(" "), F.col("w2")).alias("term")
         )
         _write_count_partial(terms, counts_dir, batch_id)
 

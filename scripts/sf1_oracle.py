@@ -217,6 +217,15 @@ def main() -> None:
             # comma-separated substrings (round-11: the sf1 gate passes
             # the whole changed-entry list in one invocation)
             only = [s for s in args[1].split(",") if s]
+            if not only:
+                # '' used to mean "run everything" (substring of every
+                # name); post-split it would select NOTHING and exit 0
+                # green — a wrapper passing an empty $CHANGED would
+                # read that as "all verified" (round-11 review)
+                raise SystemExit(
+                    "--only got an empty selector; omit --only to run "
+                    "the full sweep"
+                )
             args = args[2:]
         elif args[0] == "--budget":
             budget = float(args[1])
