@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    ByteType,
     DoubleType,
     IntegerType,
     LongType,
@@ -599,7 +600,22 @@ def ivf_sq8_topk(
         .select("query_id", "match_id")
     )
 
-    # stage 3: exact re-rank on full vectors, shortlist-bounded reads
+    return _exact_rerank(shortlist, q, candidates, k, id_col, vec_col)
+
+
+def _exact_rerank(
+    shortlist: DataFrame,
+    q: DataFrame,
+    candidates: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Stage 3 of every quantized ANN path (SQ8, PQ): join the bounded
+    (query_id, match_id) shortlist back to the FULL vector table,
+    exact cosine, re-rank to top-k. Shortlist and query frames are
+    broadcast (n_queries x m_rerank rows / n_queries vectors); only
+    the shortlisted candidates' float vectors are read."""
     cv = candidates.select(
         F.col(id_col).alias("match_id"), _as_double(F.col(vec_col)).alias("cv")
     )
@@ -621,6 +637,247 @@ def ivf_sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "match_id", "score", "rank")
     )
+
+
+def pq_build(
+    candidates: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al., TPAMI 2011): the
+    embedding dimension splits into ``m`` contiguous subspaces
+    (dim % m == 0) and each subspace gets its own deterministic
+    ``ksub``-centroid k-means codebook — ``ivf_build`` over the sliced
+    subvectors, inheriting its no-RNG init (first ksub by id), fixed
+    iteration count, and exact argmin tie-breaks. Returns
+    ``codebooks[m][ksub][dim//m]`` — tiny driver state
+    (m*ksub*(dim/m) = dim*ksub floats total, dim-independent of corpus
+    size). Offline index-build work, persisted with the codes by the
+    serving cache (the same cross-process-consistency argument as the
+    coarse centroids)."""
+    if ksub > 127:
+        raise ValueError(
+            f"ksub={ksub} > 127: PQ codes are stored as ARRAY<TINYINT>"
+        )
+    first = candidates.select(_as_double(F.col(vec_col)).alias("__v")).first()
+    dim = len(first["__v"])
+    if dim % m:
+        raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
+    d = dim // m
+    books = []
+    for s in range(m):
+        sub = candidates.select(
+            F.col(id_col),
+            F.slice(_as_double(F.col(vec_col)), s * d + 1, d).alias("__sv"),
+        )
+        books.append(ivf_build(sub, k=ksub, iters=iters, id_col=id_col, vec_col="__sv"))
+    return books
+
+
+def pq_encode(
+    candidates: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ codes: per subspace, the nearest codebook entry by Euclidean
+    distance (argmin |x_s - c_j|^2 = argmax 2 x_s.c_j - |c_j|^2 — the
+    reconstruction-error-minimizing assignment), lowest index on ties
+    (numpy argmax returns the first maximum). Returns
+    (id_col, codes ARRAY<TINYINT> length m) — m BYTES per vector on
+    disk vs 4*dim for float32 (dim/ m*4 = 32x at dim=64/m=8, before
+    encoding). One fused Arrow pass, all codebooks in the closure."""
+    import numpy as np
+    import pandas as pd
+
+    B = [np.array(b, dtype=np.float64) for b in codebooks]
+    m, d = len(B), B[0].shape[1]
+    norms = [(b * b).sum(axis=1) for b in B]
+    schema = StructType(
+        [StructField("match_id", LongType()), StructField("codes", ArrayType(ByteType()))]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(list(pdf["__v"]), dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int8)
+            for s in range(m):
+                X = V[:, s * d : (s + 1) * d]
+                codes[:, s] = (2.0 * (X @ B[s].T) - norms[s]).argmax(axis=1)
+            yield pd.DataFrame(
+                {"match_id": pdf["match_id"].to_numpy(), "codes": list(codes)}
+            )
+
+    vecs = candidates.select(
+        F.col(id_col).alias("match_id"), _as_double(F.col(vec_col)).alias("__v")
+    )
+    return vecs.mapInPandas(kernel, schema=schema)
+
+
+def pq_serving_table(
+    candidates: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The IVF-PQ serving table: (match_id, cluster, codes
+    ARRAY<TINYINT> length m) — coarse cluster on the full vectors
+    (index-build-time), m-byte PQ codes for the scan. The deepest
+    compression tier: at dim=64/m=8 the candidate scan reads 8 bytes
+    per vector vs 64 for SQ-8 and 256 for float32."""
+    assigned = assign_clusters(
+        candidates.select(
+            F.col(id_col).alias("match_id"), _as_double(F.col(vec_col)).alias("cv")
+        ),
+        centroids,
+        "cv",
+    ).select("match_id", "cluster")
+    return assigned.join(
+        pq_encode(candidates, codebooks, id_col=id_col, vec_col=vec_col),
+        "match_id",
+    )
+
+
+def _pq_lut(q: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:
+    """Per-query asymmetric-distance lookup table: one row per
+    (query_id, sub, code) carrying dotp = qv_sub . c_code and
+    cnorm2 = |c_code|^2 — n_queries * m * ksub rows, broadcast-tiny.
+    Candidate scoring is then pure JVM: explode codes, equi-join the
+    LUT, two map-side-combinable SUMs."""
+    import numpy as np
+    import pandas as pd
+
+    B = [np.array(b, dtype=np.float64) for b in codebooks]
+    m, d = len(B), B[0].shape[1]
+    ksub = B[0].shape[0]
+    norms = [(b * b).sum(axis=1) for b in B]
+    schema = "query_id long, sub int, code int, dotp double, cnorm2 double"
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.array(list(pdf["qv"]), dtype=np.float64)
+            n = len(pdf)
+            qid = np.repeat(pdf["query_id"].to_numpy(), m * ksub)
+            sub = np.tile(np.repeat(np.arange(m), ksub), n)
+            code = np.tile(np.arange(ksub), n * m)
+            dotp = np.concatenate(
+                [
+                    np.stack(
+                        [V[i, s * d : (s + 1) * d] @ B[s].T for s in range(m)]
+                    ).ravel()
+                    for i in range(n)
+                ]
+            )
+            cn2 = np.tile(np.concatenate(norms), n)
+            yield pd.DataFrame(
+                {
+                    "query_id": qid,
+                    "sub": sub.astype("int32"),
+                    "code": code.astype("int32"),
+                    "dotp": dotp,
+                    "cnorm2": cn2,
+                }
+            )
+
+    return q.mapInPandas(kernel, schema=schema)
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    nprobe: int = 4,
+    m_rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    serving: DataFrame | None = None,
+) -> DataFrame:
+    """IVF + product quantization with exact re-rank — the deepest
+    memory-traffic tier of the ANN family (8 code bytes/vector at
+    dim=64/m=8; SQ-8 reads 64, float32 256):
+
+    1. probe — nprobe nearest coarse centroids (`_query_probes`);
+    2. PQ candidate scan — asymmetric distance computation: the
+       query-side lookup table (`_pq_lut`, n_queries*m*ksub rows,
+       broadcast) joins the code-exploded candidates entirely
+       JVM-side; approx cosine = sum(dotp) / (|qv| * sqrt(sum(cnorm2)))
+       (subspaces are orthogonal slices, so the reconstructed norm is
+       the sum of per-subspace codeword norms). Rows reaching the
+       per-query top-m window are three scalars;
+    3. exact re-rank of the top-``m_rerank`` shortlist on full vectors
+       (`_exact_rerank` — shared with ivf_sq8_topk).
+
+    PQ is lossier than SQ-8 (reconstruction error ~ within-cell
+    variance, not q_scale/2), so ``m_rerank`` defaults to 5k; output
+    scores are exact cosines regardless (the n_score_mismatches=0
+    invariant)."""
+    if m_rerank is None:
+        m_rerank = 5 * k
+    if m_rerank < k:
+        raise ValueError(
+            f"m_rerank={m_rerank} < k={k}: the exact re-rank cannot return "
+            "k rows from a shorter shortlist"
+        )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    if serving is None:
+        serving = pq_serving_table(
+            candidates, centroids, codebooks, id_col=id_col, vec_col=vec_col
+        )
+    probes = _query_probes(q, centroids, nprobe).select("query_id", "cluster")
+    lut = _pq_lut(q, codebooks)
+    qn = q.select("query_id", norm(F.col("qv")).alias("__qn"))
+
+    scored = (
+        F.broadcast(probes)
+        .join(serving, "cluster")
+        .filter(F.col("query_id") != F.col("match_id"))
+        .select(
+            "query_id",
+            "match_id",
+            F.posexplode("codes").alias("sub", "__c"),
+        )
+        .select(
+            "query_id",
+            "match_id",
+            "sub",
+            F.col("__c").cast("int").alias("code"),
+        )
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "match_id")
+        .agg(
+            F.sum("dotp").alias("__dot"),
+            F.sum("cnorm2").alias("__rn2"),
+        )
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            "match_id",
+            (
+                F.col("__dot") / (F.col("__qn") * F.sqrt(F.col("__rn2")))
+            ).alias("approx_score"),
+        )
+    )
+    wm = Window.partitionBy("query_id").orderBy(
+        F.col("approx_score").desc_nulls_last(), F.col("match_id")
+    )
+    shortlist = (
+        scored.withColumn("__m", F.row_number().over(wm))
+        .filter(F.col("__m") <= m_rerank)
+        .select("query_id", "match_id")
+    )
+    return _exact_rerank(shortlist, q, candidates, k, id_col, vec_col)
 
 
 def det_planes(total: int, dim: int):

@@ -165,6 +165,61 @@ def _sq8_serving_cached(spark: SparkSession, sf_dir: str):
     return spark.read.parquet(data_dir), cents
 
 
+_PQ_CACHE_VERSION = "v1"
+
+
+def _pq_serving_cached(spark: SparkSession, sf_dir: str):
+    """Write-once persisted IVF-PQ serving table per sf_dir: (match_id,
+    cluster, codes ARRAY<TINYINT> length m) parquet plus BOTH codebook
+    tiers (coarse centroids + per-subspace PQ codebooks) as JSON in the
+    same published directory — the cross-process-consistency contract
+    of the SQ8 cache, doubled: probes AND the query-side LUT must be
+    computed against exactly the codebooks the stored codes were
+    encoded with. Shared _cache_tag/_publish_cache_dir protocol.
+    Returns (serving DataFrame, centroids, codebooks)."""
+    import json as _json
+    import os
+    import uuid
+
+    tag = _cache_tag(_PQ_CACHE_VERSION, sf_dir)
+    loc = f"/tmp/spark_graft_pq_{tag}"
+    data_dir = os.path.join(loc, "data")
+
+    if not os.path.isfile(os.path.join(data_dir, "_SUCCESS")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = similarity.ivf_build(emb, k=None, iters=2)
+        books = similarity.pq_build(emb, m=8, ksub=16, iters=2)
+        nonce = uuid.uuid4().hex
+        tmp = f"{loc}.tmp-{nonce}"
+        serving = similarity.pq_serving_table(emb, cents, books)
+        nfiles = max(1, min(8, emb.count() // 5000))
+        (
+            serving.repartition(nfiles, F.col("cluster"))
+            .sortWithinPartitions("cluster")
+            .write.parquet(os.path.join(tmp, "data"))
+        )
+        with open(os.path.join(tmp, "codebooks.json"), "w") as f:
+            _json.dump({"centroids": cents, "codebooks": books}, f)
+        _publish_cache_dir(tmp, loc, os.path.join("data", "_SUCCESS"))
+
+    with open(os.path.join(loc, "codebooks.json")) as f:
+        meta = _json.load(f)
+    return spark.read.parquet(data_dir), meta["centroids"], meta["codebooks"]
+
+
+def op_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ probe against the persisted code table: 8-byte-per-vector
+    candidate scan via the broadcast ADC lookup table, exact re-rank of
+    the top-5k shortlist (operators/similarity.py:ivf_pq_topk). Same
+    amortized-probe accounting as op_ivf_sq8_topk."""
+    serving, cents, books = _pq_serving_cached(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.ivf_pq_topk(
+        queries, emb, cents, books, k=10, nprobe=8, serving=serving
+    )
+
+
 def op_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized ANN probe against the persisted serving table: int8
     candidate scan with asymmetric cosine, exact re-rank of the top-3k
@@ -188,6 +243,7 @@ RAW_OPS = {
     "op_lsh_topk": (op_lsh_topk, "embeddings"),
     "op_ivf_topk": (op_ivf_topk, "embeddings"),
     "op_ivf_sq8_topk": (op_ivf_sq8_topk, "embeddings"),
+    "op_ivf_pq_topk": (op_ivf_pq_topk, "embeddings"),
 }
 
 

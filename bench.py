@@ -111,6 +111,7 @@ HEADLINE = (
     "op_zorder_layout",
     "op_collocations",
     "op_kcore",
+    "op_ivf_sq8_topk",
 )
 
 # Invariant-summary entries whose in-entry exact twins are O(n^2) oracle
