@@ -892,6 +892,13 @@ _TOPK_INVARIANT_ORACLE = """
            CAST(0 AS BIGINT),
            TRUE
     FROM embeddings WHERE vec_id < 5
+    UNION ALL
+    SELECT 'ivf_pq',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT),
+           TRUE
+    FROM embeddings WHERE vec_id < 5
 """
 
 
@@ -922,10 +929,17 @@ _TOPK_INVARIANT_ORACLE = """
     "(operators/similarity.py:ivf_sq8_topk — the 100 TB memory-traffic "
     "path; serving-table bytes measured 4.97x smaller); recall floor "
     "0.8 (measured 0.96 at sf0.001/sf0.01, identical to unquantized "
-    "ivf). All rows assert exact cosine scores (n_score_mismatches=0 — "
-    "for ivf_sq8 that proves quantization never reaches the returned "
-    "scores) and internally consistent ranks against the brute-force "
-    "twin.",
+    "ivf). method='ivf_pq' (round 11): the deepest compression tier — "
+    "product quantization (m=8 subspaces x ksub=16 deterministic "
+    "per-subspace codebooks, 8 code BYTES per vector), candidates "
+    "scored via the broadcast asymmetric-distance lookup table "
+    "entirely JVM-side, top-100 shortlist exact-reranked "
+    "(operators/similarity.py:pq_build/pq_encode/ivf_pq_topk); PQ is "
+    "lossier than SQ-8, recall floor 0.7 (measured 0.92 at sf0.001, "
+    "0.96 at sf0.01 with m_rerank=100). All rows assert exact cosine "
+    "scores (n_score_mismatches=0 — for the quantized tiers that "
+    "proves quantization never reaches the returned scores) and "
+    "internally consistent ranks against the brute-force twin.",
 )
 def similarity_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -943,7 +957,18 @@ def similarity_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sq8_row = _topk_invariants(sq8, queries, emb, k=10, recall_floor=0.8).select(
         F.lit("ivf_sq8").alias("method"), "*"
     )
-    return lsh_row.unionByName(ivf_row).unionByName(sq8_row)
+    books = similarity.pq_build(emb, m=8, ksub=16, iters=2)
+    pq = similarity.ivf_pq_topk(
+        queries, emb, centroids, books, k=10, nprobe=4, m_rerank=100
+    )
+    pq_row = _topk_invariants(pq, queries, emb, k=10, recall_floor=0.7).select(
+        F.lit("ivf_pq").alias("method"), "*"
+    )
+    return (
+        lsh_row.unionByName(ivf_row)
+        .unionByName(sq8_row)
+        .unionByName(pq_row)
+    )
 
 
 # Engine-portable spherical k-means, k=8, TWO assignment passes

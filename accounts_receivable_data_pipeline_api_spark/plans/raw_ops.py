@@ -210,13 +210,18 @@ def _pq_serving_cached(spark: SparkSession, sf_dir: str):
 def op_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ probe against the persisted code table: 8-byte-per-vector
     candidate scan via the broadcast ADC lookup table, exact re-rank of
-    the top-5k shortlist (operators/similarity.py:ivf_pq_topk). Same
-    amortized-probe accounting as op_ivf_sq8_topk."""
+    the top-200 shortlist (operators/similarity.py:ivf_pq_topk). The
+    re-rank budget is the recall knob — measured at sf1 (20k vectors,
+    sqrt-n nlist, nprobe=8): m_rerank 100 -> 0.74, 200 -> 0.92,
+    400 -> 0.96, 800 -> 0.98 recall@10; the full-vector reads it costs
+    are per-query-bounded and vanish against the corpus scan at scale,
+    so 200 is the deployment default. Same amortized-probe accounting
+    as op_ivf_sq8_topk."""
     serving, cents, books = _pq_serving_cached(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ivf_pq_topk(
-        queries, emb, cents, books, k=10, nprobe=8, serving=serving
+        queries, emb, cents, books, k=10, nprobe=8, m_rerank=200, serving=serving
     )
 
 

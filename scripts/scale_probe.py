@@ -238,6 +238,74 @@ def _probe_ivf_sq8(spark, sf_dir: str) -> None:
     assert ratio >= 3.5, f"candidate-scan bytes ratio {ratio:.2f} < 3.5 at {sf_dir}"
 
 
+def _probe_ivf_pq(spark, sf_dir: str) -> None:
+    """Round-11 IVF-PQ probe: recall@10 of the 8-byte-code candidate
+    scan + top-100 exact re-rank vs brute force (asserted >= 0.5, the
+    ANN probe floor — PQ trades recall for the deepest compression),
+    and the code column's scan bytes vs the SQ8 serving table's
+    (parquet column metadata; expect ~4-8x below SQ8, which is itself
+    3.7-5.6x below float)."""
+    import os
+
+    from accounts_receivable_data_pipeline_api_spark.plans.raw_ops import (
+        _pq_serving_cached,
+        _sq8_serving_cached,
+        op_ivf_pq_topk,
+    )
+
+    def _scan_bytes(paths, cols) -> int:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for i in range(rg.num_columns):
+                    c = rg.column(i)
+                    if c.path_in_schema.split(".")[0] in cols:
+                        total += c.total_compressed_size
+        return total
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    pq_hits = {
+        (r["query_id"], r["match_id"])
+        for r in op_ivf_pq_topk(spark, sf_dir).collect()
+    }
+    brute = {
+        (r["query_id"], r["match_id"])
+        for r in similarity.brute_force_topk(queries, emb, k=10).collect()
+    }
+    recall = len(pq_hits & brute) / len(brute)
+    serving_pq, cents, books = _pq_serving_cached(spark, sf_dir)
+    serving_sq8, _ = _sq8_serving_cached(spark, sf_dir)
+    pq_files = [p.removeprefix("file:") for p in serving_pq.inputFiles()]
+    sq8_files = [p.removeprefix("file:") for p in serving_sq8.inputFiles()]
+    pq_bytes = _scan_bytes(pq_files, {"match_id", "cluster", "codes"})
+    sq8_bytes = _scan_bytes(sq8_files, {"match_id", "cluster", "qvec"})
+    print(
+        json.dumps(
+            {
+                "query": "op_ivf_pq_recall_bytes",
+                "sf": sf_dir.rsplit("sf", 1)[-1],
+                "input_rows": emb.count(),
+                "nlist": len(cents),
+                "m_subspaces": len(books),
+                "recall_at_10_pq": round(recall, 3),
+                "candidate_scan_bytes_pq": pq_bytes,
+                "candidate_scan_bytes_sq8": sq8_bytes,
+                "bytes_ratio_vs_sq8": round(sq8_bytes / max(pq_bytes, 1), 2),
+            }
+        ),
+        flush=True,
+    )
+    assert recall >= 0.5, f"ivf_pq recall@10 {recall:.3f} < 0.5 at {sf_dir}"
+    assert sq8_bytes / max(pq_bytes, 1) >= 2.0, (
+        f"PQ code scan not smaller than SQ8 ({pq_bytes} vs {sq8_bytes}) at {sf_dir}"
+    )
+
+
 # raw operator builders are shared with bench.py (plans/raw_ops.py)
 OPERATOR_PROBES = RAW_OPS
 
@@ -342,6 +410,9 @@ def main() -> None:
     if wanted("op_ivf_sq8_recall_bytes"):
         for sf_dir in SFS:
             _probe_ivf_sq8(spark, sf_dir)
+    if wanted("op_ivf_pq_recall_bytes"):
+        for sf_dir in SFS:
+            _probe_ivf_pq(spark, sf_dir)
     if wanted("stream_windowed_counts"):
         for sf_dir in SFS:
             _probe_streaming_rate(spark, sf_dir)

@@ -1311,6 +1311,70 @@ def test_ivf_sq8_topk_recall_scores_and_serving_parity(spark, sf_dir):
     assert len(tight & brute) / len(brute) >= 0.8
 
 
+def test_ivf_pq_topk_recall_scores_and_guards(spark, sf_dir):
+    """Round-11 product-quantization tier (pq_build/pq_encode/
+    ivf_pq_topk): recall@10 >= 0.7 vs brute force at m_rerank=100 (the
+    corpus-entry config; PQ trades recall for 8-byte codes), every
+    returned score is the exact cosine, the precomputed-serving path
+    returns the identical result, codes are m bytes long in [0, ksub),
+    and the guards raise: m_rerank < k, dim not divisible by m,
+    ksub > 127 (codes are TINYINT)."""
+    import pytest as _pytest
+
+    from accounts_receivable_data_pipeline_api_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_build,
+        ivf_pq_topk,
+        pq_build,
+        pq_encode,
+        pq_serving_table,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = ivf_build(emb, k=8, iters=3)
+    books = pq_build(emb, m=8, ksub=16, iters=2)
+    got_rows = ivf_pq_topk(
+        queries, emb, cents, books, k=10, nprobe=4, m_rerank=100
+    ).collect()
+    got = {(r.query_id, r.match_id) for r in got_rows}
+    brute = {
+        (r.query_id, r.match_id)
+        for r in brute_force_topk(queries, emb, k=10).collect()
+    }
+    assert len(got & brute) / len(brute) >= 0.7
+
+    exact = {
+        (r.query_id, r.match_id): r.score
+        for r in brute_force_topk(queries, emb, k=emb.count()).collect()
+    }
+    for r in got_rows:
+        assert abs(exact[(r.query_id, r.match_id)] - r.score) <= 1e-9, r
+
+    serving = pq_serving_table(emb, cents, books)
+    via_serving = {
+        (r.query_id, r.match_id, r.rank)
+        for r in ivf_pq_topk(
+            queries, emb, cents, books, k=10, nprobe=4, m_rerank=100,
+            serving=serving,
+        ).collect()
+    }
+    assert via_serving == {(r.query_id, r.match_id, r.rank) for r in got_rows}
+
+    codes = pq_encode(emb, books).collect()
+    assert all(
+        len(r.codes) == 8 and all(0 <= c < 16 for c in r.codes) for r in codes
+    )
+
+    with _pytest.raises(ValueError, match="m_rerank"):
+        ivf_pq_topk(queries, emb, cents, books, k=10, m_rerank=5)
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_build(emb, m=7)
+    with _pytest.raises(ValueError, match="TINYINT"):
+        pq_build(emb, m=8, ksub=128)
+
+
 # ---------------------------------------------------------------------------
 # Round-5 operators: LM scoring, bloom decontamination, mixture/shards,
 # incremental dedup, semantic dedup

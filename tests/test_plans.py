@@ -149,6 +149,31 @@ def test_ivf_sq8_serving_scan_reads_codes_only(spark, sf_dir):
         assert "tinyint" in ln, ln
         assert "q_scale" not in ln, f"q_scale not pruned from code scan: {ln}"
 
+    # the PQ tier's persisted scan likewise reads only the m-byte code
+    # column (plus ids/cluster), and the ADC join stays equi-keyed —
+    # no cartesian/nested-loop anywhere in the plan
+    from accounts_receivable_data_pipeline_api_spark.plans.raw_ops import (
+        _pq_serving_cached,
+    )
+
+    serving_pq, cents_pq, books = _pq_serving_cached(spark, sf_dir)
+    plan_pq = _formatted(
+        spark,
+        similarity.ivf_pq_topk(
+            queries, emb, cents_pq, books, k=10, nprobe=8, m_rerank=100,
+            serving=serving_pq,
+        ),
+    )
+    assert "CartesianProduct" not in plan_pq, plan_pq
+    assert "BroadcastNestedLoopJoin" not in plan_pq, plan_pq
+    pq_scans = [
+        ln for ln in plan_pq.splitlines()
+        if "ReadSchema" in ln and "codes" in ln
+    ]
+    assert pq_scans, f"no PQ serving-table scan found:\n{plan_pq}"
+    for ln in pq_scans:
+        assert "tinyint" in ln, ln
+
 
 def test_window_frames_single_shuffle_single_window(spark, sf_dir):
     """window_frames evaluates lag + running + sliding frames over the
