@@ -958,8 +958,16 @@ def similarity_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf_sq8").alias("method"), "*"
     )
     books = similarity.pq_build(emb, m=8, ksub=16, iters=2)
+    # Fixed-8-cluster fixture => the probed candidate set grows
+    # LINEARLY with the corpus (nprobe/nlist = half of it), so the
+    # re-rank budget must too: max(100, n/25) holds recall at every
+    # tested scale (sf0.01: m=100 -> 0.96; sf1: m=800 -> 0.90 — the
+    # round-11 sf1 harness caught the fixed m=100 config at 0.44).
+    # The SCALE path sizes sqrt-style off sqrt-n nlist (op_ivf_pq_topk).
+    n_emb = emb.count()
     pq = similarity.ivf_pq_topk(
-        queries, emb, centroids, books, k=10, nprobe=4, m_rerank=100
+        queries, emb, centroids, books, k=10, nprobe=4,
+        m_rerank=max(100, n_emb // 25),
     )
     pq_row = _topk_invariants(pq, queries, emb, k=10, recall_floor=0.7).select(
         F.lit("ivf_pq").alias("method"), "*"

@@ -165,7 +165,7 @@ def _sq8_serving_cached(spark: SparkSession, sf_dir: str):
     return spark.read.parquet(data_dir), cents
 
 
-_PQ_CACHE_VERSION = "v1"
+_PQ_CACHE_VERSION = "v2"  # v2: corpus size n stored in codebooks.json
 
 
 def _pq_serving_cached(spark: SparkSession, sf_dir: str):
@@ -192,36 +192,55 @@ def _pq_serving_cached(spark: SparkSession, sf_dir: str):
         nonce = uuid.uuid4().hex
         tmp = f"{loc}.tmp-{nonce}"
         serving = similarity.pq_serving_table(emb, cents, books)
-        nfiles = max(1, min(8, emb.count() // 5000))
+        n = emb.count()
+        nfiles = max(1, min(8, n // 5000))
         (
             serving.repartition(nfiles, F.col("cluster"))
             .sortWithinPartitions("cluster")
             .write.parquet(os.path.join(tmp, "data"))
         )
         with open(os.path.join(tmp, "codebooks.json"), "w") as f:
-            _json.dump({"centroids": cents, "codebooks": books}, f)
+            _json.dump({"centroids": cents, "codebooks": books, "n": n}, f)
         _publish_cache_dir(tmp, loc, os.path.join("data", "_SUCCESS"))
 
     with open(os.path.join(loc, "codebooks.json")) as f:
         meta = _json.load(f)
-    return spark.read.parquet(data_dir), meta["centroids"], meta["codebooks"]
+    return (
+        spark.read.parquet(data_dir),
+        meta["centroids"],
+        meta["codebooks"],
+        meta["n"],
+    )
 
 
 def op_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ probe against the persisted code table: 8-byte-per-vector
     candidate scan via the broadcast ADC lookup table, exact re-rank of
-    the top-200 shortlist (operators/similarity.py:ivf_pq_topk). The
-    re-rank budget is the recall knob — measured at sf1 (20k vectors,
-    sqrt-n nlist, nprobe=8): m_rerank 100 -> 0.74, 200 -> 0.92,
-    400 -> 0.96, 800 -> 0.98 recall@10; the full-vector reads it costs
-    are per-query-bounded and vanish against the corpus scan at scale,
-    so 200 is the deployment default. Same amortized-probe accounting
-    as op_ivf_sq8_topk."""
-    serving, cents, books = _pq_serving_cached(spark, sf_dir)
+    an AUTO-SIZED shortlist (operators/similarity.py:ivf_pq_topk). The
+    re-rank budget is the recall knob (measured at sf1: m_rerank
+    100 -> 0.74, 200 -> 0.92, 400 -> 0.96, 800 -> 0.98 recall@10) and a
+    FIXED budget decays as the corpus grows — the probed candidate set
+    under sqrt-n nlist grows ~nprobe*sqrt(n), so the budget follows it:
+    m_rerank = max(200, 4*sqrt(n)), with n pinned in the cache metadata
+    at build time (no probe-time count action). The full-vector reads
+    this buys stay per-query-bounded and vanish against the corpus scan
+    at 100 TB. Same amortized-probe accounting as op_ivf_sq8_topk; the
+    round-11 sf1 harness caught the fixed-budget decay live (entry
+    recall 0.44 at sf1 under a fixed m=100)."""
+    import math
+
+    serving, cents, books, n = _pq_serving_cached(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ivf_pq_topk(
-        queries, emb, cents, books, k=10, nprobe=8, m_rerank=200, serving=serving
+        queries,
+        emb,
+        cents,
+        books,
+        k=10,
+        nprobe=8,
+        m_rerank=max(200, 4 * math.isqrt(n)),
+        serving=serving,
     )
 
 

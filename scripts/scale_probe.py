@@ -278,7 +278,7 @@ def _probe_ivf_pq(spark, sf_dir: str) -> None:
         for r in similarity.brute_force_topk(queries, emb, k=10).collect()
     }
     recall = len(pq_hits & brute) / len(brute)
-    serving_pq, cents, books = _pq_serving_cached(spark, sf_dir)
+    serving_pq, cents, books, _n = _pq_serving_cached(spark, sf_dir)
     serving_sq8, _ = _sq8_serving_cached(spark, sf_dir)
     pq_files = [p.removeprefix("file:") for p in serving_pq.inputFiles()]
     sq8_files = [p.removeprefix("file:") for p in serving_sq8.inputFiles()]

@@ -156,7 +156,7 @@ def test_ivf_sq8_serving_scan_reads_codes_only(spark, sf_dir):
         _pq_serving_cached,
     )
 
-    serving_pq, cents_pq, books = _pq_serving_cached(spark, sf_dir)
+    serving_pq, cents_pq, books, _n = _pq_serving_cached(spark, sf_dir)
     plan_pq = _formatted(
         spark,
         similarity.ivf_pq_topk(
