@@ -112,6 +112,7 @@ HEADLINE = (
     "op_collocations",
     "op_kcore",
     "op_ivf_sq8_topk",
+    "op_ivf_pq_topk",
 )
 
 # Invariant-summary entries whose in-entry exact twins are O(n^2) oracle
