@@ -650,30 +650,116 @@ def pq_build(
     """Product-quantization codebooks (Jégou et al., TPAMI 2011): the
     embedding dimension splits into ``m`` contiguous subspaces
     (dim % m == 0) and each subspace gets its own deterministic
-    ``ksub``-centroid k-means codebook — ``ivf_build`` over the sliced
-    subvectors, inheriting its no-RNG init (first ksub by id), fixed
-    iteration count, and exact argmin tie-breaks. Returns
-    ``codebooks[m][ksub][dim//m]`` — tiny driver state
-    (m*ksub*(dim/m) = dim*ksub floats total, dim-independent of corpus
-    size). Offline index-build work, persisted with the codes by the
-    serving cache (the same cross-process-consistency argument as the
-    coarse centroids)."""
+    ``ksub``-centroid k-means codebook with ``ivf_build``'s exact
+    rules: no-RNG init (slices of the first ksub vectors by id), fixed
+    iteration count, argmax assignment with first-index tie-break,
+    pid-sorted partial-sum centroid update, empty clusters keep their
+    previous centroid. Returns ``codebooks[m][ksub][dim//m]`` — tiny
+    driver state (dim*ksub floats total, independent of corpus size).
+
+    All ``m`` subspaces train in ONE fused kernel per iteration — one
+    corpus pass does every subspace's assignment + map-side partial
+    sums (iters+1 total passes; the first cut ran m separate
+    ivf_builds, ~m*(iters+1) corpus scans — round-11 review). The
+    fused math is IDENTICAL to per-subspace ivf_build (same rows, same
+    partition layout, same pid-sorted reduce order), pinned by test.
+    Offline index-build work, persisted with the codes by the serving
+    cache (the same cross-process-consistency argument as the coarse
+    centroids)."""
+    import numpy as np
+    import pandas as pd
+
     if ksub > 127:
         raise ValueError(
             f"ksub={ksub} > 127: PQ codes are stored as ARRAY<TINYINT>"
         )
-    first = candidates.select(_as_double(F.col(vec_col)).alias("__v")).first()
-    dim = len(first["__v"])
+    vecs = candidates.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
+    seed_rows = vecs.orderBy(id_col).limit(ksub).collect()
+    if not seed_rows:
+        raise ValueError("pq_build: empty candidates frame")
+    dim = len(seed_rows[0]["v"])
     if dim % m:
         raise ValueError(f"dim={dim} not divisible by m={m} subspaces")
     d = dim // m
-    books = []
-    for s in range(m):
-        sub = candidates.select(
-            F.col(id_col),
-            F.slice(_as_double(F.col(vec_col)), s * d + 1, d).alias("__sv"),
+    books = [
+        [list(r["v"][s * d : (s + 1) * d]) for r in seed_rows] for s in range(m)
+    ]
+
+    partial_schema = StructType(
+        [
+            StructField("sub", IntegerType()),
+            StructField("cluster", IntegerType()),
+            StructField("pid", IntegerType()),
+            StructField("n", LongType()),
+            StructField("s", ArrayType(DoubleType())),
+        ]
+    )
+    merged_schema = StructType(
+        [
+            StructField("sub", IntegerType()),
+            StructField("cluster", IntegerType()),
+            StructField("n", LongType()),
+            StructField("s", ArrayType(DoubleType())),
+        ]
+    )
+
+    def _merge_fn(key, pdf):
+        total_n = 0
+        total_s = np.zeros(d, dtype=np.float64)
+        for _, r in pdf.sort_values("pid").iterrows():
+            total_n += int(r["n"])
+            total_s += np.asarray(r["s"], dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "sub": [key[0]],
+                "cluster": [key[1]],
+                "n": [total_n],
+                "s": [total_s],
+            }
         )
-        books.append(ivf_build(sub, k=ksub, iters=iters, id_col=id_col, vec_col="__sv"))
+
+    for _ in range(iters):
+        B = [np.array(books[s], dtype=np.float64) for s in range(m)]
+        norms = [(b * b).sum(axis=1) for b in B]
+
+        def partial_kernel(batches):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            acc_n: dict[tuple[int, int], int] = {}
+            acc_s: dict[tuple[int, int], np.ndarray] = {}
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                V = np.array(list(pdf["v"]), dtype=np.float64)
+                for s in range(m):
+                    X = V[:, s * d : (s + 1) * d]
+                    cl = (2.0 * (X @ B[s].T) - norms[s]).argmax(axis=1)
+                    for c in np.unique(cl):
+                        mask = cl == c
+                        key = (s, int(c))
+                        acc_n[key] = acc_n.get(key, 0) + int(mask.sum())
+                        prev = acc_s.get(key)
+                        part = X[mask].sum(axis=0)
+                        acc_s[key] = part if prev is None else prev + part
+            if acc_n:
+                keys = sorted(acc_n)
+                yield pd.DataFrame(
+                    {
+                        "sub": np.array([k[0] for k in keys], dtype=np.int32),
+                        "cluster": np.array([k[1] for k in keys], dtype=np.int32),
+                        "pid": np.full(len(keys), pid, dtype=np.int32),
+                        "n": [acc_n[k] for k in keys],
+                        "s": [acc_s[k] for k in keys],
+                    }
+                )
+
+        partials = vecs.mapInPandas(partial_kernel, schema=partial_schema)
+        merged = partials.groupBy("sub", "cluster").applyInPandas(
+            _merge_fn, schema=merged_schema
+        )
+        for row in merged.collect():
+            books[row["sub"]][row["cluster"]] = [x / row["n"] for x in row["s"]]
     return books
 
 
@@ -689,15 +775,23 @@ def pq_encode(
     (numpy argmax returns the first maximum). Returns
     (id_col, codes ARRAY<TINYINT> length m) — m BYTES per vector on
     disk vs 4*dim for float32 (dim/ m*4 = 32x at dim=64/m=8, before
-    encoding). One fused Arrow pass, all codebooks in the closure."""
+    encoding). One fused Arrow pass, all codebooks in the closure.
+    Codebooks larger than 127 entries per subspace are rejected here
+    too, not just in pq_build — externally supplied books would
+    otherwise silently wrap code 128 to -128 in int8 and the LUT join
+    would drop the corrupted rows without error (round-11 review)."""
     import numpy as np
     import pandas as pd
 
     B = [np.array(b, dtype=np.float64) for b in codebooks]
     m, d = len(B), B[0].shape[1]
+    if any(b.shape[0] > 127 for b in B):
+        raise ValueError(
+            "pq_encode: a codebook has > 127 entries; codes are TINYINT"
+        )
     norms = [(b * b).sum(axis=1) for b in B]
     schema = StructType(
-        [StructField("match_id", LongType()), StructField("codes", ArrayType(ByteType()))]
+        [StructField(id_col, LongType()), StructField("codes", ArrayType(ByteType()))]
     )
 
     def kernel(batches):
@@ -710,11 +804,11 @@ def pq_encode(
                 X = V[:, s * d : (s + 1) * d]
                 codes[:, s] = (2.0 * (X @ B[s].T) - norms[s]).argmax(axis=1)
             yield pd.DataFrame(
-                {"match_id": pdf["match_id"].to_numpy(), "codes": list(codes)}
+                {id_col: pdf[id_col].to_numpy(), "codes": list(codes)}
             )
 
     vecs = candidates.select(
-        F.col(id_col).alias("match_id"), _as_double(F.col(vec_col)).alias("__v")
+        F.col(id_col), _as_double(F.col(vec_col)).alias("__v")
     )
     return vecs.mapInPandas(kernel, schema=schema)
 
@@ -738,10 +832,10 @@ def pq_serving_table(
         centroids,
         "cv",
     ).select("match_id", "cluster")
-    return assigned.join(
-        pq_encode(candidates, codebooks, id_col=id_col, vec_col=vec_col),
-        "match_id",
+    codes = pq_encode(candidates, codebooks, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("match_id"), "codes"
     )
+    return assigned.join(codes, "match_id")
 
 
 def _pq_lut(q: DataFrame, codebooks: list[list[list[float]]]) -> DataFrame:

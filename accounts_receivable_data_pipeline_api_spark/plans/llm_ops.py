@@ -933,10 +933,13 @@ _TOPK_INVARIANT_ORACLE = """
     "product quantization (m=8 subspaces x ksub=16 deterministic "
     "per-subspace codebooks, 8 code BYTES per vector), candidates "
     "scored via the broadcast asymmetric-distance lookup table "
-    "entirely JVM-side, top-100 shortlist exact-reranked "
+    "entirely JVM-side, AUTO-SIZED shortlist exact-reranked — "
+    "m_rerank = max(100, n/25), since a fixed budget decays as the "
+    "fixture's probed set grows linearly (sf1 harness caught fixed "
+    "m=100 at recall 0.44) "
     "(operators/similarity.py:pq_build/pq_encode/ivf_pq_topk); PQ is "
-    "lossier than SQ-8, recall floor 0.7 (measured 0.92 at sf0.001, "
-    "0.96 at sf0.01 with m_rerank=100). All rows assert exact cosine "
+    "lossier than SQ-8, recall floor 0.7 (measured 0.96 at sf0.01 "
+    "with m=100, 0.90 at sf1 with m=800). All rows assert exact cosine "
     "scores (n_score_mismatches=0 — for the quantized tiers that "
     "proves quantization never reaches the returned scores) and "
     "internally consistent ranks against the brute-force twin.",

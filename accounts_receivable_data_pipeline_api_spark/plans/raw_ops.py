@@ -171,12 +171,17 @@ _PQ_CACHE_VERSION = "v2"  # v2: corpus size n stored in codebooks.json
 def _pq_serving_cached(spark: SparkSession, sf_dir: str):
     """Write-once persisted IVF-PQ serving table per sf_dir: (match_id,
     cluster, codes ARRAY<TINYINT> length m) parquet plus BOTH codebook
-    tiers (coarse centroids + per-subspace PQ codebooks) as JSON in the
-    same published directory — the cross-process-consistency contract
-    of the SQ8 cache, doubled: probes AND the query-side LUT must be
-    computed against exactly the codebooks the stored codes were
-    encoded with. Shared _cache_tag/_publish_cache_dir protocol.
-    Returns (serving DataFrame, centroids, codebooks)."""
+    tiers (coarse centroids + per-subspace PQ codebooks) and the corpus
+    size n as JSON in the same published directory — the
+    cross-process-consistency contract of the SQ8 cache, doubled:
+    probes AND the query-side LUT must be computed against exactly the
+    codebooks the stored codes were encoded with. The coarse centroids
+    are REUSED from the SQ8 cache (building it first if absent) rather
+    than re-running the full sqrt-n k-means — the two tiers are one
+    artifact family over the same corpus, and sharing also keeps their
+    cluster columns identical for cross-tier comparisons (round-11
+    review). Shared _cache_tag/_publish_cache_dir protocol. Returns
+    (serving DataFrame, centroids, codebooks, n)."""
     import json as _json
     import os
     import uuid
@@ -187,7 +192,7 @@ def _pq_serving_cached(spark: SparkSession, sf_dir: str):
 
     if not os.path.isfile(os.path.join(data_dir, "_SUCCESS")):
         emb = load_table(spark, sf_dir, "embeddings")
-        cents = similarity.ivf_build(emb, k=None, iters=2)
+        _, cents = _sq8_serving_cached(spark, sf_dir)
         books = similarity.pq_build(emb, m=8, ksub=16, iters=2)
         nonce = uuid.uuid4().hex
         tmp = f"{loc}.tmp-{nonce}"

@@ -134,6 +134,25 @@ def _probe_ivf_topk_recall(spark, sf_dir: str) -> None:
     assert recall >= 0.5, f"ivf_topk recall@10 {recall:.3f} < 0.5 at {sf_dir}"
 
 
+def _scan_bytes(paths, cols) -> int:
+    """Parquet COLUMN-metadata byte accounting shared by the quantized
+    ANN probes: sums total_compressed_size of exactly the top-level
+    columns a candidate scan reads — file-size totals would charge for
+    unread columns (q_scale) and per-file footers."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            for i in range(rg.num_columns):
+                c = rg.column(i)
+                if c.path_in_schema.split(".")[0] in cols:
+                    total += c.total_compressed_size
+    return total
+
+
 def _probe_ivf_sq8(spark, sf_dir: str) -> None:
     """Round-11 quantized-ANN probe, the two VERDICT #1 'done' bars:
 
@@ -175,26 +194,8 @@ def _probe_ivf_sq8(spark, sf_dir: str) -> None:
     recall_sq8 = len(sq8 & brute) / len(brute)
     recall_ivf = len(ivf & brute) / len(brute)
 
-    # Candidate-scan bytes via parquet COLUMN metadata — the scan is
-    # columnar and reads (match_id, cluster, qvec) from the serving
-    # table (q_scale cancels in cosine and is column-pruned), vs
-    # (match_id, cluster, cv) from the float equivalent written with
-    # the identical writer/layout. File-size totals would charge the
-    # sq8 side for the unread q_scale column and per-file footers.
-    def _scan_bytes(paths, cols) -> int:
-        import pyarrow.parquet as pq
-
-        total = 0
-        for p in paths:
-            md = pq.ParquetFile(p).metadata
-            for g in range(md.num_row_groups):
-                rg = md.row_group(g)
-                for i in range(rg.num_columns):
-                    c = rg.column(i)
-                    if c.path_in_schema.split(".")[0] in cols:
-                        total += c.total_compressed_size
-        return total
-
+    # sq8 scan reads (match_id, cluster, qvec); the float twin reads
+    # (match_id, cluster, cv) — identical writer/layout both sides.
     sq8_files = [p.removeprefix("file:") for p in serving.inputFiles()]
     sq8_bytes = _scan_bytes(sq8_files, {"match_id", "cluster", "qvec"})
     float_dir = f"/tmp/spark_graft_sq8_probe_float_{os.getpid()}"
@@ -240,32 +241,16 @@ def _probe_ivf_sq8(spark, sf_dir: str) -> None:
 
 def _probe_ivf_pq(spark, sf_dir: str) -> None:
     """Round-11 IVF-PQ probe: recall@10 of the 8-byte-code candidate
-    scan + top-100 exact re-rank vs brute force (asserted >= 0.5, the
+    scan + auto-sized exact re-rank (max(200, 4*sqrt(n))) vs brute force (asserted >= 0.5, the
     ANN probe floor — PQ trades recall for the deepest compression),
     and the code column's scan bytes vs the SQ8 serving table's
     (parquet column metadata; expect ~4-8x below SQ8, which is itself
     3.7-5.6x below float)."""
-    import os
-
     from accounts_receivable_data_pipeline_api_spark.plans.raw_ops import (
         _pq_serving_cached,
         _sq8_serving_cached,
         op_ivf_pq_topk,
     )
-
-    def _scan_bytes(paths, cols) -> int:
-        import pyarrow.parquet as pq
-
-        total = 0
-        for p in paths:
-            md = pq.ParquetFile(p).metadata
-            for g in range(md.num_row_groups):
-                rg = md.row_group(g)
-                for i in range(rg.num_columns):
-                    c = rg.column(i)
-                    if c.path_in_schema.split(".")[0] in cols:
-                        total += c.total_compressed_size
-        return total
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)

@@ -1373,6 +1373,37 @@ def test_ivf_pq_topk_recall_scores_and_guards(spark, sf_dir):
         pq_build(emb, m=7)
     with _pytest.raises(ValueError, match="TINYINT"):
         pq_build(emb, m=8, ksub=128)
+    with _pytest.raises(ValueError, match="TINYINT"):
+        pq_encode(emb, [[[0.0] * 8] * 128] * 8)
+    with _pytest.raises(ValueError, match="empty"):
+        pq_build(emb.filter(F.col("vec_id") < 0))
+
+
+def test_pq_build_fused_equals_per_subspace_ivf_build(spark, sf_dir):
+    """The fused one-kernel-per-iteration pq_build (round-11 review:
+    the first cut ran m separate ivf_builds, ~m*(iters+1) corpus
+    scans) must be numerically IDENTICAL to the per-subspace reference
+    — same rows, same partition layout, same pid-sorted reduce order,
+    so every centroid matches bit-for-bit, not approximately."""
+    from accounts_receivable_data_pipeline_api_spark.operators.similarity import (
+        _as_double,
+        ivf_build,
+        pq_build,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m, ksub, iters = 4, 8, 2
+    fused = pq_build(emb, m=m, ksub=ksub, iters=iters)
+    dim = 64
+    d = dim // m
+    for s in range(m):
+        sub = emb.select(
+            F.col("vec_id"),
+            F.slice(_as_double(F.col("embedding")), s * d + 1, d).alias("__sv"),
+        )
+        ref = ivf_build(sub, k=ksub, iters=iters, vec_col="__sv")
+        assert fused[s] == ref, f"subspace {s} diverged"
 
 
 # ---------------------------------------------------------------------------
