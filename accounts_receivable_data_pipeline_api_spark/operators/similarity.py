@@ -223,22 +223,54 @@ def ivf_build(
     nlist=4096/dim=1024. Determinism: no RNG, fixed init, fixed iters,
     exact argmin with lowest-index tie-break, pid-ordered reduction.
     """
-    import numpy as np
-    import pandas as pd
-
     vecs = candidates.select(F.col(id_col), _as_double(F.col(vec_col)).alias("v"))
     if k is None:
-        import math
-
-        n = vecs.count()
-        k = max(8, min(4096, int(round(math.sqrt(max(n, 1))))))
+        k = ivf_auto_nlist(vecs.count())
     centroids = [
         list(r["v"]) for r in vecs.orderBy(id_col).limit(k).collect()
     ]
-    dim = len(centroids[0])
+    return _fused_kmeans(vecs, [centroids], iters)[0]
+
+
+def ivf_auto_nlist(n: int) -> int:
+    """The k=None sizing rule, callable by callers that already know n
+    (the serving caches carry n in their metadata — round-11 review:
+    letting ivf_build re-count was a duplicate corpus scan):
+    clamp(8..4096, round(sqrt(n))) — per-list size ~sqrt(n)."""
+    import math
+
+    return max(8, min(4096, int(round(math.sqrt(max(n, 1))))))
+
+
+def _fused_kmeans(
+    vecs: DataFrame,
+    books: list[list[list[float]]],
+    iters: int,
+) -> list[list[list[float]]]:
+    """The ONE k-means kernel behind both the coarse quantizer and the
+    PQ codebooks (round-11 third-pass review: pq_build's first fused
+    cut duplicated this machinery, leaving the bit-identity contract
+    enforced only by a fixture test). ``vecs = (id, v ARRAY<DOUBLE>)``;
+    ``books[m][k][d]`` are initial centroids, one codebook per
+    CONTIGUOUS d-wide slice of v (m=1 with d=dim is ivf_build).
+
+    Each iteration is one corpus pass: the Arrow kernel assigns every
+    subspace and reduces each partition to at most one
+    (sub, cluster, n, sum-vector) row per cell (map-side combine),
+    partials shuffle on the small (sub, cluster) key, and a pid-sorted
+    applyInPandas merge fixes the float summation order for a given
+    layout. Determinism: no RNG, argmax first-index tie-break, exact
+    mean as the raw IEEE quotient; empty cells keep their previous
+    centroid. Returns the trained books (mutated in place)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(books)
+    d = len(books[0][0])
 
     partial_schema = StructType(
         [
+            StructField("sub", IntegerType()),
             StructField("cluster", IntegerType()),
             StructField("pid", IntegerType()),
             StructField("n", LongType()),
@@ -247,6 +279,7 @@ def ivf_build(
     )
     merged_schema = StructType(
         [
+            StructField("sub", IntegerType()),
             StructField("cluster", IntegerType()),
             StructField("n", LongType()),
             StructField("s", ArrayType(DoubleType())),
@@ -255,55 +288,64 @@ def ivf_build(
 
     def _merge_fn(key, pdf):
         total_n = 0
-        total_s = np.zeros(dim, dtype=np.float64)
+        total_s = np.zeros(d, dtype=np.float64)
         for _, r in pdf.sort_values("pid").iterrows():
             total_n += int(r["n"])
             total_s += np.asarray(r["s"], dtype=np.float64)
-        return pd.DataFrame({"cluster": [key[0]], "n": [total_n], "s": [total_s]})
+        return pd.DataFrame(
+            {
+                "sub": [key[0]],
+                "cluster": [key[1]],
+                "n": [total_n],
+                "s": [total_s],
+            }
+        )
 
     for _ in range(iters):
-        C = np.array(centroids, dtype=np.float64)
-        c_norm2 = (C * C).sum(axis=1)
+        B = [np.array(books[s], dtype=np.float64) for s in range(m)]
+        norms = [(b * b).sum(axis=1) for b in B]
 
         def partial_kernel(batches):
             # assignment + map-side combine fused in one Arrow stage:
-            # rows never leave the partition, only k partial rows do
+            # rows never leave the partition, only m*k partial rows do
             from pyspark import TaskContext
 
             pid = TaskContext.get().partitionId()
-            acc_n: dict[int, int] = {}
-            acc_s: dict[int, np.ndarray] = {}
+            acc_n: dict[tuple[int, int], int] = {}
+            acc_s: dict[tuple[int, int], np.ndarray] = {}
             for pdf in batches:
                 if pdf.empty:
                     continue
                 V = np.array(list(pdf["v"]), dtype=np.float64)
-                cl = (2.0 * (V @ C.T) - c_norm2).argmax(axis=1)
-                for c in np.unique(cl):
-                    mask = cl == c
-                    c = int(c)
-                    acc_n[c] = acc_n.get(c, 0) + int(mask.sum())
-                    prev = acc_s.get(c)
-                    part = V[mask].sum(axis=0)
-                    acc_s[c] = part if prev is None else prev + part
+                for s in range(m):
+                    X = V[:, s * d : (s + 1) * d]
+                    cl = (2.0 * (X @ B[s].T) - norms[s]).argmax(axis=1)
+                    for c in np.unique(cl):
+                        mask = cl == c
+                        key = (s, int(c))
+                        acc_n[key] = acc_n.get(key, 0) + int(mask.sum())
+                        prev = acc_s.get(key)
+                        part = X[mask].sum(axis=0)
+                        acc_s[key] = part if prev is None else prev + part
             if acc_n:
-                clusters = sorted(acc_n)
+                keys = sorted(acc_n)
                 yield pd.DataFrame(
                     {
-                        "cluster": np.array(clusters, dtype=np.int32),
-                        "pid": np.full(len(clusters), pid, dtype=np.int32),
-                        "n": [acc_n[c] for c in clusters],
-                        "s": [acc_s[c] for c in clusters],
+                        "sub": np.array([kk[0] for kk in keys], dtype=np.int32),
+                        "cluster": np.array([kk[1] for kk in keys], dtype=np.int32),
+                        "pid": np.full(len(keys), pid, dtype=np.int32),
+                        "n": [acc_n[kk] for kk in keys],
+                        "s": [acc_s[kk] for kk in keys],
                     }
                 )
 
         partials = vecs.mapInPandas(partial_kernel, schema=partial_schema)
-        merged = partials.groupBy("cluster").applyInPandas(_merge_fn, schema=merged_schema)
-        new_centroids = list(centroids)
+        merged = partials.groupBy("sub", "cluster").applyInPandas(
+            _merge_fn, schema=merged_schema
+        )
         for row in merged.collect():
-            c = row["cluster"]
-            new_centroids[c] = [x / row["n"] for x in row["s"]]
-        centroids = new_centroids
-    return centroids
+            books[row["sub"]][row["cluster"]] = [x / row["n"] for x in row["s"]]
+    return books
 
 
 def kmeans_portable(
@@ -661,14 +703,12 @@ def pq_build(
     corpus pass does every subspace's assignment + map-side partial
     sums (iters+1 total passes; the first cut ran m separate
     ivf_builds, ~m*(iters+1) corpus scans — round-11 review). The
-    fused math is IDENTICAL to per-subspace ivf_build (same rows, same
-    partition layout, same pid-sorted reduce order), pinned by test.
-    Offline index-build work, persisted with the codes by the serving
-    cache (the same cross-process-consistency argument as the coarse
+    kernel IS ivf_build's (`_fused_kmeans` — ivf_build is its m=1
+    case), so the per-subspace math cannot drift from the coarse
+    quantizer's; the equality test pins the slicing. Offline
+    index-build work, persisted with the codes by the serving cache
+    (the same cross-process-consistency argument as the coarse
     centroids)."""
-    import numpy as np
-    import pandas as pd
-
     if ksub > 127:
         raise ValueError(
             f"ksub={ksub} > 127: PQ codes are stored as ARRAY<TINYINT>"
@@ -684,83 +724,7 @@ def pq_build(
     books = [
         [list(r["v"][s * d : (s + 1) * d]) for r in seed_rows] for s in range(m)
     ]
-
-    partial_schema = StructType(
-        [
-            StructField("sub", IntegerType()),
-            StructField("cluster", IntegerType()),
-            StructField("pid", IntegerType()),
-            StructField("n", LongType()),
-            StructField("s", ArrayType(DoubleType())),
-        ]
-    )
-    merged_schema = StructType(
-        [
-            StructField("sub", IntegerType()),
-            StructField("cluster", IntegerType()),
-            StructField("n", LongType()),
-            StructField("s", ArrayType(DoubleType())),
-        ]
-    )
-
-    def _merge_fn(key, pdf):
-        total_n = 0
-        total_s = np.zeros(d, dtype=np.float64)
-        for _, r in pdf.sort_values("pid").iterrows():
-            total_n += int(r["n"])
-            total_s += np.asarray(r["s"], dtype=np.float64)
-        return pd.DataFrame(
-            {
-                "sub": [key[0]],
-                "cluster": [key[1]],
-                "n": [total_n],
-                "s": [total_s],
-            }
-        )
-
-    for _ in range(iters):
-        B = [np.array(books[s], dtype=np.float64) for s in range(m)]
-        norms = [(b * b).sum(axis=1) for b in B]
-
-        def partial_kernel(batches):
-            from pyspark import TaskContext
-
-            pid = TaskContext.get().partitionId()
-            acc_n: dict[tuple[int, int], int] = {}
-            acc_s: dict[tuple[int, int], np.ndarray] = {}
-            for pdf in batches:
-                if pdf.empty:
-                    continue
-                V = np.array(list(pdf["v"]), dtype=np.float64)
-                for s in range(m):
-                    X = V[:, s * d : (s + 1) * d]
-                    cl = (2.0 * (X @ B[s].T) - norms[s]).argmax(axis=1)
-                    for c in np.unique(cl):
-                        mask = cl == c
-                        key = (s, int(c))
-                        acc_n[key] = acc_n.get(key, 0) + int(mask.sum())
-                        prev = acc_s.get(key)
-                        part = X[mask].sum(axis=0)
-                        acc_s[key] = part if prev is None else prev + part
-            if acc_n:
-                keys = sorted(acc_n)
-                yield pd.DataFrame(
-                    {
-                        "sub": np.array([k[0] for k in keys], dtype=np.int32),
-                        "cluster": np.array([k[1] for k in keys], dtype=np.int32),
-                        "pid": np.full(len(keys), pid, dtype=np.int32),
-                        "n": [acc_n[k] for k in keys],
-                        "s": [acc_s[k] for k in keys],
-                    }
-                )
-
-        partials = vecs.mapInPandas(partial_kernel, schema=partial_schema)
-        merged = partials.groupBy("sub", "cluster").applyInPandas(
-            _merge_fn, schema=merged_schema
-        )
-        for row in merged.collect():
-            books[row["sub"]][row["cluster"]] = [x / row["n"] for x in row["s"]]
-    return books
+    return _fused_kmeans(vecs, books, iters)
 
 
 def pq_encode(
@@ -783,12 +747,22 @@ def pq_encode(
     import numpy as np
     import pandas as pd
 
-    B = [np.array(b, dtype=np.float64) for b in codebooks]
-    m, d = len(B), B[0].shape[1]
-    if any(b.shape[0] > 127 for b in B):
+    # validate shape BEFORE any indexing so degenerate external books
+    # fail with clear errors, not IndexError/'inhomogeneous shape'
+    # (round-11 third-pass review)
+    if not codebooks or any(not b for b in codebooks):
+        raise ValueError("pq_encode: empty codebook list / empty subspace book")
+    if any(len(c) != len(b[0]) for b in codebooks for c in b):
+        raise ValueError(
+            "pq_encode: ragged codebook — all entries of a subspace book "
+            "must share one dimension"
+        )
+    if any(len(b) > 127 for b in codebooks):
         raise ValueError(
             "pq_encode: a codebook has > 127 entries; codes are TINYINT"
         )
+    B = [np.array(b, dtype=np.float64) for b in codebooks]
+    m, d = len(B), B[0].shape[1]
     norms = [(b * b).sum(axis=1) for b in B]
     schema = StructType(
         [StructField(id_col, LongType()), StructField("codes", ArrayType(ByteType()))]

@@ -65,7 +65,7 @@ def op_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(queries, emb, _IVF_CENTROIDS[sf_dir], k=10, nprobe=8)
 
 
-_SQ8_CACHE_VERSION = "v1"
+_SQ8_CACHE_VERSION = "v2"  # v2: corpus size n stored in centroids.json
 
 
 def _cache_tag(version_prefix: str, sf_dir: str) -> str:
@@ -128,7 +128,10 @@ def _sq8_serving_cached(spark: SparkSession, sf_dir: str):
 
     Publication is atomic (tmp dir + os.rename, the trigram-cache
     contract); the rename loser discards its copy and reads the
-    winner's. Returns (serving DataFrame, centroids list)."""
+    winner's. The corpus size n rides in the metadata so downstream
+    consumers (the PQ cache build, auto-sized re-rank budgets) never
+    re-count the table (round-11 third-pass review). Returns
+    (serving DataFrame, centroids list, n)."""
     import json as _json
     import os
     import uuid
@@ -139,7 +142,8 @@ def _sq8_serving_cached(spark: SparkSession, sf_dir: str):
 
     if not os.path.isfile(os.path.join(data_dir, "_SUCCESS")):
         emb = load_table(spark, sf_dir, "embeddings")
-        cents = similarity.ivf_build(emb, k=None, iters=2)
+        n = emb.count()
+        cents = similarity.ivf_build(emb, k=similarity.ivf_auto_nlist(n), iters=2)
         nonce = uuid.uuid4().hex
         tmp = f"{loc}.tmp-{nonce}"
         serving = similarity.ivf_sq8_serving_table(emb, cents)
@@ -150,19 +154,19 @@ def _sq8_serving_cached(spark: SparkSession, sf_dir: str):
         # (>=5k vectors/file) so per-file footer overhead never
         # dominates the byte accounting at small SF; at 100 TB this is
         # the bucket count, sized to executors.
-        nfiles = max(1, min(8, emb.count() // 5000))
+        nfiles = max(1, min(8, n // 5000))
         (
             serving.repartition(nfiles, F.col("cluster"))
             .sortWithinPartitions("cluster")
             .write.parquet(os.path.join(tmp, "data"))
         )
         with open(os.path.join(tmp, "centroids.json"), "w") as f:
-            _json.dump(cents, f)
+            _json.dump({"centroids": cents, "n": n}, f)
         _publish_cache_dir(tmp, loc, os.path.join("data", "_SUCCESS"))
 
     with open(os.path.join(loc, "centroids.json")) as f:
-        cents = _json.load(f)
-    return spark.read.parquet(data_dir), cents
+        meta = _json.load(f)
+    return spark.read.parquet(data_dir), meta["centroids"], meta["n"]
 
 
 _PQ_CACHE_VERSION = "v2"  # v2: corpus size n stored in codebooks.json
@@ -192,12 +196,11 @@ def _pq_serving_cached(spark: SparkSession, sf_dir: str):
 
     if not os.path.isfile(os.path.join(data_dir, "_SUCCESS")):
         emb = load_table(spark, sf_dir, "embeddings")
-        _, cents = _sq8_serving_cached(spark, sf_dir)
+        _, cents, n = _sq8_serving_cached(spark, sf_dir)
         books = similarity.pq_build(emb, m=8, ksub=16, iters=2)
         nonce = uuid.uuid4().hex
         tmp = f"{loc}.tmp-{nonce}"
         serving = similarity.pq_serving_table(emb, cents, books)
-        n = emb.count()
         nfiles = max(1, min(8, n // 5000))
         (
             serving.repartition(nfiles, F.col("cluster"))
@@ -256,7 +259,7 @@ def op_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Times the amortized PROBE cost — the serving-table compact is the
     one-time artifact build, the same accounting as op_substr_search's
     posting index and op_ivf_topk's centroid cache."""
-    serving, cents = _sq8_serving_cached(spark, sf_dir)
+    serving, cents, _n = _sq8_serving_cached(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ivf_sq8_topk(

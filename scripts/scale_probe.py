@@ -184,7 +184,7 @@ def _probe_ivf_sq8(spark, sf_dir: str) -> None:
         (r["query_id"], r["match_id"])
         for r in op_ivf_sq8_topk(spark, sf_dir).collect()
     }
-    serving, cents = _sq8_serving_cached(spark, sf_dir)
+    serving, cents, _n = _sq8_serving_cached(spark, sf_dir)
     ivf = {
         (r["query_id"], r["match_id"])
         for r in similarity.ivf_topk(
@@ -264,7 +264,7 @@ def _probe_ivf_pq(spark, sf_dir: str) -> None:
     }
     recall = len(pq_hits & brute) / len(brute)
     serving_pq, cents, books, _n = _pq_serving_cached(spark, sf_dir)
-    serving_sq8, _ = _sq8_serving_cached(spark, sf_dir)
+    serving_sq8, _c, _n2 = _sq8_serving_cached(spark, sf_dir)
     pq_files = [p.removeprefix("file:") for p in serving_pq.inputFiles()]
     sq8_files = [p.removeprefix("file:") for p in serving_sq8.inputFiles()]
     pq_bytes = _scan_bytes(pq_files, {"match_id", "cluster", "codes"})

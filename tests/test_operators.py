@@ -1395,8 +1395,7 @@ def test_pq_build_fused_equals_per_subspace_ivf_build(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     m, ksub, iters = 4, 8, 2
     fused = pq_build(emb, m=m, ksub=ksub, iters=iters)
-    dim = 64
-    d = dim // m
+    d = len(fused[0][0])  # subspace width, derived — not a constant
     for s in range(m):
         sub = emb.select(
             F.col("vec_id"),

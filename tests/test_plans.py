@@ -131,7 +131,7 @@ def test_ivf_sq8_serving_scan_reads_codes_only(spark, sf_dir):
     from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
     from pyspark.sql import functions as F
 
-    serving, cents = _sq8_serving_cached(spark, sf_dir)
+    serving, cents, _n = _sq8_serving_cached(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     plan = _formatted(
