@@ -345,6 +345,116 @@ def shard_order(
     return out.withColumn(pos_col, F.row_number().over(w).cast("bigint"))
 
 
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sample of ``k`` rows WITHOUT replacement via PRIORITY
+    SAMPLING (Duffield, Lund & Thorup, JACM 2007): each row gets a
+    deterministic uniform u in (0, 1] from md5(key) and a priority
+    q = w / u; the sample is the top-``k`` rows by q, and the (k+1)-th
+    priority tau turns the sample into an UNBIASED subset-sum
+    estimator — for any predicate P,
+
+        E[ sum_{sampled i in P} max(w_i, tau) ] = sum_{i in P} w_i,
+
+    which is what makes a weighted corpus sample auditable: the sample
+    alone estimates how many chars/tokens of any slice (language,
+    source, quality band) the full corpus holds. Inclusion probability
+    is min(1, w_i / tau) — proportional to weight for the long tail,
+    capped at 1 for dominant rows — and among all threshold schemes
+    priority sampling has near-optimal subset-sum variance (DLT prove
+    it needs at most one extra sample vs the optimal scheme).
+
+    Why this scheme and not Efraimidis-Spirakis (keys u^(1/w)): the ES
+    key needs pow/exp — transcendentals with no cross-engine rounding
+    contract. The DLT priority is ONE IEEE division on top of the
+    md5-uniform (itself exact: (h + 1) / 2^32 with h a 32-bit integer,
+    the divide by a power of two exact), so every priority, tau, and
+    weight estimate is bit-identical in any IEEE engine — the whole
+    sample is hash-checkable, like the KMV bottom-k it structurally
+    mirrors.
+
+    Determinism: u is content-addressed (md5 of salt || key), so the
+    sampled SET is a pure function of the data — stable across runs,
+    partition layouts, and engines; ties in q (md5-prefix collisions)
+    break by key ascending, making the selection a total order.
+    ``salt`` selects among independent deterministic samples (each
+    salt is a fresh u-assignment) — unbiasedness is tested by
+    averaging estimates across salts, and a pipeline that wants a
+    different-but-reproducible draw per release names the release in
+    the salt.
+
+    Non-positive or NULL weights raise IN-PLAN (sampling must not
+    silently drop or zero-rank rows the caller believes are eligible;
+    filter first if zero-weight rows are expected).
+
+    Plan shape at 100 TB: the priority is a scalar projection on the
+    scan; the top-(k+1) is TakeOrderedAndProject — per-partition
+    top-(k+1) heaps merged on the driver, NO global sort, no shuffle
+    of the corpus — and everything after (rank, tau, estimates) runs
+    as one window pass over the bounded (k+1)-row survivor frame.
+    Merge law: priorities are row-local, so the top-(k+1) of a union
+    equals the top-(k+1) of per-shard top-(k+1) partials — the same
+    idempotent bottom-k algebra as kmv_sample, proven in tests.
+
+    Output: the input columns plus ``ps_weight`` (the weight as
+    double), ``ps_priority`` (q), ``ps_tau`` (the shared threshold;
+    0.0 when the population has at most k rows — the estimator is
+    then exact), ``ps_est`` (max(w, tau), the Horvitz-Thompson-style
+    weight estimate) and ``sample_rank`` (1..k by q desc, key asc).
+    """
+    if k < 1:
+        raise ValueError(f"priority_sample requires k >= 1, got {k}")
+    w_ok = F.when(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0),
+        F.col(weight_col).cast("double"),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "priority_sample: weight must be a positive non-NULL "
+                f"number (column {weight_col!r}); filter or clamp "
+                "ineligible rows before sampling"
+            )
+        ).cast("double")
+    )
+    # u in (0, 1]: h is the first-8-hex md5 integer (32 bits); h + 1
+    # keeps u strictly positive, and /2^32 is exact (power of two).
+    hashed = (
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+        if salt
+        else F.md5(F.col(key_col).cast("string"))
+    )
+    u = (
+        F.conv(F.substring(hashed, 1, 8), 16, 10).cast("long").cast("double")
+        + F.lit(1.0)
+    ) / F.lit(4294967296.0)
+    pri = df.select(
+        "*",
+        w_ok.alias("ps_weight"),
+        (w_ok / u).alias("ps_priority"),
+    )
+    top = pri.orderBy(F.desc("ps_priority"), F.col(key_col).asc()).limit(k + 1)
+    w_rank = Window.orderBy(F.desc("ps_priority"), F.col(key_col).asc())
+    w_all = Window.partitionBy()  # bounded: <= k+1 survivor rows
+    return (
+        top.withColumn("sample_rank", F.row_number().over(w_rank).cast("bigint"))
+        .withColumn(
+            "ps_tau",
+            F.max(
+                F.when(F.col("sample_rank") == k + 1, F.col("ps_priority")).otherwise(
+                    F.lit(0.0)
+                )
+            ).over(w_all),
+        )
+        .filter(F.col("sample_rank") <= k)
+        .withColumn("ps_est", F.greatest(F.col("ps_weight"), F.col("ps_tau")))
+    )
+
+
 def split_leakage_report(
     splits: DataFrame,
     pairs: DataFrame,

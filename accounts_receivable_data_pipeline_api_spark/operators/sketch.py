@@ -816,3 +816,137 @@ def kmv_overlap(
         a_only.alias("a_only_est"),
         b_only.alias("b_only_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (Misra & Gries 1982; mergeability per
+# Agarwal et al., "Mergeable Summaries", PODS 2012): the DETERMINISTIC
+# counter-based frequency summary — k counters, no hashing, no
+# probability. Complements the CMS above: CMS answers point queries
+# over an unbounded watch list (one-sided OVER-estimate), MG tracks the
+# top of the distribution with an UNDER-estimate and a certified error
+# budget, and — unlike CMS — guarantees every item with true count
+# > N/(k+1) is PRESENT in the summary, which is what a "top domains /
+# top tokens while crawling" monitor actually needs.
+#
+# Guarantees carried through the distributed build below:
+#   est(x) <= true(x)                                (never over)
+#   true(x) - est(x) <= err_budget = sum of batch decrements
+#   err_budget <= N / (k + 1)                        (certified bound)
+#   true(x) > err_budget  =>  x is in the summary    (completeness)
+# ---------------------------------------------------------------------------
+
+
+def mg_partials(df: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Per-Arrow-batch Misra-Gries summaries of a column of items.
+
+    Output: ``(item STRING, cnt BIGINT)`` where rows with item = NULL
+    carry the batch's DECREMENT total d (its contribution to the error
+    budget) and every other row an under-estimate counter. Each input
+    batch emits at most k counter rows + 1 decrement row, so the
+    Python stage's output — and its memory — is bounded by k per
+    batch no matter how many distinct items the corpus holds: this is
+    the sketch to reach for when even the vocabulary is too big for
+    the exact term-count table (groupBy count's hash map is
+    per-partition-vocabulary-sized; MG state is k).
+
+    Per batch the summary is the Misra-Gries FIXED POINT computed
+    directly from the batch's exact counts: d = the (k+1)-th largest
+    count (0 if the batch has <= k distinct items), counters =
+    count - d where positive. That satisfies est <= true and
+    true - est <= d with (k+1) * d <= n_batch, and summing summaries
+    across batches keeps both (Agarwal et al. Sec. 3.2: MG summaries
+    merge by counter addition followed by an optional re-truncation —
+    omitting the re-truncation only loosens the size bound, never the
+    error, and here the merged frame is groupBy-compacted anyway).
+
+    Plan shape at 100 TB: one JVM projection (cast to string), ONE
+    Arrow crossing, and a map-side-combinable groupBy(item).sum over
+    <= (k+1) * n_batches tiny rows. NULL items are quarantined (they
+    carry no countable identity) like cms_build.
+    """
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError(f"mg_partials requires k >= 1, got {k}")
+
+    def _partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            counts = pdf["item"].value_counts()  # sorted desc
+            if len(counts) <= k:
+                yield pd.DataFrame(
+                    {"item": counts.index, "cnt": counts.to_numpy()}
+                )
+                continue
+            d = int(counts.iloc[k])  # the (k+1)-th largest count
+            kept = counts.iloc[:k] - d
+            kept = kept[kept > 0]
+            yield pd.concat(
+                [
+                    pd.DataFrame({"item": kept.index, "cnt": kept.to_numpy()}),
+                    pd.DataFrame({"item": [None], "cnt": [d]}),
+                ],
+                ignore_index=True,
+            )
+
+    return (
+        df.filter(F.col(item_col).isNotNull())
+        .select(F.col(item_col).cast("string").alias("item"))
+        .mapInPandas(_partial, schema="item string, cnt long")
+    )
+
+
+def mg_heavy_hitters(df: DataFrame, item_col: str, k: int) -> DataFrame:
+    """Merged Misra-Gries summary: ``(item, est, err_budget)`` with at
+    most k * n_batches rows before compaction and the guarantees in
+    the family header — est is an under-estimate within ``err_budget``
+    of the true count, err_budget <= N/(k+1), and every item whose
+    true count exceeds err_budget is present. est values depend on the
+    batch layout (any MG's do); the GUARANTEES are layout-invariant,
+    which is exactly what the oracle row group and the
+    partition-invariance tests pin.
+
+    Plan shape: mg_partials (bounded Arrow stage) -> ONE map-side-
+    combinable shuffle summing counters by item, with the NULL-item
+    decrement rows riding the same aggregate as their own group. The
+    summary and the 1-row budget frame both consume that aggregate;
+    a LAZY localCheckpoint pins the compacted (tracked-items + 1)-row
+    result so the corpus pass and the kernel run ONCE (Catalyst pushes
+    the is[Not]Null split below the aggregate, making the two branches'
+    exchanges physically different — ReusedExchange cannot dedup them;
+    the minhash_lsh_pairs lesson applies: checkpoint the small frame,
+    not the big lineage). Gated in test_plans: one MapInPandas, zero
+    collect()s.
+    """
+    merged = (
+        mg_partials(df, item_col, k)
+        .groupBy("item")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    return mg_finalize(merged)
+
+
+def mg_finalize(merged: DataFrame) -> DataFrame:
+    """Split a merged ``(item NULLABLE, cnt)`` Misra-Gries frame into
+    the consumer view ``(item, est, err_budget)``: the NULL-item group
+    is the accumulated decrement budget, everything else a counter.
+    Shared by the batch operator above and the streaming summary
+    reader (streaming/pipeline.py:read_mg_summary) so the decrement
+    bookkeeping cannot drift between the two. A LAZY localCheckpoint
+    pins the compacted (tracked-items + 1)-row frame so its one
+    upstream pass runs once (Catalyst pushes the is[Not]Null split
+    below the aggregate, making the two branches' exchanges physically
+    different — ReusedExchange cannot dedup them; the
+    minhash_lsh_pairs lesson: checkpoint the small frame, not the big
+    lineage). Gated in test_plans: one MapInPandas, zero collect()s.
+    """
+    merged = merged.select(
+        "item", F.col("cnt").cast("bigint").alias("est")
+    ).localCheckpoint(eager=False)
+    summary = merged.filter(F.col("item").isNotNull())
+    budget = merged.filter(F.col("item").isNull()).agg(
+        F.coalesce(F.sum("est"), F.lit(0)).cast("bigint").alias("err_budget")
+    )
+    return summary.crossJoin(F.broadcast(budget))

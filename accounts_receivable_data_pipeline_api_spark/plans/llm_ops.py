@@ -2331,31 +2331,100 @@ def text_repetition_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
 @register(
     "curation_quota_sample",
     oracle="""
-    SELECT doc_id, lang, source, sample_rank FROM (
+    WITH pw AS (
+      SELECT doc_id, lang, source, CAST(n_chars AS DOUBLE) AS wgt,
+             (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) AS DOUBLE) + 1.0) / 4294967296.0 AS u
+      FROM documents
+    ),
+    pp AS (SELECT doc_id, lang, source, wgt, wgt / u AS pri FROM pw),
+    pr AS (
+      SELECT *, CAST(row_number() OVER (ORDER BY pri DESC, doc_id)
+                     AS BIGINT) AS rk
+      FROM pp
+    ),
+    ptau AS (
+      SELECT coalesce(max(CASE WHEN rk = 51 THEN pri END), 0.0) AS tau
+      FROM pr
+    )
+    SELECT 'quota' AS kind, doc_id, lang, source, sample_rank,
+           CAST(NULL AS DOUBLE) AS ps_weight,
+           CAST(NULL AS DOUBLE) AS ps_priority,
+           CAST(NULL AS DOUBLE) AS ps_tau,
+           CAST(NULL AS DOUBLE) AS ps_est
+    FROM (
       SELECT doc_id, lang, source,
-             row_number() OVER (
+             CAST(row_number() OVER (
                PARTITION BY lang, source
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-             ) AS sample_rank
+             ) AS BIGINT) AS sample_rank
       FROM documents
     ) WHERE sample_rank <= 7
+    UNION ALL
+    SELECT 'priority', doc_id, lang, source, rk,
+           wgt, pri, t.tau, greatest(wgt, t.tau)
+    FROM pr CROSS JOIN ptau t WHERE rk <= 50
     """,
     tags=("EXT", "CURATION"),
-    doc="Per-(lang, source) quota sampling "
+    doc="Deterministic-sampling gauntlet, one row group per scheme. "
+    "kind='quota' — per-(lang, source) quota sampling "
     "(operators/curation.py:quota_sample): cap each group at 7 docs, "
     "selected by content-addressed md5(doc_id) rank — deterministic, "
     "engine-portable, and unbiased within the group (hash order is "
     "uncorrelated with data attributes, unlike 'first N by id'). One "
     "group-key shuffle + window; the docstring documents the "
-    "sample_by_hash pre-filter for hot groups at 100 TB.",
+    "sample_by_hash pre-filter for hot groups at 100 TB. "
+    "kind='priority' (round 11) — WEIGHTED sampling via priority "
+    "sampling (Duffield-Lund-Thorup, JACM 2007; "
+    "operators/curation.py:priority_sample): top-50 docs by priority "
+    "q = n_chars / u with u the exact md5-uniform in (0,1], plus the "
+    "(k+1)-th priority tau and the unbiased subset-sum weight "
+    "estimates max(w, tau) — the sample that can audit any slice of "
+    "a 100 TB corpus from k rows. Chosen over Efraimidis-Spirakis "
+    "keys u^(1/w) BECAUSE the DLT priority is one IEEE division (no "
+    "pow/exp), so every priority, tau, and estimate is bit-identical "
+    "cross-engine and the ENTIRE sample hash-checks — selection, "
+    "threshold, and estimator, with no rounding contract. Plan: "
+    "TakeOrderedAndProject top-(k+1) (per-partition heaps, no global "
+    "sort, scan reads 4 columns — never text), then one window pass "
+    "over the bounded survivor frame; the same idempotent bottom-k "
+    "merge algebra as kmv_sample (proven in test_operators).",
 )
 def curation_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.curation import quota_sample
+    from ..operators.curation import priority_sample, quota_sample
 
     docs = load_table(spark, sf_dir, "documents")
-    return quota_sample(docs, ("lang", "source"), quota=7, key_col="doc_id").select(
-        "doc_id", "lang", "source", "sample_rank"
+    _d = lambda: F.lit(None).cast("double")  # noqa: E731
+    quota = quota_sample(
+        docs, ("lang", "source"), quota=7, key_col="doc_id"
+    ).select(
+        F.lit("quota").alias("kind"),
+        "doc_id",
+        "lang",
+        "source",
+        "sample_rank",
+        _d().alias("ps_weight"),
+        _d().alias("ps_priority"),
+        _d().alias("ps_tau"),
+        _d().alias("ps_est"),
     )
+    pri = priority_sample(
+        docs.select("doc_id", "lang", "source", "n_chars"),
+        weight_col="n_chars",
+        k=50,
+        key_col="doc_id",
+    ).select(
+        F.lit("priority").alias("kind"),
+        "doc_id",
+        "lang",
+        "source",
+        "sample_rank",
+        "ps_weight",
+        "ps_priority",
+        "ps_tau",
+        "ps_est",
+    )
+    return quota.unionByName(pri)
 
 
 _GRAMS2_SQL = """
@@ -2440,6 +2509,19 @@ _GRAMS2_SQL = """
              CAST(row_number() OVER (ORDER BY lift DESC, w1, w2) AS BIGINT)
                AS rank
       FROM cscored
+    ),
+    -- mg_heavy row group (round 11): the GUARANTEED heavy hitters —
+    -- terms whose exact count exceeds N/(k+1) at k=30, in pure
+    -- integer arithmetic (n_w * 31 > n_tok). The Spark side emits a
+    -- guaranteed term only if the Misra-Gries summary TRACKS it
+    -- within its certified bounds, so a missing row = a broken
+    -- sketch guarantee = a red driver row.
+    mgguar AS (
+      SELECT w, n_w, n.n_tok,
+             CAST(row_number() OVER (ORDER BY n_w DESC, w) AS BIGINT)
+               AS mg_rank
+      FROM cuni CROSS JOIN cn n
+      WHERE n_w * 31 > n.n_tok
     )
     SELECT 'lm_score' AS kind, doc_id, n_bigrams, sum_logprob, nll_per_token,
            CAST(NULL AS VARCHAR) AS w1, CAST(NULL AS VARCHAR) AS w2,
@@ -2452,6 +2534,12 @@ _GRAMS2_SQL = """
            CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
            w1, w2, n_ab, n_a, n_b, lift, rank
     FROM ctop WHERE rank <= 50
+    UNION ALL
+    SELECT 'mg_heavy', CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           w, CAST(NULL AS VARCHAR),
+           CAST(NULL AS BIGINT), n_w, n_tok, CAST(NULL AS DOUBLE), mg_rank
+    FROM mgguar
     """,
     tags=("EXT", "TEXT", "LM"),
     doc="Language-model text-statistics gauntlet, one row group per "
@@ -2473,7 +2561,21 @@ _GRAMS2_SQL = """
     "Per-gram ln P rounds to 6 dp and sums through DECIMAL(28,6), so "
     "the result is order-free and hash-stable. Model lookup is a gram "
     "join (AQE broadcasts when the model fits); V is a broadcast 1-row "
-    "aggregate, never collect()ed.",
+    "aggregate, never collect()ed. kind='mg_heavy' (round 11) — "
+    "Misra-Gries heavy hitters (operators/sketch.py:mg_heavy_hitters, "
+    "k=30): bounded-memory top-of-distribution tracking — each Arrow "
+    "batch reduces to <= k+1 summary rows (k counters + its decrement "
+    "total), merged by ONE map-side-combinable sum, so sketch state "
+    "is O(k), below even the vocabulary-sized exact term table. The "
+    "row group emits the GUARANTEED heavy hitters (exact count * "
+    "(k+1) > N, integer arithmetic) with their exact counts/ranks as "
+    "fixtures; each row must pass THROUGH the MG summary's inner "
+    "join + certified-bound filters (est <= exact, exact - est <= "
+    "err_budget, err_budget * (k+1) <= N), so the driver hash check "
+    "pins the Misra-Gries completeness and error guarantees — which "
+    "are layout-invariant theorems — while the layout-dependent "
+    "estimates themselves stay internal, the same invariant-summary "
+    "pattern as the LSH recall rows.",
 )
 def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import hash_bucket
@@ -2513,7 +2615,51 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lift",
         "rank",
     )
-    return lm.unionByName(colloc)
+    # mg_heavy row group (round 11): a guaranteed-heavy term surfaces
+    # ONLY through the Misra-Gries summary's inner join + bound
+    # filters, so any broken sketch guarantee (missing tracked term,
+    # over-estimate, undercount past the budget, budget past N/(k+1))
+    # drops a row the oracle expects -> red. Emitted values are the
+    # exact fixtures (layout-invariant); the MG estimates themselves
+    # are batch-layout-dependent, as any MG's are.
+    from pyspark.sql import Window as _W
+
+    from ..operators.sketch import mg_heavy_hitters
+
+    k_mg = 30
+    toks = docs.select(F.explode(text.tokens_expr("text")).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    n_tok = uni.agg(F.sum("n_w").cast("long").alias("n_tok"))
+    mg = mg_heavy_hitters(toks, "w", k_mg)
+    guar = (
+        uni.crossJoin(F.broadcast(n_tok))
+        .filter(F.col("n_w") * (k_mg + 1) > F.col("n_tok"))
+        .join(mg, F.col("w") == F.col("item"))  # presence guarantee
+        .filter(
+            (F.col("est") <= F.col("n_w"))  # never over-estimates
+            & (F.col("n_w") - F.col("est") <= F.col("err_budget"))
+            & (F.col("err_budget") * (k_mg + 1) <= F.col("n_tok"))
+        )
+    )
+    # bounded frame: at most k_mg terms can exceed N/(k_mg+1)
+    mg_rows = guar.select(
+        F.lit("mg_heavy").alias("kind"),
+        _l().alias("doc_id"),
+        _l().alias("n_bigrams"),
+        _d().alias("sum_logprob"),
+        _d().alias("nll_per_token"),
+        F.col("w").alias("w1"),
+        _s().alias("w2"),
+        _l().alias("n_ab"),
+        F.col("n_w").alias("n_a"),
+        F.col("n_tok").alias("n_b"),
+        _d().alias("lift"),
+        F.row_number()
+        .over(_W.orderBy(F.desc("n_w"), F.asc("w")))
+        .cast("bigint")
+        .alias("rank"),
+    )
+    return lm.unionByName(colloc).unionByName(mg_rows)
 
 
 @register(

@@ -866,3 +866,43 @@ def op_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RAW_OPS.update({"op_kcore": (op_kcore, "embeddings")})
+
+
+def op_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted top-k corpus sampling at scale (DLT priority sampling,
+    operators/curation.py:priority_sample, k=1000): one 4-column
+    pruned scan (never text) -> JVM priority projection ->
+    TakeOrderedAndProject per-partition heaps, then windows over the
+    bounded 1001-row survivor frame only. Wall time should track the
+    narrow scan, flat per doc as the corpus grows."""
+    from ..operators.curation import priority_sample
+    from ..sources.star import spread_to_cores
+
+    docs = spread_to_cores(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+    )
+    return priority_sample(docs, weight_col="n_chars", k=1000, key_col="doc_id")
+
+
+RAW_OPS.update({"op_priority_sample": (op_priority_sample, "documents")})
+
+
+def op_mg_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters over the corpus token stream
+    (operators/sketch.py:mg_heavy_hitters, k=30): one bounded Arrow
+    kernel pass (<= k+1 summary rows per batch) + one map-side-
+    combinable counter-sum shuffle — the O(k)-state alternative to the
+    vocabulary-sized exact term table. Corpus-oracled as the mg_heavy
+    row group of text_lm_perplexity."""
+    from ..operators import text as text_ops
+    from ..operators.sketch import mg_heavy_hitters
+
+    toks = _parallel_docs(spark, sf_dir).select(
+        F.explode(text_ops.tokens_expr("text")).alias("w")
+    )
+    return mg_heavy_hitters(toks, "w", 30)
+
+
+RAW_OPS.update({"op_mg_heavy": (op_mg_heavy, "documents")})

@@ -3555,3 +3555,177 @@ def test_zorder_locality_beats_linear_layout(spark, tmp_path):
     l_hit, l_total = y_band_files(ldir)
     assert l_hit == l_total  # linear-by-x: every file spans all y
     assert z_hit <= z_total // 2, (z_hit, z_total)
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (Duffield-Lund-Thorup) — round 11
+# ---------------------------------------------------------------------------
+
+
+def test_priority_sample_merge_law_and_layout_invariance(spark, sf_dir):
+    """Priorities are row-local, so the top-(k+1) selection obeys the
+    same idempotent bottom-k algebra as kmv_sample: sampling the UNION
+    of per-shard top-(k+1) candidate sets reproduces the whole-corpus
+    sample EXACTLY — rank, tau, and estimates included — which is what
+    lets shards/days sample independently and a rollup re-sample the
+    partials. The full output is also partition-layout-invariant."""
+    from accounts_receivable_data_pipeline_api_spark.operators.curation import (
+        priority_sample,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    k = 20
+    cols = ("doc_id", "sample_rank", "ps_weight", "ps_priority", "ps_tau", "ps_est")
+
+    def key(df):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    full = key(priority_sample(docs, "n_chars", k, "doc_id"))
+    shards = [
+        priority_sample(docs.filter(F.col("doc_id") % 3 == i), "n_chars", k + 1, "doc_id")
+        for i in range(3)
+    ]
+    cand = shards[0].unionByName(shards[1]).unionByName(shards[2]).select(
+        "doc_id", "lang", "n_chars"
+    )
+    merged = key(priority_sample(cand, "n_chars", k, "doc_id"))
+    assert merged == full
+    relaid = key(priority_sample(docs.repartition(13), "n_chars", k, "doc_id"))
+    assert relaid == full
+
+
+def test_priority_sample_unbiased_subset_sums_over_salts(spark):
+    """The DLT theorem: E[sum of max(w, tau) over sampled rows in P] =
+    true weight of P, for ANY predicate P. Each salt is an independent
+    deterministic draw, so averaging the estimator over salts must
+    converge on the truth — checked for the total and for a slice,
+    on a HEAVY-TAILED weight set (the regime where naive uniform
+    sampling fails and weighted sampling earns its keep)."""
+    from accounts_receivable_data_pipeline_api_spark.operators.curation import (
+        priority_sample,
+    )
+
+    rows = [(i, "a" if i % 3 == 0 else "b", (i % 97) + 1 + (10000 if i % 101 == 0 else 0))
+            for i in range(600)]
+    df = spark.createDataFrame(rows, ["id", "grp", "w"]).cache()
+    true_total = sum(w for _, _, w in rows)
+    true_a = sum(w for _, g, w in rows if g == "a")
+    k, n_salts = 40, 24
+    tot_est, a_est = [], []
+    for s in range(n_salts):
+        samp = priority_sample(df, "w", k, "id", salt=f"s{s}:").collect()
+        tot_est.append(sum(r["ps_est"] for r in samp))
+        a_est.append(sum(r["ps_est"] for r in samp if r["grp"] == "a"))
+    mean_tot = sum(tot_est) / n_salts
+    mean_a = sum(a_est) / n_salts
+    assert abs(mean_tot - true_total) / true_total < 0.12, (mean_tot, true_total)
+    assert abs(mean_a - true_a) / true_a < 0.20, (mean_a, true_a)
+    # single-draw sanity: no draw is wildly off (priority sampling's
+    # near-optimal variance; a 3x outlier would mean a broken tau)
+    assert all(abs(e - true_total) / true_total < 0.9 for e in tot_est), tot_est
+    df.unpersist()
+
+
+def test_priority_sample_small_population_exact_and_guard(spark):
+    """n <= k: tau = 0 and every estimate is the exact weight (the
+    sample IS the population). Non-positive and NULL weights raise
+    in-plan rather than silently biasing the draw."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    from accounts_receivable_data_pipeline_api_spark.operators.curation import (
+        priority_sample,
+    )
+
+    small = spark.createDataFrame([(1, 10), (2, 20), (3, 30)], ["id", "w"])
+    out = priority_sample(small, "w", 5, "id").collect()
+    assert len(out) == 3
+    assert all(r["ps_tau"] == 0.0 and r["ps_est"] == float(r["w"]) for r in out)
+
+    bad = spark.createDataFrame([(1, 10), (2, 0)], ["id", "w"])
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="positive non-NULL"):
+        priority_sample(bad, "w", 2, "id").collect()
+    nulls = spark.createDataFrame([(1, 10), (2, None)], ["id", "w"])
+    with pytest.raises((SparkRuntimeException, Py4JJavaError), match="positive non-NULL"):
+        priority_sample(nulls, "w", 2, "id").collect()
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters — round 11
+# ---------------------------------------------------------------------------
+
+
+def _mg_exact_counts(df, col):
+    return {
+        r["i"]: r["c"]
+        for r in df.groupBy(F.col(col).alias("i"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+
+
+def test_mg_guarantees_on_zipf_under_any_layout(spark):
+    """The four Misra-Gries guarantees on a genuinely Zipfian stream
+    (rank-r item appears ~60000/r times, far more distinct items than
+    counters), under three different partition layouts: estimates
+    never exceed truth, undercount stays within the certified
+    err_budget, the budget respects N/(k+1), and every item above the
+    budget is tracked. The ESTIMATES may differ per layout (any MG's
+    do) — the guarantees must not."""
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import (
+        mg_heavy_hitters,
+    )
+
+    base = spark.range(1, 300).selectExpr(
+        "id AS r", "explode(sequence(1, cast(6000 / id AS INT))) AS copy"
+    ).selectExpr("concat('item_', r) AS item")
+    k = 16
+    for layout in (base.coalesce(1), base.repartition(3), base.repartition(17)):
+        exact = _mg_exact_counts(layout, "item")
+        n = sum(exact.values())
+        rows = mg_heavy_hitters(layout, "item", k).collect()
+        assert rows, "summary must not be empty on a skewed stream"
+        eb = rows[0]["err_budget"]
+        assert all(r["err_budget"] == eb for r in rows)
+        assert eb * (k + 1) <= n, (eb, n)
+        tracked = {r["item"]: r["est"] for r in rows}
+        for item, est in tracked.items():
+            t = exact[item]
+            assert est <= t, (item, est, t)
+            assert t - est <= eb, (item, est, t, eb)
+        missing = [i for i, c in exact.items() if c > eb and i not in tracked]
+        assert not missing, missing
+
+
+def test_mg_partials_contract_and_no_truncation_case(spark):
+    """mg_partials' NULL-item rows carry exactly the decrement budget
+    mg_heavy_hitters reports, and the counter rows sum to its
+    estimates. A stream whose vocabulary fits in k counters is EXACT:
+    est == true for every item and err_budget == 0."""
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import (
+        mg_heavy_hitters,
+        mg_partials,
+    )
+
+    small_vocab = spark.range(0, 5000).selectExpr("concat('v', id % 9) AS item")
+    exact = _mg_exact_counts(small_vocab, "item")
+    rows = mg_heavy_hitters(small_vocab, "item", 16).collect()
+    assert {r["item"]: r["est"] for r in rows} == exact
+    assert all(r["err_budget"] == 0 for r in rows)
+
+    zipf = spark.range(1, 200).selectExpr(
+        "explode(sequence(1, cast(2000 / id AS INT))) AS c", "id"
+    ).selectExpr("concat('z', id) AS item").repartition(5)
+    parts = mg_partials(zipf, "item", 8).collect()
+    dec_total = sum(r["cnt"] for r in parts if r["item"] is None)
+    summed = {}
+    for r in parts:
+        if r["item"] is not None:
+            summed[r["item"]] = summed.get(r["item"], 0) + r["cnt"]
+    merged = mg_heavy_hitters(zipf, "item", 8).collect()
+    assert dec_total == merged[0]["err_budget"]
+    assert {r["item"]: r["est"] for r in merged} == summed

@@ -668,3 +668,59 @@ def test_zorder_layout_range_partitions_no_python(spark, sf_dir):
     assert "rangepartitioning(z_key" in plan, plan
     assert "SinglePartition" not in plan, plan
     assert not re.findall(r"MapInPandas|ArrowEval", plan), plan
+
+
+def test_priority_sample_takeordered_pruned_scan_no_python(spark, sf_dir):
+    """priority_sample's selection is TakeOrderedAndProject (per-
+    partition top-(k+1) heaps, no global sort, no corpus shuffle); the
+    scan reads only the 4 columns the sample needs — never text — and
+    the whole operator is JVM expressions (md5/conv/division), zero
+    Python stages. The only windows run AFTER the limit, over the
+    bounded (k+1)-row survivor frame."""
+    plan = _plan(spark, sf_dir, "curation_quota_sample")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert re.search(
+        r"Arguments: 51, \[ps_priority#\d+ DESC NULLS LAST, doc_id#\d+L? ASC", plan
+    ), plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas and all("text" not in s for s in schemas), schemas
+    assert not re.findall(r"MapInPandas|ArrowEval", plan), plan
+
+
+def test_mg_partials_single_python_crossing_combinable_merge(spark, sf_dir):
+    """The Misra-Gries corpus pass (mg_partials -> counter-sum merge):
+    exactly ONE Arrow crossing (the bounded per-batch kernel), ONE
+    exchange, and a partial_sum hash aggregate — the merge map-side
+    combines the <= (k+1)-per-batch summary rows before shuffling.
+    mg_heavy_hitters then splits summary and budget off ONE lazy
+    checkpoint of that compacted frame (Catalyst pushes the
+    is[Not]Null split below the aggregate, so ReusedExchange cannot
+    share the branches — the checkpoint makes the corpus pass run
+    once), leaving the final plan two scans of the checkpointed RDD:
+    zero further Python stages, budget broadcast, no collect."""
+    from pyspark.sql import functions as F
+
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import (
+        mg_heavy_hitters,
+        mg_partials,
+    )
+    from accounts_receivable_data_pipeline_api_spark.operators.text import tokens_expr
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens_expr("text")).alias("w")
+    )
+    merged = mg_partials(toks, "w", 30).groupBy("item").agg(
+        F.sum("cnt").alias("est")
+    )
+    plan = _formatted(spark, merged)
+    ops = re.findall(r"\n\(\d+\) (\S+)", plan)
+    assert sum(1 for op in ops if op == "MapInPandas") == 1, ops
+    assert sum(1 for op in ops if op == "Exchange") == 1, ops
+    assert re.search(r"partial_sum", plan), plan
+
+    final = _formatted(spark, mg_heavy_hitters(toks, "w", 30))
+    fops = re.findall(r"\n\(\d+\) (\S+)", final)
+    assert not [op for op in fops if op in ("MapInPandas", "ArrowEvalPython")], fops
+    assert sum(1 for op in fops if op == "Scan") == 2, fops  # one RDD, two readers
+    assert "BroadcastExchange" in final, final
