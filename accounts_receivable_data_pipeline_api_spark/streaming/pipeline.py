@@ -1449,3 +1449,97 @@ def compact_term_counts(
         "term string, cnt long",
         distributed_merge=True,
     )
+
+
+def mg_summary_stream(
+    docs_stream: DataFrame,
+    summary_dir: str,
+    checkpoint_dir: str,
+    k: int = 30,
+    text_col: str = "text",
+):
+    """Streaming corpus-lifetime heavy hitters in O(k) state — the
+    bounded-memory twin of term_count_stream for corpora whose
+    VOCABULARY is itself too big to keep exactly: each microbatch
+    reduces its token stream to a Misra-Gries summary partial of at
+    most k counter rows plus ONE NULL-term row carrying the batch's
+    decrement total (its certified error contribution), stored under
+    the checkpointed batch_id with dynamic partition overwrite.
+
+    The partial is the batch's MG FIXED POINT: the per-Arrow-batch
+    kernel summaries (operators/sketch.py:mg_partials) merge by
+    counter sum, then re-truncate by the (k+1)-th largest merged
+    counter — the Agarwal et al. merge, so per-batch state is O(k)
+    no matter how large the microbatch. The bounded merged frame
+    (<= (k+1) rows per Arrow batch) folds driver-side like the CMS
+    block partials — bounded sketch state, never corpus rows.
+
+    Counts merge by SUM — NOT idempotent — so replay safety rides the
+    batch_id partition-overwrite contract, and the state dir speaks
+    the (term, cnt) protocol VERBATIM: compact_term_counts folds it
+    (the NULL-term decrement rows sum into one NULL row per
+    generation, exactly the budget algebra), read_mg_summary below
+    reads it, and the generation/debris/watermark rules all apply
+    unchanged.
+
+    Guarantees at read time (summing partials keeps each one's):
+    est <= true, true - est <= err_budget = sum of all decrements
+    <= N/(k+1), and every term with true count > err_budget is
+    present in the summary.
+    """
+    from ..operators.sketch import mg_partials
+    from ..operators.text import tokens_expr
+
+    if k < 1:
+        raise ValueError(f"mg_summary_stream requires k >= 1, got {k}")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        toks = batch_df.select(F.explode(tokens_expr(text_col)).alias("w"))
+        merged = (
+            mg_partials(toks, "w", k)
+            .groupBy("item")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+        dec = sum(r["cnt"] for r in merged if r["item"] is None)
+        counters = sorted(
+            ((r["item"], r["cnt"]) for r in merged if r["item"] is not None),
+            key=lambda t: (-t[1], t[0]),
+        )
+        if len(counters) > k:
+            d2 = counters[k][1]  # (k+1)-th largest merged counter
+            dec += d2
+            counters = [(i, c - d2) for i, c in counters[:k] if c - d2 > 0]
+        rows = counters + [(None, dec)]
+        (
+            spark.createDataFrame(rows, "term string, cnt long")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(summary_dir)
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def read_mg_summary(spark: SparkSession, summary_dir: str) -> DataFrame:
+    """The lifetime Misra-Gries view: ``(item, est, err_budget)`` with
+    the batch-operator guarantees (see mg_summary_stream). Rides
+    read_term_counts' one-snapshot merge (the NULL-term group IS the
+    summed decrement budget) and the SAME finalize split as the batch
+    operator (operators/sketch.py:mg_finalize), so the streaming and
+    batch decrement bookkeeping cannot drift. Compaction-invariant:
+    folds preserve the exact counter and decrement sums."""
+    from ..operators.sketch import mg_finalize
+
+    return mg_finalize(
+        read_term_counts(spark, summary_dir).select(
+            F.col("term").alias("item"), "cnt"
+        )
+    )

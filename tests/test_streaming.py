@@ -1525,3 +1525,111 @@ def test_collocation_consumer_matches_batch_and_survives_compaction(
     assert compact_term_counts(spark, bi_dir, upto_batch_id=2) == 2
     coll, top = views()
     assert coll == expect_coll and top == expect_top
+
+
+def test_mg_summary_stream_guarantees_replay_and_compaction(spark, tmp_path):
+    """Streaming Misra-Gries heavy hitters (round 11 — the O(k)-state
+    twin of term_count_stream): each microbatch stores its MG fixed
+    point (at most k counter rows + the NULL-term decrement row), so
+    state stays bounded even when the VOCABULARY would not. The
+    SUM-folded view must satisfy the four batch-operator guarantees
+    against exact whole-corpus counts; a replayed run reproduces the
+    view exactly (partition overwrite); compaction through the shared
+    (term, cnt) generation protocol leaves the view IDENTICAL (folds
+    preserve counter and decrement sums — the NULL-term rows merge
+    into the generation's own budget row); a resurrected
+    pre-watermark partial is excluded, not double-counted."""
+    import shutil
+
+    from accounts_receivable_data_pipeline_api_spark.operators.text import (
+        tokens_expr,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        compact_term_counts,
+        compacted_generation_id,
+        mg_summary_stream,
+        read_mg_summary,
+    )
+
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, "the the the spark joins the spark the"), (2, "agg window agg the the")],
+        [(3, "the spark the spill shuffle spill the the"), (4, "agg the window")],
+        [(5, "the joins the spark the agg the")],
+    ]
+    src = str(tmp_path / "src")
+    _stage_ordered_batches(src, [spark.createDataFrame(r, schema) for r in batches])
+    state = str(tmp_path / "mg")
+    ckpt = str(tmp_path / "ckpt")
+    k = 4
+
+    def run():
+        q = mg_summary_stream(
+            _ordered_stream(spark, src, schema), state, ckpt, k=k
+        ).start()
+        q.awaitTermination(120)
+
+    run()
+    all_rows = spark.createDataFrame([r for b in batches for r in b], schema)
+    exact = {
+        r["w"]: r["c"]
+        for r in all_rows.select(F.explode(tokens_expr("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
+    }
+    n = sum(exact.values())
+
+    def view():
+        return sorted(
+            (r["item"], r["est"], r["err_budget"])
+            for r in read_mg_summary(spark, state).collect()
+        )
+
+    first = view()
+    assert first, "skewed stream must leave a non-empty summary"
+    eb = first[0][2]
+    assert all(b == eb for _, _, b in first)
+    assert eb * (k + 1) <= n
+    for item, est, _ in first:
+        assert est <= exact[item], (item, est)
+        assert exact[item] - est <= eb, (item, est, eb)
+    missing = [w for w, c in exact.items() if c > eb and w not in {i for i, _, _ in first}]
+    assert not missing, missing
+    # the hot term is genuinely tracked with a meaningful estimate
+    assert dict((i, e) for i, e, _ in first)["the"] > 0
+
+    # per-batch state is bounded: <= k counters + 1 decrement row
+    per_batch = (
+        spark.read.parquet(state)
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .collect()
+    )
+    assert per_batch and all(r["rows"] <= k + 1 for r in per_batch), per_batch
+
+    # replay: wipe the checkpoint, rerun -> partials rewritten in place
+    shutil.rmtree(ckpt)
+    run()
+    assert view() == first
+
+    # compaction: fold batches 0..1, view identical, then resurrect a
+    # pre-watermark partial — excluded by the generation watermark
+    assert compact_term_counts(spark, state, upto_batch_id=1) == 1
+    assert view() == first
+    parts = {
+        r["batch_id"]
+        for r in spark.read.parquet(state).select("batch_id").distinct().collect()
+    }
+    assert parts == {compacted_generation_id(1), 2}, parts
+    (
+        spark.createDataFrame([("the", 999), (None, 1)], "term string, cnt long")
+        .withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(state)
+    )
+    assert view() == first
+    assert compact_term_counts(spark, state, upto_batch_id=2) == 2
+    assert view() == first
