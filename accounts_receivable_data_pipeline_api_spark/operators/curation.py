@@ -388,9 +388,12 @@ def priority_sample(
     different-but-reproducible draw per release names the release in
     the salt.
 
-    Non-positive or NULL weights raise IN-PLAN (sampling must not
-    silently drop or zero-rank rows the caller believes are eligible;
-    filter first if zero-weight rows are expected).
+    Non-positive/NULL weights AND NULL keys raise IN-PLAN (sampling
+    must not silently drop or nondeterministically rank rows the
+    caller believes are eligible: md5(NULL) = NULL would sort a
+    NULL-key row last regardless of weight — its weight silently
+    vanishing from every estimate — and NULL breaks the key
+    tie-break's total order; filter first if such rows are expected).
 
     Plan shape at 100 TB: the priority is a scalar projection on the
     scan; the top-(k+1) is TakeOrderedAndProject — per-partition
@@ -421,13 +424,18 @@ def priority_sample(
             )
         ).cast("double")
     )
+    k_ok = F.when(F.col(key_col).isNotNull(), F.col(key_col).cast("string")).otherwise(
+        F.raise_error(
+            F.lit(
+                f"priority_sample: key must be non-NULL (column {key_col!r}) — "
+                "a NULL key has no hash and no tie-break order; filter "
+                "ineligible rows before sampling"
+            )
+        ).cast("string")
+    )
     # u in (0, 1]: h is the first-8-hex md5 integer (32 bits); h + 1
     # keeps u strictly positive, and /2^32 is exact (power of two).
-    hashed = (
-        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
-        if salt
-        else F.md5(F.col(key_col).cast("string"))
-    )
+    hashed = F.md5(F.concat(F.lit(salt), k_ok)) if salt else F.md5(k_ok)
     u = (
         F.conv(F.substring(hashed, 1, 8), 16, 10).cast("long").cast("double")
         + F.lit(1.0)

@@ -837,6 +837,25 @@ def kmv_overlap(
 # ---------------------------------------------------------------------------
 
 
+def mg_truncate(counts, k: int):
+    """THE Misra-Gries truncation algebra, in one place: exact counts
+    (a pandas Series of count by item, any tie order) -> (kept
+    counters, decrement d). d = the (k+1)-th largest count (0 when
+    <= k distinct), kept = count - d where positive — the MG fixed
+    point of that count multiset. The kept SET and d are independent
+    of tie ordering among equal counts (ties at d truncate to zero).
+    Shared by the per-Arrow-batch kernel below and the streaming
+    per-microbatch re-truncation (streaming/pipeline.py:
+    mg_summary_stream) so a tie-handling or budget-accounting change
+    can never drift between the two paths (round-11 review)."""
+    if len(counts) <= k:
+        return counts, 0
+    counts = counts.sort_values(ascending=False)
+    d = int(counts.iloc[k])
+    kept = counts.iloc[:k] - d
+    return kept[kept > 0], d
+
+
 def mg_partials(df: DataFrame, item_col: str, k: int) -> DataFrame:
     """Per-Arrow-batch Misra-Gries summaries of a column of items.
 
@@ -874,22 +893,14 @@ def mg_partials(df: DataFrame, item_col: str, k: int) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            counts = pdf["item"].value_counts()  # sorted desc
-            if len(counts) <= k:
-                yield pd.DataFrame(
-                    {"item": counts.index, "cnt": counts.to_numpy()}
+            kept, d = mg_truncate(pdf["item"].value_counts(), k)
+            out = pd.DataFrame({"item": kept.index, "cnt": kept.to_numpy()})
+            if d:
+                out = pd.concat(
+                    [out, pd.DataFrame({"item": [None], "cnt": [d]})],
+                    ignore_index=True,
                 )
-                continue
-            d = int(counts.iloc[k])  # the (k+1)-th largest count
-            kept = counts.iloc[:k] - d
-            kept = kept[kept > 0]
-            yield pd.concat(
-                [
-                    pd.DataFrame({"item": kept.index, "cnt": kept.to_numpy()}),
-                    pd.DataFrame({"item": [None], "cnt": [d]}),
-                ],
-                ignore_index=True,
-            )
+            yield out
 
     return (
         df.filter(F.col(item_col).isNotNull())
@@ -941,6 +952,16 @@ def mg_finalize(merged: DataFrame) -> DataFrame:
     different — ReusedExchange cannot dedup them; the
     minhash_lsh_pairs lesson: checkpoint the small frame, not the big
     lineage). Gated in test_plans: one MapInPandas, zero collect()s.
+
+    When NOTHING is tracked (every counter truncated away — a stream
+    of near-all-distinct items, exactly the vocabulary-too-big regime
+    this sketch targets), the view is ONE row with item/est NULL
+    carrying the budget: the certified error bound must stay
+    observable, and an empty frame would be indistinguishable from
+    'no input' (round-11 review). The sentinel rides a 1-row anti
+    join (budget survives iff the summary is empty), so only 1-row
+    frames are ever broadcast — the summary itself stays the probe
+    side, never shipped.
     """
     merged = merged.select(
         "item", F.col("cnt").cast("bigint").alias("est")
@@ -949,4 +970,12 @@ def mg_finalize(merged: DataFrame) -> DataFrame:
     budget = merged.filter(F.col("item").isNull()).agg(
         F.coalesce(F.sum("est"), F.lit(0)).cast("bigint").alias("err_budget")
     )
-    return summary.crossJoin(F.broadcast(budget))
+    tracked = summary.crossJoin(F.broadcast(budget))
+    sentinel = budget.join(
+        F.broadcast(summary.limit(1)), F.lit(True), "left_anti"
+    ).select(
+        F.lit(None).cast("string").alias("item"),
+        F.lit(None).cast("bigint").alias("est"),
+        "err_budget",
+    )
+    return tracked.select("item", "est", "err_budget").unionByName(sentinel)

@@ -2601,7 +2601,20 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         _d().alias("lift"),
         _l().alias("rank"),
     )
-    colloc = text.collocation_topk(docs, min_count=5, topk=50).select(
+    # ONE token pass feeds both corpus-statistics row groups: uni/bi
+    # are computed here and pushed through the SAME scoring formula
+    # the streaming consumer uses (collocations_from_counts), instead
+    # of letting collocation_topk rebuild its own unigram table next
+    # to the mg row group's — the round-11 review caught the doubled
+    # corpus-wide explode+shuffle.
+    toks = docs.select(F.explode(text.tokens_expr("text")).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    bi = (
+        text.adjacent_bigrams(docs)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    colloc = text.collocations_from_counts(uni, bi, min_count=5, topk=50).select(
         F.lit("collocation").alias("kind"),
         _l().alias("doc_id"),
         _l().alias("n_bigrams"),
@@ -2627,8 +2640,6 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketch import mg_heavy_hitters
 
     k_mg = 30
-    toks = docs.select(F.explode(text.tokens_expr("text")).alias("w"))
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n_w"))
     n_tok = uni.agg(F.sum("n_w").cast("long").alias("n_tok"))
     mg = mg_heavy_hitters(toks, "w", k_mg)
     guar = (

@@ -1468,9 +1468,10 @@ def mg_summary_stream(
 
     The partial is the batch's MG FIXED POINT: the per-Arrow-batch
     kernel summaries (operators/sketch.py:mg_partials) merge by
-    counter sum, then re-truncate by the (k+1)-th largest merged
-    counter — the Agarwal et al. merge, so per-batch state is O(k)
-    no matter how large the microbatch. The bounded merged frame
+    counter sum, then re-truncate through the SAME algebra the kernel
+    uses (sketch.mg_truncate — one shared definition, round-11
+    review): the Agarwal et al. merge, so per-batch state is O(k) no
+    matter how large the microbatch. The bounded merged frame
     (<= (k+1) rows per Arrow batch) folds driver-side like the CMS
     block partials — bounded sketch state, never corpus rows.
 
@@ -1487,13 +1488,15 @@ def mg_summary_stream(
     <= N/(k+1), and every term with true count > err_budget is
     present in the summary.
     """
-    from ..operators.sketch import mg_partials
+    from ..operators.sketch import mg_partials, mg_truncate
     from ..operators.text import tokens_expr
 
     if k < 1:
         raise ValueError(f"mg_summary_stream requires k >= 1, got {k}")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import pandas as pd
+
         spark = batch_df.sparkSession
         toks = batch_df.select(F.explode(tokens_expr(text_col)).alias("w"))
         merged = (
@@ -1503,15 +1506,13 @@ def mg_summary_stream(
             .collect()
         )
         dec = sum(r["cnt"] for r in merged if r["item"] is None)
-        counters = sorted(
-            ((r["item"], r["cnt"]) for r in merged if r["item"] is not None),
-            key=lambda t: (-t[1], t[0]),
+        counts = pd.Series(
+            {r["item"]: r["cnt"] for r in merged if r["item"] is not None},
+            dtype="int64",
         )
-        if len(counters) > k:
-            d2 = counters[k][1]  # (k+1)-th largest merged counter
-            dec += d2
-            counters = [(i, c - d2) for i, c in counters[:k] if c - d2 > 0]
-        rows = counters + [(None, dec)]
+        kept, d2 = mg_truncate(counts, k)
+        dec += d2
+        rows = [(i, int(c)) for i, c in kept.items()] + [(None, dec)]
         (
             spark.createDataFrame(rows, "term string, cnt long")
             .withColumn("batch_id", F.lit(batch_id))

@@ -3729,3 +3729,21 @@ def test_mg_partials_contract_and_no_truncation_case(spark):
     merged = mg_heavy_hitters(zipf, "item", 8).collect()
     assert dec_total == merged[0]["err_budget"]
     assert {r["item"]: r["est"] for r in merged} == summed
+
+
+def test_mg_all_distinct_keeps_budget_observable(spark):
+    """A stream of all-distinct items (every counter truncates away —
+    the vocabulary-too-big regime the sketch targets) must NOT return
+    an empty frame: the certified error budget stays observable as one
+    NULL-item sentinel row, distinguishable from 'no input'
+    (round-11 review). The budget still respects (k+1)*budget <= N."""
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import (
+        mg_heavy_hitters,
+    )
+
+    k = 8
+    distinct = spark.range(0, 50000).selectExpr("concat('u', id) AS item")
+    rows = mg_heavy_hitters(distinct, "item", k).collect()
+    assert len(rows) == 1
+    assert rows[0]["item"] is None and rows[0]["est"] is None
+    assert 0 < rows[0]["err_budget"] * (k + 1) <= 50000
