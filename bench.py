@@ -113,6 +113,8 @@ HEADLINE = (
     "op_kcore",
     "op_ivf_sq8_topk",
     "op_ivf_pq_topk",
+    "op_priority_sample",
+    "op_mg_heavy",
 )
 
 # Invariant-summary entries whose in-entry exact twins are O(n^2) oracle
