@@ -445,6 +445,20 @@ def priority_sample(
         w_ok.alias("ps_weight"),
         (w_ok / u).alias("ps_priority"),
     )
+    return priority_finalize(pri, k, key_col)
+
+
+def priority_finalize(pri: DataFrame, k: int, key_col: str) -> DataFrame:
+    """THE priority-sampling final selection, in one place: a frame
+    carrying ``ps_weight`` / ``ps_priority`` -> top-(k+1) by
+    (priority desc, key asc) -> sample_rank, the threshold ps_tau
+    (row k+1's priority; 0.0 when the population has at most k rows),
+    the top-k filter, and ps_est = max(w, tau). Shared by the batch
+    operator above and the streaming sample reader
+    (streaming/pipeline.py:read_priority_sample) so the
+    rank/tau/estimator algebra cannot drift between the two (the
+    mg_truncate rule). The selection is TakeOrderedAndProject; the
+    windows run over the bounded (k+1)-row survivor frame only."""
     top = pri.orderBy(F.desc("ps_priority"), F.col(key_col).asc()).limit(k + 1)
     w_rank = Window.orderBy(F.desc("ps_priority"), F.col(key_col).asc())
     w_all = Window.partitionBy()  # bounded: <= k+1 survivor rows

@@ -1544,3 +1544,111 @@ def read_mg_summary(spark: SparkSession, summary_dir: str) -> DataFrame:
             F.col("term").alias("item"), "cnt"
         )
     )
+
+
+def priority_sample_stream(
+    rows_stream: DataFrame,
+    samples_dir: str,
+    checkpoint_dir: str,
+    weight_col: str,
+    key_col: str,
+    k: int = 256,
+):
+    """Streaming corpus-lifetime WEIGHTED sample in O(k) state: each
+    microbatch stores its top-(k+1) priority rows
+    (operators/curation.py:priority_sample — the DLT scheme whose
+    priorities are row-local, so the union of per-batch top-(k+1)
+    partials reproduces the whole-corpus sample EXACTLY; the merge
+    law is proven in test_operators) as ``(key, ps_weight,
+    ps_priority)`` under the checkpointed batch_id.
+
+    Like the KMV sample — and unlike every SUM-merged state table —
+    the fold is IDEMPOTENT: re-selection over distinct candidate rows,
+    so a replayed batch, a double-visible resurrected partition, or a
+    re-compaction can never move the sample. Keys must be unique
+    corpus-wide (they are the identity the distinct dedups on — a key
+    re-seen with a different weight is two corpus versions, which a
+    sample cannot reconcile; re-sample per release instead).
+
+    Consumers call ``read_priority_sample`` for the live sample with
+    rank / tau / unbiased subset-sum estimates, joining payload
+    columns back by key — the state table carries only the O(k)
+    sampling identity, not document payloads.
+    """
+    from ..operators.curation import priority_sample
+
+    if k < 1:
+        raise ValueError(f"priority_sample_stream requires k >= 1, got {k}")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            priority_sample(batch_df, weight_col, k + 1, key_col)
+            .select(
+                F.col(key_col).cast("string").alias("key"),
+                "ps_weight",
+                "ps_priority",
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(samples_dir)
+        )
+
+    return (
+        rows_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def read_priority_sample(spark: SparkSession, samples_dir: str, k: int) -> DataFrame:
+    """The lifetime weighted sample: distinct candidate rows from the
+    newest generation + unfolded batches (one-snapshot
+    _read_excluding_folded contract), finalized through the SAME
+    rank/tau/estimator algebra as the batch operator
+    (operators/curation.py:priority_finalize — one definition, no
+    drift), so over the same rows this equals priority_sample on the
+    whole corpus bit-for-bit. ``k`` must be at most the stream's k:
+    the partials only retain top-(k_stream+1) candidates. One honest
+    edge: the state stores keys as STRINGS, so an EXACT priority tie
+    (md5-prefix collision AND equal w/u ratio) would tie-break in
+    string order where the batch operator uses the key's native
+    order — selection-identical whenever priorities are distinct,
+    which the md5-uniform makes overwhelming."""
+    from ..operators.curation import priority_finalize
+
+    cand = (
+        _read_excluding_folded(spark, samples_dir)
+        .select("key", "ps_weight", "ps_priority")
+        .distinct()
+    )
+    return priority_finalize(cand, k, "key")
+
+
+def compact_priority_sample(
+    spark: SparkSession,
+    samples_dir: str,
+    upto_batch_id: int | None = None,
+) -> int | None:
+    """Fold closed sample partials into a fresh generation via the
+    shared protocol. The merge keeps ALL distinct candidate rows
+    (<= k+1 per folded batch) rather than re-truncating to one
+    top-(k+1): the compactor does not know the stream's k (it is not
+    stored in the state), and an over-retentive fold is still exact —
+    read_priority_sample's finalize selects the same top-(k+1) from
+    any superset of it (the merge law), at any read-time k up to the
+    stream's. Idempotent, so re-compaction and resurrected partitions
+    cannot move the sample."""
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.select("key", "ps_weight", "ps_priority").distinct()
+
+    return _compact_partials(
+        spark,
+        samples_dir,
+        upto_batch_id,
+        merge,
+        "key string, ps_weight double, ps_priority double",
+        distributed_merge=True,
+    )

@@ -1633,3 +1633,98 @@ def test_mg_summary_stream_guarantees_replay_and_compaction(spark, tmp_path):
     assert view() == first
     assert compact_term_counts(spark, state, upto_batch_id=2) == 2
     assert view() == first
+
+
+def test_priority_sample_stream_equals_batch_and_compacts(spark, tmp_path):
+    """Streaming weighted sampling (round 11): the distinct-candidate
+    fold of per-batch top-(k+1) priority partials, finalized through
+    the shared priority_finalize algebra, equals the BATCH operator
+    over the whole corpus bit-for-bit — rank, tau, weights, and
+    subset-sum estimates included (the merge law, now across
+    microbatches). The fold is IDEMPOTENT (re-selection over
+    distinct), so replay, compaction, and a resurrected pre-watermark
+    partition all leave the sample identical."""
+    import shutil
+
+    from accounts_receivable_data_pipeline_api_spark.operators.curation import (
+        priority_sample,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        compact_priority_sample,
+        compacted_generation_id,
+        priority_sample_stream,
+        read_priority_sample,
+    )
+
+    schema = "doc_id long, n_chars long"
+    batches = [
+        [(i, (i * 37) % 211 + 1) for i in range(0, 40)],
+        [(i, (i * 37) % 211 + 1) for i in range(40, 80)],
+        [(i, (i * 37) % 211 + 1) for i in range(80, 120)],
+    ]
+    src = str(tmp_path / "src")
+    _stage_ordered_batches(src, [spark.createDataFrame(r, schema) for r in batches])
+    state = str(tmp_path / "ps")
+    ckpt = str(tmp_path / "ckpt")
+    k = 15
+
+    def run():
+        q = priority_sample_stream(
+            _ordered_stream(spark, src, schema), state, ckpt,
+            weight_col="n_chars", key_col="doc_id", k=k,
+        ).start()
+        q.awaitTermination(120)
+
+    run()
+    all_rows = spark.createDataFrame([r for b in batches for r in b], schema)
+    expected = sorted(
+        (r["doc_id"], r["sample_rank"], r["ps_weight"], r["ps_priority"],
+         r["ps_tau"], r["ps_est"])
+        for r in priority_sample(all_rows, "n_chars", k, "doc_id").collect()
+    )
+
+    def view():
+        return sorted(
+            (int(r["key"]), r["sample_rank"], r["ps_weight"], r["ps_priority"],
+             r["ps_tau"], r["ps_est"])
+            for r in read_priority_sample(spark, state, k).collect()
+        )
+
+    assert view() == expected
+    # per-batch state is bounded at k+1 candidate rows
+    per_batch = (
+        spark.read.parquet(state)
+        .groupBy("batch_id")
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .collect()
+    )
+    assert per_batch and all(r["rows"] <= k + 1 for r in per_batch)
+
+    # replay: partials rewritten in place, sample unchanged
+    shutil.rmtree(ckpt)
+    run()
+    assert view() == expected
+
+    # compaction + resurrection: idempotent fold, sample invariant
+    assert compact_priority_sample(spark, state, upto_batch_id=1) == 1
+    assert view() == expected
+    parts = {
+        r["batch_id"]
+        for r in spark.read.parquet(state).select("batch_id").distinct().collect()
+    }
+    assert parts == {compacted_generation_id(1), 2}, parts
+    (
+        spark.createDataFrame(batches[0], schema)
+        .selectExpr("cast(doc_id as string) AS key",
+                    "cast(n_chars as double) AS ps_weight",
+                    "cast(n_chars as double) AS ps_priority")
+        .limit(k + 1)
+        .withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(state)
+    )
+    assert view() == expected  # pre-watermark garbage is excluded
+    assert compact_priority_sample(spark, state, upto_batch_id=2) == 2
+    assert view() == expected  # ...and reclaimed, never re-folded
