@@ -459,6 +459,8 @@ def priority_finalize(pri: DataFrame, k: int, key_col: str) -> DataFrame:
     rank/tau/estimator algebra cannot drift between the two (the
     mg_truncate rule). The selection is TakeOrderedAndProject; the
     windows run over the bounded (k+1)-row survivor frame only."""
+    if k < 1:
+        raise ValueError(f"priority_finalize requires k >= 1, got {k}")
     top = pri.orderBy(F.desc("ps_priority"), F.col(key_col).asc()).limit(k + 1)
     w_rank = Window.orderBy(F.desc("ps_priority"), F.col(key_col).asc())
     w_all = Window.partitionBy()  # bounded: <= k+1 survivor rows

@@ -1553,6 +1553,7 @@ def priority_sample_stream(
     weight_col: str,
     key_col: str,
     k: int = 256,
+    salt: str = "",
 ):
     """Streaming corpus-lifetime WEIGHTED sample in O(k) state: each
     microbatch stores its top-(k+1) priority rows
@@ -1560,7 +1561,13 @@ def priority_sample_stream(
     priorities are row-local, so the union of per-batch top-(k+1)
     partials reproduces the whole-corpus sample EXACTLY; the merge
     law is proven in test_operators) as ``(key, ps_weight,
-    ps_priority)`` under the checkpointed batch_id.
+    ps_priority, ps_k)`` under the checkpointed batch_id. ``ps_k``
+    stamps the stream's k into every row — the kmv_k / hll_m guard
+    pattern: the reader raises on a k it cannot serve and the
+    compactor re-truncates to the stamped bound, instead of either
+    silently degrading (round-11 review). ``salt`` forwards to the
+    batch operator so a release-salted batch draw is reproducible
+    from the stream.
 
     Like the KMV sample — and unlike every SUM-merged state table —
     the fold is IDEMPOTENT: re-selection over distinct candidate rows,
@@ -1582,11 +1589,12 @@ def priority_sample_stream(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         (
-            priority_sample(batch_df, weight_col, k + 1, key_col)
+            priority_sample(batch_df, weight_col, k + 1, key_col, salt=salt)
             .select(
                 F.col(key_col).cast("string").alias("key"),
                 "ps_weight",
                 "ps_priority",
+                F.lit(k).cast("int").alias("ps_k"),
             )
             .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
@@ -1615,12 +1623,30 @@ def read_priority_sample(spark: SparkSession, samples_dir: str, k: int) -> DataF
     (md5-prefix collision AND equal w/u ratio) would tie-break in
     string order where the batch operator uses the key's native
     order — selection-identical whenever priorities are distinct,
-    which the md5-uniform makes overwhelming."""
+    which the md5-uniform makes overwhelming.
+
+    ``k`` above any partial's stamped ps_k raises IN-PLAN (the
+    kmv_estimate mismatch rule): those partials only retained their
+    top-(ps_k+1), so a bigger selection would be silently wrong —
+    missing candidates, a spoofed tau, biased estimates."""
     from ..operators.curation import priority_finalize
 
+    if k < 1:
+        raise ValueError(f"read_priority_sample requires k >= 1, got {k}")
+    guarded = F.when(F.col("ps_k") >= k, F.col("ps_priority")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"read_priority_sample(k={k}) over partials that only "
+                    "retained top-(ps_k+1) candidates, ps_k="
+                ),
+                F.col("ps_k").cast("string"),
+            )
+        ).cast("double")
+    )
     cand = (
         _read_excluding_folded(spark, samples_dir)
-        .select("key", "ps_weight", "ps_priority")
+        .select("key", "ps_weight", guarded.alias("ps_priority"))
         .distinct()
     )
     return priority_finalize(cand, k, "key")
@@ -1632,23 +1658,37 @@ def compact_priority_sample(
     upto_batch_id: int | None = None,
 ) -> int | None:
     """Fold closed sample partials into a fresh generation via the
-    shared protocol. The merge keeps ALL distinct candidate rows
-    (<= k+1 per folded batch) rather than re-truncating to one
-    top-(k+1): the compactor does not know the stream's k (it is not
-    stored in the state), and an over-retentive fold is still exact —
-    read_priority_sample's finalize selects the same top-(k+1) from
-    any superset of it (the merge law), at any read-time k up to the
-    stream's. Idempotent, so re-compaction and resurrected partitions
-    cannot move the sample."""
+    shared protocol, RE-TRUNCATED to the stamped bound: the merge
+    keeps the top-(K+1) distinct candidates where K = min(ps_k) over
+    the fold (the binding constraint — reads above any partial's ps_k
+    raise anyway), stamped back as the generation's ps_k. The
+    generation therefore stays O(k) no matter how many batches fold
+    (round-11 review: without the stamp the fold grew k+1 rows per
+    batch forever), and truncation is exact by the merge law —
+    finalize at any legal read-time k selects identically from the
+    kept superset. Idempotent, so re-compaction and resurrected
+    partitions cannot move the sample. The min(ps_k) is ONE bounded
+    driver-side value read inside the compaction pass, the same
+    budget class as the protocol's own partition listing."""
 
     def merge(df: DataFrame) -> DataFrame:
-        return df.select("key", "ps_weight", "ps_priority").distinct()
+        row = df.agg(F.min("ps_k").alias("mn")).first()
+        k_min = row["mn"] if row is not None else None
+        if k_min is None:
+            return df.select("key", "ps_weight", "ps_priority", "ps_k").limit(0)
+        return (
+            df.select("key", "ps_weight", "ps_priority")
+            .distinct()
+            .orderBy(F.desc("ps_priority"), F.col("key").asc())
+            .limit(int(k_min) + 1)
+            .withColumn("ps_k", F.lit(int(k_min)).cast("int"))
+        )
 
     return _compact_partials(
         spark,
         samples_dir,
         upto_batch_id,
         merge,
-        "key string, ps_weight double, ps_priority double",
+        "key string, ps_weight double, ps_priority double, ps_k int",
         distributed_merge=True,
     )

@@ -1705,7 +1705,20 @@ def test_priority_sample_stream_equals_batch_and_compacts(spark, tmp_path):
     run()
     assert view() == expected
 
-    # compaction + resurrection: idempotent fold, sample invariant
+    # reading above the stream's stamped k raises in-plan (the
+    # partials only retained top-(k+1)); k < 1 raises loudly too
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+
+    with _pytest.raises((SparkRuntimeException, Py4JJavaError), match="ps_k"):
+        read_priority_sample(spark, state, k + 1).collect()
+    with _pytest.raises(ValueError, match="requires k >= 1"):
+        read_priority_sample(spark, state, 0)
+
+    # compaction + resurrection: idempotent fold, sample invariant,
+    # and the generation RE-TRUNCATES to the stamped bound (O(k)
+    # state however many batches fold)
     assert compact_priority_sample(spark, state, upto_batch_id=1) == 1
     assert view() == expected
     parts = {
@@ -1713,11 +1726,19 @@ def test_priority_sample_stream_equals_batch_and_compacts(spark, tmp_path):
         for r in spark.read.parquet(state).select("batch_id").distinct().collect()
     }
     assert parts == {compacted_generation_id(1), 2}, parts
+    gen_rows = (
+        spark.read.parquet(state)
+        .filter(F.col("batch_id") == compacted_generation_id(1))
+        .collect()
+    )
+    assert len(gen_rows) <= k + 1
+    assert all(r["ps_k"] == k for r in gen_rows)
     (
         spark.createDataFrame(batches[0], schema)
         .selectExpr("cast(doc_id as string) AS key",
                     "cast(n_chars as double) AS ps_weight",
-                    "cast(n_chars as double) AS ps_priority")
+                    "cast(n_chars as double) AS ps_priority",
+                    f"cast({k} as int) AS ps_k")
         .limit(k + 1)
         .withColumn("batch_id", F.lit(0))
         .write.mode("overwrite")
