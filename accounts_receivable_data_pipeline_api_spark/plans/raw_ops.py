@@ -906,3 +906,33 @@ def op_mg_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 RAW_OPS.update({"op_mg_heavy": (op_mg_heavy, "documents")})
+
+
+def op_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-grain sketch rollup at scale: per-(day,
+    hour) HLL register partials over events users, MAX-merged to
+    per-day registers and priced (operators/sketch.py:hll_registers /
+    hll_estimate). Two map-side-combinable hash aggs — the raw events
+    scan happens ONCE, at the finest grain; every coarser grain is a
+    groupBy max over the bounded register table. Corpus-oracled as the
+    hll_rollup row groups of agg_approx_distinct (hourly->daily proven
+    equal to direct daily, cross-engine)."""
+    from ..operators.sketch import hll_estimate, hll_registers
+    from ..sources.star import spread_to_cores
+
+    ev = spread_to_cores(
+        load_table(spark, sf_dir, "events").select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.hour("ts").alias("hr"),
+        )
+    )
+    hr_reg = hll_registers(ev, "user_id", m=1024, group_cols=("day", "hr"))
+    day_reg = hr_reg.groupBy("day", "bucket").agg(
+        F.max("max_rank").alias("max_rank"),
+        F.max("hll_m").alias("hll_m"),
+    )
+    return hll_estimate(day_reg, m=1024, group_cols=("day",))
+
+
+RAW_OPS.update({"op_hll_rollup": (op_hll_rollup, "events")})

@@ -163,6 +163,60 @@ def _hll_oracle() -> str:
              CAST(COUNT(*) AS BIGINT) AS n_orders
       FROM orders GROUP BY o_orderstatus
     ),
+    -- hll_rollup row groups (round 11): per-DAY registers over events
+    -- users, computed DIRECTLY here — the Spark side derives them by
+    -- MAX-merging per-(day, hour) registers, so the hash check proves
+    -- the time-grain rollup law (max-merge associativity) cross-engine
+    evitems AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(user_id AS VARCHAR) AS item
+      FROM events
+    ),
+    evhashed AS (
+      SELECT DISTINCT day,
+             CAST('0x' || substr(md5('bhll:' || item), 1, 8) AS BIGINT) % 1024
+               AS bucket,
+             CAST('0x' || substr(md5('rhll:' || item), 1, 12) AS BIGINT) AS w
+      FROM evitems
+    ),
+    evreg AS (
+      SELECT day, bucket,
+             MAX(CASE WHEN w = 0 THEN {rank_base}
+                      ELSE CAST({rank_base} - length(bin(w)) AS INT) END)
+               AS max_rank
+      FROM evhashed GROUP BY day, bucket
+    ),
+    evregagg AS (
+      SELECT day,
+             CAST(COUNT(*) AS BIGINT) AS n_observed,
+             CAST(SUM(CAST(1 AS BIGINT) << ({rank_base} - max_rank))
+                  + (1024 - COUNT(*)) * {scale_pow} AS BIGINT) AS sum_scaled
+      FROM evreg GROUP BY day
+    ),
+    evest AS (
+      SELECT day, n_observed, sum_scaled,
+             {alpha!r} * ({msq_scaled!r} / CAST(sum_scaled AS DOUBLE)) AS raw,
+             1024 - n_observed AS v
+      FROM evregagg
+    ),
+    evest2 AS (
+      SELECT day, n_observed, sum_scaled,
+             CASE WHEN raw <= 2560.0 AND v > 0
+                  THEN round(1024.0 * ln(1024.0 / CAST(v AS DOUBLE)), 6)
+                  WHEN raw >= {0.99 * hash_space!r}
+                  THEN CAST(error('hll rollup oracle: raw estimate saturates '
+                                  'the 48-bit hash space') AS DOUBLE)
+                  WHEN raw > {large_thresh!r}
+                  THEN round(-{hash_space!r} * ln(1.0 - raw / {hash_space!r}), 6)
+                  ELSE round(raw, 6) END AS estimate
+      FROM evest
+    ),
+    evex AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
     -- count-min sketch over o_custkey (global): salted-md5 cells,
     -- exact mirror of operators/sketch.py:_cms_positions
     cpos AS (
@@ -312,6 +366,21 @@ def _hll_oracle() -> str:
            NULL, NULL, NULL, NULL, NULL
     FROM est2 e JOIN ex x USING (o_orderstatus)
     UNION ALL
+    SELECT 'hll_rollup_register', day, NULL, NULL, NULL,
+           bucket, max_rank, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL
+    FROM evreg
+    UNION ALL
+    SELECT 'hll_rollup_estimate', e.day, x.exact_users, x.n_events,
+           abs(e.estimate - CAST(x.exact_users AS DOUBLE))
+             / CAST(x.exact_users AS DOUBLE) <= 0.15,
+           NULL, NULL, CAST(1024 AS INT), e.n_observed, e.sum_scaled,
+           e.estimate,
+           NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL
+    FROM evest2 e JOIN evex x USING (day)
+    UNION ALL
     SELECT 'cms_counter', CAST(NULL AS VARCHAR), NULL, NULL, NULL,
            NULL, NULL, NULL, NULL, NULL, NULL,
            d, pos, cnt, NULL, NULL, NULL,
@@ -397,6 +466,16 @@ def _hll_oracle() -> str:
     "value-for-value — a fully hash-checked HLL, not just a bound. The register table is the mergeable partial: union "
     "of sketches = groupBy max over buckets, map-side combinable, "
     "bounded at groups * m rows at any corpus size. "
+    "kind='hll_rollup_register' + 'hll_rollup_estimate' (round 11): "
+    "the hypertable-style TIME-GRAIN rollup — per-(day, hour) "
+    "register partials over events users MAX-merged up to per-day "
+    "registers; the oracle computes day registers DIRECTLY from the "
+    "raw rows, so the hash check proves hourly->daily == direct "
+    "daily (merge-law associativity along time, the continuous-"
+    "aggregate pattern: persist the finest grain, derive coarser "
+    "grains by one map-side-combinable groupBy max, never re-scan "
+    "raw events); the estimate arm prices the rolled-up registers "
+    "with exact per-day distincts as fixtures. "
     "kind='cms_counter' + 'cms_estimate' (round 9): the count-min "
     "sketch joins the scoreboard — every (d, pos) counter cell of a "
     "4x512 CMS over o_custkey (operators/sketch.py:cms_counters, one "
@@ -533,6 +612,69 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("hll_sum_scaled"),
         F.lit(None).cast("double").alias("hll_estimate"),
     ]
+    # hll_rollup row groups (round 11): the hypertable-style TIME-GRAIN
+    # rollup — per-(day, hour) register partials over events users,
+    # MAX-merged up to per-day registers (the mergeable-partial law
+    # applied along time instead of shards). The oracle computes the
+    # day registers DIRECTLY from the raw rows, so the hash check
+    # proves hourly->daily rollup == direct daily, cross-engine; the
+    # estimate arm then prices the rolled-up registers with exact
+    # per-day distinct users as fixtures. At 100 TB only register
+    # partials persist per grain cell (bounded at cells * m rows) and
+    # coarser grains are one map-side-combinable groupBy max away —
+    # never a re-scan of the raw events.
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hr"),
+    )
+    hr_reg = hll_registers(ev, "user_id", m=1024, group_cols=("day", "hr"))
+    day_reg = hr_reg.groupBy("day", "bucket").agg(
+        F.max("max_rank").alias("max_rank"),
+        F.max("hll_m").alias("hll_m"),
+    )
+    roll_reg_arm = day_reg.select(
+        F.lit("hll_rollup_register").alias("kind"),
+        F.col("day").cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("bigint").alias("exact_customers"),
+        F.lit(None).cast("bigint").alias("n_orders"),
+        F.lit(None).cast("boolean").alias("within_bound"),
+        F.col("bucket").alias("hll_bucket"),
+        F.col("max_rank").alias("hll_rank"),
+        F.lit(None).cast("int").alias("hll_m"),
+        F.lit(None).cast("bigint").alias("hll_observed"),
+        F.lit(None).cast("bigint").alias("hll_sum_scaled"),
+        F.lit(None).cast("double").alias("hll_estimate"),
+        *cms_nulls,
+        *kmv_nulls,
+    )
+    exact_day = ev.groupBy("day").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    roll_est_arm = (
+        hll_estimate(day_reg, m=1024, group_cols=("day",))
+        .join(exact_day, "day")
+        .select(
+            F.lit("hll_rollup_estimate").alias("kind"),
+            F.col("day").cast("string").alias("o_orderstatus"),
+            F.col("exact_users").alias("exact_customers"),
+            F.col("n_events").alias("n_orders"),
+            (
+                F.abs(F.col("estimate") - F.col("exact_users").cast("double"))
+                / F.col("exact_users").cast("double")
+                <= F.lit(0.15)
+            ).alias("within_bound"),
+            F.lit(None).cast("bigint").alias("hll_bucket"),
+            F.lit(None).cast("int").alias("hll_rank"),
+            F.col("hll_m"),
+            F.col("n_observed").alias("hll_observed"),
+            F.col("sum_scaled").alias("hll_sum_scaled"),
+            F.col("estimate").alias("hll_estimate"),
+            *cms_nulls,
+            *kmv_nulls,
+        )
+    )
     counters = cms_counters(orders, "o_custkey", depth=4, width=512)
     counter_arm = counters.select(
         F.lit("cms_counter").alias("kind"),
@@ -747,6 +889,8 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark_arm.unionByName(reg_arm)
         .unionByName(est_arm)
+        .unionByName(roll_reg_arm)
+        .unionByName(roll_est_arm)
         .unionByName(counter_arm)
         .unionByName(cms_est_arm)
         .unionByName(ksample_arm)

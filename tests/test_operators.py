@@ -3747,3 +3747,40 @@ def test_mg_all_distinct_keeps_budget_observable(spark):
     assert len(rows) == 1
     assert rows[0]["item"] is None and rows[0]["est"] is None
     assert 0 < rows[0]["err_budget"] * (k + 1) <= 50000
+
+
+def test_hll_time_grain_rollup_composes(spark, sf_dir):
+    """Time-grain rollup composability: registers MAX-merge hour->day
+    and day->month with the same law, and every grain equals the
+    registers computed directly from raw rows at that grain — so a
+    hypertable keeps only the finest grain and derives the rest. (The
+    corpus entry proves hour->day against DuckDB; this pins the next
+    grain and the direct-equality on the Spark side.)"""
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import (
+        hll_registers,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("month", F.col("ts")).alias("month"),
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hr"),
+    )
+    hr_reg = hll_registers(ev, "user_id", m=256, group_cols=("month", "day", "hr"))
+    day_roll = hr_reg.groupBy("month", "day", "bucket").agg(
+        F.max("max_rank").alias("max_rank")
+    )
+    month_roll = day_roll.groupBy("month", "bucket").agg(
+        F.max("max_rank").alias("max_rank")
+    )
+
+    def key(df, cols):
+        return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+    day_direct = hll_registers(ev, "user_id", m=256, group_cols=("month", "day"))
+    month_direct = hll_registers(ev, "user_id", m=256, group_cols=("month",))
+    cols_d = ("month", "day", "bucket", "max_rank")
+    cols_m = ("month", "bucket", "max_rank")
+    assert key(day_roll, cols_d) == key(day_direct, cols_d)
+    assert key(month_roll, cols_m) == key(month_direct, cols_m)

@@ -727,3 +727,23 @@ def test_mg_partials_single_python_crossing_combinable_merge(spark, sf_dir):
     # of the compacted frame, never of the corpus
     assert sum(1 for op in fops if op == "Scan") == 4, fops
     assert "BroadcastExchange" in final, final
+
+
+def test_hll_rollup_single_scan_two_combinable_aggs(spark, sf_dir):
+    """The time-grain rollup scans raw events ONCE (finest grain);
+    the daily grain is a groupBy max over the bounded register table
+    — two map-side-combinable hash aggregates (partial max under
+    each exchange), zero Python, and the scan reads only the 2
+    columns the sketch needs."""
+    from accounts_receivable_data_pipeline_api_spark.plans.raw_ops import (
+        op_hll_rollup,
+    )
+
+    plan = _formatted(spark, op_hll_rollup(spark, sf_dir))
+    ops = re.findall(r"\n\(\d+\) (\S+)", plan)
+    assert sum(1 for op in ops if op.startswith("Scan")) == 1, ops
+    assert re.search(r"partial_max", plan), plan
+    assert not re.findall(r"MapInPandas|ArrowEval", plan), plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in schemas[0].split(",")}
+    assert cols == {"user_id", "ts"}, cols
