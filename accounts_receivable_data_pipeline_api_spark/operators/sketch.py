@@ -208,6 +208,25 @@ def hll_registers(
     )
 
 
+def hll_merge_registers(
+    registers: DataFrame, group_cols: tuple[str, ...]
+) -> DataFrame:
+    """MAX-merge a register table to coarser groups — THE rollup fold,
+    in one place (shards, days->months, cross-corpus unions all use
+    the same law). Groups by ``hll_m`` alongside the caller's keys so
+    partials built under DIFFERENT m fold APART instead of silently
+    merging incompatible registers: a mixed-m input then surfaces as
+    either hll_estimate's m-mismatch guard or its duplicate-bucket
+    guard, both in-plan raises (the round-7 persisted-partial
+    incident rule; round-11 review caught an inline max('hll_m')
+    re-implementation that would have laundered the mismatch)."""
+    return (
+        registers.groupBy(*group_cols, "hll_m", "bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+        .select(*group_cols, "bucket", "max_rank", "hll_m")
+    )
+
+
 def hll_estimate(
     registers: DataFrame,
     m: int = 1024,

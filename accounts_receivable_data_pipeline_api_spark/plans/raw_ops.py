@@ -917,7 +917,7 @@ def op_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy max over the bounded register table. Corpus-oracled as the
     hll_rollup row groups of agg_approx_distinct (hourly->daily proven
     equal to direct daily, cross-engine)."""
-    from ..operators.sketch import hll_estimate, hll_registers
+    from ..operators.sketch import hll_estimate, hll_merge_registers, hll_registers
     from ..sources.star import spread_to_cores
 
     ev = spread_to_cores(
@@ -928,10 +928,7 @@ def op_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     hr_reg = hll_registers(ev, "user_id", m=1024, group_cols=("day", "hr"))
-    day_reg = hr_reg.groupBy("day", "bucket").agg(
-        F.max("max_rank").alias("max_rank"),
-        F.max("hll_m").alias("hll_m"),
-    )
+    day_reg = hll_merge_registers(hr_reg, group_cols=("day",))
     return hll_estimate(day_reg, m=1024, group_cols=("day",))
 
 

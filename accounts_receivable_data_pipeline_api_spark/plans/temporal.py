@@ -168,9 +168,13 @@ def _hll_oracle() -> str:
     -- MAX-merging per-(day, hour) registers, so the hash check proves
     -- the time-grain rollup law (max-merge associativity) cross-engine
     evitems AS (
+      -- NULL users carry no countable identity: mirror of the Spark
+      -- side's isNotNull quarantine in hll_registers (round-11 review:
+      -- the testdata happens to have none, but events.user_id carries
+      -- no non-null contract the way TPC-H o_custkey does)
       SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
              CAST(user_id AS VARCHAR) AS item
-      FROM events
+      FROM events WHERE user_id IS NOT NULL
     ),
     evhashed AS (
       SELECT DISTINCT day,
@@ -515,6 +519,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         cms_counters,
         cms_lookup,
         hll_estimate,
+        hll_merge_registers,
         hll_registers,
         kmv_estimate,
         kmv_overlap,
@@ -629,10 +634,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("hr"),
     )
     hr_reg = hll_registers(ev, "user_id", m=1024, group_cols=("day", "hr"))
-    day_reg = hr_reg.groupBy("day", "bucket").agg(
-        F.max("max_rank").alias("max_rank"),
-        F.max("hll_m").alias("hll_m"),
-    )
+    day_reg = hll_merge_registers(hr_reg, group_cols=("day",))
     roll_reg_arm = day_reg.select(
         F.lit("hll_rollup_register").alias("kind"),
         F.col("day").cast("string").alias("o_orderstatus"),

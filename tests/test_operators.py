@@ -3757,6 +3757,7 @@ def test_hll_time_grain_rollup_composes(spark, sf_dir):
     corpus entry proves hour->day against DuckDB; this pins the next
     grain and the direct-equality on the Spark side.)"""
     from accounts_receivable_data_pipeline_api_spark.operators.sketch import (
+        hll_merge_registers,
         hll_registers,
     )
     from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
@@ -3768,12 +3769,8 @@ def test_hll_time_grain_rollup_composes(spark, sf_dir):
         F.hour("ts").alias("hr"),
     )
     hr_reg = hll_registers(ev, "user_id", m=256, group_cols=("month", "day", "hr"))
-    day_roll = hr_reg.groupBy("month", "day", "bucket").agg(
-        F.max("max_rank").alias("max_rank")
-    )
-    month_roll = day_roll.groupBy("month", "bucket").agg(
-        F.max("max_rank").alias("max_rank")
-    )
+    day_roll = hll_merge_registers(hr_reg, group_cols=("month", "day"))
+    month_roll = hll_merge_registers(day_roll, group_cols=("month",))
 
     def key(df, cols):
         return sorted(tuple(r[c] for c in cols) for r in df.collect())
