@@ -115,6 +115,7 @@ HEADLINE = (
     "op_ivf_pq_topk",
     "op_priority_sample",
     "op_mg_heavy",
+    "op_hll_rollup",
 )
 
 # Invariant-summary entries whose in-entry exact twins are O(n^2) oracle
