@@ -1345,6 +1345,20 @@ def collocation_topk(
     the single partition it implies holds <= topk rows by
     construction.
     """
+    uni, bi = collocation_counts(docs, text_col)
+    return collocations_from_counts(uni, bi, min_count=min_count, topk=topk)
+
+
+def collocation_counts(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """THE unigram/bigram count construction, in one place: ``(uni =
+    (w, n_w), bi = (w1, w2, n_ab))`` over the corpus — the two
+    map-side-combinable passes collocation_topk scores and the
+    text_lm_perplexity entry reuses for its mg_heavy fixtures
+    (round-11 review: the entry carried a verbatim copy, the drift
+    class the mg_truncate/priority_finalize one-definition rule
+    exists to prevent)."""
     toks = docs.select(F.explode(tokens_expr(text_col)).alias("w"))
     uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n_w"))
     bi = (
@@ -1352,7 +1366,7 @@ def collocation_topk(
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
     )
-    return collocations_from_counts(uni, bi, min_count=min_count, topk=topk)
+    return uni, bi
 
 
 def adjacent_bigrams(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -1382,6 +1396,7 @@ def collocations_from_counts(
     bi: DataFrame,
     min_count: int = 5,
     topk: int = 50,
+    n_tok: "DataFrame | None" = None,
 ) -> DataFrame:
     """Lift-ranked collocation top-k from PRE-AGGREGATED exact counts:
     ``uni = (w, n_w)``, ``bi = (w1, w2, n_ab)`` — the ONE scoring
@@ -1391,12 +1406,16 @@ def collocations_from_counts(
     term-count state tables), so the two paths cannot drift: identical
     integer counts in, bit-identical lift out. N = SUM(n_w) over the
     vocabulary-bounded unigram frame (never a separate corpus pass);
+    a caller that already aggregated it may pass the 1-row ``n_tok``
+    frame to share the subtree (round-11 review: the lm-perplexity
+    entry needs the same total for its mg_heavy fixtures).
     ``min_count`` is applied HERE, at read time — state partials must
     stay unfiltered or batch-local thresholds would drop pairs that
     only clear min_count after merging."""
     from pyspark.sql import Window
 
-    n_tok = uni.agg(F.sum("n_w").cast("long").alias("n_tok"))
+    if n_tok is None:
+        n_tok = uni.agg(F.sum("n_w").cast("long").alias("n_tok"))
     scored = (
         bi.filter(F.col("n_ab") >= min_count)
         .join(

@@ -2601,20 +2601,16 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         _d().alias("lift"),
         _l().alias("rank"),
     )
-    # ONE token pass feeds both corpus-statistics row groups: uni/bi
-    # are computed here and pushed through the SAME scoring formula
-    # the streaming consumer uses (collocations_from_counts), instead
-    # of letting collocation_topk rebuild its own unigram table next
-    # to the mg row group's — the round-11 review caught the doubled
-    # corpus-wide explode+shuffle.
-    toks = docs.select(F.explode(text.tokens_expr("text")).alias("w"))
-    uni = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n_w"))
-    bi = (
-        text.adjacent_bigrams(docs)
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
-    )
-    colloc = text.collocations_from_counts(uni, bi, min_count=5, topk=50).select(
+    # ONE count construction (text.collocation_counts — the shared
+    # definition, round-11 review) feeds both corpus-statistics row
+    # groups through the SAME scoring formula the streaming consumer
+    # uses, and the 1-row n_tok aggregate is built once and passed to
+    # both consumers rather than re-derived inside the scorer.
+    uni, bi = text.collocation_counts(docs)
+    n_tok = uni.agg(F.sum("n_w").cast("long").alias("n_tok"))
+    colloc = text.collocations_from_counts(
+        uni, bi, min_count=5, topk=50, n_tok=n_tok
+    ).select(
         F.lit("collocation").alias("kind"),
         _l().alias("doc_id"),
         _l().alias("n_bigrams"),
@@ -2640,7 +2636,7 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketch import mg_heavy_hitters
 
     k_mg = 30
-    n_tok = uni.agg(F.sum("n_w").cast("long").alias("n_tok"))
+    toks = docs.select(F.explode(text.tokens_expr("text")).alias("w"))
     mg = mg_heavy_hitters(toks, "w", k_mg)
     guar = (
         uni.crossJoin(F.broadcast(n_tok))

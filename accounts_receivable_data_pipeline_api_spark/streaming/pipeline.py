@@ -1692,3 +1692,72 @@ def compact_priority_sample(
         "key string, ps_weight double, ps_priority double, ps_k int",
         distributed_merge=True,
     )
+
+
+def compact_mg_summary(
+    spark: SparkSession,
+    summary_dir: str,
+    k: int,
+    upto_batch_id: int | None = None,
+) -> int | None:
+    """Fold closed Misra-Gries partials into a fresh generation,
+    RE-TRUNCATED to k counters — the bounded-state compactor for the
+    mg_summary_stream dir (round-11 review: compact_term_counts folds
+    the same dir exactly but by plain SUM, so its generation grows up
+    to k+1 rows per folded batch; under topic drift that re-creates
+    the vocabulary-scale state this sketch exists to avoid).
+
+    The fold is one more MG merge step (the distributed form of
+    sketch.mg_truncate — same algebra, pinned equivalent in tests):
+    sum counters by term, d2 = the (k+1)-th largest merged counter
+    (0 when <= k survive), keep count - d2 where positive, and add d2
+    to the summed decrement budget. Agarwal et al.'s re-truncation
+    law: this loosens only the SIZE bound, never the error — est may
+    drop by d2 and err_budget grow by d2, but all four read-time
+    guarantees survive, so the view is GUARANTEE-invariant rather
+    than value-invariant. Choose per deployment: compact_term_counts
+    when exact view stability matters, this when bounded state does.
+
+    d2 derives from a TakeOrdered top-(k+1) frame (bounded driver
+    traffic); the summed frame is lazily checkpointed so the fold's
+    one vocabulary pass is not re-derived per consumer branch.
+    """
+    if k < 1:
+        raise ValueError(f"compact_mg_summary requires k >= 1, got {k}")
+
+    def merge(df: DataFrame) -> DataFrame:
+        summed = (
+            df.groupBy("term")
+            .agg(F.sum("cnt").cast("long").alias("cnt"))
+            .localCheckpoint(eager=False)
+        )
+        nonnull = summed.filter(F.col("term").isNotNull())
+        dec = summed.filter(F.col("term").isNull()).agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("d")
+        )
+        top = nonnull.orderBy(F.desc("cnt"), F.col("term").asc()).limit(k + 1)
+        d2f = top.agg(
+            F.when(F.count(F.lit(1)) == k + 1, F.min("cnt"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("d2")
+        )
+        kept = (
+            nonnull.crossJoin(F.broadcast(d2f))
+            .filter(F.col("cnt") > F.col("d2"))
+            .select("term", (F.col("cnt") - F.col("d2")).cast("long").alias("cnt"))
+        )
+        dec_row = dec.crossJoin(F.broadcast(d2f)).select(
+            F.lit(None).cast("string").alias("term"),
+            (F.col("d") + F.col("d2")).cast("long").alias("cnt"),
+        )
+        return kept.unionByName(dec_row)
+
+    return _compact_partials(
+        spark,
+        summary_dir,
+        upto_batch_id,
+        merge,
+        "term string, cnt long",
+        distributed_merge=True,
+    )

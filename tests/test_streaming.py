@@ -1749,3 +1749,120 @@ def test_priority_sample_stream_equals_batch_and_compacts(spark, tmp_path):
     assert view() == expected  # pre-watermark garbage is excluded
     assert compact_priority_sample(spark, state, upto_batch_id=2) == 2
     assert view() == expected  # ...and reclaimed, never re-folded
+
+
+def test_compact_mg_summary_retruncates_and_keeps_guarantees(spark, tmp_path):
+    """The bounded-state MG compactor (round 11): folding closed
+    batches re-truncates to k counters — one more MG merge step, the
+    distributed twin of sketch.mg_truncate — so the generation stays
+    O(k) however many batches fold, while all four read-time
+    guarantees survive (est <= exact, undercount within the budget,
+    budget within N/(k+1), completeness above the budget). The view is
+    GUARANTEE-invariant, not value-invariant: the budget may grow by
+    the re-truncation decrement, never shrink."""
+    import shutil  # noqa: F401  (parity with sibling lifecycle tests)
+
+    from accounts_receivable_data_pipeline_api_spark.operators.text import (
+        tokens_expr,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        compact_mg_summary,
+        compacted_generation_id,
+        mg_summary_stream,
+        read_mg_summary,
+    )
+
+    schema = "doc_id long, text string"
+    batches = [
+        [(1, "the the the spark joins the spark the"), (2, "agg window agg the the")],
+        [(3, "the spark the spill shuffle spill the the"), (4, "agg the window")],
+        [(5, "the joins the spark the agg the")],
+    ]
+    src = str(tmp_path / "src")
+    _stage_ordered_batches(src, [spark.createDataFrame(r, schema) for r in batches])
+    state = str(tmp_path / "mg")
+    k = 4
+    q = mg_summary_stream(
+        _ordered_stream(spark, src, schema), state, str(tmp_path / "ckpt"), k=k
+    ).start()
+    q.awaitTermination(120)
+
+    all_rows = spark.createDataFrame([r for b in batches for r in b], schema)
+    exact = {
+        r["w"]: r["c"]
+        for r in all_rows.select(F.explode(tokens_expr("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .collect()
+    }
+    n = sum(exact.values())
+    budget_before = read_mg_summary(spark, state).collect()[0]["err_budget"]
+
+    assert compact_mg_summary(spark, state, k=k, upto_batch_id=1) == 1
+    gen_rows = (
+        spark.read.parquet(state)
+        .filter(F.col("batch_id") == compacted_generation_id(1))
+        .collect()
+    )
+    assert len(gen_rows) <= k + 1  # k counters + the decrement row
+
+    rows = read_mg_summary(spark, state).collect()
+    assert rows
+    eb = rows[0]["err_budget"]
+    assert eb >= budget_before  # re-truncation can only grow the budget
+    assert eb * (k + 1) <= n
+    tracked = {r["item"]: r["est"] for r in rows if r["item"] is not None}
+    for item, est in tracked.items():
+        assert est <= exact[item], (item, est)
+        assert exact[item] - est <= eb, (item, est, eb)
+    missing = [w for w, c in exact.items() if c > eb and w not in tracked]
+    assert not missing, missing
+    # fold the last closed batch too, then re-compaction is a no-op
+    assert compact_mg_summary(spark, state, k=k, upto_batch_id=2) == 2
+    assert compact_mg_summary(spark, state, k=k, upto_batch_id=2) == 2
+    rows2 = read_mg_summary(spark, state).collect()
+    eb2 = rows2[0]["err_budget"]
+    assert eb2 >= eb and eb2 * (k + 1) <= n
+    tracked2 = {r["item"]: r["est"] for r in rows2 if r["item"] is not None}
+    for item, est in tracked2.items():
+        assert est <= exact[item] and exact[item] - est <= eb2
+    assert not [w for w, c in exact.items() if c > eb2 and w not in tracked2]
+
+
+def test_compact_mg_summary_merge_matches_mg_truncate(spark):
+    """The distributed fold IS sketch.mg_truncate's algebra: over the
+    same merged counts, the kept counter set, the kept values, and the
+    decrement are identical (one definition, two execution forms —
+    the drift rule applied to the compactor)."""
+    import pandas as pd
+
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import (
+        mg_truncate,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        compact_mg_summary,
+        compacted_generation_id,
+    )
+
+    counts = {"a": 50, "b": 30, "c": 30, "d": 7, "e": 7, "f": 7, "g": 2}
+    k = 4
+    kept, d = mg_truncate(pd.Series(counts), k)
+    expected = {i: int(c) for i, c in kept.items()}
+
+    state_dir = str(spark._sc._temp_dir) + "/mgfold"
+    rows = [(i, c) for i, c in counts.items()] + [(None, 3)]
+    (
+        spark.createDataFrame(rows, "term string, cnt long")
+        .withColumn("batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(state_dir)
+    )
+    assert compact_mg_summary(spark, state_dir, k=k, upto_batch_id=0) == 0
+    folded = spark.read.parquet(state_dir).filter(
+        F.col("batch_id") == compacted_generation_id(0)
+    ).collect()
+    got = {r["term"]: r["cnt"] for r in folded if r["term"] is not None}
+    dec = [r["cnt"] for r in folded if r["term"] is None]
+    assert got == expected
+    assert dec == [3 + d]
