@@ -1024,6 +1024,43 @@ _HDR_SUB_BITS = 5
     sorted_vals AS (
       SELECT o_orderpriority, list_sort(list(v)) AS arr
       FROM cents GROUP BY o_orderpriority
+    ),
+    -- hdr_rollup_bucket row group (round 11): per-DAY registers over
+    -- events value-cents, computed DIRECTLY here — the Spark side
+    -- derives them by SUM-merging per-(day, hour) partials, so the
+    -- hash check proves the time-grain rollup law for the SUM-merged
+    -- sketch family too (the hll_rollup twin). Zero-value events are
+    -- filtered on BOTH sides: HDR is defined over positive integers
+    -- and a zero carries no measurable magnitude.
+    evcents AS (
+      SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+      WHERE value IS NOT NULL AND CAST(round(value * 100) AS BIGINT) > 0
+    ),
+    evhb AS (
+      SELECT day, v,
+             CAST(length(bin(v)) - 1 AS INT) AS exp,
+             CAST(greatest(length(bin(v)) - 1 - {_HDR_SUB_BITS}, 0) AS INT)
+               AS shift
+      FROM evcents
+    ),
+    evhb2 AS (
+      SELECT day, exp, shift,
+             CAST((v >> shift) - (CAST(1 AS BIGINT) << least(exp, {_HDR_SUB_BITS}))
+                  AS INT) AS sub,
+             ((CAST(1 AS BIGINT) << least(exp, {_HDR_SUB_BITS}))
+              + ((v >> shift)
+                 - (CAST(1 AS BIGINT) << least(exp, {_HDR_SUB_BITS})))) << shift
+               AS lb
+      FROM evhb
+    ),
+    evhreg AS (
+      SELECT day, exp, sub,
+             min(lb) AS lb,
+             min(lb) + (CAST(1 AS BIGINT) << min(shift)) - 1 AS ub,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM evhb2 GROUP BY day, exp, sub
     )
     SELECT 'exact' AS kind, o_orderpriority,
            quantile_cont(o_totalprice, 0.5) AS p50,
@@ -1048,6 +1085,10 @@ _HDR_SUB_BITS = 5
            s.arr[CAST(p.rank AS INT)] AS exact_disc,
            s.arr[CAST(p.rank AS INT)] BETWEEN p.q_lb AND p.q_ub
     FROM qpick p JOIN sorted_vals s USING (o_orderpriority)
+    UNION ALL
+    SELECT 'hdr_rollup_bucket', day, NULL, NULL, NULL,
+           exp, sub, cnt, lb, ub, NULL, NULL, NULL, NULL, NULL
+    FROM evhreg
     """,
     tags=("EXT", "AGG", "SKETCH"),
     doc="Quantile gauntlet per order priority, one row group per kind "
@@ -1067,7 +1108,16 @@ _HDR_SUB_BITS = 5
     "value lies inside the picked bucket [q_lb, q_ub] (width/lb <= "
     "2^-5 = 3.1% relative error). Registers merge by SUM — map-side "
     "combinable, bounded at groups * 64 * 32 rows at any corpus "
-    "size: distribution telemetry over 100 TB without a global sort.",
+    "size: distribution telemetry over 100 TB without a global sort. "
+    "kind='hdr_rollup_bucket' (round 11): the SUM-merge twin of "
+    "agg_approx_distinct's hll_rollup — per-(day, hour) register "
+    "partials over events value-cents folded to per-day registers by "
+    "one map-side-combinable groupBy sum; the oracle computes day "
+    "registers DIRECTLY from raw rows, so the hash check proves the "
+    "hypertable time-grain law (hourly->daily == direct daily) for "
+    "the SUM-merged sketch family as well as the MAX-merged one; "
+    "zero-value events filtered on both sides (HDR is defined over "
+    "positive integers).",
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketch import hdr_quantiles, hdr_registers
@@ -1126,6 +1176,37 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("exact_disc").between(F.col("q_lb"), F.col("q_ub")),
         )
     )
+    # hdr_rollup_bucket row group (round 11): the SUM-merge twin of
+    # agg_approx_distinct's hll_rollup — per-(day, hour) HDR register
+    # partials over events value-cents folded up to per-day registers
+    # by ONE map-side-combinable groupBy sum (lb/ub are bucket
+    # constants, min() just carries them). The oracle computes the
+    # day registers directly from raw rows, so the hash check proves
+    # hourly->daily == direct daily for the SUM-merged sketch family
+    # too. Zero-value events filter on both sides (HDR is defined
+    # over positive integers; a zero has no measurable magnitude).
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hr"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+    ).filter(F.col("v").isNotNull() & (F.col("v") > 0))
+    hr_hdr = hdr_registers(ev, "v", ["day", "hr"], sub_bits=_HDR_SUB_BITS)
+    day_hdr = (
+        hr_hdr.groupBy("day", "exp", "sub")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.min("lb").alias("lb"),
+            F.min("ub").alias("ub"),
+        )
+        .select(
+            F.col("day").cast("string").alias("o_orderpriority"),
+            "exp",
+            "sub",
+            "cnt",
+            "lb",
+            "ub",
+        )
+    )
     return (
         pad(exact, "exact", {"p50", "p90", "n"})
         .unionByName(pad(buckets, "hdr_bucket", {"exp", "sub", "cnt", "lb", "ub"}))
@@ -1135,6 +1216,9 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "hdr_quantile",
                 {"q", "q_lb", "q_ub", "n", "exact_disc", "within_bound"},
             )
+        )
+        .unionByName(
+            pad(day_hdr, "hdr_rollup_bucket", {"exp", "sub", "cnt", "lb", "ub"})
         )
     )
 
