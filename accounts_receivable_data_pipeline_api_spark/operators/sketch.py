@@ -419,6 +419,27 @@ def hdr_registers(
     )
 
 
+def hdr_merge_registers(
+    registers: DataFrame, group_cols: tuple[str, ...]
+) -> DataFrame:
+    """SUM-merge an HDR register table to coarser groups — the
+    quantile family's rollup fold in one place (hll_merge_registers'
+    twin): counts add by HDR additivity; (lb, ub) are bucket-law
+    constants per (exp, sub), so min() just carries them; the
+    hdr_sub_bits stamp rides the group key so partials built under
+    different bucket laws fold APART and hdr_quantiles' guard raises
+    instead of a silent mis-merge (the hll_m rule)."""
+    return (
+        registers.groupBy(*group_cols, "hdr_sub_bits", "exp", "sub")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.min("lb").alias("lb"),
+            F.min("ub").alias("ub"),
+        )
+        .select(*group_cols, "exp", "sub", "lb", "ub", "cnt", "hdr_sub_bits")
+    )
+
+
 def hdr_quantiles(
     reg: DataFrame,
     group_cols: list[str],

@@ -966,6 +966,41 @@ def agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HDR_SUB_BITS = 5
 
 
+def _hdr_bucket_ctes(prefix: str, src: str, key: str) -> str:
+    """The HDR bucket-law CTE chain (exp/shift/sub/lb bit math), in one
+    place — interpolated into the agg_percentiles oracle for BOTH the
+    per-priority registers (prefix '', source cents) and the round-11
+    time-grain rollup fixtures (prefix 'evh', source evcents): one copy
+    of the intricate law, two instantiations (round-11 review; the
+    _EXACT_JACCARD_CTE pattern)."""
+    return f"""
+    {prefix}b AS (
+      SELECT {key}, v,
+             CAST(length(bin(v)) - 1 AS INT) AS exp,
+             CAST(greatest(length(bin(v)) - 1 - {_HDR_SUB_BITS}, 0) AS INT)
+               AS shift
+      FROM {src}
+    ),
+    {prefix}b2 AS (
+      SELECT {key}, exp, shift,
+             CAST((v >> shift) - (CAST(1 AS BIGINT) << least(exp, {_HDR_SUB_BITS}))
+                  AS INT) AS sub,
+             ((CAST(1 AS BIGINT) << least(exp, {_HDR_SUB_BITS}))
+              + ((v >> shift)
+                 - (CAST(1 AS BIGINT) << least(exp, {_HDR_SUB_BITS})))) << shift
+               AS lb
+      FROM {prefix}b
+    ),
+    {prefix}reg AS (
+      SELECT {key}, exp, sub,
+             min(lb) AS lb,
+             min(lb) + (CAST(1 AS BIGINT) << min(shift)) - 1 AS ub,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {prefix}b2 GROUP BY {key}, exp, sub
+    )"""
+
+
+
 @register(
     "agg_percentiles",
     oracle=f"""
@@ -977,30 +1012,7 @@ _HDR_SUB_BITS = 5
       SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS v
       FROM orders
     ),
-    b AS (
-      SELECT o_orderpriority, v,
-             CAST(length(bin(v)) - 1 AS INT) AS exp,
-             CAST(greatest(length(bin(v)) - 1 - {_HDR_SUB_BITS}, 0) AS INT)
-               AS shift
-      FROM cents
-    ),
-    b2 AS (
-      SELECT o_orderpriority, exp, shift,
-             CAST((v >> shift) - (CAST(1 AS BIGINT) << least(exp, {_HDR_SUB_BITS}))
-                  AS INT) AS sub,
-             ((CAST(1 AS BIGINT) << least(exp, {_HDR_SUB_BITS}))
-              + ((v >> shift)
-                 - (CAST(1 AS BIGINT) << least(exp, {_HDR_SUB_BITS})))) << shift
-               AS lb
-      FROM b
-    ),
-    reg AS (
-      SELECT o_orderpriority, exp, sub,
-             min(lb) AS lb,
-             min(lb) + (CAST(1 AS BIGINT) << min(shift)) - 1 AS ub,
-             CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM b2 GROUP BY o_orderpriority, exp, sub
-    ),
+    {_hdr_bucket_ctes('', 'cents', 'o_orderpriority')},
     cum AS (
       SELECT *,
              CAST(SUM(cnt) OVER (PARTITION BY o_orderpriority
@@ -1038,30 +1050,7 @@ _HDR_SUB_BITS = 5
       FROM events
       WHERE value IS NOT NULL AND CAST(round(value * 100) AS BIGINT) > 0
     ),
-    evhb AS (
-      SELECT day, v,
-             CAST(length(bin(v)) - 1 AS INT) AS exp,
-             CAST(greatest(length(bin(v)) - 1 - {_HDR_SUB_BITS}, 0) AS INT)
-               AS shift
-      FROM evcents
-    ),
-    evhb2 AS (
-      SELECT day, exp, shift,
-             CAST((v >> shift) - (CAST(1 AS BIGINT) << least(exp, {_HDR_SUB_BITS}))
-                  AS INT) AS sub,
-             ((CAST(1 AS BIGINT) << least(exp, {_HDR_SUB_BITS}))
-              + ((v >> shift)
-                 - (CAST(1 AS BIGINT) << least(exp, {_HDR_SUB_BITS})))) << shift
-               AS lb
-      FROM evhb
-    ),
-    evhreg AS (
-      SELECT day, exp, sub,
-             min(lb) AS lb,
-             min(lb) + (CAST(1 AS BIGINT) << min(shift)) - 1 AS ub,
-             CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM evhb2 GROUP BY day, exp, sub
-    )
+    {_hdr_bucket_ctes('evh', 'evcents', 'day')}
     SELECT 'exact' AS kind, o_orderpriority,
            quantile_cont(o_totalprice, 0.5) AS p50,
            quantile_cont(o_totalprice, 0.9) AS p90,
@@ -1120,7 +1109,7 @@ _HDR_SUB_BITS = 5
     "positive integers).",
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.sketch import hdr_quantiles, hdr_registers
+    from ..operators.sketch import hdr_merge_registers, hdr_quantiles, hdr_registers
 
     orders = load_table(spark, sf_dir, "orders")
     null_cols = {
@@ -1191,21 +1180,13 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
     ).filter(F.col("v").isNotNull() & (F.col("v") > 0))
     hr_hdr = hdr_registers(ev, "v", ["day", "hr"], sub_bits=_HDR_SUB_BITS)
-    day_hdr = (
-        hr_hdr.groupBy("day", "exp", "sub")
-        .agg(
-            F.sum("cnt").cast("bigint").alias("cnt"),
-            F.min("lb").alias("lb"),
-            F.min("ub").alias("ub"),
-        )
-        .select(
-            F.col("day").cast("string").alias("o_orderpriority"),
-            "exp",
-            "sub",
-            "cnt",
-            "lb",
-            "ub",
-        )
+    day_hdr = hdr_merge_registers(hr_hdr, group_cols=("day",)).select(
+        F.col("day").cast("string").alias("o_orderpriority"),
+        "exp",
+        "sub",
+        "cnt",
+        "lb",
+        "ub",
     )
     return (
         pad(exact, "exact", {"p50", "p90", "n"})

@@ -747,3 +747,38 @@ def test_hll_rollup_single_scan_two_combinable_aggs(spark, sf_dir):
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     cols = {c.split(":")[0] for c in schemas[0].split(",")}
     assert cols == {"user_id", "ts"}, cols
+
+
+def test_hdr_rollup_single_scan_combinable_fold(spark, sf_dir):
+    """The quantile family's time-grain rollup (hll_rollup's SUM-merge
+    twin): raw events scan happens ONCE at the finest grain; the daily
+    fold is a map-side-combinable partial_sum over the bounded
+    register table; zero Python; the scan reads only ts + value."""
+    from pyspark.sql import functions as F
+
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import (
+        hdr_merge_registers,
+        hdr_registers,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.to_date("ts").alias("day"),
+            F.hour("ts").alias("hr"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+        )
+        .filter(F.col("v").isNotNull() & (F.col("v") > 0))
+    )
+    day = hdr_merge_registers(
+        hdr_registers(ev, "v", ["day", "hr"]), group_cols=("day",)
+    )
+    plan = _formatted(spark, day)
+    ops = re.findall(r"\n\(\d+\) (\S+)", plan)
+    assert sum(1 for op in ops if op.startswith("Scan")) == 1, ops
+    assert re.search(r"partial_sum", plan), plan
+    assert not re.findall(r"MapInPandas|ArrowEval", plan), plan
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in schemas[0].split(",")}
+    assert cols == {"ts", "value"}, cols
