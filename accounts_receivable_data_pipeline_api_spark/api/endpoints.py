@@ -82,23 +82,67 @@ class Endpoints:
         return {"status": "ok"}
 
     # GET /invoices/past-due (reference app/api/invoices.py:41-138)
+    # ``after`` is an [EXT] opt-in keyset cursor (SURVEY §4.2 "deep
+    # pagination at scale"): OFFSET n materializes and discards n
+    # sorted rows per request — O(offset) at depth — while the cursor
+    # predicate pushes into the scan and keeps every page O(limit).
+    # Passing after (even empty = first page) switches the response
+    # envelope to {"items", "total", "limit", "next_after"}; without
+    # it the reference envelope is byte-identical to before.
     def past_due(
         self,
         as_of: Optional[date] = None,
         limit: int = 50,
         offset: int = 0,
         sort: str = "due_date.asc",
+        after: Optional[str] = None,
     ) -> dict[str, Any]:
         if not 1 <= limit <= 200:
             raise ApiError(422, "limit must be in [1, 200]")
         if offset < 0:
             raise ApiError(422, "offset must be >= 0")
+        cursor: Optional[tuple[date, str]] = None
+        if after is not None:
+            # the cursor encodes the asc (due_date, invoice_number)
+            # order; under any other sort it would silently skip rows
+            if sort != "due_date.asc":
+                raise ApiError(422, "after requires sort=due_date.asc")
+            if offset != 0:
+                raise ApiError(422, "after and offset are mutually exclusive")
+            if after != "":  # empty cursor = keyset mode, first page
+                due_raw, sep, inv = after.partition(",")
+                try:
+                    if not sep or not inv:
+                        raise ValueError(after)
+                    cursor = (date.fromisoformat(due_raw), inv)
+                except ValueError:
+                    raise ApiError(
+                        422, "after must be '<YYYY-MM-DD>,<invoice_number>'"
+                    )
         if as_of is None:
             # F6: "today" resolves in America/New_York, OUTSIDE the plan.
             as_of = datetime.now(ZoneInfo("America/New_York")).date()
-        page = q.past_due(self.invoices, self.customers, as_of, limit, offset, sort)
-        items = [row_to_dict(r, PAST_DUE_ITEM_FIELDS) for r in page.items.collect()]
-        return {"items": items, "total": page.total, "limit": limit, "offset": offset}
+        page = q.past_due(
+            self.invoices, self.customers, as_of, limit, offset, sort, after=cursor
+        )
+        rows = page.items.collect()
+        items = [row_to_dict(r, PAST_DUE_ITEM_FIELDS) for r in rows]
+        if after is None:
+            return {"items": items, "total": page.total, "limit": limit, "offset": offset}
+        # a full page may be the last one; the next request then returns
+        # an empty page with next_after=None — O(1) termination without
+        # a count. The cursor is the LAST item's sort key verbatim.
+        next_after = (
+            f"{items[-1]['due_date']},{items[-1]['invoice_number']}"
+            if len(rows) == limit
+            else None
+        )
+        return {
+            "items": items,
+            "total": page.total,
+            "limit": limit,
+            "next_after": next_after,
+        }
 
     # GET /invoices/{invoice_number} (reference app/api/invoices.py:141-174)
     def get_invoice(self, invoice_number: str) -> dict[str, Any]:

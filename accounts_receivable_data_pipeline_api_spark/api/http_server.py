@@ -130,6 +130,9 @@ def make_handler(endpoints: Endpoints):
                     _int_param(params, "limit", 50, ge=1, le=200),
                     _int_param(params, "offset", 0, ge=0),
                     _one(params, "sort") or "due_date.asc",
+                    # [EXT] keyset cursor: present (even blank) switches
+                    # to cursor pagination; absent keeps parity behavior
+                    _one(params, "after"),
                 )
             if path == "/invoices/summary/month":
                 return endpoints.monthly_summary(

@@ -56,6 +56,7 @@ def past_due(
     limit: int = 50,
     offset: int = 0,
     sort: str = "due_date.asc",
+    after: tuple[date, str] | None = None,
 ) -> PastDuePage:
     """GET /invoices/past-due (reference app/api/invoices.py:41-138).
 
@@ -64,11 +65,29 @@ def past_due(
     dim join is broadcast; sort+offset+limit compiles to
     TakeOrderedAndProject, so only limit+offset rows ever reach the
     driver.
-    """
+
+    ``after`` ([EXT], opt-in): keyset cursor (due_date,
+    invoice_number) of the last item of the previous page — the
+    scale-safe deep-pagination path (past_due_keyset's expanded-OR
+    predicate, pushable into the scan) applied to the FULL parity item
+    shape. ``total`` stays the whole filtered-fact count (Q1 parity);
+    the cursor only moves the page window. Only meaningful under the
+    asc order the cursor encodes — callers enforce sort (the endpoint
+    rejects desc + after with 422)."""
     outstanding = outstanding_expr(F.col("bill_total"), F.col("applied"))
     base = invoices.filter((outstanding > 0) & (F.col("due_date") < F.lit(as_of)))
 
     total = base.count()  # Q1: count on the filtered fact, pre-join
+
+    if after is not None:
+        after_due, after_inv = after
+        base = base.filter(
+            (F.col("due_date") > F.lit(after_due))
+            | (
+                (F.col("due_date") == F.lit(after_due))
+                & (F.col("invoice_number") > F.lit(after_inv))
+            )
+        )
 
     ascending = PAST_DUE_SORTS.get(sort, True)  # Q4: unknown -> asc
     order = [

@@ -42,6 +42,49 @@ def test_golden_past_due_page(api):
     assert resp["items"][1]["outstanding"] == "782.25"
 
 
+def test_past_due_keyset_cursor_walk(api):
+    """[EXT] keyset pagination on the endpoint core (round-11 VERDICT
+    #6): walking the cursor yields exactly the offset-paginated
+    sequence (same items, same order — the cursor is a window move,
+    never a reorder), terminates with next_after=None, and the cursor
+    mode is strict: desc sort or a nonzero offset alongside ``after``
+    is 422, as is a malformed cursor."""
+    as_of = date(2025, 3, 1)
+    # ground truth: one big offset page (28 past-due rows total)
+    full = api.past_due(as_of=as_of, limit=200, offset=0)["items"]
+    assert len(full) == 28
+
+    walked: list[dict] = []
+    resp = api.past_due(as_of=as_of, limit=10, after="")  # first page
+    while True:
+        assert resp["total"] == 28  # Q1 parity: total ignores the cursor
+        assert "offset" not in resp and "next_after" in resp
+        walked.extend(resp["items"])
+        if resp["next_after"] is None:
+            break
+        assert len(resp["items"]) == 10  # only full pages carry a cursor
+        resp = api.past_due(as_of=as_of, limit=10, after=resp["next_after"])
+    assert walked == full
+
+    # a cursor past the last row: empty page, clean termination
+    last = full[-1]
+    tail = api.past_due(
+        as_of=as_of, limit=10, after=f"{last['due_date']},{last['invoice_number']}"
+    )
+    assert tail["items"] == [] and tail["next_after"] is None
+
+    for bad_kwargs in (
+        {"after": "", "sort": "due_date.desc"},
+        {"after": "", "offset": 5},
+        {"after": "not-a-cursor"},
+        {"after": "2024-13-01,INV"},
+        {"after": "2024-04-10"},  # missing invoice_number half
+    ):
+        with pytest.raises(ApiError) as err:
+            api.past_due(as_of=as_of, limit=10, **bad_kwargs)
+        assert err.value.status_code == 422, bad_kwargs
+
+
 def test_golden_monthly_summary(api):
     assert api.monthly_summary("2024-11") == {
         "month": "2024-11",

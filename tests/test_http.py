@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import urllib.error
+import urllib.parse
 import urllib.request
 
 import pytest
@@ -61,6 +62,39 @@ def test_http_golden_past_due_page(base_url):
         "status": "Pending",
         "days_past_due": 325,
     }
+
+
+def test_http_past_due_keyset_cursor(base_url):
+    """[EXT] keyset pagination over the wire: ``after=`` (blank) opts
+    into cursor mode, the response swaps ``offset`` for ``next_after``,
+    following the cursor never repeats or drops an item vs the offset
+    page, and a malformed cursor is a 422 with a detail envelope."""
+    status, offset_page = _get(
+        base_url, "/invoices/past-due?as_of=2025-03-01&limit=200&offset=0"
+    )
+    assert status == 200
+    full = offset_page["items"]
+
+    walked = []
+    path = "/invoices/past-due?as_of=2025-03-01&limit=10&after="
+    while True:
+        status, body = _get(base_url, path)
+        assert status == 200
+        assert "offset" not in body and body["total"] == 28
+        walked.extend(body["items"])
+        if body["next_after"] is None:
+            break
+        path = (
+            "/invoices/past-due?as_of=2025-03-01&limit=10&after="
+            + urllib.parse.quote(body["next_after"])
+        )
+    assert walked == full
+
+    status, body = _get(
+        base_url, "/invoices/past-due?as_of=2025-03-01&after=garbage"
+    )
+    assert status == 422
+    assert body["detail"]
 
 
 def test_http_golden_monthly_summary(base_url):
