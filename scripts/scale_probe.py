@@ -171,6 +171,7 @@ def _probe_ivf_sq8(spark, sf_dir: str) -> None:
     import shutil
 
     from accounts_receivable_data_pipeline_api_spark.plans.raw_ops import (
+        _ANN_SERVING_BUCKETS,
         _sq8_serving_cached,
         op_ivf_sq8_topk,
     )
@@ -185,7 +186,7 @@ def _probe_ivf_sq8(spark, sf_dir: str) -> None:
         (r["query_id"], r["match_id"])
         for r in op_ivf_sq8_topk(spark, sf_dir).collect()
     }
-    serving, cents, _n = _sq8_serving_cached(spark, sf_dir)
+    serving, cents, n_rows = _sq8_serving_cached(spark, sf_dir)
     ivf = {
         (r["query_id"], r["match_id"])
         for r in similarity.ivf_topk(
@@ -209,7 +210,12 @@ def _probe_ivf_sq8(spark, sf_dir: str) -> None:
             cents,
             "cv",
         )
-        .repartition(max(1, len(sq8_files)), F.col("cluster"))
+        # the serving table's exact bucket modulus (hash(cluster) pmod
+        # B), so the float twin mirrors the 64-way file split and pays
+        # the same per-file fixed overhead (round-12 review: a
+        # non-empty-bucket-count modulus regrouped clusters differently
+        # and could skew the per-file overhead between the sides)
+        .repartition(_ANN_SERVING_BUCKETS, F.col("cluster"))
         .sortWithinPartitions("cluster")
         .write.mode("overwrite")
         .parquet(float_dir)
@@ -223,7 +229,8 @@ def _probe_ivf_sq8(spark, sf_dir: str) -> None:
             {
                 "query": "op_ivf_sq8_recall_bytes",
                 "sf": sf_dir.rsplit("sf", 1)[-1],
-                "input_rows": emb.count(),
+                # the cache metadata's pinned corpus size — no re-count
+                "input_rows": n_rows,
                 "nlist": len(cents),
                 "recall_at_10_sq8": round(recall_sq8, 3),
                 "recall_at_10_ivf": round(recall_ivf, 3),
@@ -244,8 +251,8 @@ def _probe_ivf_sq8(spark, sf_dir: str) -> None:
     # dictionary pages, paid per column per file on BOTH sides but a
     # larger fraction of the small int8 chunks) dilutes the ratio —
     # a small-SF accounting artifact, not a scale property; the tiny
-    # SFs keep a 2x sanity floor.
-    n_rows = emb.count()
+    # SFs keep a 2x sanity floor. n_rows is the cache metadata's pinned
+    # corpus size (round-12 review: no extra count job).
     floor = 3.5 if n_rows >= 10_000 else 2.0
     assert ratio >= floor, (
         f"candidate-scan bytes ratio {ratio:.2f} < {floor} at {sf_dir} "

@@ -56,14 +56,16 @@ def test_past_due_keyset_cursor_walk(api):
 
     walked: list[dict] = []
     resp = api.past_due(as_of=as_of, limit=10, after="")  # first page
+    assert resp["total"] == 28  # first cursor page still carries Q1 total
     while True:
-        assert resp["total"] == 28  # Q1 parity: total ignores the cursor
         assert "offset" not in resp and "next_after" in resp
         walked.extend(resp["items"])
         if resp["next_after"] is None:
             break
         assert len(resp["items"]) == 10  # only full pages carry a cursor
         resp = api.past_due(as_of=as_of, limit=10, after=resp["next_after"])
+        # continuation pages skip the O(corpus) pre-cursor count
+        assert resp["total"] is None
     assert walked == full
 
     # a cursor past the last row: empty page, clean termination

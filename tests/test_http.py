@@ -77,10 +77,15 @@ def test_http_past_due_keyset_cursor(base_url):
 
     walked = []
     path = "/invoices/past-due?as_of=2025-03-01&limit=10&after="
+    first = True
     while True:
         status, body = _get(base_url, path)
         assert status == 200
-        assert "offset" not in body and body["total"] == 28
+        assert "offset" not in body
+        # first cursor page carries the total; continuations skip the
+        # O(corpus) count and return null
+        assert body["total"] == (28 if first else None)
+        first = False
         walked.extend(body["items"])
         if body["next_after"] is None:
             break

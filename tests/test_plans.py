@@ -177,21 +177,22 @@ def test_ivf_sq8_serving_scan_reads_codes_only(spark, sf_dir):
 
 def test_ann_serving_probe_prunes_buckets(spark, sf_dir):
     """Round-11 VERDICT #2: the persisted SQ8/PQ serving tables are
-    CLUSTERED BY (cluster) and a probe pushes its driver-literal
-    cluster cover (query_probe_clusters), so the candidate scan reads
-    only the probed buckets BEFORE any IO — SelectedBucketsCount with a
-    strict minority selected, the trigram-posting gate applied to the
-    ANN path. Value equality vs the unpruned probe pins that pruning is
-    an IO optimization, never a semantic one; an INCOMPLETE cover (the
-    silent-candidate-loss mode) raises in-plan instead of losing
-    matches, and an empty cover is rejected eagerly."""
-    import pytest as _pytest
+    CLUSTERED BY (cluster) and a probe carries driver-literal probe
+    assignments (query_probe_assignments — the query-router shape, the
+    SINGLE source of probe truth: no executor-side recomputation to
+    drift from), whose distinct clusters push into the scan as an
+    IN-list, so the candidate scan reads only the probed buckets
+    BEFORE any IO — SelectedBucketsCount with a strict minority
+    selected, the trigram-posting gate applied to the ANN path. Value
+    equality vs the kernel-probed path pins that the literal
+    assignments select the same probes; an EMPTY query batch yields an
+    empty result, never an error."""
     from pyspark.sql import functions as F
 
     from accounts_receivable_data_pipeline_api_spark.operators import similarity
     from accounts_receivable_data_pipeline_api_spark.plans.raw_ops import (
         _pq_serving_cached,
-        _probe_cluster_cover,
+        _probe_assignments,
         _sq8_serving_cached,
     )
     from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
@@ -199,20 +200,24 @@ def test_ann_serving_probe_prunes_buckets(spark, sf_dir):
     serving, cents, _n = _sq8_serving_cached(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    cover = _probe_cluster_cover(queries, cents, nprobe=8)
-    assert cover, "empty probe cover at sf0.001 — fixture broke"
+    assigns = _probe_assignments(queries, cents, nprobe=8)
+    assert assigns, "empty probe assignments at sf0.001 — fixture broke"
+    n_clusters = len({c for _, c in assigns})
+    assert n_clusters > 1, assigns
 
     pruned = similarity.ivf_sq8_topk(
         queries, emb, cents, k=10, nprobe=8, serving=serving,
-        probe_clusters=cover,
+        probe_assignments=assigns,
     )
     plan = _formatted(spark, pruned)
     m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
     assert m, f"no bucket pruning in the SQ8 probe plan:\n{plan}"
     selected, total = int(m.group(1)), int(m.group(2))
     assert 1 <= selected < total, (selected, total)
+    assert selected <= n_clusters, (selected, n_clusters)
 
-    # pruning is IO-only: identical rows to the unpruned probe
+    # the literal assignments reproduce the kernel-probed result
+    # exactly (same float64 GEMM / stable-argsort math, one source)
     unpruned = similarity.ivf_sq8_topk(
         queries, emb, cents, k=10, nprobe=8, serving=serving
     )
@@ -223,31 +228,26 @@ def test_ann_serving_probe_prunes_buckets(spark, sf_dir):
 
     # the PQ tier rides the same shared pushdown
     serving_pq, cents_pq, books, _n2 = _pq_serving_cached(spark, sf_dir)
+    assigns_pq = _probe_assignments(queries, cents_pq, nprobe=8)
     plan_pq = _formatted(
         spark,
         similarity.ivf_pq_topk(
             queries, emb, cents_pq, books, k=10, nprobe=8, m_rerank=100,
-            serving=serving_pq, probe_clusters=cover,
+            serving=serving_pq, probe_assignments=assigns_pq,
         ),
     )
     m2 = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan_pq)
     assert m2, f"no bucket pruning in the PQ probe plan:\n{plan_pq}"
     assert 1 <= int(m2.group(1)) < int(m2.group(2)), plan_pq
 
-    # loudness: an incomplete cover must raise in-plan, never silently
-    # drop the missing cluster's candidates (covers > 1 cluster at this
-    # sf — nlist 22, 5 spread queries)
-    assert len(cover) > 1, cover
-    with _pytest.raises(Exception, match="probe_clusters is missing"):
-        similarity.ivf_sq8_topk(
-            queries, emb, cents, k=10, nprobe=8, serving=serving,
-            probe_clusters=cover[:1],
-        ).collect()
-    with _pytest.raises(ValueError, match="probe_clusters is empty"):
-        similarity.ivf_sq8_topk(
-            queries, emb, cents, k=10, nprobe=8, serving=serving,
-            probe_clusters=[],
-        )
+    # empty query batch: zero probes, zero rows, no error (round-12
+    # review — the earlier cover design rejected the empty list and a
+    # no-match serving request 500'd instead of returning empty)
+    none = similarity.ivf_sq8_topk(
+        queries.filter(F.lit(False)), emb, cents, k=10, nprobe=8,
+        serving=serving, probe_assignments=[],
+    )
+    assert none.collect() == []
 
 
 def test_window_frames_single_shuffle_single_window(spark, sf_dir):
