@@ -41,6 +41,21 @@ def month_window(month: str) -> tuple[date, date]:
     return first_day, next_month
 
 
+def _keyset_after_filter(df: DataFrame, after: tuple[date, str]) -> DataFrame:
+    """The keyset cursor predicate, in ONE place (second-pass round-12
+    review — past_due and past_due_keyset each carried a copy): rows
+    strictly after (due_date, invoice_number) in asc order, expressed
+    as the expanded OR so each conjunct can prune row groups."""
+    after_due, after_inv = after
+    return df.filter(
+        (F.col("due_date") > F.lit(after_due))
+        | (
+            (F.col("due_date") == F.lit(after_due))
+            & (F.col("invoice_number") > F.lit(after_inv))
+        )
+    )
+
+
 @dataclass
 class PastDuePage:
     items: DataFrame
@@ -73,9 +88,16 @@ def past_due(
     shape. ``total`` is skipped on cursor pages (None) — the point of
     keyset pagination is O(limit) per page, and the pre-cursor count is
     an O(corpus) aggregation per request (round-12 review); the first
-    keyset page (no cursor yet) still carries it. Only meaningful under
-    the asc order the cursor encodes — callers enforce sort (the
-    endpoint rejects desc + after with 422)."""
+    keyset page (no cursor yet) still carries it. The cursor encodes
+    asc (due_date, invoice_number) order, so a desc sort alongside it
+    would silently skip rows — rejected HERE, not just at the endpoint
+    (second-pass round-12 review: the query layer has non-HTTP
+    callers)."""
+    if after is not None and not PAST_DUE_SORTS.get(sort, True):
+        raise ValueError(
+            "past_due: after (keyset cursor) requires ascending due_date "
+            "order — the cursor encodes asc (due_date, invoice_number)"
+        )
     outstanding = outstanding_expr(F.col("bill_total"), F.col("applied"))
     base = invoices.filter((outstanding > 0) & (F.col("due_date") < F.lit(as_of)))
 
@@ -83,14 +105,7 @@ def past_due(
     total = base.count() if after is None else None
 
     if after is not None:
-        after_due, after_inv = after
-        base = base.filter(
-            (F.col("due_date") > F.lit(after_due))
-            | (
-                (F.col("due_date") == F.lit(after_due))
-                & (F.col("invoice_number") > F.lit(after_inv))
-            )
-        )
+        base = _keyset_after_filter(base, after)
 
     ascending = PAST_DUE_SORTS.get(sort, True)  # Q4: unknown -> asc
     order = [
@@ -133,20 +148,13 @@ def past_due_keyset(
     per page — O(offset) per request. Keyset pagination filters on the
     last-seen sort key instead: (due_date, invoice_number) >
     (after_due, after_inv), which pushes into the scan and keeps every
-    page O(limit). The tuple comparison is expressed as the expanded
-    OR form so each conjunct can prune row groups.
+    page O(limit). The predicate is the shared `_keyset_after_filter`
+    (also the REST route's cursor path).
     """
     outstanding = outstanding_expr(F.col("bill_total"), F.col("applied"))
     base = invoices.filter((outstanding > 0) & (F.col("due_date") < F.lit(as_of)))
     if after is not None:
-        after_due, after_inv = after
-        base = base.filter(
-            (F.col("due_date") > F.lit(after_due))
-            | (
-                (F.col("due_date") == F.lit(after_due))
-                & (F.col("invoice_number") > F.lit(after_inv))
-            )
-        )
+        base = _keyset_after_filter(base, after)
     dim = F.broadcast(customers.select(F.col("id").alias("customer_id"), F.col("name")))
     return (
         base.join(dim, "customer_id", "inner")

@@ -447,20 +447,34 @@ def kmeans_portable(
     return assign.select(F.col(id_col), F.col("cluster_id"), F.col("score"))
 
 
+def _top_nprobe(V, centroids: list[list[float]], nprobe: int):
+    """THE probe-selection math, in one place (round-12 second-pass
+    review: the executor kernel and the driver router had two copies
+    relying on a docstring promise of sameness): per row of ``V``
+    (float64 queries x dim), the indices of the ``nprobe`` nearest
+    centroids by Euclidean argmin (argmax 2*V@C.T - |c|^2), ties to
+    the lower index via stable argsort, nprobe clamped to nlist.
+    Returns an (n_queries, nprobe_eff) int array."""
+    import numpy as np
+
+    C = np.array(centroids, dtype=np.float64)
+    c_norm2 = (C * C).sum(axis=1)
+    nprobe_eff = min(nprobe, len(centroids))
+    scores = 2.0 * (V @ C.T) - c_norm2
+    return np.argsort(-scores, axis=1, kind="stable")[:, :nprobe_eff]
+
+
 def _query_probes(q: DataFrame, centroids: list[list[float]], nprobe: int) -> DataFrame:
     """nprobe nearest centroids per query — (query_id, qv, cluster),
     one row per probe, shared by ivf_topk and ivf_sq8_topk. A numpy
-    top-k per Arrow batch (centroids in the closure — same no-literals
-    rule as assign_clusters; an exploded literal list was
-    codegen-bounded in nlist). Probe order within a query doesn't
+    top-k per Arrow batch (`_top_nprobe`; centroids in the closure —
+    same no-literals rule as assign_clusters; an exploded literal list
+    was codegen-bounded in nlist). Probe order within a query doesn't
     matter: probes only gate the cluster equi-join. Expects
     ``q = (query_id, qv ARRAY<DOUBLE>)``."""
     import numpy as np
     import pandas as pd
 
-    C = np.array(centroids, dtype=np.float64)
-    c_norm2 = (C * C).sum(axis=1)
-    nprobe_eff = min(nprobe, len(centroids))
     probe_schema = StructType(
         [
             StructField("query_id", LongType()),
@@ -474,11 +488,8 @@ def _query_probes(q: DataFrame, centroids: list[list[float]], nprobe: int) -> Da
             if pdf.empty:
                 continue
             V = np.array(list(pdf["qv"]), dtype=np.float64)
-            scores = 2.0 * (V @ C.T) - c_norm2
-            # exact top-nprobe set, ties to lower index via stable
-            # argsort on -score
-            top = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe_eff]
-            reps = np.repeat(np.arange(len(pdf)), nprobe_eff)
+            top = _top_nprobe(V, centroids, nprobe)
+            reps = np.repeat(np.arange(len(pdf)), top.shape[1])
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"].to_numpy()[reps],
@@ -512,20 +523,17 @@ def query_probe_assignments(
     BLAS differing by an ULP near a centroid tie) can never disagree
     with the scan's prune list (first-pass round-12 review: the
     earlier guard-against-drift design turned a benign rounding
-    difference into a loud probe abort). Same math as probe_kernel:
-    float64 GEMM score 2*V@C.T - |c|^2, stable argsort, nprobe
-    clamp."""
+    difference into a loud probe abort). An empty query batch returns
+    an empty list (the literal-probe path then returns zero rows
+    rather than erroring). The selection math is `_top_nprobe` — the
+    SAME function the executor kernel calls, not a copy."""
     import numpy as np
 
     if not queries_local:
         return []
-    C = np.array(centroids, dtype=np.float64)
-    c_norm2 = (C * C).sum(axis=1)
-    nprobe_eff = min(nprobe, len(centroids))
     qids = [int(qid) for qid, _ in queries_local]
     V = np.array([list(v) for _, v in queries_local], dtype=np.float64)
-    scores = 2.0 * (V @ C.T) - c_norm2
-    top = np.argsort(-scores, axis=1, kind="stable")[:, :nprobe_eff]
+    top = _top_nprobe(V, centroids, nprobe)
     return [
         (qid, int(c)) for qid, row in zip(qids, top) for c in row
     ]
@@ -674,6 +682,11 @@ def ivf_sq8_topk(
     distinct clusters as an IN-filter, so a BUCKETED serving table
     prunes whole buckets before IO (SelectedBucketsCount, plan-gated)
     and the prune can never miss a probed cluster by construction.
+    In literal mode ``nprobe`` (and, with a precomputed ``serving``,
+    ``centroids``) is NOT consulted — probe width is whatever the
+    assignments encode; compute them with the same nprobe/centroids
+    you would have passed here (second-pass round-12 review: stated
+    loudly so a mismatched pair doesn't read as a recall bug).
     """
     if m_rerank is None:
         m_rerank = 3 * k
@@ -966,7 +979,10 @@ def ivf_pq_topk(
     PQ is lossier than SQ-8 (reconstruction error ~ within-cell
     variance, not q_scale/2), so ``m_rerank`` defaults to 5k; output
     scores are exact cosines regardless (the n_score_mismatches=0
-    invariant)."""
+    invariant). ``probe_assignments`` follows the ivf_sq8_topk
+    contract: driver-literal probes replace the kernel, the serving
+    scan prunes to their clusters, and ``nprobe`` is not consulted in
+    literal mode."""
     if m_rerank is None:
         m_rerank = 5 * k
     if m_rerank < k:

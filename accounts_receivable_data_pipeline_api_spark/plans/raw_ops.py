@@ -165,8 +165,12 @@ def _bucketed_serving_table(
     import uuid
 
     data_dir = os.path.join(loc, "data")
+    # IF NOT EXISTS: catalog registration must be atomic too — the
+    # check-then-CREATE form raced two threads of one session onto a
+    # TableAlreadyExistsException (second-pass round-12 review); the
+    # data-publication race was already handled (rename loser discards)
     ddl = (
-        f"CREATE TABLE {{name}} ({columns_ddl}) USING parquet "
+        f"CREATE TABLE IF NOT EXISTS {{name}} ({columns_ddl}) USING parquet "
         f"CLUSTERED BY (cluster) SORTED BY (cluster) "
         f"INTO {_ANN_SERVING_BUCKETS} BUCKETS LOCATION '{{loc}}'"
     )
@@ -849,7 +853,9 @@ def _trigram_index_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     tbl = f"trigram_postings_{tag}"
     loc = f"/tmp/spark_graft_trigram_{tag}"
     ddl = (
-        "CREATE TABLE {name} (doc_id BIGINT, gram STRING) USING parquet "
+        # IF NOT EXISTS: atomic catalog registration (same race as the
+        # ANN serving tables — second-pass round-12 review)
+        "CREATE TABLE IF NOT EXISTS {name} (doc_id BIGINT, gram STRING) USING parquet "
         f"CLUSTERED BY (gram) SORTED BY (gram) "
         f"INTO {_TRIGRAM_BUCKETS} BUCKETS LOCATION '{{loc}}'"
     )

@@ -86,6 +86,17 @@ def test_past_due_keyset_cursor_walk(api):
             api.past_due(as_of=as_of, limit=10, **bad_kwargs)
         assert err.value.status_code == 422, bad_kwargs
 
+    # the asc-cursor invariant is enforced in the QUERY layer too, not
+    # just the HTTP 422 path — non-HTTP callers (exports, notebooks)
+    # would otherwise silently skip rows under a desc sort
+    from accounts_receivable_data_pipeline_api_spark.ar import queries as arq
+
+    with pytest.raises(ValueError, match="keyset cursor"):
+        arq.past_due(
+            api.invoices, api.customers, as_of,
+            sort="due_date.desc", after=(date(2024, 4, 10), "X"),
+        )
+
 
 def test_golden_monthly_summary(api):
     assert api.monthly_summary("2024-11") == {
