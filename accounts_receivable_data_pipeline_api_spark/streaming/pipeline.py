@@ -910,6 +910,108 @@ def compact_timegrain_registers(
 
 
 # ---------------------------------------------------------------------------
+# Streaming ANN ingest (round 12): a DELTA feed for the persisted IVF-SQ8
+# serving table, so newly-arriving vectors become searchable without an
+# index rebuild — the freshness half of the serving story
+# ---------------------------------------------------------------------------
+
+
+def ann_delta_stream(
+    vectors_stream: DataFrame,
+    delta_dir: str,
+    checkpoint_dir: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming ingest into the quantized ANN serving tier: each
+    microbatch of NEW vectors is cluster-assigned and SQ-8 encoded
+    against the ``centroids`` the BASE serving table was built with
+    (operators/similarity.py:ivf_sq8_serving_table — the same batch
+    builder, per microbatch) and appended to ``delta_dir`` under the
+    per-batch partition contract. Probes then search base + delta
+    (``read_ann_delta`` unioned onto the bucketed base table) so fresh
+    vectors are visible within one microbatch while the expensive
+    compacted layout stays immutable — the standard serving split
+    (immutable bucketed segment + small append log), with the periodic
+    full rebuild being a new base cache build.
+
+    Centroids MUST be the published base cache's (raw_ops.py:
+    _sq8_serving_cached metadata): encoding against privately
+    recomputed centroids would assign probes inconsistently with the
+    stored cluster column — the cache's cross-process-consistency
+    contract, restated here because the stream is the one writer that
+    runs outside the cache build. Rows are deterministic given
+    (vector, centroids), so a replayed batch rewrites ITS OWN partition
+    with identical content (the dynamic-overwrite replay contract).
+    Append-only by contract: ingest NEW ids — updating an existing id
+    leaves both rows searchable until the next base rebuild."""
+    from ..operators.similarity import ivf_sq8_serving_table
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            ivf_sq8_serving_table(
+                batch_df, centroids, id_col=id_col, vec_col=vec_col
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(delta_dir)
+        )
+
+    return (
+        vectors_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def read_ann_delta(spark: SparkSession, delta_dir: str) -> DataFrame:
+    """The live delta segment: (match_id, cluster, q_scale, qvec) —
+    union it onto the bucketed base serving table and pass the result
+    as ``serving=`` to ivf_sq8_topk (a cluster IN-filter distributes
+    over the union, so the base side keeps its bucket pruning and the
+    delta side prunes row groups). Reads under the generation protocol
+    and dedups by match_id: a resurrected partition after compaction
+    re-introduces rows byte-identical to the folded ones (deterministic
+    encoding), so any-pick dedup is exact, and duplicate candidates
+    would otherwise be scored twice per query — harmless for scores but
+    able to eject a true neighbor from a top-m window."""
+    return (
+        _read_excluding_folded(spark, delta_dir)
+        .dropDuplicates(["match_id"])
+        .select("match_id", "cluster", "q_scale", "qvec")
+    )
+
+
+def compact_ann_delta(
+    spark: SparkSession,
+    delta_dir: str,
+    upto_batch_id: int | None = None,
+) -> int | None:
+    """Fold closed delta batches into one generation via the shared
+    protocol's distributed-merge path (vector state is corpus-sized,
+    never driver-bounded): the merge is the reader's own
+    match_id-dedup, so fold-then-read equals read — and because rows
+    are deterministic, a replayed batch resurrecting after compaction
+    is byte-identical to folded content and the read's dedup keeps the
+    segment exact."""
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.dropDuplicates(["match_id"])
+
+    return _compact_partials(
+        spark,
+        delta_dir,
+        upto_batch_id,
+        merge,
+        "match_id bigint, cluster int, q_scale double, qvec array<tinyint>",
+        distributed_merge=True,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Streaming funnel (stateful twin of operators/events.py:funnel)
 # ---------------------------------------------------------------------------
 

@@ -1015,6 +1015,104 @@ def test_timegrain_continuous_aggregate_matches_batch_rollup(spark, tmp_path):
     )
 
 
+def test_ann_delta_stream_serves_fresh_vectors(spark, sf_dir, tmp_path):
+    """Streaming ANN ingest (round 12): newly-arriving vectors are
+    quantized per microbatch against the BASE index's centroids and
+    appended as a delta segment; a probe over base + delta equals a
+    probe over a serving table built on the full corpus in one shot
+    (same centroids -> same clusters/codes, so the split is purely
+    physical); the delta read equals the batch builder over the same
+    rows; compaction (distributed-merge generation) and a
+    checkpoint-wiped replay leave the segment exactly unchanged."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from accounts_receivable_data_pipeline_api_spark.operators.similarity import (
+        ivf_build,
+        ivf_sq8_serving_table,
+        ivf_sq8_topk,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        ann_delta_stream,
+        compact_ann_delta,
+        compaction_watermark,
+        read_ann_delta,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    cents = ivf_build(base, k=16, iters=2)
+    base_serving = ivf_sq8_serving_table(base, cents)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    deltas = [
+        emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450)),
+        emb.filter(F.col("vec_id") >= 450),
+    ]
+    schema = _stage_ordered_batches(src, deltas)
+    delta_dir = str(tmp_path / "delta")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = _ordered_stream(spark, src, schema)
+        q = ann_delta_stream(stream, delta_dir, ckpt, cents).start()
+        q.awaitTermination(120)
+
+    run()
+
+    # the delta read equals the batch builder over the same rows
+    # (collected-set compare: the segment is test-bounded at 100 rows,
+    # and exceptAll over the mapInPandas-derived builder plan trips a
+    # Catalyst attribute-binding internal error in this Spark build)
+    def seg(df):
+        return {
+            (r["match_id"], r["cluster"], r["q_scale"], tuple(r["qvec"]))
+            for r in df.collect()
+        }
+
+    delta_rows = emb.filter(F.col("vec_id") >= 400)
+    assert seg(read_ann_delta(spark, delta_dir)) == seg(
+        ivf_sq8_serving_table(delta_rows, cents)
+    )
+
+    # probe over base + delta == probe over a one-shot full serving
+    # table (the physical split is invisible to search)
+    queries = emb.filter(F.col("vec_id") < 5)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+
+    def probe(serving):
+        df = ivf_sq8_topk(queries, emb, cents, k=10, nprobe=8, serving=serving)
+        return [tuple(r) for r in sorted(df.collect(), key=key)]
+
+    split = probe(base_serving.unionByName(read_ann_delta(spark, delta_dir)))
+    oneshot = probe(ivf_sq8_serving_table(emb, cents))
+    assert split == oneshot
+    # and the delta actually surfaces: some neighbor comes from the
+    # streamed segment (500 vectors, 100 of them fresh — the top-10s
+    # over 5 queries are empirically never all-base; if this ever
+    # flakes the fixture changed, not the operator)
+    assert any(m >= 400 for _, m, _, _ in split), split
+
+    # compaction: fold to one generation, segment unchanged
+    before = seg(read_ann_delta(spark, delta_dir))
+    assert compact_ann_delta(spark, delta_dir) == 0  # folds batch 0 only
+    assert compact_ann_delta(spark, delta_dir, upto_batch_id=1) == 1
+    assert compaction_watermark(spark, delta_dir) == 1
+    assert seg(read_ann_delta(spark, delta_dir)) == before
+
+    # replay: wipe the checkpoint and rerun — partials rewrite
+    # byte-identically (deterministic encoding), the read's dedup keeps
+    # the segment exact even though batch partitions resurrect below
+    # the watermark
+    shutil.rmtree(ckpt)
+    run()
+    assert seg(read_ann_delta(spark, delta_dir)) == before
+
+
 def test_compact_registers_estimate_invariant_and_replay_safe(spark, tmp_path):
     """Register compaction lifecycle (round-7 VERDICT #5): folding
     closed-batch partials into a fresh generation partition
