@@ -1,11 +1,19 @@
 """Extra TPC-H-shape queries oracle-compared against DuckDB, OUTSIDE
 the 50-entry driver corpus (the corpus window is full; these widen the
-verified SQL surface without reshaping it). Q6, Q7, Q8, Q10, Q13, Q14, Q15,
-and Q18 are expressible on this driver's reduced schemas (with
-nationkey/p_type literals standing in for the spec's name strings);
-Q2/Q4/Q9/Q11/Q12/Q16/Q17/Q19/Q20/Q21/Q22 need columns or tables the
-driver omits (partsupp, l_shipmode, l_commitdate, l_receiptdate,
-l_shipinstruct, p_container, c_phone, o_comment).
+verified SQL surface without reshaping it). Q6, Q7, Q8, Q10, Q13, Q14,
+Q15, and Q18 are expressible on this driver's reduced schemas directly
+(with nationkey/p_type literals standing in for the spec's name
+strings). Round 12 adds the remaining SHAPES as adapted queries — Q4
+(EXISTS semi-join), Q9 (LIKE snowflake profit), Q11 (global-scalar
+HAVING), Q16 (distinct-count agg), Q17 (correlated per-group average),
+Q19 (disjunctive join predicate), Q21 (double EXISTS/NOT-EXISTS
+self-join), Q22 (anti-join + scalar threshold) — each substituting
+driver columns for the ones it omits (partsupp, l_shipmode,
+l_commitdate, l_receiptdate, l_shipinstruct, p_container, c_phone,
+o_comment; noted per test). Only Q2 and Q20 have no
+shape-preserving adaptation (both are structurally ABOUT partsupp),
+and Q12 reduces to a conditional-count-per-group already covered by
+agg_cube_status_priority's row groups. 20 of 22 TPC-H shapes oracled.
 
 Decimal discipline follows the tpch_q1 entry (plans/relational.py):
 money flows through DECIMAL casts (exact, order-free sums), final
@@ -469,3 +477,399 @@ def test_q8_national_market_share(spark, duck):
     )
     _assert_match(rep)
     assert rep["spark_rows"] >= 2  # both order years present
+
+
+# ---------------------------------------------------------------------------
+# Round 12: the remaining TPC-H SHAPES, adapted to the driver's reduced
+# schemas. Q2 and Q20 genuinely need partsupp (no adaptation preserves
+# their shape); the eight below keep each query's distinguishing plan
+# shape — EXISTS semi-join, global-scalar HAVING, distinct-count agg,
+# correlated per-group average, disjunctive join predicate, double
+# EXISTS/NOT-EXISTS self-join, anti-join + scalar threshold — with the
+# driver's columns standing in for the missing ones (noted per test).
+# Comparisons avoid cross-engine float traps: thresholds against
+# averages are rewritten as exact integer/decimal cross-multiplications
+# (qty * 5 * count < sum instead of qty < 0.2 * avg), so no boundary
+# row can flip on a 1-ulp avg difference.
+# ---------------------------------------------------------------------------
+
+
+def test_q4_order_priority_exists(spark, duck):
+    """Q4 shape: per-priority order counts gated by an EXISTS
+    subquery -> left-semi join (l_returnflag = 'R' stands in for the
+    missing l_commitdate < l_receiptdate)."""
+    orders = load_table(spark, ORACLE_SF_DIR, "orders")
+    li = load_table(spark, ORACLE_SF_DIR, "lineitem")
+    df = (
+        orders.filter(
+            (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate").cast("date") < F.lit("1996-04-01").cast("date"))
+        )
+        .join(
+            li.filter(F.col("l_returnflag") == "R").select(
+                F.col("l_orderkey").alias("o_orderkey")
+            ),
+            "o_orderkey",
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+    rep = compare(
+        df,
+        duck,
+        """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY 1
+        """,
+    )
+    _assert_match(rep)
+    assert rep["spark_rows"] == 5  # all five priorities present
+
+
+def test_q9_product_type_profit(spark, duck):
+    """Q9 shape: name-LIKE part filter through a 4-table join, profit
+    grouped by (supplier nation, order year). The driver has no
+    partsupp, so profit = revenue (ps_supplycost's subtraction is the
+    one piece that cannot be adapted); the plan shape — LIKE pushdown,
+    snowflake join, two-key group — is Q9's."""
+    li = load_table(spark, ORACLE_SF_DIR, "lineitem")
+    orders = load_table(spark, ORACLE_SF_DIR, "orders")
+    supplier = load_table(spark, ORACLE_SF_DIR, "supplier")
+    part = load_table(spark, ORACLE_SF_DIR, "part")
+    nation = load_table(spark, ORACLE_SF_DIR, "nation")
+    disc_price = (
+        _money("l_extendedprice")
+        * (F.lit(1) - _money("l_discount")).cast("decimal(4,2)")
+    ).cast("decimal(24,4)")
+    df = (
+        li.join(
+            F.broadcast(part.filter(F.col("p_name").contains("red"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year(F.col("o_orderdate").cast("date")).alias("o_year"),
+        )
+        .agg(F.sum(disc_price).cast("double").alias("sum_profit"))
+    )
+    rep = compare(
+        df,
+        duck,
+        """
+        SELECT n_name AS nation,
+               CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS o_year,
+               CAST(CAST(SUM(CAST(
+                 CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))
+                 AS DECIMAL(24,4))) AS VARCHAR) AS DOUBLE) AS sum_profit
+        FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%red%'
+        GROUP BY 1, 2
+        """,
+    )
+    _assert_match(rep)
+    assert rep["spark_rows"] > 10
+
+
+def test_q11_supplier_value_share(spark, duck):
+    """Q11 shape: per-key value with a HAVING against a fraction of
+    the GLOBAL sum (scalar subquery -> broadcast cross join). Supplier
+    lineitem revenue stands in for partsupp stock value. The threshold
+    compares exact decimals cross-multiplied by integer scale factors
+    (value * 10000 > total * 105, i.e. share > 1.05% — the fixture's
+    100 suppliers are near-uniform, max share 1.117%, so this selects
+    roughly the top decile), so no
+    boundary supplier can flip on a float rounding difference."""
+    li = load_table(spark, ORACLE_SF_DIR, "lineitem")
+    disc_price = (
+        _money("l_extendedprice")
+        * (F.lit(1) - _money("l_discount")).cast("decimal(4,2)")
+    ).cast("decimal(24,4)")
+    rev = li.groupBy("l_suppkey").agg(F.sum(disc_price).alias("__v"))
+    total = rev.agg(F.sum("__v").alias("__t"))
+    df = (
+        rev.crossJoin(F.broadcast(total))
+        .filter(F.col("__v") * 10000 > F.col("__t") * 105)
+        .select("l_suppkey", F.col("__v").cast("double").alias("value"))
+    )
+    rep = compare(
+        df,
+        duck,
+        """
+        WITH rev AS (
+          SELECT l_suppkey,
+                 SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))
+                     AS DECIMAL(24,4))) AS v
+          FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT l_suppkey, CAST(CAST(v AS VARCHAR) AS DOUBLE) AS value
+        FROM rev
+        WHERE v * 10000 > (SELECT SUM(v) FROM rev) * 105
+        """,
+    )
+    _assert_match(rep)
+    # the threshold must be selective in BOTH directions
+    n_suppliers = load_table(spark, ORACLE_SF_DIR, "supplier").count()
+    assert 0 < rep["spark_rows"] < n_suppliers, rep
+
+
+def test_q16_supplier_count_by_part(spark, duck):
+    """Q16 shape: COUNT(DISTINCT supplier) per part attribute group
+    with exclusion filters (brand <>, size IN); lineitem's suppliers
+    stand in for partsupp's."""
+    li = load_table(spark, ORACLE_SF_DIR, "lineitem")
+    part = load_table(spark, ORACLE_SF_DIR, "part")
+    df = (
+        li.join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_brand") != "Brand#13")
+                    & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+    rep = compare(
+        df,
+        duck,
+        """
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#13' AND p_size IN (1, 5, 10, 15, 20, 25)
+        GROUP BY 1, 2, 3
+        """,
+    )
+    _assert_match(rep)
+    assert rep["spark_rows"] > 20
+
+
+def test_q17_small_quantity_revenue(spark, duck):
+    """Q17 shape: revenue from lineitems below 20% of their part's
+    average quantity — the correlated per-part AVG subquery, as a
+    group + join-back. The threshold is the exact cross-multiplied
+    form qty * 5 * count < sum (decimals and integers only): a literal
+    0.2 * AVG would compare doubles whose low bits differ by engine
+    summation order. p_brand stands in for the missing p_container."""
+    li = load_table(spark, ORACLE_SF_DIR, "lineitem")
+    part = load_table(spark, ORACLE_SF_DIR, "part")
+    brand = li.join(
+        F.broadcast(part.filter(F.col("p_brand") == "Brand#12")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    per_part = brand.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.sum(_money("l_quantity")).alias("__qsum"),
+        F.count(F.lit(1)).alias("__qcnt"),
+    )
+    df = (
+        brand.join(F.broadcast(per_part), F.col("p_partkey") == F.col("__pk"))
+        .filter(_money("l_quantity") * 5 * F.col("__qcnt") < F.col("__qsum"))
+        .agg(
+            (F.sum(_money("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+    rep = compare(
+        df,
+        duck,
+        """
+        WITH brand AS (
+          SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+                 CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#12'
+        ),
+        per_part AS (
+          SELECT l_partkey AS pk, SUM(qty) AS qsum,
+                 CAST(COUNT(*) AS BIGINT) AS qcnt
+          FROM brand GROUP BY 1
+        )
+        SELECT CAST(CAST(SUM(price) AS VARCHAR) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM brand JOIN per_part ON l_partkey = pk
+        WHERE qty * 5 * qcnt < qsum
+        """,
+    )
+    _assert_match(rep)
+    assert df.collect()[0]["avg_yearly"] is not None
+
+
+def test_q19_disjunctive_predicate_revenue(spark, duck):
+    """Q19 shape: a three-way DISJUNCTION of conjunctive (brand, size,
+    quantity) bands across a join — the classic test of OR-predicate
+    handling (each disjunct must still prune; none may leak across).
+    Brand/size/quantity bands stand in for the container/shipmode
+    terms the driver omits."""
+    li = load_table(spark, ORACLE_SF_DIR, "lineitem")
+    part = load_table(spark, ORACLE_SF_DIR, "part")
+    qty = _money("l_quantity")
+    df = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            (
+                (F.col("p_brand") == "Brand#12")
+                & F.col("p_size").between(1, 5)
+                & qty.between(1, 11)
+            )
+            | (
+                (F.col("p_brand") == "Brand#14")
+                & F.col("p_size").between(1, 10)
+                & qty.between(10, 20)
+            )
+            | (
+                (F.col("p_brand") == "Brand#15")
+                & F.col("p_size").between(1, 15)
+                & qty.between(20, 30)
+            )
+        )
+        .agg(
+            F.sum(
+                (
+                    _money("l_extendedprice")
+                    * (F.lit(1) - _money("l_discount")).cast("decimal(4,2)")
+                ).cast("decimal(24,4)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    rep = compare(
+        df,
+        duck,
+        """
+        SELECT CAST(CAST(SUM(CAST(
+                 CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(4,2))
+                 AS DECIMAL(24,4))) AS VARCHAR) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 10
+               AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 15
+               AND CAST(l_quantity AS DECIMAL(18,2)) BETWEEN 20 AND 30)
+        """,
+    )
+    _assert_match(rep)
+    assert df.collect()[0]["revenue"] is not None
+
+
+def test_q21_sole_failing_supplier(spark, duck):
+    """Q21 shape: the double correlated EXISTS / NOT-EXISTS self-join —
+    suppliers whose lineitem is the ONLY returned one in a multi-
+    supplier order (l_returnflag = 'R' stands in for the receipt-after-
+    commit lateness predicate). The Spark side proves the aggregate
+    reformulation: per-order distinct-supplier stats replace both
+    correlated subqueries (another supplier EXISTS <=> n_supp > 1; no
+    OTHER returning supplier <=> n_ret == 1, since the probe row itself
+    returns), and the DuckDB oracle runs the literal EXISTS/NOT EXISTS
+    form, so the hash equality is a cross-engine proof the two
+    formulations agree row-for-row."""
+    li = load_table(spark, ORACLE_SF_DIR, "lineitem")
+    supplier = load_table(spark, ORACLE_SF_DIR, "supplier")
+    stats = li.groupBy(F.col("l_orderkey").alias("__ok")).agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("__n_ret"),
+    )
+    df = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(stats, F.col("l_orderkey") == F.col("__ok"))
+        .filter((F.col("__n_supp") > 1) & (F.col("__n_ret") == 1))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+    rep = compare(
+        df,
+        duck,
+        """
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM lineitem l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        """,
+    )
+    _assert_match(rep)
+    assert rep["spark_rows"] > 0
+
+
+def test_q22_dormant_customer_balance(spark, duck):
+    """Q22 shape: customers above a global positive-balance average
+    (scalar subquery) with NO recent orders (anti-join), grouped by
+    country. c_nationkey IN-list stands in for the phone-prefix
+    country codes; 'no orders since 1999' stands in for 'no orders
+    ever' (every driver customer has orders). The average threshold is
+    the exact cross-multiplied form bal * count > sum."""
+    customer = load_table(spark, ORACLE_SF_DIR, "customer")
+    orders = load_table(spark, ORACLE_SF_DIR, "orders")
+    nats = [1, 3, 5, 7, 9, 11, 13]
+    in_scope = customer.filter(F.col("c_nationkey").isin(nats))
+    pos = in_scope.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_money("c_acctbal")).alias("__s"),
+        F.count(F.lit(1)).alias("__c"),
+    )
+    recent = orders.filter(
+        F.col("o_orderdate").cast("date") >= F.lit("1999-01-01").cast("date")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    df = (
+        in_scope.crossJoin(F.broadcast(pos))
+        .filter(_money("c_acctbal") * F.col("__c") > F.col("__s"))
+        .join(recent, "c_custkey", "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum(_money("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+    rep = compare(
+        df,
+        duck,
+        """
+        WITH scope AS (
+          SELECT c_custkey, c_nationkey,
+                 CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+          FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+        ),
+        pos AS (
+          SELECT SUM(bal) AS s, CAST(COUNT(*) AS BIGINT) AS c
+          FROM scope WHERE bal > 0
+        )
+        SELECT c_nationkey AS cntrycode,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(CAST(SUM(bal) AS VARCHAR) AS DOUBLE) AS totacctbal
+        FROM scope, pos
+        WHERE bal * c > s
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND CAST(o_orderdate AS DATE) >= DATE '1999-01-01')
+        GROUP BY 1
+        """,
+    )
+    _assert_match(rep)
+    assert rep["spark_rows"] > 0
