@@ -447,19 +447,29 @@ def kmeans_portable(
     return assign.select(F.col(id_col), F.col("cluster_id"), F.col("score"))
 
 
-def _top_nprobe(V, centroids: list[list[float]], nprobe: int):
+def _centroid_matrix(centroids: list[list[float]]):
+    """(C, c_norm2) as float64 numpy — build ONCE per probe call (the
+    round-12 third-pass review caught the shared helper re-unboxing
+    the O(nlist*dim) Python list per Arrow batch on the executor hot
+    path); ships in the kernel closure like assign_clusters'."""
+    import numpy as np
+
+    C = np.array(centroids, dtype=np.float64)
+    return C, (C * C).sum(axis=1)
+
+
+def _top_nprobe(V, C, c_norm2, nprobe: int):
     """THE probe-selection math, in one place (round-12 second-pass
     review: the executor kernel and the driver router had two copies
     relying on a docstring promise of sameness): per row of ``V``
     (float64 queries x dim), the indices of the ``nprobe`` nearest
     centroids by Euclidean argmin (argmax 2*V@C.T - |c|^2), ties to
     the lower index via stable argsort, nprobe clamped to nlist.
-    Returns an (n_queries, nprobe_eff) int array."""
+    ``(C, c_norm2)`` come precomputed from `_centroid_matrix`. Returns
+    an (n_queries, nprobe_eff) int array."""
     import numpy as np
 
-    C = np.array(centroids, dtype=np.float64)
-    c_norm2 = (C * C).sum(axis=1)
-    nprobe_eff = min(nprobe, len(centroids))
+    nprobe_eff = min(nprobe, C.shape[0])
     scores = 2.0 * (V @ C.T) - c_norm2
     return np.argsort(-scores, axis=1, kind="stable")[:, :nprobe_eff]
 
@@ -467,14 +477,16 @@ def _top_nprobe(V, centroids: list[list[float]], nprobe: int):
 def _query_probes(q: DataFrame, centroids: list[list[float]], nprobe: int) -> DataFrame:
     """nprobe nearest centroids per query — (query_id, qv, cluster),
     one row per probe, shared by ivf_topk and ivf_sq8_topk. A numpy
-    top-k per Arrow batch (`_top_nprobe`; centroids in the closure —
-    same no-literals rule as assign_clusters; an exploded literal list
-    was codegen-bounded in nlist). Probe order within a query doesn't
-    matter: probes only gate the cluster equi-join. Expects
+    top-k per Arrow batch (`_top_nprobe`; the centroid matrix is built
+    once and ships in the closure — same no-literals rule as
+    assign_clusters; an exploded literal list was codegen-bounded in
+    nlist). Probe order within a query doesn't matter: probes only
+    gate the cluster equi-join. Expects
     ``q = (query_id, qv ARRAY<DOUBLE>)``."""
     import numpy as np
     import pandas as pd
 
+    C, c_norm2 = _centroid_matrix(centroids)
     probe_schema = StructType(
         [
             StructField("query_id", LongType()),
@@ -488,7 +500,7 @@ def _query_probes(q: DataFrame, centroids: list[list[float]], nprobe: int) -> Da
             if pdf.empty:
                 continue
             V = np.array(list(pdf["qv"]), dtype=np.float64)
-            top = _top_nprobe(V, centroids, nprobe)
+            top = _top_nprobe(V, C, c_norm2, nprobe)
             reps = np.repeat(np.arange(len(pdf)), top.shape[1])
             yield pd.DataFrame(
                 {
@@ -533,7 +545,7 @@ def query_probe_assignments(
         return []
     qids = [int(qid) for qid, _ in queries_local]
     V = np.array([list(v) for _, v in queries_local], dtype=np.float64)
-    top = _top_nprobe(V, centroids, nprobe)
+    top = _top_nprobe(V, *_centroid_matrix(centroids), nprobe)
     return [
         (qid, int(c)) for qid, row in zip(qids, top) for c in row
     ]

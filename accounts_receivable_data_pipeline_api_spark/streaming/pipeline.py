@@ -440,13 +440,10 @@ def decontaminate_doc_stream(
     from ..operators.text import decontaminate
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            decontaminate(batch_df, benchmark, n=n)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(out_dir)
+        _write_batch_partial(
+            decontaminate(batch_df, benchmark, n=n),
+            out_dir,
+            batch_id,
         )
 
     return (
@@ -583,15 +580,12 @@ def token_frequency_sketch_stream(
             F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
         ).filter(F.col("token") != "")
         block = cms_build(tokens, "token", depth=depth, width=width)
-        (
+        _write_batch_partial(
             spark.createDataFrame(
                 [(bytes(block.tobytes()),)], "block binary"
-            )
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(sketch_dir)
+            ),
+            sketch_dir,
+            batch_id,
         )
 
     return (
@@ -668,13 +662,10 @@ def distinct_sketch_stream(
     from ..operators.sketch import hll_registers
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            hll_registers(batch_df, item_col, m=m)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(registers_dir)
+        _write_batch_partial(
+            hll_registers(batch_df, item_col, m=m),
+            registers_dir,
+            batch_id,
         )
 
     return (
@@ -830,13 +821,10 @@ def timegrain_sketch_stream(
             F.to_date(ts_col).alias("day"),
             F.hour(ts_col).alias("hr"),
         )
-        (
-            hll_registers(ev, item_col, m=m, group_cols=("day", "hr"))
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(registers_dir)
+        _write_batch_partial(
+            hll_registers(ev, item_col, m=m, group_cols=("day", "hr")),
+            registers_dir,
+            batch_id,
         )
 
     return (
@@ -949,15 +937,12 @@ def ann_delta_stream(
     from ..operators.similarity import ivf_sq8_serving_table
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
+        _write_batch_partial(
             ivf_sq8_serving_table(
                 batch_df, centroids, id_col=id_col, vec_col=vec_col
-            )
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(delta_dir)
+            ),
+            delta_dir,
+            batch_id,
         )
 
     return (
@@ -967,20 +952,38 @@ def ann_delta_stream(
     )
 
 
-def read_ann_delta(spark: SparkSession, delta_dir: str) -> DataFrame:
+def read_ann_delta(
+    spark: SparkSession, delta_dir: str, clusters: list[int] | None = None
+) -> DataFrame:
     """The live delta segment: (match_id, cluster, q_scale, qvec) —
     union it onto the bucketed base serving table and pass the result
-    as ``serving=`` to ivf_sq8_topk (a cluster IN-filter distributes
-    over the union, so the base side keeps its bucket pruning and the
-    delta side prunes row groups). Reads under the generation protocol
-    and dedups by match_id: a resurrected partition after compaction
-    re-introduces rows byte-identical to the folded ones (deterministic
-    encoding), so any-pick dedup is exact, and duplicate candidates
-    would otherwise be scored twice per query — harmless for scores but
-    able to eject a true neighbor from a top-m window."""
+    as ``serving=`` to ivf_sq8_topk. Reads under the generation
+    protocol and dedups by match_id: a resurrected partition after
+    compaction re-introduces rows byte-identical to the folded ones
+    (deterministic encoding), so any-pick dedup is exact, and duplicate
+    candidates would otherwise be scored twice per query — harmless for
+    scores but able to eject a true neighbor from a top-m window.
+
+    ``clusters``: pass the probe's cluster list (the same one the
+    literal-probe path pushes into the base table) to prune the delta
+    scan HERE, before the dedup — the probe's own serving filter stops
+    at the dedup's aggregate boundary and cannot reach this reader's
+    parquet scan (round-12 third-pass review verified the optimized
+    plan keeps the IN-filter above the dedup), so a probe over a large
+    un-compacted delta would otherwise scan and shuffle the whole
+    segment per request. Filtering before the dedup is exact: a
+    match_id has ONE cluster value across all its duplicate rows
+    (deterministic encoding against pinned centroids), so pre- and
+    post-dedup filtering select the same match_ids."""
+    df = _read_excluding_folded(spark, delta_dir)
+    if clusters is not None:
+        df = df.filter(
+            F.col("cluster").isin(sorted({int(c) for c in clusters}))
+            if clusters
+            else F.lit(False)
+        )
     return (
-        _read_excluding_folded(spark, delta_dir)
-        .dropDuplicates(["match_id"])
+        df.dropDuplicates(["match_id"])
         .select("match_id", "cluster", "q_scale", "qvec")
     )
 
@@ -1135,13 +1138,10 @@ def quantile_sketch_stream(
     from ..operators.sketch import hdr_registers
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            hdr_registers(batch_df, value_col, group_cols=[], sub_bits=sub_bits)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(registers_dir)
+        _write_batch_partial(
+            hdr_registers(batch_df, value_col, group_cols=[], sub_bits=sub_bits),
+            registers_dir,
+            batch_id,
         )
 
     return (
@@ -1433,13 +1433,10 @@ def overlap_sketch_stream(
     from ..operators.sketch import kmv_sample
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            kmv_sample(batch_df, item_col, k=k)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(samples_dir)
+        _write_batch_partial(
+            kmv_sample(batch_df, item_col, k=k),
+            samples_dir,
+            batch_id,
         )
 
     return (
@@ -1534,18 +1531,35 @@ def term_count_stream(
     )
 
 
+def _write_batch_partial(partial: DataFrame, state_dir: str, batch_id: int) -> None:
+    """THE per-batch partial-write contract, in one place (round-12
+    third-pass review: ten verbatim copies of this block had
+    accumulated across the stream families, and the contract is
+    load-bearing for replay safety): stamp the checkpointed batch_id
+    and dynamic-partition-overwrite ONLY that partition, so a replayed
+    batch rewrites ITS OWN partial and retries can never perturb a
+    merge — every compactable state table (counts, registers, samples,
+    MG summaries, ANN deltas) writes through this. (The incremental-
+    dedup stream keeps its own two-sink variant: it writes verdicts AND
+    a fingerprint table per batch, a different contract.)"""
+    (
+        partial.withColumn("batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(state_dir)
+    )
+
+
 def _write_count_partial(terms: DataFrame, counts_dir: str, batch_id: int) -> None:
     """One (term, cnt) partial under the checkpointed batch_id —
     dynamic partition overwrite, the replay contract shared by the
     unigram and bigram count streams."""
-    (
+    _write_batch_partial(
         terms.groupBy("term")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .withColumn("batch_id", F.lit(batch_id))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(counts_dir)
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt")),
+        counts_dir,
+        batch_id,
     )
 
 
@@ -1728,13 +1742,10 @@ def mg_summary_stream(
         kept, d2 = mg_truncate(counts, k)
         dec += d2
         rows = [(i, int(c)) for i, c in kept.items()] + [(None, dec)]
-        (
-            spark.createDataFrame(rows, "term string, cnt long")
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(summary_dir)
+        _write_batch_partial(
+            spark.createDataFrame(rows, "term string, cnt long"),
+            summary_dir,
+            batch_id,
         )
 
     return (
@@ -1803,19 +1814,16 @@ def priority_sample_stream(
         raise ValueError(f"priority_sample_stream requires k >= 1, got {k}")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
+        _write_batch_partial(
             priority_sample(batch_df, weight_col, k + 1, key_col, salt=salt)
             .select(
                 F.col(key_col).cast("string").alias("key"),
                 "ps_weight",
                 "ps_priority",
                 F.lit(k).cast("int").alias("ps_k"),
-            )
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch_id")
-            .parquet(samples_dir)
+            ),
+            samples_dir,
+            batch_id,
         )
 
     return (

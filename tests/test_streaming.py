@@ -1097,6 +1097,27 @@ def test_ann_delta_stream_serves_fresh_vectors(spark, sf_dir, tmp_path):
     # flakes the fixture changed, not the operator)
     assert any(m >= 400 for _, m, _, _ in split), split
 
+    # probe-time delta pruning (round-12 third-pass review): the
+    # probe's serving IN-filter cannot reach below the reader's dedup
+    # aggregate, so the cluster list is pushed through the reader's
+    # clusters= argument instead — PushedFilters on the delta parquet
+    # scan, and pre-dedup filtering is exact (one cluster per match_id)
+    import re as _re
+
+    all_clusters = sorted(
+        r["cluster"]
+        for r in read_ann_delta(spark, delta_dir).select("cluster").distinct().collect()
+    )
+    some = all_clusters[: max(1, len(all_clusters) // 2)]
+    pruned_read = read_ann_delta(spark, delta_dir, clusters=some)
+    plan = pruned_read._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert _re.search(r"PushedFilters: \[[^\]]*In\(cluster", plan), plan
+    assert seg(pruned_read) == {
+        t for t in seg(read_ann_delta(spark, delta_dir)) if t[1] in set(some)
+    }
+
     # compaction: fold to one generation, segment unchanged
     before = seg(read_ann_delta(spark, delta_dir))
     assert compact_ann_delta(spark, delta_dir) == 0  # folds batch 0 only
