@@ -897,6 +897,106 @@ def compact_timegrain_registers(
     )
 
 
+def timegrain_quantile_stream(
+    events_stream: DataFrame,
+    registers_dir: str,
+    checkpoint_dir: str,
+    value_col: str,
+    ts_col: str = "ts",
+    sub_bits: int = 5,
+):
+    """The HDR (sum-merge) twin of timegrain_sketch_stream — the
+    continuous aggregate for QUANTILES over time grains: each
+    microbatch builds per-(day, hour) HDR register partials
+    (operators/sketch.py:hdr_registers with group_cols, the batch
+    rollup's own projection) under the per-batch partition contract.
+    SUM merges are NOT idempotent (unlike HLL max), so replay safety
+    rides entirely on the partition-overwrite contract and
+    post-compaction resurrection on the read's exclusion — the same
+    split of responsibilities as quantile_sketch_stream, with the
+    grain keys riding alongside."""
+    from ..operators.sketch import hdr_registers
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        ev = batch_df.select(
+            F.col(value_col),
+            F.to_date(ts_col).alias("day"),
+            F.hour(ts_col).alias("hr"),
+        )
+        _write_batch_partial(
+            hdr_registers(ev, value_col, group_cols=["day", "hr"], sub_bits=sub_bits),
+            registers_dir,
+            batch_id,
+        )
+
+    return (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def read_hourly_hdr(spark: SparkSession, registers_dir: str) -> DataFrame:
+    """Lifetime hourly HDR register table (day, hr, exp, sub, lb, ub,
+    cnt, hdr_sub_bits): the sum-fold of the per-batch grain partials —
+    hdr_merge_registers IS the fold, so the merge law cannot drift
+    from the batch rollup's."""
+    from ..operators.sketch import hdr_merge_registers
+
+    return hdr_merge_registers(
+        _read_excluding_folded(spark, registers_dir), group_cols=("day", "hr")
+    )
+
+
+def read_daily_quantiles(
+    spark: SparkSession,
+    registers_dir: str,
+    qs: list[tuple[str, int, int]] = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)),
+) -> DataFrame:
+    """The quantile continuous-aggregate VIEW: per-day quantile bounds
+    derived from the streaming hourly HDR state by exactly the batch
+    rollup's composition — hdr_merge_registers to day grain,
+    hdr_quantiles to price it — so over the same closed rows the
+    streaming view equals the batch rollup bit-for-bit (integer bucket
+    law, integer rank arithmetic: no float contract anywhere).
+    Compaction leaves it invariant (generation folds preserve per-grain
+    counts exactly)."""
+    from ..operators.sketch import hdr_merge_registers, hdr_quantiles
+
+    day_reg = hdr_merge_registers(
+        read_hourly_hdr(spark, registers_dir), group_cols=("day",)
+    )
+    return hdr_quantiles(day_reg, ["day"], qs=list(qs))
+
+
+def compact_timegrain_hdr(
+    spark: SparkSession,
+    registers_dir: str,
+    upto_batch_id: int | None = None,
+) -> int | None:
+    """Fold closed time-grain HDR partials into a fresh generation via
+    the distributed-merge path (grains x buckets state is
+    register-bounded per grain but not driver-bounded over a retention
+    window); the merge is hdr_merge_registers — the readers' own fold.
+    Resurrected partitions after a fold would DOUBLE-COUNT under sum
+    (unlike HLL max), which is exactly why every read goes through
+    _read_excluding_folded's exclusion."""
+    from ..operators.sketch import hdr_merge_registers
+
+    def merge(df: DataFrame) -> DataFrame:
+        return hdr_merge_registers(df, group_cols=("day", "hr"))
+
+    return _compact_partials(
+        spark,
+        registers_dir,
+        upto_batch_id,
+        merge,
+        "day date, hr int, exp int, sub int, lb bigint, ub bigint, "
+        "cnt bigint, hdr_sub_bits int",
+        distributed_merge=True,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Streaming ANN ingest (round 12): a DELTA feed for the persisted IVF-SQ8
 # serving table, so newly-arriving vectors become searchable without an

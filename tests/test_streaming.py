@@ -1015,6 +1015,120 @@ def test_timegrain_continuous_aggregate_matches_batch_rollup(spark, tmp_path):
     )
 
 
+def test_timegrain_quantile_continuous_aggregate(spark, tmp_path):
+    """The HDR (sum-merge) time-grain continuous aggregate — the
+    quantile twin of the HLL test above: the streaming daily view
+    equals the batch rollup composition bit-for-bit over the same
+    closed rows (integer bucket law + integer rank math: no float
+    contract to blur the compare); compaction (distributed-merge
+    generation) leaves hourly state and daily view exactly unchanged;
+    checkpoint-wiped replay is idempotent via the partition contract
+    (SUM is not idempotent — the contract, not the math, is what
+    protects replays)."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import (
+        hdr_merge_registers,
+        hdr_quantiles,
+        hdr_registers,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        compact_timegrain_hdr,
+        compaction_watermark,
+        compacted_generation_id,
+        read_daily_quantiles,
+        read_hourly_hdr,
+        timegrain_quantile_stream,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "amount long, ts timestamp"
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    # positive integers spanning several HDR buckets, 2 days x hours
+    batches = [
+        [((i * 37) % 997 + 1, base + dt.timedelta(hours=i % 5, minutes=i)) for i in range(60)],
+        [((i * 61) % 4999 + 1, base + dt.timedelta(hours=2 + i % 6, minutes=i)) for i in range(60)],
+        [
+            ((i * 13) % 299 + 1, base + dt.timedelta(days=1, hours=i % 4, minutes=i))
+            for i in range(60)
+        ],
+    ]
+    _stage_ordered_batches(src, [spark.createDataFrame(b, schema) for b in batches])
+    reg_dir = str(tmp_path / "registers")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = _ordered_stream(spark, src, schema)
+        q = timegrain_quantile_stream(stream, reg_dir, ckpt, value_col="amount").start()
+        q.awaitTermination(120)
+
+    run()
+
+    # batch rollup twin over ALL rows
+    all_rows = spark.createDataFrame([r for b in batches for r in b], schema)
+    ev = all_rows.select(
+        "amount", F.to_date("ts").alias("day"), F.hour("ts").alias("hr")
+    )
+    hr_reg = hdr_registers(ev, "amount", group_cols=["day", "hr"])
+    want_hourly = {tuple(r) for r in hr_reg.collect()}
+    day_q = hdr_quantiles(
+        hdr_merge_registers(hr_reg, group_cols=("day",)), ["day"]
+    )
+    want_daily = sorted(tuple(r) for r in day_q.collect())
+    assert len(want_daily) == 6  # 2 days x 3 quantiles
+
+    assert {tuple(r) for r in read_hourly_hdr(spark, reg_dir).collect()} == want_hourly
+    assert (
+        sorted(tuple(r) for r in read_daily_quantiles(spark, reg_dir).collect())
+        == want_daily
+    )
+    # the sketch invariant: the exact rank-r value lies within [q_lb, q_ub]
+    exact = {
+        (r["day"], r["q"]): r
+        for r in read_daily_quantiles(spark, reg_dir).collect()
+    }
+    vals = sorted(
+        (r["day"], r["amount"]) for r in ev.select("day", "amount").collect()
+    )
+    import collections
+
+    per_day = collections.defaultdict(list)
+    for d, v in vals:
+        per_day[d].append(v)
+    for (d, q), row in exact.items():
+        xs = sorted(per_day[d])
+        true_val = xs[row["rank"] - 1]
+        assert row["q_lb"] <= true_val <= row["q_ub"], (d, q, true_val, row)
+
+    # compaction: view and state invariant; watermark advances
+    assert compact_timegrain_hdr(spark, reg_dir) == 1
+    assert compact_timegrain_hdr(spark, reg_dir, upto_batch_id=2) == 2
+    assert compaction_watermark(spark, reg_dir) == 2
+    part_ids = {
+        r["batch_id"]
+        for r in spark.read.parquet(reg_dir).select("batch_id").distinct().collect()
+    }
+    assert part_ids == {compacted_generation_id(2)}, part_ids
+    assert {tuple(r) for r in read_hourly_hdr(spark, reg_dir).collect()} == want_hourly
+    assert (
+        sorted(tuple(r) for r in read_daily_quantiles(spark, reg_dir).collect())
+        == want_daily
+    )
+
+    # replay after compaction: resurrected partitions sit at/below the
+    # watermark and are EXCLUDED by the read — under SUM-merge this
+    # exclusion (not idempotence) is what keeps the view unchanged
+    shutil.rmtree(ckpt)
+    run()
+    assert (
+        sorted(tuple(r) for r in read_daily_quantiles(spark, reg_dir).collect())
+        == want_daily
+    )
+
+
 def test_ann_delta_stream_serves_fresh_vectors(spark, sf_dir, tmp_path):
     """Streaming ANN ingest (round 12): newly-arriving vectors are
     quantized per microbatch against the BASE index's centroids and
