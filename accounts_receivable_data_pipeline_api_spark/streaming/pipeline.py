@@ -795,6 +795,18 @@ def read_registers(spark: SparkSession, registers_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _timegrain_projection(batch_df: DataFrame, col: str, ts_col: str) -> DataFrame:
+    """THE grain projection of the time-grain continuous aggregates —
+    (col, day, hr) from the event timestamp — shared by the HLL and
+    HDR feeds (fourth-pass round-12 review: a verbatim copy per stream
+    would let a grain change desynchronize the two views' keys)."""
+    return batch_df.select(
+        F.col(col),
+        F.to_date(ts_col).alias("day"),
+        F.hour(ts_col).alias("hr"),
+    )
+
+
 def timegrain_sketch_stream(
     events_stream: DataFrame,
     registers_dir: str,
@@ -816,11 +828,7 @@ def timegrain_sketch_stream(
     from ..operators.sketch import hll_registers
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        ev = batch_df.select(
-            F.col(item_col),
-            F.to_date(ts_col).alias("day"),
-            F.hour(ts_col).alias("hr"),
-        )
+        ev = _timegrain_projection(batch_df, item_col, ts_col)
         _write_batch_partial(
             hll_registers(ev, item_col, m=m, group_cols=("day", "hr")),
             registers_dir,
@@ -918,11 +926,7 @@ def timegrain_quantile_stream(
     from ..operators.sketch import hdr_registers
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        ev = batch_df.select(
-            F.col(value_col),
-            F.to_date(ts_col).alias("day"),
-            F.hour(ts_col).alias("hr"),
-        )
+        ev = _timegrain_projection(batch_df, value_col, ts_col)
         _write_batch_partial(
             hdr_registers(ev, value_col, group_cols=["day", "hr"], sub_bits=sub_bits),
             registers_dir,
@@ -951,7 +955,7 @@ def read_hourly_hdr(spark: SparkSession, registers_dir: str) -> DataFrame:
 def read_daily_quantiles(
     spark: SparkSession,
     registers_dir: str,
-    qs: list[tuple[str, int, int]] = (("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)),
+    qs: list[tuple[str, int, int]] | None = None,
 ) -> DataFrame:
     """The quantile continuous-aggregate VIEW: per-day quantile bounds
     derived from the streaming hourly HDR state by exactly the batch
@@ -960,12 +964,16 @@ def read_daily_quantiles(
     streaming view equals the batch rollup bit-for-bit (integer bucket
     law, integer rank arithmetic: no float contract anywhere).
     Compaction leaves it invariant (generation folds preserve per-grain
-    counts exactly)."""
+    counts exactly). ``qs=None`` defers to hdr_quantiles' own default
+    (fourth-pass round-12 review: a re-declared default here could
+    silently drift from the batch operator's)."""
     from ..operators.sketch import hdr_merge_registers, hdr_quantiles
 
     day_reg = hdr_merge_registers(
         read_hourly_hdr(spark, registers_dir), group_cols=("day",)
     )
+    if qs is None:
+        return hdr_quantiles(day_reg, ["day"])
     return hdr_quantiles(day_reg, ["day"], qs=list(qs))
 
 
