@@ -10,10 +10,11 @@ Q19 (disjunctive join predicate), Q21 (double EXISTS/NOT-EXISTS
 self-join), Q22 (anti-join + scalar threshold) — each substituting
 driver columns for the ones it omits (partsupp, l_shipmode,
 l_commitdate, l_receiptdate, l_shipinstruct, p_container, c_phone,
-o_comment; noted per test). Only Q2 and Q20 have no
-shape-preserving adaptation (both are structurally ABOUT partsupp),
-and Q12 reduces to a conditional-count-per-group already covered by
-agg_cube_status_priority's row groups. 20 of 22 TPC-H shapes oracled.
+o_comment; noted per test). Q2 and Q20 — structurally ABOUT
+partsupp — run over a DERIVED partsupp both engines build identically
+from lineitem (see the bottom section), and Q12's
+conditional-count-per-group shape is also covered by
+agg_cube_status_priority's row groups. All 22 TPC-H shapes oracled.
 
 Decimal discipline follows the tpch_q1 entry (plans/relational.py):
 money flows through DECIMAL casts (exact, order-free sums), final
@@ -873,3 +874,156 @@ def test_q22_dormant_customer_balance(spark, duck):
     )
     _assert_match(rep)
     assert rep["spark_rows"] > 0
+
+
+# ---------------------------------------------------------------------------
+# Q2 / Q20 — the two partsupp-bound shapes, over a DERIVED partsupp:
+# both engines build the same supplier-part relation from lineitem
+# (ps_cost = MIN extendedprice, pair_qty = SUM quantity — exact decimal
+# aggregates), then run the spec's shape on it. This keeps the plan
+# shapes the spec is ABOUT — Q2's correlated per-group MIN subquery
+# re-join, Q20's nested aggregation + more-than-half threshold behind a
+# double IN-subquery chain — while staying fully cross-engine-checkable
+# on the driver's schemas. With these, all 22 TPC-H shapes are oracled.
+# ---------------------------------------------------------------------------
+
+
+def test_q2_min_cost_supplier(spark, duck):
+    """Q2 shape: for each in-scope part, the supplier(s) achieving the
+    MINIMUM cost within a region — the correlated MIN subquery, run as
+    a groupBy + join-back on the Spark side and as the literal
+    correlated subquery on the DuckDB side, so the hash equality
+    proves the two formulations agree. Cost = MIN(l_extendedprice) per
+    (part, supplier) derived from lineitem; scope = p_type 'PROMO',
+    p_size <= 25, supplier nations in region 1. The min comparison
+    happens on EXACT decimals."""
+    li = load_table(spark, ORACLE_SF_DIR, "lineitem")
+    part = load_table(spark, ORACLE_SF_DIR, "part")
+    supplier = load_table(spark, ORACLE_SF_DIR, "supplier")
+    nation = load_table(spark, ORACLE_SF_DIR, "nation")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_money("l_extendedprice")).alias("__cost")
+    )
+    scope = (
+        ps.join(
+            F.broadcast(
+                part.filter((F.col("p_type") == "PROMO") & (F.col("p_size") <= 25))
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation.filter(F.col("n_regionkey") == 1)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+    )
+    min_cost = scope.groupBy(F.col("p_partkey").alias("__pk")).agg(
+        F.min("__cost").alias("__min")
+    )
+    df = (
+        scope.join(
+            F.broadcast(min_cost),
+            (F.col("p_partkey") == F.col("__pk")) & (F.col("__cost") == F.col("__min")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "p_partkey",
+            "p_brand",
+            F.col("__cost").cast("double").alias("supply_cost"),
+        )
+    )
+    rep = compare(
+        df,
+        duck,
+        """
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+                 MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+          FROM lineitem GROUP BY 1, 2
+        ),
+        scope AS (
+          SELECT p_partkey, p_brand, s_suppkey, s_acctbal, s_name,
+                 n_name, cost
+          FROM ps
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+          WHERE p_type = 'PROMO' AND p_size <= 25 AND n_regionkey = 1
+        )
+        SELECT s_acctbal, s_name, n_name AS nation, p_partkey, p_brand,
+               CAST(CAST(cost AS VARCHAR) AS DOUBLE) AS supply_cost
+        FROM scope s1
+        WHERE cost = (SELECT MIN(cost) FROM scope s2
+                      WHERE s2.p_partkey = s1.p_partkey)
+        """,
+    )
+    _assert_match(rep)
+    assert rep["spark_rows"] > 0
+
+
+def test_q20_dominant_part_suppliers(spark, duck):
+    """Q20 shape: the double IN-subquery chain over a nested
+    aggregation with a more-than-half threshold — suppliers holding a
+    DOMINANT share (pair qty * 2 > part's total qty, exact decimals)
+    of some name-matched part's 1996 shipments, filtered to a nation
+    band. pair_qty from lineitem stands in for ps_availqty; 'dominant
+    share of the part's year volume' stands in for 'availqty > half
+    the year's shipments'."""
+    li = load_table(spark, ORACLE_SF_DIR, "lineitem")
+    part = load_table(spark, ORACLE_SF_DIR, "part")
+    supplier = load_table(spark, ORACLE_SF_DIR, "supplier")
+    y96 = li.filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    pair = y96.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(_money("l_quantity")).alias("__pq")
+    )
+    tot = pair.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("__pq").alias("__tot")
+    )
+    dominant = (
+        pair.join(F.broadcast(tot), F.col("l_partkey") == F.col("__pk"))
+        .filter(F.col("__pq") * 2 > F.col("__tot"))
+        .join(
+            F.broadcast(
+                part.filter(F.col("p_name").contains("red")).select("p_partkey")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left_semi",
+        )
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    df = (
+        supplier.filter(F.col("s_nationkey") < 13)
+        .join(dominant, "s_suppkey", "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+    rep = compare(
+        df,
+        duck,
+        """
+        WITH pair AS (
+          SELECT l_partkey, l_suppkey,
+                 SUM(CAST(l_quantity AS DECIMAL(18,2))) AS pq
+          FROM lineitem
+          WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+            AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+          GROUP BY 1, 2
+        )
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_nationkey < 13
+          AND s_suppkey IN (
+            SELECT l_suppkey FROM pair p1
+            WHERE pq * 2 > (SELECT SUM(pq) FROM pair p2
+                            WHERE p2.l_partkey = p1.l_partkey)
+              AND l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE '%red%'))
+        """,
+    )
+    _assert_match(rep)
+    n_suppliers = supplier.count()
+    assert 0 < rep["spark_rows"] < n_suppliers, rep
