@@ -312,6 +312,125 @@ def _probe_ivf_pq(spark, sf_dir: str) -> None:
     )
 
 
+def _probe_ann_delta(spark, sf_dir: str) -> None:
+    """Round-12 serving-freshness probe: the MARGINAL probe cost of the
+    streaming delta segment. Splits the corpus 80/20 into an immutable
+    base index and a freshly-ingested delta (written under the
+    per-batch partition layout the stream produces, 4 closed batches),
+    then measures the same literal-assignment probe three ways:
+
+      base-only        the steady state before any ingest
+      base + delta     the freshness path (read_ann_delta pruned by the
+                       probe's own cluster list — the round-12 reader
+                       contract)
+      one-shot full    a serving table built over base+delta in one go,
+                       the correctness oracle for the split
+
+    Asserts split == one-shot row-for-row and emits the walls; the
+    claim under test is that serving fresh vectors costs a small
+    ADDITIVE delta read, not a rebuild."""
+    import statistics as _st
+    import time as _time
+    import shutil as _sh
+
+    from accounts_receivable_data_pipeline_api_spark.plans.raw_ops import (
+        _probe_assignments,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming import read_ann_delta
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cut = int(n * 0.8)
+    base_rows = emb.filter(F.col("vec_id") < cut)
+    delta_rows = emb.filter(F.col("vec_id") >= cut)
+    cents = similarity.ivf_build(
+        base_rows, k=similarity.ivf_auto_nlist(cut), iters=2
+    )
+
+    tag = sf_dir.rsplit("sf", 1)[-1].replace(".", "_")
+    base_dir = f"/tmp/spark_graft_ann_delta_probe_base_{tag}"
+    delta_dir = f"/tmp/spark_graft_ann_delta_probe_delta_{tag}"
+    for d in (base_dir, delta_dir):
+        _sh.rmtree(d, ignore_errors=True)
+    (
+        similarity.ivf_sq8_serving_table(base_rows, cents)
+        .repartition(64, F.col("cluster"))
+        .write.parquet(base_dir)
+    )
+    # 4 closed batches, the stream's on-disk layout (batch_id partitions)
+    (
+        similarity.ivf_sq8_serving_table(delta_rows, cents)
+        .withColumn("batch_id", F.col("match_id") % 4)
+        .write.partitionBy("batch_id")
+        .parquet(delta_dir)
+    )
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    assigns = _probe_assignments(queries, cents, nprobe=8)
+    pcs = sorted({c for _, c in assigns})
+
+    def probe(serving, candidates):
+        return similarity.ivf_sq8_topk(
+            queries, candidates, cents, k=10, nprobe=8,
+            serving=serving, probe_assignments=assigns,
+        )
+
+    def base_only():
+        return probe(spark.read.parquet(base_dir), base_rows)
+
+    def with_delta():
+        return probe(
+            spark.read.parquet(base_dir).select(
+                "match_id", "cluster", "q_scale", "qvec"
+            ).unionByName(read_ann_delta(spark, delta_dir, clusters=pcs)),
+            emb,
+        )
+
+    # correctness: split == one-shot full index (same centroids);
+    # row tuples are (query_id, match_id, score, rank) — sort by
+    # (query_id, rank)
+    split = sorted((tuple(r) for r in with_delta().collect()), key=lambda t: (t[0], t[3]))
+    oneshot = sorted(
+        (
+            tuple(r)
+            for r in probe(
+                similarity.ivf_sq8_serving_table(emb, cents), emb
+            ).collect()
+        ),
+        key=lambda t: (t[0], t[3]),
+    )
+    assert split == oneshot, "delta-split probe diverged from one-shot index"
+
+    def timed(build):
+        samples = []
+        for _ in range(3):
+            t0 = _time.perf_counter()
+            build().collect()
+            samples.append(_time.perf_counter() - t0)
+        return _st.median(samples)
+
+    base_only().collect()  # compile once
+    t_base = timed(base_only)
+    t_delta = timed(with_delta)
+    for d in (base_dir, delta_dir):
+        _sh.rmtree(d, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "query": "op_ann_delta_probe",
+                "sf": sf_dir.rsplit("sf", 1)[-1],
+                "input_rows": n,
+                "base_rows": cut,
+                "delta_rows": n - cut,
+                "probe_base_warm_s": round(t_base, 3),
+                "probe_with_delta_warm_s": round(t_delta, 3),
+                "delta_overhead_pct": round(100 * (t_delta - t_base) / t_base, 1),
+            }
+        ),
+        flush=True,
+    )
+
+
 # raw operator builders are shared with bench.py (plans/raw_ops.py)
 OPERATOR_PROBES = RAW_OPS
 
@@ -419,6 +538,9 @@ def main() -> None:
     if wanted("op_ivf_pq_recall_bytes"):
         for sf_dir in SFS:
             _probe_ivf_pq(spark, sf_dir)
+    if wanted("op_ann_delta_probe"):
+        for sf_dir in SFS:
+            _probe_ann_delta(spark, sf_dir)
     if wanted("stream_windowed_counts"):
         for sf_dir in SFS:
             _probe_streaming_rate(spark, sf_dir)

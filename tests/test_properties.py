@@ -221,3 +221,49 @@ def test_kmeans_portable_is_a_total_partition(spark, k, iters):
     out = sim.kmeans_portable(df, k=k, iters=iters).collect()
     assert len(out) == n and len({r["vec_id"] for r in out}) == n
     assert all(0 <= r["cluster_id"] < k for r in out)
+
+
+@settings(**SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-4, max_value=4, allow_nan=False, allow_infinity=False
+            ),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=5),
+)
+def test_probe_assignments_equal_kernel_probes(spark, vecs, nprobe):
+    """The literal-probe contract (round 12): the driver router
+    (query_probe_assignments) and the executor kernel (_query_probes)
+    must select IDENTICAL (query, cluster) probe sets for ANY vectors,
+    any nprobe (including nprobe > nlist), and any centroid ties —
+    both run `_top_nprobe`, and this property is the standing drift
+    guard should that ever stop being one shared function. Centroids
+    deliberately include DUPLICATES so the stable-argsort tie-break is
+    exercised, and query vectors are reused as centroids so exact
+    score ties occur."""
+    from accounts_receivable_data_pipeline_api_spark.operators import similarity
+
+    # centroids: the first two vectors (possibly equal) + a duplicate
+    # of the first -> guaranteed tie candidates, nlist independent of n
+    cents = [list(vecs[0]), list(vecs[0])] + [list(v) for v in vecs[:2]]
+    queries_local = [(i, list(v)) for i, v in enumerate(vecs)]
+    assigns = set(
+        similarity.query_probe_assignments(queries_local, cents, nprobe)
+    )
+
+    q = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in queries_local],
+        "query_id long, qv array<double>",
+    )
+    kernel = {
+        (r["query_id"], r["cluster"])
+        for r in similarity._query_probes(q, cents, nprobe).collect()
+    }
+    assert assigns == kernel
