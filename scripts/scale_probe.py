@@ -329,8 +329,7 @@ def _probe_ann_delta(spark, sf_dir: str) -> None:
     Asserts split == one-shot row-for-row and emits the walls; the
     claim under test is that serving fresh vectors costs a small
     ADDITIVE delta read, not a rebuild."""
-    import statistics as _st
-    import time as _time
+    import os as _os
     import shutil as _sh
 
     from accounts_receivable_data_pipeline_api_spark.plans.raw_ops import (
@@ -347,11 +346,13 @@ def _probe_ann_delta(spark, sf_dir: str) -> None:
         base_rows, k=similarity.ivf_auto_nlist(cut), iters=2
     )
 
-    tag = sf_dir.rsplit("sf", 1)[-1].replace(".", "_")
+    # pid-suffixed like _probe_ivf_sq8's float twin: concurrent probe
+    # invocations over the same SF must not rmtree each other's data
+    # (fifth-pass round-12 review); cleanup is in the finally below so
+    # a failed assertion doesn't leak the dirs either
+    tag = f'{sf_dir.rsplit("sf", 1)[-1].replace(".", "_")}_{_os.getpid()}'
     base_dir = f"/tmp/spark_graft_ann_delta_probe_base_{tag}"
     delta_dir = f"/tmp/spark_graft_ann_delta_probe_delta_{tag}"
-    for d in (base_dir, delta_dir):
-        _sh.rmtree(d, ignore_errors=True)
     (
         similarity.ivf_sq8_serving_table(base_rows, cents)
         .repartition(64, F.col("cluster"))
@@ -386,34 +387,31 @@ def _probe_ann_delta(spark, sf_dir: str) -> None:
             emb,
         )
 
-    # correctness: split == one-shot full index (same centroids);
-    # row tuples are (query_id, match_id, score, rank) — sort by
-    # (query_id, rank)
-    split = sorted((tuple(r) for r in with_delta().collect()), key=lambda t: (t[0], t[3]))
-    oneshot = sorted(
-        (
-            tuple(r)
-            for r in probe(
-                similarity.ivf_sq8_serving_table(emb, cents), emb
-            ).collect()
-        ),
-        key=lambda t: (t[0], t[3]),
-    )
-    assert split == oneshot, "delta-split probe diverged from one-shot index"
+    try:
+        # correctness: split == one-shot full index (same centroids);
+        # row tuples are (query_id, match_id, score, rank) — sort by
+        # (query_id, rank)
+        split = sorted(
+            (tuple(r) for r in with_delta().collect()), key=lambda t: (t[0], t[3])
+        )
+        oneshot = sorted(
+            (
+                tuple(r)
+                for r in probe(
+                    similarity.ivf_sq8_serving_table(emb, cents), emb
+                ).collect()
+            ),
+            key=lambda t: (t[0], t[3]),
+        )
+        assert split == oneshot, "delta-split probe diverged from one-shot index"
 
-    def timed(build):
-        samples = []
-        for _ in range(3):
-            t0 = _time.perf_counter()
-            build().collect()
-            samples.append(_time.perf_counter() - t0)
-        return _st.median(samples)
-
-    base_only().collect()  # compile once
-    t_base = timed(base_only)
-    t_delta = timed(with_delta)
-    for d in (base_dir, delta_dir):
-        _sh.rmtree(d, ignore_errors=True)
+        base_only().collect()  # compile once
+        # the module-level warm-timing methodology (_timed), not a copy
+        t_base = _timed(base_only)
+        t_delta = _timed(with_delta)
+    finally:
+        for d in (base_dir, delta_dir):
+            _sh.rmtree(d, ignore_errors=True)
     print(
         json.dumps(
             {

@@ -254,7 +254,12 @@ def test_probe_assignments_equal_kernel_probes(spark, vecs, nprobe):
     # of the first -> guaranteed tie candidates, nlist independent of n
     cents = [list(vecs[0]), list(vecs[0])] + [list(v) for v in vecs[:2]]
     queries_local = [(i, list(v)) for i, v in enumerate(vecs)]
-    assigns = set(
+    # MULTISET compare (sorted lists, not sets): a clamp regression
+    # padding top-nprobe with repeated indices would emit duplicate
+    # probe rows — invisible to a set compare, but it would double-
+    # score every candidate in the repeated cluster (fifth-pass
+    # round-12 review)
+    assigns = sorted(
         similarity.query_probe_assignments(queries_local, cents, nprobe)
     )
 
@@ -262,8 +267,10 @@ def test_probe_assignments_equal_kernel_probes(spark, vecs, nprobe):
         [(i, [float(x) for x in v]) for i, v in queries_local],
         "query_id long, qv array<double>",
     )
-    kernel = {
+    kernel = sorted(
         (r["query_id"], r["cluster"])
         for r in similarity._query_probes(q, cents, nprobe).collect()
-    }
+    )
     assert assigns == kernel
+    # and per-query probe rows are duplicate-free by construction
+    assert len(assigns) == len(set(assigns))
