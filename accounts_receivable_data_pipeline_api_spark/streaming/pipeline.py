@@ -1060,6 +1060,112 @@ def ann_delta_stream(
     )
 
 
+def pq_delta_stream(
+    vectors_stream: DataFrame,
+    delta_dir: str,
+    checkpoint_dir: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The PQ-tier twin of ann_delta_stream — freshness for the
+    deepest-compression serving table: each microbatch is
+    cluster-assigned against the base cache's pinned ``centroids`` AND
+    PQ-encoded against its pinned ``codebooks``
+    (operators/similarity.py:pq_serving_table, the batch builder per
+    microbatch), appended as a (match_id, cluster, codes) delta that
+    read_pq_delta unions onto the bucketed base for ivf_pq_topk's
+    ``serving=``. The cross-process-consistency contract is DOUBLED
+    here, exactly like the PQ cache's: codes encoded against privately
+    recomputed codebooks would be scored by a mismatched query-side
+    lookup table — silently costing recall, never erroring — so BOTH
+    tiers of the codebook metadata must come from the published base
+    cache. Same determinism/replay/append-only contract as the SQ8
+    delta."""
+    from ..operators.similarity import pq_serving_table
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _write_batch_partial(
+            pq_serving_table(
+                batch_df, centroids, codebooks, id_col=id_col, vec_col=vec_col
+            ),
+            delta_dir,
+            batch_id,
+        )
+
+    return (
+        vectors_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def _read_delta_segment(
+    spark: SparkSession,
+    delta_dir: str,
+    columns: tuple[str, ...],
+    clusters: list[int] | None,
+) -> DataFrame:
+    """Shared delta-segment read (SQ8 and PQ tiers — one protocol, two
+    column sets): generation-aware read, optional pre-dedup cluster
+    prune (exact: a match_id has ONE cluster across duplicates),
+    match_id dedup, column projection."""
+    df = _read_excluding_folded(spark, delta_dir)
+    if clusters is not None:
+        df = df.filter(
+            F.col("cluster").isin(sorted({int(c) for c in clusters}))
+            if clusters
+            else F.lit(False)
+        )
+    return df.dropDuplicates(["match_id"]).select(*columns)
+
+
+def _compact_delta_segment(
+    spark: SparkSession,
+    delta_dir: str,
+    upto_batch_id: int | None,
+    schema: str,
+) -> int | None:
+    """Shared delta compaction (distributed-merge generation; the
+    merge is the readers' own match_id dedup — fold-then-read equals
+    read, and deterministic encoding makes resurrected rows
+    byte-identical to folded content)."""
+
+    def merge(df: DataFrame) -> DataFrame:
+        return df.dropDuplicates(["match_id"])
+
+    return _compact_partials(
+        spark, delta_dir, upto_batch_id, merge, schema, distributed_merge=True
+    )
+
+
+def read_pq_delta(
+    spark: SparkSession, delta_dir: str, clusters: list[int] | None = None
+) -> DataFrame:
+    """The live PQ delta segment (match_id, cluster, codes) — union
+    onto the bucketed PQ base table for ivf_pq_topk's ``serving=``;
+    the ``clusters`` prune and dedup semantics are read_ann_delta's
+    (shared `_read_delta_segment`)."""
+    return _read_delta_segment(
+        spark, delta_dir, ("match_id", "cluster", "codes"), clusters
+    )
+
+
+def compact_pq_delta(
+    spark: SparkSession,
+    delta_dir: str,
+    upto_batch_id: int | None = None,
+) -> int | None:
+    """Fold closed PQ delta batches (shared `_compact_delta_segment`)."""
+    return _compact_delta_segment(
+        spark,
+        delta_dir,
+        upto_batch_id,
+        "match_id bigint, cluster int, codes array<tinyint>",
+    )
+
+
 def read_ann_delta(
     spark: SparkSession, delta_dir: str, clusters: list[int] | None = None
 ) -> DataFrame:
@@ -1083,16 +1189,8 @@ def read_ann_delta(
     match_id has ONE cluster value across all its duplicate rows
     (deterministic encoding against pinned centroids), so pre- and
     post-dedup filtering select the same match_ids."""
-    df = _read_excluding_folded(spark, delta_dir)
-    if clusters is not None:
-        df = df.filter(
-            F.col("cluster").isin(sorted({int(c) for c in clusters}))
-            if clusters
-            else F.lit(False)
-        )
-    return (
-        df.dropDuplicates(["match_id"])
-        .select("match_id", "cluster", "q_scale", "qvec")
+    return _read_delta_segment(
+        spark, delta_dir, ("match_id", "cluster", "q_scale", "qvec"), clusters
     )
 
 
@@ -1103,22 +1201,13 @@ def compact_ann_delta(
 ) -> int | None:
     """Fold closed delta batches into one generation via the shared
     protocol's distributed-merge path (vector state is corpus-sized,
-    never driver-bounded): the merge is the reader's own
-    match_id-dedup, so fold-then-read equals read — and because rows
-    are deterministic, a replayed batch resurrecting after compaction
-    is byte-identical to folded content and the read's dedup keeps the
-    segment exact."""
-
-    def merge(df: DataFrame) -> DataFrame:
-        return df.dropDuplicates(["match_id"])
-
-    return _compact_partials(
+    never driver-bounded) — see `_compact_delta_segment`: the merge is
+    the reader's own match_id-dedup, so fold-then-read equals read."""
+    return _compact_delta_segment(
         spark,
         delta_dir,
         upto_batch_id,
-        merge,
         "match_id bigint, cluster int, q_scale double, qvec array<tinyint>",
-        distributed_merge=True,
     )
 
 

@@ -44,7 +44,14 @@ def _run_bench() -> dict:
         capture_output=True,
         text=True,
         env=env,
-        timeout=600,
+        # Liveness bound, NOT a performance bar (those are FACTOR/
+        # FLOOR_S): must clear the worst window the gate itself
+        # tolerates — the suite bar is 2x the anchor cold, and a
+        # throttled host (round-12: ~2x global slowdown with 3-4%
+        # hypervisor steal visible at idle) pushed a legitimate full
+        # pass beyond the old 600 s, turning a performance question
+        # into a TimeoutExpired crash.
+        timeout=1800,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     # bench.py prints the FULL record first, then a compact driver-facing

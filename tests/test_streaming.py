@@ -1248,6 +1248,84 @@ def test_ann_delta_stream_serves_fresh_vectors(spark, sf_dir, tmp_path):
     assert seg(read_ann_delta(spark, delta_dir)) == before
 
 
+def test_pq_delta_stream_serves_fresh_vectors(spark, sf_dir, tmp_path):
+    """The PQ-tier delta ingest (round 12) — the deepest-compression
+    serving table gets the same freshness split as SQ8: microbatches
+    are PQ-encoded against the base index's pinned centroids AND
+    codebooks (the doubled consistency contract), a probe over
+    base + delta equals a one-shot full PQ index, and compaction
+    leaves the segment unchanged."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from accounts_receivable_data_pipeline_api_spark.operators.similarity import (
+        ivf_build,
+        ivf_pq_topk,
+        pq_build,
+        pq_serving_table,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        compact_pq_delta,
+        compaction_watermark,
+        pq_delta_stream,
+        read_pq_delta,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 400)
+    cents = ivf_build(base, k=16, iters=2)
+    books = pq_build(base, m=8, ksub=16, iters=2)
+    base_serving = pq_serving_table(base, cents, books)
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    deltas = [
+        emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450)),
+        emb.filter(F.col("vec_id") >= 450),
+    ]
+    schema = _stage_ordered_batches(src, deltas)
+    delta_dir = str(tmp_path / "delta")
+    ckpt = str(tmp_path / "ckpt")
+    stream = _ordered_stream(spark, src, schema)
+    q = pq_delta_stream(stream, delta_dir, ckpt, cents, books).start()
+    q.awaitTermination(120)
+
+    def seg(df):
+        return {
+            (r["match_id"], r["cluster"], tuple(r["codes"]))
+            for r in df.collect()
+        }
+
+    # delta read == batch builder over the same rows (collected-set
+    # compare — the exceptAll Catalyst trap, as in the SQ8 test)
+    assert seg(read_pq_delta(spark, delta_dir)) == seg(
+        pq_serving_table(emb.filter(F.col("vec_id") >= 400), cents, books)
+    )
+
+    # probe over base + delta == one-shot full PQ index
+    queries = emb.filter(F.col("vec_id") < 5)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+
+    def probe(serving):
+        df = ivf_pq_topk(
+            queries, emb, cents, books, k=10, nprobe=8, m_rerank=100,
+            serving=serving,
+        )
+        return [tuple(r) for r in sorted(df.collect(), key=key)]
+
+    split = probe(base_serving.unionByName(read_pq_delta(spark, delta_dir)))
+    assert split == probe(pq_serving_table(emb, cents, books))
+    assert any(m >= 400 for _, m, _, _ in split), split
+
+    # compaction invariance (shared delta protocol)
+    before = seg(read_pq_delta(spark, delta_dir))
+    assert compact_pq_delta(spark, delta_dir, upto_batch_id=1) == 1
+    assert compaction_watermark(spark, delta_dir) == 1
+    assert seg(read_pq_delta(spark, delta_dir)) == before
+
+
 def test_compact_registers_estimate_invariant_and_replay_safe(spark, tmp_path):
     """Register compaction lifecycle (round-7 VERDICT #5): folding
     closed-batch partials into a fresh generation partition
