@@ -4,18 +4,17 @@ import os
 
 import pytest
 
-# Test-session speedups — and a RECORD of which keys this file itself
-# injected (vs deliberate user exports, which setdefault leaves alone):
-# the bench-regression gate strips exactly the injected keys from its
-# subprocess env so it measures the anchors' methodology, while a
-# user's own SPARK_GRAFT_CPUS export survives into the gate's bench
-# (sixth-pass round-12 review — an unconditional strip would invert
-# the very anchor/gate mismatch the strip exists to fix).
-TEST_INJECTED_ENV: list[str] = []
-for _k, _v in (("SPARK_GRAFT_CPUS", "8"), ("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")):
-    if _k not in os.environ:
-        os.environ[_k] = _v
-        TEST_INJECTED_ENV.append(_k)
+# Test-session speedups. The bench-regression gate strips these two
+# keys from its SUBPROCESS env unconditionally (test_bench_regression.
+# _run_bench): BENCH_ANCHOR.json is a COMMITTED artifact recorded at
+# bench.py's own defaults, so the gate must measure those defaults no
+# matter where an ambient override came from — this conftest, a
+# developer following the verify skill's startup tip, or a pytest-xdist
+# controller (seventh-pass round-12 review: a record-what-we-injected
+# scheme silently regressed to the 8-core-bench-vs-32-core-anchor
+# mismatch whenever the key was already present).
+os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "8")
 
 from accounts_receivable_data_pipeline_api_spark.session import get_spark  # noqa: E402
 

@@ -39,20 +39,24 @@ def _run_bench() -> dict:
     # this test's wall time, and _Lazy's per-query re-run logic already
     # suppresses spikes the way that second pass does.
     #
-    # Methodology match (round-12): conftest injects SPARK_GRAFT_CPUS=8
-    # / SPARK_GRAFT_SHUFFLE_PARTITIONS=8 for fast TEST-session startup,
-    # and this subprocess silently inherited them — so the gate
-    # measured an 8-core bench against anchors recorded from
-    # standalone 32-core runs. Shuffle-heavy queries sat structurally
-    # near their bars under that mismatch (op_winnow_pairs: 3.2 s at
-    # the anchor config, 6-7 s at 8 cores vs a 6.3 s bar — a coin flip
-    # any throttle tipped). The gate must measure what the anchors
-    # measured: strip exactly the keys conftest ITSELF injected
-    # (conftest.TEST_INJECTED_ENV) — a user's deliberate export
-    # survives, since their anchors would be recorded under it too.
-    from tests.conftest import TEST_INJECTED_ENV
-
-    env = {k: v for k, v in os.environ.items() if k not in TEST_INJECTED_ENV}
+    # Methodology match (round-12): this subprocess silently inherited
+    # conftest's SPARK_GRAFT_CPUS=8 / SPARK_GRAFT_SHUFFLE_PARTITIONS=8
+    # test-session speedups — so the gate measured an 8-core bench
+    # against anchors recorded from standalone 32-core runs.
+    # Shuffle-heavy queries sat structurally near their bars under
+    # that mismatch (op_winnow_pairs: 3.2 s at the anchor config,
+    # 6-7 s at 8 cores vs a 6.3 s bar — a coin flip any throttle
+    # tipped). BENCH_ANCHOR.json is a COMMITTED artifact recorded at
+    # bench.py's own defaults, so the strip is UNCONDITIONAL: no
+    # ambient override — this conftest, a developer export, an xdist
+    # controller — ever has matching committed anchors (seventh-pass
+    # round-12 review killed a record-what-conftest-injected scheme
+    # for exactly that reason).
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("SPARK_GRAFT_CPUS", "SPARK_GRAFT_SHUFFLE_PARTITIONS")
+    }
     env.update(SPARK_GRAFT_SF_DIR=SF_DIR, SPARK_GRAFT_BENCH_RUNS="1")
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

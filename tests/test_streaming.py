@@ -957,7 +957,7 @@ def test_timegrain_continuous_aggregate_matches_batch_rollup(spark, tmp_path):
     def run():
         stream = _ordered_stream(spark, src, schema)
         q = timegrain_sketch_stream(stream, reg_dir, ckpt).start()
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not terminate in 120s"
 
     run()
 
@@ -1063,7 +1063,7 @@ def test_timegrain_quantile_continuous_aggregate(spark, tmp_path):
     def run():
         stream = _ordered_stream(spark, src, schema)
         q = timegrain_quantile_stream(stream, reg_dir, ckpt, value_col="amount").start()
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not terminate in 120s"
 
     run()
 
@@ -1174,7 +1174,9 @@ def test_ann_delta_stream_serves_fresh_vectors(spark, sf_dir, tmp_path):
     def run():
         stream = _ordered_stream(spark, src, schema)
         q = ann_delta_stream(stream, delta_dir, ckpt, cents).start()
-        q.awaitTermination(120)
+        # a still-running query + rmtree(ckpt) + rerun = concurrent
+        # writers on one delta dir (seventh-pass round-12 review)
+        assert q.awaitTermination(120), "stream did not terminate in 120s"
 
     run()
 
@@ -1296,7 +1298,7 @@ def test_pq_delta_stream_serves_fresh_vectors(spark, sf_dir, tmp_path):
     def run():
         stream = _ordered_stream(spark, src, schema)
         q = pq_delta_stream(stream, delta_dir, ckpt, cents, books).start()
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "stream did not terminate in 120s"
 
     run()
 
