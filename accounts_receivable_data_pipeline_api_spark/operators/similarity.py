@@ -552,7 +552,9 @@ def query_probe_assignments(
 
 
 def _literal_probe_frame(
-    queries: DataFrame, probe_assignments: list[tuple[int, int]]
+    queries: DataFrame,
+    probe_assignments: list[tuple[int, int]],
+    nlist: int | None = None,
 ) -> tuple[DataFrame, list[int]]:
     """(probes frame, serving-filter source) from driver-literal
     assignments: a broadcast-tiny (query_id, cluster) frame plus the
@@ -560,7 +562,28 @@ def _literal_probe_frame(
     both derived from ONE source, so the prune can never miss a probed
     cluster by construction. Empty assignments (an empty query batch)
     yield an empty probe frame — the probe then returns zero rows, the
-    correct answer, instead of erroring."""
+    correct answer, instead of erroring.
+
+    ``nlist`` (round-12 ADVICE): literal mode trusts that the
+    assignments were computed against the SAME centroids the serving
+    table was encoded with; a grossly mismatched pair (a router holding
+    a different index generation's centroids) silently costs recall
+    with no runtime signal. When the caller knows the centroid count it
+    passes it here and any assignment cluster outside [0, nlist) raises
+    — a cheap structural check over the request-bounded list that
+    catches wrong-generation routers without reintroducing the ULP-tie
+    drift abort (same-generation rounding differences produce VALID
+    cluster ids and are untouched)."""
+    if nlist is not None:
+        bad = sorted({int(c) for _, c in probe_assignments if not 0 <= int(c) < nlist})
+        if bad:
+            raise ValueError(
+                f"probe_assignments reference cluster ids {bad} outside "
+                f"[0, {nlist}) — they were computed against different "
+                "centroids than this serving table's (wrong index "
+                "generation?); recompute with query_probe_assignments "
+                "over the published cache's centroids"
+            )
     spark = queries.sparkSession
     pf = spark.createDataFrame(
         [(int(q), int(c)) for q, c in probe_assignments],
@@ -715,7 +738,9 @@ def ivf_sq8_topk(
             candidates, centroids, id_col=id_col, vec_col=vec_col
         )
     if probe_assignments is not None:
-        pf, clusters = _literal_probe_frame(queries, probe_assignments)
+        pf, clusters = _literal_probe_frame(
+            queries, probe_assignments, nlist=len(centroids) if centroids else None
+        )
         probes = pf.join(q, "query_id")  # re-attach qv for the scan
         # isin([]) is not a valid predicate; an empty batch reads nothing
         serving = serving.filter(
@@ -1011,7 +1036,9 @@ def ivf_pq_topk(
         )
     if probe_assignments is not None:
         # same single-source literal probe pushdown as the SQ8 tier
-        probes, clusters = _literal_probe_frame(queries, probe_assignments)
+        probes, clusters = _literal_probe_frame(
+            queries, probe_assignments, nlist=len(centroids) if centroids else None
+        )
         serving = serving.filter(
             F.col("cluster").isin(clusters) if clusters else F.lit(False)
         )

@@ -1352,6 +1352,206 @@ def test_pq_delta_stream_serves_fresh_vectors(spark, sf_dir, tmp_path):
     assert seg(read_pq_delta(spark, delta_dir)) == before
 
 
+def test_ann_rebuild_base_lifecycle(spark, sf_dir, tmp_path):
+    """The rebuild half of the serving split (round-12 VERDICT #1): fold
+    base + delta into a fresh bucketed base cache, reset the consumed
+    delta.  Pins, in order: (1) probe(new base, post-reset empty delta)
+    == probe(old base, delta) == one-shot full index, row-for-row, for
+    an append-only history that includes a compacted GENERATION among
+    the consumed partitions; (2) the reset leaves the delta readable as
+    EMPTY (schema pinned, no inference failure) and the metadata
+    carries n + the consumed watermark; (3) a crash re-run (same
+    published loc) converges — it skips the build and re-applies the
+    PUBLISHED watermark's deletions; (4) the default upto (all but the
+    highest live batch, compaction's mid-write safety rule) leaves the
+    highest batch in the delta and probe(new base + remaining delta)
+    stays complete."""
+    from pyspark.sql import functions as F
+
+    from accounts_receivable_data_pipeline_api_spark.operators.similarity import (
+        ivf_build,
+        ivf_sq8_serving_table,
+        ivf_sq8_topk,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        compact_ann_delta,
+        read_ann_delta,
+        rebuild_ann_base,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming.pipeline import (
+        _write_batch_partial,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_rows = emb.filter(F.col("vec_id") < 400)
+    cents = ivf_build(base_rows, k=16, iters=2)
+    base_serving = ivf_sq8_serving_table(base_rows, cents)
+
+    # the stream's on-disk layout via its own partial writer: two
+    # closed batches of appends (the stream wrapper itself is covered
+    # by test_ann_delta_stream_serves_fresh_vectors)
+    delta_dir = str(tmp_path / "delta")
+    batches = [
+        emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450)),
+        emb.filter(F.col("vec_id") >= 450),
+    ]
+    for i, b in enumerate(batches):
+        _write_batch_partial(ivf_sq8_serving_table(b, cents), delta_dir, i)
+    # fold batch 0 into a generation so the rebuild consumes a MIX of
+    # generation (negative batch_id) and live partitions
+    assert compact_ann_delta(spark, delta_dir, upto_batch_id=0) == 0
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+
+    def probe(serving, candidates):
+        df = ivf_sq8_topk(
+            queries, candidates, cents, k=10, nprobe=8, serving=serving
+        )
+        return [tuple(r) for r in sorted(df.collect(), key=key)]
+
+    oneshot = probe(ivf_sq8_serving_table(emb, cents), emb)
+    old_split = probe(
+        base_serving.unionByName(read_ann_delta(spark, delta_dir)), emb
+    )
+    assert old_split == oneshot
+
+    new_loc = str(tmp_path / "base_gen2")
+    serving2, meta = rebuild_ann_base(
+        spark, base_serving, cents, delta_dir, new_loc,
+        "sq8_rebuild_test_gen2", upto_batch_id=1,
+    )
+    # (1) probe continuity across the cutover, with the delta now empty
+    empty_delta = read_ann_delta(spark, delta_dir)
+    assert empty_delta.count() == 0
+    assert empty_delta.columns == ["match_id", "cluster", "q_scale", "qvec"]
+    assert probe(serving2.unionByName(empty_delta), emb) == oneshot
+    # (2) metadata: n = collapsed corpus, watermark = consumed upto
+    assert meta["n"] == emb.count()
+    assert meta["rebuilt_upto"] == 1
+    assert meta["centroids"] == cents
+
+    # (3) crash re-run against the already-published loc: skips the
+    # build (content identical) and re-applies the published
+    # watermark's deletions — convergent, no error
+    serving2b, meta_b = rebuild_ann_base(
+        spark, base_serving, cents, delta_dir, new_loc,
+        "sq8_rebuild_test_gen2", upto_batch_id=1,
+    )
+    assert meta_b == meta
+    assert serving2b.count() == meta["n"]
+
+    # (4) default upto consumes all but the HIGHEST live batch: fresh
+    # delta with two live batches, default rebuild leaves batch 1
+    delta2 = str(tmp_path / "delta2")
+    for i, b in enumerate(batches):
+        _write_batch_partial(ivf_sq8_serving_table(b, cents), delta2, i)
+    serving3, meta3 = rebuild_ann_base(
+        spark, base_serving, cents, delta2, str(tmp_path / "base_gen3"),
+        "sq8_rebuild_test_gen3",
+    )
+    assert meta3["rebuilt_upto"] == 0
+    remaining = read_ann_delta(spark, delta2)
+    assert {r["match_id"] for r in remaining.select("match_id").collect()} == {
+        r["vec_id"] for r in batches[1].select("vec_id").collect()
+    }
+    assert probe(serving3.unionByName(remaining), emb) == oneshot
+
+
+def test_pq_rebuild_collapses_updated_ids(spark, sf_dir, tmp_path):
+    """The PQ-tier rebuild twin, pinned on the UPDATED-id case (the
+    append-only-contract violation the delta read tolerates only until
+    a rebuild): ids 0 and 1 are re-ingested in the last delta batch
+    with changed vectors; the rebuilt table must equal the one-shot
+    serving table over the LATEST corpus as an exact row set (latest
+    batch wins, one row per id), and a probe against it must equal the
+    one-shot probe. Also pins that compaction REFUSES to fold the
+    conflicting segment (round-12 ADVICE — the any-pick fold would
+    silently lose the ordering the rebuild needs)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from accounts_receivable_data_pipeline_api_spark.operators.similarity import (
+        ivf_build,
+        ivf_pq_topk,
+        pq_build,
+        pq_serving_table,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        compact_pq_delta,
+        read_pq_delta,
+        rebuild_pq_base,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming.pipeline import (
+        _write_batch_partial,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_rows = emb.filter(F.col("vec_id") < 400)
+    cents = ivf_build(base_rows, k=16, iters=2)
+    books = pq_build(base_rows, m=8, ksub=16, iters=2)
+    base_serving = pq_serving_table(base_rows, cents, books)
+
+    # batch 0: appends [400, 450); batch 1: appends [450, ...) plus
+    # UPDATED vectors for ids 0,1 (conflict vs the BASE — resolved only
+    # by the rebuild) and for id 400 (conflict WITHIN the delta —
+    # batch 1 re-ingests batch 0's id, which compaction must refuse)
+    updated = emb.filter(
+        F.col("vec_id").isin([0, 1, 400])
+    ).withColumn("embedding", F.reverse(F.col("embedding")))
+    b0 = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    b1 = emb.filter(F.col("vec_id") >= 450).unionByName(updated)
+    delta_dir = str(tmp_path / "delta")
+    for i, b in enumerate([b0, b1]):
+        _write_batch_partial(pq_serving_table(b, cents, books), delta_dir, i)
+
+    # compaction refuses the conflicting segment (id 400 now carries
+    # two distinct code rows across batches 0 and 1) — the violation
+    # fails LOUDLY instead of silently perturbing probe results
+    with _pytest.raises(Exception, match="append-only contract"):
+        compact_pq_delta(spark, delta_dir, upto_batch_id=1)
+
+    serving2, meta = rebuild_pq_base(
+        spark, base_serving, cents, books, delta_dir,
+        str(tmp_path / "base_gen2"), "pq_rebuild_test_gen2", upto_batch_id=1,
+    )
+
+    # latest corpus: original vectors except ids 0,1,400 which carry
+    # the updated ones — the rebuilt table equals its one-shot serving
+    # table as an exact row set (one row per id, latest batch wins)
+    latest = emb.filter(~F.col("vec_id").isin([0, 1, 400])).unionByName(updated)
+    want = {
+        (r["match_id"], r["cluster"], tuple(r["codes"]))
+        for r in pq_serving_table(latest, cents, books).collect()
+    }
+    got = {
+        (r["match_id"], r["cluster"], tuple(r["codes"]))
+        for r in serving2.collect()
+    }
+    assert got == want
+    assert meta["n"] == len(want)
+    assert meta["codebooks"] == books
+
+    # delta fully reset; probe over the rebuilt base (empty delta)
+    # equals the one-shot probe over the latest corpus
+    assert read_pq_delta(spark, delta_dir).count() == 0
+    queries = latest.filter(F.col("vec_id") < 5)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+
+    def probe(serving):
+        df = ivf_pq_topk(
+            queries, latest, cents, books, k=10, nprobe=8, m_rerank=100,
+            serving=serving,
+        )
+        return [tuple(r) for r in sorted(df.collect(), key=key)]
+
+    assert probe(
+        serving2.unionByName(read_pq_delta(spark, delta_dir))
+    ) == probe(pq_serving_table(latest, cents, books))
+
+
 def test_compact_registers_estimate_invariant_and_replay_safe(spark, tmp_path):
     """Register compaction lifecycle (round-7 VERDICT #5): folding
     closed-batch partials into a fresh generation partition

@@ -589,11 +589,17 @@ def test_q11_supplier_value_share(spark, duck):
     """Q11 shape: per-key value with a HAVING against a fraction of
     the GLOBAL sum (scalar subquery -> broadcast cross join). Supplier
     lineitem revenue stands in for partsupp stock value. The threshold
-    compares exact decimals cross-multiplied by integer scale factors
-    (value * 10000 > total * 105, i.e. share > 1.05% — the fixture's
-    100 suppliers are near-uniform, max share 1.117%, so this selects
-    roughly the top decile), so no
-    boundary supplier can flip on a float rounding difference."""
+    fraction is 1/n_suppliers — share strictly above the GLOBAL MEAN —
+    so it is fixture-independent (round-12 ADVICE: the old fixed 1.05%
+    sat 0.07pp under the fixture's max share and a regenerated skew
+    could have selected all or zero suppliers): for ANY revenue
+    distribution short of perfect uniformity, at least one supplier
+    sits above the mean and at least one below, so the both-directions
+    selectivity assert can never flip on fixture skew. The comparison
+    cross-multiplies exact decimals by the integer supplier count
+    (value * n > total), so no boundary supplier can flip on a float
+    rounding difference."""
+    n_suppliers = load_table(spark, ORACLE_SF_DIR, "supplier").count()
     li = load_table(spark, ORACLE_SF_DIR, "lineitem")
     disc_price = (
         _money("l_extendedprice")
@@ -603,13 +609,13 @@ def test_q11_supplier_value_share(spark, duck):
     total = rev.agg(F.sum("__v").alias("__t"))
     df = (
         rev.crossJoin(F.broadcast(total))
-        .filter(F.col("__v") * 10000 > F.col("__t") * 105)
+        .filter(F.col("__v") * n_suppliers > F.col("__t"))
         .select("l_suppkey", F.col("__v").cast("double").alias("value"))
     )
     rep = compare(
         df,
         duck,
-        """
+        f"""
         WITH rev AS (
           SELECT l_suppkey,
                  SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -619,12 +625,12 @@ def test_q11_supplier_value_share(spark, duck):
         )
         SELECT l_suppkey, CAST(CAST(v AS VARCHAR) AS DOUBLE) AS value
         FROM rev
-        WHERE v * 10000 > (SELECT SUM(v) FROM rev) * 105
+        WHERE v * {n_suppliers} > (SELECT SUM(v) FROM rev)
         """,
     )
     _assert_match(rep)
-    # the threshold must be selective in BOTH directions
-    n_suppliers = load_table(spark, ORACLE_SF_DIR, "supplier").count()
+    # the threshold must be selective in BOTH directions (guaranteed
+    # above for any non-perfectly-uniform fixture)
     assert 0 < rep["spark_rows"] < n_suppliers, rep
 
 
