@@ -871,6 +871,225 @@ def _topk_invariants(approx: DataFrame, queries: DataFrame, emb: DataFrame, k: i
     )
 
 
+def _frame_diff_count(a: DataFrame, b: DataFrame, alias: str) -> DataFrame:
+    """1-row frame counting full-row multiset differences between two
+    frames with identical columns (union with +1/-1 weights, group by
+    every column, non-zero sums are diffs) — the exact-equality checker
+    behind the ANN freshness rows. Deliberately NOT exceptAll: that
+    operator trips a Catalyst attribute-binding internal error between
+    mapInPandas-derived and parquet-read frames in this Spark build,
+    and it also misses duplicate-multiplicity differences."""
+    cols = a.columns
+    tagged = a.withColumn("__w", F.lit(1)).unionByName(
+        b.select(*cols).withColumn("__w", F.lit(-1))
+    )
+    return (
+        tagged.groupBy(*cols)
+        .agg(F.sum("__w").alias("__d"))
+        .filter(F.col("__d") != 0)
+        .agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+    )
+
+
+def _ann_updated_rows(emb: DataFrame) -> DataFrame:
+    """The UPDATED-id fixture rows: ids 0 and 1 re-ingested with a
+    deterministically changed vector (element reversal — no randomness,
+    so every process regenerates byte-identical fixtures)."""
+    return emb.filter(F.col("vec_id") < 2).withColumn(
+        "embedding", F.reverse(F.col("embedding"))
+    )
+
+
+def _ann_delta_fixture(spark: SparkSession, sf_dir: str, tier: str):
+    """Build-once /tmp fixture behind the serving-freshness row groups:
+    the embeddings corpus split 75/25 into a base and two delta batches
+    written in the delta stream's on-disk layout
+    (streaming/pipeline.py:_write_batch_partial — the same writer the
+    stream's foreachBatch calls), with the encoding metadata PINNED in
+    the published directory. Pinning is load-bearing, the base caches'
+    own cross-process contract: ivf_build's float partial sums are
+    pid-ordered, so a fresh driver process recomputing centroids
+    against a cached delta would assign probes inconsistently with the
+    stored cluster column and the freshness invariants would fail on
+    fixture drift, not operator bugs. The 'pq' tier's second batch
+    additionally re-ingests ids 0 and 1 with changed vectors — the
+    updated-id history only a base REBUILD can collapse. Publication is
+    the shared atomic protocol (_publish_cache_dir); returns
+    (fixture dir, metadata, tag)."""
+    import json as _json
+    import os
+    import uuid
+
+    from ..streaming.pipeline import _write_batch_partial
+    from .raw_ops import _cache_tag, _publish_cache_dir
+
+    tag = _cache_tag(f"annd_{tier}_v1", sf_dir)
+    loc = f"/tmp/spark_graft_annd_{tier}_{tag}"
+    if not os.path.isfile(os.path.join(loc, "meta.json")):
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.filter(F.col("vec_id") % 4 != 3)
+        cents = similarity.ivf_build(base, k=8, iters=2)
+        meta = {"centroids": cents}
+        b0 = emb.filter(F.col("vec_id") % 8 == 3)
+        b1 = emb.filter(F.col("vec_id") % 8 == 7)
+        if tier == "pq":
+            meta["codebooks"] = similarity.pq_build(base, m=8, ksub=16, iters=2)
+            b1 = b1.unionByName(_ann_updated_rows(emb))
+
+            def build(rows):
+                return similarity.pq_serving_table(
+                    rows, meta["centroids"], meta["codebooks"]
+                )
+
+        else:
+
+            def build(rows):
+                return similarity.ivf_sq8_serving_table(rows, cents)
+
+        tmp = f"{loc}.tmp-{uuid.uuid4().hex}"
+        for i, b in enumerate((b0, b1)):
+            _write_batch_partial(build(b), os.path.join(tmp, "delta"), i)
+        os.makedirs(tmp, exist_ok=True)
+        with open(os.path.join(tmp, "meta.json"), "w") as f:
+            _json.dump(meta, f)
+        _publish_cache_dir(tmp, loc, "meta.json")
+    with open(os.path.join(loc, "meta.json")) as f:
+        meta = _json.load(f)
+    return loc, meta, tag
+
+
+def _sq8_delta_row(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
+    """method='ivf_sq8_delta': the freshness path, driver-visible
+    (round-12 VERDICT #5). Append-only history; the 'brute-force twin'
+    here is the ONE-SHOT full index over the same pinned centroids:
+    n_score_mismatches counts full-row differences between
+    probe(base + delta read) and probe(one-shot) — the physical split
+    must be invisible to search; n_rank_violations counts them between
+    probe(rebuilt base) and probe(one-shot) — the rebuild fold must be
+    a pure re-layout (streaming/pipeline.py:rebuild_ann_base, consumed
+    delta left in place for the next driver run via
+    reset_delta=False); recall_floor_met = both zero."""
+    import os
+
+    from ..streaming import read_ann_delta, rebuild_ann_base
+
+    loc, meta, tag = _ann_delta_fixture(spark, sf_dir, "sq8")
+    cents = meta["centroids"]
+    base_serving = similarity.ivf_sq8_serving_table(
+        emb.filter(F.col("vec_id") % 4 != 3), cents
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    def probe(serving):
+        return similarity.ivf_sq8_topk(
+            queries, emb, cents, k=10, nprobe=4, serving=serving
+        )
+
+    fresh = probe(
+        base_serving.unionByName(read_ann_delta(spark, os.path.join(loc, "delta")))
+    )
+    oneshot = probe(similarity.ivf_sq8_serving_table(emb, cents))
+    rebuilt, _m = rebuild_ann_base(
+        spark,
+        base_serving,
+        cents,
+        os.path.join(loc, "delta"),
+        f"{loc}_rebuilt",
+        f"annd_sq8_rebuilt_{tag}",
+        upto_batch_id=1,
+        reset_delta=False,
+    )
+    return (
+        queries.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+        .crossJoin(F.broadcast(_frame_diff_count(fresh, oneshot, "n_score_mismatches")))
+        .crossJoin(F.broadcast(_frame_diff_count(probe(rebuilt), oneshot, "n_rank_violations")))
+        .select(
+            F.lit("ivf_sq8_delta").alias("method"),
+            "n_queries",
+            "n_score_mismatches",
+            "n_rank_violations",
+            (
+                (F.col("n_score_mismatches") == 0)
+                & (F.col("n_rank_violations") == 0)
+            ).alias("recall_floor_met"),
+        )
+    )
+
+
+def _pq_delta_row(
+    spark: SparkSession, sf_dir: str, emb: DataFrame, m_rerank: int
+) -> DataFrame:
+    """method='ivf_pq_delta': the UPDATED-id half of the lifecycle
+    (round-12 VERDICT #5). The fixture's delta re-ingests ids 0,1 with
+    changed vectors, so the one-shot twin is the serving table over the
+    LATEST corpus (original vectors except the updated ids):
+    n_score_mismatches counts full-row probe differences between
+    probe(rebuilt) and probe(one-shot latest); n_rank_violations counts
+    full-row TABLE differences between the rebuilt cache and the
+    one-shot serving table — the latest batch must win, exactly one row
+    per id (streaming/pipeline.py:rebuild_pq_base). Probes, LUTs, and
+    re-ranks all run against the latest corpus on both sides."""
+    import os
+
+    from ..streaming import rebuild_pq_base
+
+    loc, meta, tag = _ann_delta_fixture(spark, sf_dir, "pq")
+    cents, books = meta["centroids"], meta["codebooks"]
+    base_serving = similarity.pq_serving_table(
+        emb.filter(F.col("vec_id") % 4 != 3), cents, books
+    )
+    rebuilt, _m = rebuild_pq_base(
+        spark,
+        base_serving,
+        cents,
+        books,
+        os.path.join(loc, "delta"),
+        f"{loc}_rebuilt",
+        f"annd_pq_rebuilt_{tag}",
+        upto_batch_id=1,
+        reset_delta=False,
+    )
+    latest = emb.filter(F.col("vec_id") >= 2).unionByName(_ann_updated_rows(emb))
+    oneshot_table = similarity.pq_serving_table(latest, cents, books)
+    queries = latest.filter(F.col("vec_id") < 5)
+
+    def probe(serving):
+        return similarity.ivf_pq_topk(
+            queries, latest, cents, books, k=10, nprobe=4,
+            m_rerank=m_rerank, serving=serving,
+        )
+
+    return (
+        queries.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
+        .crossJoin(
+            F.broadcast(
+                _frame_diff_count(
+                    probe(rebuilt), probe(oneshot_table), "n_score_mismatches"
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                _frame_diff_count(
+                    rebuilt.select("match_id", "cluster", "codes"),
+                    oneshot_table.select("match_id", "cluster", "codes"),
+                    "n_rank_violations",
+                )
+            )
+        )
+        .select(
+            F.lit("ivf_pq_delta").alias("method"),
+            "n_queries",
+            "n_score_mismatches",
+            "n_rank_violations",
+            (
+                (F.col("n_score_mismatches") == 0)
+                & (F.col("n_rank_violations") == 0)
+            ).alias("recall_floor_met"),
+        )
+    )
+
+
 _TOPK_INVARIANT_ORACLE = """
     SELECT 'lsh' AS method,
            CAST(COUNT(*) AS BIGINT) AS n_queries,
@@ -894,6 +1113,20 @@ _TOPK_INVARIANT_ORACLE = """
     FROM embeddings WHERE vec_id < 5
     UNION ALL
     SELECT 'ivf_pq',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT),
+           TRUE
+    FROM embeddings WHERE vec_id < 5
+    UNION ALL
+    SELECT 'ivf_sq8_delta',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT),
+           TRUE
+    FROM embeddings WHERE vec_id < 5
+    UNION ALL
+    SELECT 'ivf_pq_delta',
            CAST(COUNT(*) AS BIGINT),
            CAST(0 AS BIGINT),
            CAST(0 AS BIGINT),
@@ -942,7 +1175,16 @@ _TOPK_INVARIANT_ORACLE = """
     "with m=100, 0.90 at sf1 with m=800). All rows assert exact cosine "
     "scores (n_score_mismatches=0 — for the quantized tiers that "
     "proves quantization never reaches the returned scores) and "
-    "internally consistent ranks against the brute-force twin.",
+    "internally consistent ranks against the brute-force twin. "
+    "method='ivf_sq8_delta' / 'ivf_pq_delta' (round 13): the serving "
+    "LIFECYCLE, driver-visible — a /tmp fixture (pinned centroids/"
+    "codebooks + a two-batch delta segment in the stream's on-disk "
+    "layout) drives the freshness and rebuild paths; the twin is the "
+    "one-shot full index and the counters are full-row diff counts "
+    "(semantics on _sq8_delta_row/_pq_delta_row: the sq8 row pins "
+    "probe(base+delta)==probe(one-shot)==probe(rebuilt base) for an "
+    "append-only history, the pq row pins the updated-id collapse — "
+    "rebuilt table == one-shot over the LATEST corpus, row-for-row).",
 )
 def similarity_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -979,6 +1221,8 @@ def similarity_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_row.unionByName(ivf_row)
         .unionByName(sq8_row)
         .unionByName(pq_row)
+        .unionByName(_sq8_delta_row(spark, sf_dir, emb))
+        .unionByName(_pq_delta_row(spark, sf_dir, emb, max(100, n_emb // 25)))
     )
 
 
