@@ -143,6 +143,9 @@ def make_handler(endpoints: Endpoints):
                     _required(params, "name"),
                     _int_param(params, "limit", 10, ge=1),
                     _int_param(params, "offset", 0, ge=0),
+                    # [EXT] keyset cursor, the past-due recipe: present
+                    # (even blank) switches to cursor pagination
+                    _one(params, "after"),
                 )
             # /customers/ lists; FastAPI's trailing-slash route
             if raw_path in ("/customers", "/customers/"):

@@ -214,6 +214,8 @@ def customer_contact(
     name: str,
     limit: int = 10,
     offset: int = 0,
+    after: tuple[str, int] | None = None,
+    include_id: bool | None = None,
 ) -> ContactPage:
     """GET /customers/contact (reference app/api/customers.py:52-119).
 
@@ -221,10 +223,48 @@ def customer_contact(
     last_seen_invoice_date (J2); group on the full customer identity
     (A5). The dim side is filtered to one name first, so at scale the
     join probes a broadcast single-key dim against the fact.
-    """
+
+    ``after`` ([EXT], opt-in — round-12 VERDICT #3): keyset cursor
+    (name, id) of the LAST group of the previous page. This is the
+    reference route with NO upper bound on ``limit``
+    (app/api/customers.py:54-56), i.e. the deep-page hazard past_due
+    already fixed: OFFSET n materializes and discards n sorted groups
+    per request. The cursor is the page's GROUP key — (name, id) is a
+    customer-dim identity that the left join / group-by can never
+    change — so the expanded-OR predicate applies to the DIM SIDE
+    BEFORE the join and prunes the dim scan itself; every page is then
+    O(limit) through the fact probe regardless of depth. The page order
+    is always asc (name, id), so unlike past_due there is no sort mode
+    a cursor could silently contradict. ``include_id`` adds the group's
+    ``id`` column to the page (the REST layer needs it to mint
+    next_after; the envelope changes with the cursor anyway) — default
+    follows ``after``, but the FIRST keyset page has no cursor yet and
+    still needs the column, so the endpoint passes it explicitly.
+    ``match_count`` (the 404 driver) stays the PRE-cursor name-match
+    count on every page: it is a pruned scan of the small dim — a
+    different cost class from past_due's O(fact-corpus) total, which is
+    why that one is skipped on continuations and this one is not."""
     matched = customers.filter(F.lower(F.col("name")) == name.lower())
     match_count = matched.count()
+    if after is not None:
+        after_name, after_id = after
+        matched = matched.filter(
+            (F.col("name") > F.lit(after_name))
+            | (
+                (F.col("name") == F.lit(after_name))
+                & (F.col("id") > F.lit(int(after_id)))
+            )
+        )
 
+    out_cols = [
+        F.col("name").alias("customer_name"),
+        F.col("contact_name"),
+        F.col("contact_email"),
+        F.col("contact_phone"),
+        F.col("last_seen_invoice_date"),
+    ]
+    if include_id if include_id is not None else after is not None:
+        out_cols.append(F.col("id"))
     contacts = (
         F.broadcast(matched)
         .join(
@@ -235,13 +275,7 @@ def customer_contact(
         .groupBy("id", "name", "contact_name", "contact_email", "contact_phone")
         .agg(F.max("invoice_date").alias("last_seen_invoice_date"))
         .orderBy(F.col("name").asc(), F.col("id").asc())
-        .select(
-            F.col("name").alias("customer_name"),
-            "contact_name",
-            "contact_email",
-            "contact_phone",
-            "last_seen_invoice_date",
-        )
+        .select(*out_cols)
         .offset(offset)
         .limit(limit)
     )

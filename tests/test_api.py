@@ -131,6 +131,73 @@ def test_golden_customer_contact(api):
     }
 
 
+def test_contact_keyset_cursor(api, spark):
+    """[EXT] keyset pagination on /customers/contact (round-12 VERDICT
+    #3 — the reference route with NO upper bound on limit, the
+    deep-page hazard past_due already fixed). Endpoint core: presence
+    of ``after`` switches the envelope to carry next_after (total stays
+    the Q6 page length), a full last page terminates on the NEXT
+    request with an empty page and next_after=None, 404 still fires on
+    a continuation for an unknown name, and misuse (after+offset,
+    malformed cursor) is 422. Query layer: over a dim where one
+    lowercased name matches MANY (name, id) groups — the case the
+    cursor exists for — walking it item-for-item equals offset paging
+    (the cursor is a window move, never a reorder)."""
+    # endpoint core against the real CSV: unique names -> one group;
+    # limit=1 makes that a FULL page, so the walk exercises both the
+    # cursor mint and the O(1) empty-page termination
+    first = api.customer_contact("Lens & Light", limit=1, after="")
+    assert first["total"] == 1 and "next_after" in first
+    assert first["contacts"] == api.customer_contact("Lens & Light")["contacts"]
+    assert first["next_after"] is not None
+    tail = api.customer_contact("Lens & Light", limit=1, after=first["next_after"])
+    assert tail["contacts"] == [] and tail["next_after"] is None
+    with pytest.raises(ApiError) as err:
+        api.customer_contact("No Such Co", limit=1, after=first["next_after"])
+    assert err.value.status_code == 404
+    for bad in (
+        {"after": "", "offset": 5},
+        {"after": "not-a-cursor"},
+        {"after": "12"},  # missing name half
+        {"after": "x,Name"},  # non-integer id
+    ):
+        with pytest.raises(ApiError) as err:
+            api.customer_contact("Lens & Light", **bad)
+        assert err.value.status_code == 422
+
+    # query layer, multi-group walk: 23 case-variant groups of one
+    # lowercased name, names containing commas (the reason the wire
+    # cursor is id-first), walked at limit=4 vs offset pages
+    from accounts_receivable_data_pipeline_api_spark.ar import queries as q
+
+    rows = [
+        (i, f"Acme, Inc {'x' * (i % 3)}".upper() if i % 2 else f"Acme, Inc {'x' * (i % 3)}",
+         f"c{i}", f"c{i}@x.com", f"555-{i:04d}")
+        for i in range(23)
+    ]
+    dim = spark.createDataFrame(
+        rows, "id long, name string, contact_name string, contact_email string, contact_phone string"
+    )
+    # two lowercase name classes; pick one ("acme, inc x")
+    inv = api.invoices.limit(0)  # zero-invoice customers: left join survives
+    target = "ACME, INC X".lower()
+    offset_walk, off = [], 0
+    while True:
+        page = q.customer_contact(dim, inv, target, limit=4, offset=off).contacts.collect()
+        if not page:
+            break
+        offset_walk += [tuple(r)[:5] for r in page]
+        off += 4
+    cursor_walk, cur = [], None
+    while True:
+        page = q.customer_contact(dim, inv, target, limit=4, after=cur or ("", -1)).contacts.collect()
+        if not page:
+            break
+        cursor_walk += [tuple(r)[:5] for r in page]
+        cur = (page[-1]["customer_name"], page[-1]["id"])
+    assert offset_walk and cursor_walk == offset_walk
+
+
 def test_bad_month_is_400(api):
     with pytest.raises(ApiError) as err:
         api.monthly_summary("2024-13-01")

@@ -130,6 +130,39 @@ def test_http_golden_customer_contact(base_url):
     }
 
 
+def test_http_contact_keyset_cursor(base_url):
+    """[EXT] contact keyset pagination over the wire (round-12 VERDICT
+    #3): ``after=`` (blank) opts into cursor mode — the envelope gains
+    next_after while total stays the Q6 page length; a full page mints
+    a cursor whose follow-up returns the empty terminal page; the
+    cursor round-trips URL-encoding (it embeds 'id,name' and names
+    contain spaces/commas); misuse is 422 on the wire."""
+    name_q = "name=Lens%20%26%20Light"
+    status, body = _get(
+        base_url, f"/customers/contact?{name_q}&limit=1&after="
+    )
+    assert status == 200
+    assert body["total"] == 1 and len(body["contacts"]) == 1
+    assert body["contacts"][0]["contact_name"] == "Angela Scott"
+    assert body["next_after"] is not None
+    status, tail = _get(
+        base_url,
+        f"/customers/contact?{name_q}&limit=1&after="
+        + urllib.parse.quote(body["next_after"]),
+    )
+    assert status == 200
+    assert tail["contacts"] == [] and tail["next_after"] is None
+
+    status, body = _get(
+        base_url, f"/customers/contact?{name_q}&after=garbage"
+    )
+    assert status == 422 and body["detail"]
+    status, body = _get(
+        base_url, f"/customers/contact?{name_q}&after=&offset=3"
+    )
+    assert status == 422 and body["detail"]
+
+
 def test_http_invoice_roundtrip_and_404(base_url):
     status, body = _get(base_url, "/invoices/DF2014658")
     assert status == 200 and body["invoice_number"] == "DF2014658"
