@@ -409,8 +409,50 @@ def _probe_ann_delta(spark, sf_dir: str) -> None:
         # the module-level warm-timing methodology (_timed), not a copy
         t_base = _timed(base_only)
         t_delta = _timed(with_delta)
+
+        # post-rebuild leg (round-12 VERDICT #1): fold base+delta into
+        # a fresh bucketed base (streaming.rebuild_ann_base — pinned
+        # centroids, full consumption, delta reset) and measure the
+        # steady state AFTER the cutover: probe(rebuilt, empty delta)
+        # must equal the one-shot index row-for-row, the reset delta
+        # must read as empty, and the probe wall should return to
+        # ~base-only (the delta overhead is what the rebuild reclaims)
+        from accounts_receivable_data_pipeline_api_spark.streaming import (
+            read_ann_delta as _rad,
+            rebuild_ann_base,
+        )
+
+        rebuilt_loc = f"/tmp/spark_graft_ann_delta_probe_rebuilt_{tag}"
+        t0 = time.perf_counter()
+        rebuilt, _meta = rebuild_ann_base(
+            spark,
+            spark.read.parquet(base_dir).select(
+                "match_id", "cluster", "q_scale", "qvec"
+            ),
+            cents,
+            delta_dir,
+            rebuilt_loc,
+            f"ann_probe_rebuilt_{tag}",
+            upto_batch_id=3,
+        )
+        t_rebuild_wall = time.perf_counter() - t0
+        assert _rad(spark, delta_dir).count() == 0, "delta not reset by rebuild"
+
+        def rebuilt_only():
+            return probe(rebuilt, emb)
+
+        post = sorted(
+            (tuple(r) for r in rebuilt_only().collect()), key=lambda t: (t[0], t[3])
+        )
+        assert post == oneshot, "post-rebuild probe diverged from one-shot index"
+        t_rebuilt = _timed(rebuilt_only)
     finally:
-        for d in (base_dir, delta_dir):
+        spark.sql(f"DROP TABLE IF EXISTS ann_probe_rebuilt_{tag}")
+        for d in (
+            base_dir,
+            delta_dir,
+            f"/tmp/spark_graft_ann_delta_probe_rebuilt_{tag}",
+        ):
             _sh.rmtree(d, ignore_errors=True)
     print(
         json.dumps(
@@ -423,6 +465,114 @@ def _probe_ann_delta(spark, sf_dir: str) -> None:
                 "probe_base_warm_s": round(t_base, 3),
                 "probe_with_delta_warm_s": round(t_delta, 3),
                 "delta_overhead_pct": round(100 * (t_delta - t_base) / t_base, 1),
+                "rebuild_wall_s": round(t_rebuild_wall, 3),
+                "probe_rebuilt_warm_s": round(t_rebuilt, 3),
+            }
+        ),
+        flush=True,
+    )
+
+
+def _probe_timegrain_view(spark, sf_dir: str) -> None:
+    """Round-13 serving-freshness probe for the time-grain continuous
+    aggregates (round-12 VERDICT #4): the cost of READING the
+    continuous-aggregate views (read_daily_distinct /
+    read_daily_quantiles) as the partial log grows. The fixture writes
+    the events corpus as 16 closed per-batch register partials in the
+    stream's on-disk layout (30 days x 24 hours of grains), then times
+    each view over the LIVE log and again after compaction folds it to
+    one generation — and asserts the view is bit-for-bit invariant
+    under the fold. The 100 TB claim under test: the view read is
+    bounded by grains x registers (x n_batches before compaction),
+    NEVER by the raw event count — across sf0.001 -> sf1 the events
+    grow 1000x while the register state stays grain-bounded, so the
+    view walls should stay near-flat."""
+    import os as _os
+    import shutil as _sh
+
+    from accounts_receivable_data_pipeline_api_spark.operators.sketch import (
+        hdr_registers,
+        hll_registers,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        compact_timegrain_hdr,
+        compact_timegrain_registers,
+        read_daily_distinct,
+        read_daily_quantiles,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    n = events.count()
+    n_grains = events.select(
+        F.to_date("ts").alias("day"), F.hour("ts").alias("hr")
+    ).distinct().count()
+    batches = 16
+    tag = f'{sf_dir.rsplit("sf", 1)[-1].replace(".", "_")}_{_os.getpid()}'
+    hll_dir = f"/tmp/spark_graft_tg_hll_{tag}"
+    hdr_dir = f"/tmp/spark_graft_tg_hdr_{tag}"
+
+    def proj(*cols):
+        return events.select(
+            *cols,
+            F.to_date("ts").alias("day"),
+            F.hour("ts").alias("hr"),
+            (F.col("user_id") % batches).alias("batch_id"),
+        )
+
+    # HDR's domain is non-NULL positive integers (the call-site
+    # contract hdr_registers enforces in-plan): price-cents mapping,
+    # NULL/non-positive values filtered — the op_hdr_quantiles shape
+    cents = F.expr("CAST(round(value * 100) AS BIGINT)").alias("v")
+
+    try:
+        # one pass per tier: grouping by (batch_id, grain) builds every
+        # batch's partial exactly as the stream's per-microbatch
+        # builder would (same registers fn, same grain projection), and
+        # partitionBy(batch_id) is the stream's on-disk layout
+        hll_registers(
+            proj(F.col("user_id")), "user_id", m=1024,
+            group_cols=("batch_id", "day", "hr"),
+        ).write.partitionBy("batch_id").parquet(hll_dir)
+        hdr_registers(
+            proj(cents).filter(F.col("v") > 0), "v",
+            group_cols=["batch_id", "day", "hr"], sub_bits=5,
+        ).write.partitionBy("batch_id").parquet(hdr_dir)
+
+        def hll_view():
+            return read_daily_distinct(spark, hll_dir)
+
+        def hdr_view():
+            return read_daily_quantiles(spark, hdr_dir)
+
+        hll_live_rows = sorted(tuple(r) for r in hll_view().collect())
+        hdr_live_rows = sorted(tuple(r) for r in hdr_view().collect())
+        t_hll_live = _timed(hll_view)
+        t_hdr_live = _timed(hdr_view)
+        compact_timegrain_registers(spark, hll_dir, upto_batch_id=batches - 1)
+        compact_timegrain_hdr(spark, hdr_dir, upto_batch_id=batches - 1)
+        assert sorted(tuple(r) for r in hll_view().collect()) == hll_live_rows, (
+            "HLL view changed under compaction"
+        )
+        assert sorted(tuple(r) for r in hdr_view().collect()) == hdr_live_rows, (
+            "HDR view changed under compaction"
+        )
+        t_hll_comp = _timed(hll_view)
+        t_hdr_comp = _timed(hdr_view)
+    finally:
+        for d in (hll_dir, hdr_dir):
+            _sh.rmtree(d, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "query": "op_timegrain_view_probe",
+                "sf": sf_dir.rsplit("sf", 1)[-1],
+                "input_rows": n,
+                "n_grains": n_grains,
+                "n_partial_batches": batches,
+                "hll_view_live_warm_s": round(t_hll_live, 3),
+                "hll_view_compacted_warm_s": round(t_hll_comp, 3),
+                "hdr_view_live_warm_s": round(t_hdr_live, 3),
+                "hdr_view_compacted_warm_s": round(t_hdr_comp, 3),
             }
         ),
         flush=True,
@@ -539,6 +689,9 @@ def main() -> None:
     if wanted("op_ann_delta_probe"):
         for sf_dir in SFS:
             _probe_ann_delta(spark, sf_dir)
+    if wanted("op_timegrain_view_probe"):
+        for sf_dir in SFS:
+            _probe_timegrain_view(spark, sf_dir)
     if wanted("stream_windowed_counts"):
         for sf_dir in SFS:
             _probe_streaming_rate(spark, sf_dir)
