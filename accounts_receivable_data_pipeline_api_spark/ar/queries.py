@@ -235,7 +235,13 @@ def customer_contact(
     BEFORE the join and prunes the dim scan itself; every page is then
     O(limit) through the fact probe regardless of depth. The page order
     is always asc (name, id), so unlike past_due there is no sort mode
-    a cursor could silently contradict. ``include_id`` adds the group's
+    a cursor could silently contradict. Precondition: ``id`` must be a
+    KEY of the customers frame (the ingest builds it as one, PK parity
+    with the reference) — with duplicate ids the page's true group key
+    is the full contact identity, (name, id) no longer names one group,
+    and NO (name, id)-ordered pagination is well-defined there: offset
+    pages order duplicate-id twins nondeterministically and a cursor
+    boundary between them would skip one. ``include_id`` adds the group's
     ``id`` column to the page (the REST layer needs it to mint
     next_after; the envelope changes with the cursor anyway) — default
     follows ``after``, but the FIRST keyset page has no cursor yet and

@@ -1108,6 +1108,45 @@ _ANN_DELTA_SCHEMA = "match_id bigint, cluster int, q_scale double, qvec array<ti
 _PQ_DELTA_SCHEMA = "match_id bigint, cluster int, codes array<tinyint>"
 
 
+def _schema_cols(schema: str) -> tuple[str, ...]:
+    """Column names of a FLAT DDL schema string (no struct/map fields —
+    true of both delta schemas above), split driver-side so the
+    per-probe read path never builds a throwaway empty DataFrame just
+    to recover constant names (round-13 review)."""
+    return tuple(part.strip().split()[0] for part in schema.split(","))
+
+
+def _visible_batch_ids(
+    spark: SparkSession, state_dir: str
+) -> tuple[list[int], list[int]]:
+    """(live, generations) batch ids with at least one visible file —
+    the READER's view of a batch-partitioned state dir, shared by the
+    delta emptiness probe and the rebuild's consumption snapshot.
+    Deliberately NOT _compact_partials' listing: that one is the
+    MAINTENANCE view — it sweeps crashed-write debris (destructive) and
+    counts visible-file-less live dirs toward its default upto, neither
+    of which a read-only consumer should do; a rebuild's default-upto
+    over this listing is strictly more conservative, which is the safe
+    direction (it consumes less, never more)."""
+    fs, root, _ = _registers_fs(spark, state_dir)
+    live: list[int] = []
+    gens: list[int] = []
+    if not fs.exists(root):
+        return live, gens
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not name.startswith("batch_id="):
+            continue
+        if not _dir_has_visible_file(fs, status):
+            continue
+        try:
+            b = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        (gens if b < 0 else live).append(b)
+    return live, gens
+
+
 def _delta_has_batches(spark: SparkSession, delta_dir: str) -> bool:
     """True iff the delta dir holds at least one batch partition with a
     visible file — the emptiness probe behind the empty-segment read
@@ -1115,14 +1154,8 @@ def _delta_has_batches(spark: SparkSession, delta_dir: str) -> bool:
     just reset by a base rebuild: spark.read.parquet on a missing or
     file-less dir raises instead of returning the correct empty
     answer)."""
-    fs, root, _ = _registers_fs(spark, delta_dir)
-    if not fs.exists(root):
-        return False
-    return any(
-        st.getPath().getName().startswith("batch_id=")
-        and _dir_has_visible_file(fs, st)
-        for st in fs.listStatus(root)
-    )
+    live, gens = _visible_batch_ids(spark, delta_dir)
+    return bool(live or gens)
 
 
 def _read_delta_segment(
@@ -1137,7 +1170,7 @@ def _read_delta_segment(
     match_id dedup, column projection. A segment with no batches (fresh
     deployment, or just reset by a base rebuild) reads as EMPTY under
     the pinned ``schema`` rather than failing schema inference."""
-    columns = [f.name for f in spark.createDataFrame([], schema).schema.fields]
+    columns = _schema_cols(schema)
     if not _delta_has_batches(spark, delta_dir):
         df = spark.createDataFrame([], schema)
     else:
@@ -1172,11 +1205,7 @@ def _compact_delta_segment(
     which collapse to the LATEST batch by construction), not a fold.
     Under the contract the grouped max equals the old any-pick dedup
     row-for-row (all duplicates byte-identical)."""
-    payload_cols = [
-        f.name
-        for f in spark.createDataFrame([], schema).schema.fields
-        if f.name != "match_id"
-    ]
+    payload_cols = [c for c in _schema_cols(schema) if c != "match_id"]
 
     def merge(df: DataFrame) -> DataFrame:
         payload = F.struct(*[F.col(c) for c in payload_cols])
@@ -1317,9 +1346,14 @@ def _rebuild_base_segment(
 
     Publication is the atomic bucketed-cache protocol
     (plans/raw_ops.py:_bucketed_serving_table / _publish_cache_dir):
-    ``loc``/``table`` must be FRESH per rebuild generation (the base
-    caches are immutable artifacts — publishing over a prior one is
-    rejected via the rebuilt_upto marker below). The consumed watermark
+    ``loc``/``table`` must be FRESH per rebuild generation — base
+    caches are immutable artifacts. A loc holding a NON-rebuild
+    artifact is rejected via the rebuilt_upto marker; a loc holding a
+    PRIOR rebuild generation is rejected when the delta has consumable
+    batches beyond its published watermark (after completing that
+    generation's reset, so an interrupted reset still converges); a
+    re-run with nothing new to consume is the legitimate crash-rerun
+    case and returns the published artifact. The consumed watermark
     is recorded IN the published metadata (``rebuilt_upto``), so the
     delta reset always deletes per the PUBLISHED artifact, never this
     process's snapshot: a crash between publish and reset, or a lost
@@ -1332,8 +1366,6 @@ def _rebuild_base_segment(
     reads over deleted files fail loudly, the protocol's stated
     behavior). Pass ``reset_delta=False`` to publish first and reset in
     a separate step after the router cutover."""
-    import json as _json  # noqa: F401  (meta travels through raw_ops)
-
     from ..plans.raw_ops import _bucketed_serving_table
 
     st = spark.createDataFrame([], schema).schema
@@ -1341,19 +1373,7 @@ def _rebuild_base_segment(
     payload_cols = [c for c in data_cols if c != "match_id"]
 
     fs, root, jvm = _registers_fs(spark, delta_dir)
-    live, gens = [], []
-    if fs.exists(root):
-        for status in fs.listStatus(root):
-            name = status.getPath().getName()
-            if not name.startswith("batch_id="):
-                continue
-            if not _dir_has_visible_file(fs, status):
-                continue
-            try:
-                b = int(name.split("=", 1)[1])
-            except ValueError:
-                continue
-            (gens if b < 0 else live).append(b)
+    live, gens = _visible_batch_ids(spark, delta_dir)
     mark = -min(gens) - 2 if gens else None
     if upto_batch_id is None:
         upto_batch_id = max(live) - 1 if live else None
@@ -1398,37 +1418,66 @@ def _rebuild_base_segment(
             .select(*[F.col(f.name).cast(f.dataType) for f in st.fields])
         )
 
+    # ONE collapse execution for the two consumers (round-13 review:
+    # build_meta's count and build_df's bucketed write each ran the
+    # full union + corpus-wide groupBy shuffle — the rebuild's dominant
+    # cost, paid twice): persist is lazy, so a cache hit in
+    # _bucketed_serving_table (build closures never invoked) costs
+    # nothing, and on a build the count materializes the collapse once
+    # and the write re-reads the cached partitions
+    cached = collapsed().persist()
+
     def build_meta() -> dict:
         # n rides in the metadata like the base caches' (downstream
         # re-rank budgets never re-count the table); rebuilt_upto is
         # the consumed-watermark record the reset below reads back
         return dict(
             pinned_meta,
-            n=collapsed().count(),
+            n=cached.count(),
             rebuilt_upto=-1 if upto_eff is None else int(upto_eff),
         )
 
-    serving, meta = _bucketed_serving_table(
-        spark, table, loc, columns_ddl, lambda _meta: collapsed(), build_meta, meta_name
-    )
+    try:
+        serving, meta = _bucketed_serving_table(
+            spark, table, loc, columns_ddl, lambda _meta: cached, build_meta, meta_name
+        )
+    finally:
+        cached.unpersist()
     if "rebuilt_upto" not in meta:
         raise RuntimeError(
             f"rebuild target {loc} already holds a non-rebuild artifact "
             f"({meta_name} carries no rebuilt_upto watermark) — pass a "
             "fresh location per rebuild generation"
         )
+    published = int(meta["rebuilt_upto"])
     if reset_delta:
-        w = int(meta["rebuilt_upto"])
         for b in live:
-            if b <= w:
+            if b <= published:
                 fs.delete(
                     jvm.org.apache.hadoop.fs.Path(f"{delta_dir}/batch_id={b}"), True
                 )
         for g in gens:
-            if -g - 2 <= w:
+            if -g - 2 <= published:
                 fs.delete(
                     jvm.org.apache.hadoop.fs.Path(f"{delta_dir}/batch_id={g}"), True
                 )
+    # Stale-reuse guard (round-13 review: rebuilding into a loc that
+    # already holds a PRIOR rebuild generation silently returned the
+    # old artifact). A genuine crash re-run sees the same consumable
+    # watermark as the published one; consumable batches BEYOND it mean
+    # this loc predates them and folding them needs a fresh location.
+    # Raised AFTER the reset above so an interrupted old-generation
+    # reset still completes (deletions are keyed to the PUBLISHED
+    # watermark either way).
+    eff = -1 if upto_eff is None else int(upto_eff)
+    if eff > published:
+        raise RuntimeError(
+            f"rebuild target {loc} holds a prior rebuild generation "
+            f"(consumed up to batch {published}) but the delta now has "
+            f"consumable batches up to {eff} — base caches are "
+            "immutable: pass a fresh location/table per rebuild "
+            "generation to fold the newer batches"
+        )
     return serving, meta
 
 

@@ -1458,6 +1458,18 @@ def test_ann_rebuild_base_lifecycle(spark, sf_dir, tmp_path):
     }
     assert probe(serving3.unionByName(remaining), emb) == oneshot
 
+    # (5) stale-reuse guard: folding the NEWER batch into the same loc
+    # must fail loudly (base caches are immutable — a silent return of
+    # the old generation would leave batch 1 unfolded forever), while
+    # the crash-rerun in (3) above — nothing new to consume — succeeds
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="prior rebuild generation"):
+        rebuild_ann_base(
+            spark, base_serving, cents, delta2, str(tmp_path / "base_gen3"),
+            "sq8_rebuild_test_gen3", upto_batch_id=1,
+        )
+
 
 def test_pq_rebuild_collapses_updated_ids(spark, sf_dir, tmp_path):
     """The PQ-tier rebuild twin, pinned on the UPDATED-id case (the
