@@ -200,6 +200,26 @@ def _bucketed_serving_table(
             shutil.rmtree(tmp, ignore_errors=True)
     if not spark.catalog.tableExists(tbl):
         spark.sql(ddl.format(name=tbl, loc=data_dir))
+    # Name/location binding check (round-13 second-pass review): a
+    # caller reusing a TABLE name with a fresh loc — e.g. a rebuild
+    # generation that rotated the location but not the name — would
+    # get the catalog's OLD registration back while this function's
+    # meta comes from the NEW loc, silently serving a stale artifact
+    # under fresh metadata. Table names are one-per-location here.
+    registered = [
+        (r[1] or "").strip()
+        for r in spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
+        if (r[0] or "").strip() == "Location"
+    ]
+    if not registered or not registered[0].rstrip("/").endswith(
+        data_dir.rstrip("/")
+    ):
+        raise RuntimeError(
+            f"table {tbl} is registered at "
+            f"{registered[0] if registered else '<unknown>'}, not "
+            f"{data_dir} — table names bind to one location; pass a "
+            "fresh table name alongside a fresh location"
+        )
     with open(os.path.join(loc, meta_name)) as f:
         meta = _json.load(f)
     return spark.table(tbl), meta

@@ -712,25 +712,23 @@ def _dir_has_visible_file(fs, status) -> bool:
     return False
 
 
+def _gens_watermark(gens: list[int]) -> int | None:
+    """Decode a generation-id list to the folded watermark (the NAME
+    encoding: gid = -(mark+2), newest = most negative) — the ONE copy
+    of the decode, shared by compaction_watermark and the rebuild
+    (round-13 second-pass review: three inline copies had appeared)."""
+    return None if not gens else -min(gens) - 2
+
+
 def compaction_watermark(spark: SparkSession, registers_dir: str) -> int | None:
     """Highest batch_id folded into a compacted generation, or None if
     no compaction has run — decoded from the newest (most negative)
     generation partition's NAME, never from file contents or a stamp
     file, so there is no partially-written state to misread. Empty
     generation dirs (a crashed write's debris — invisible to readers)
-    are ignored, mirroring _compact_partials' discovery."""
-    fs, root, jvm = _registers_fs(spark, registers_dir)
-    if not fs.exists(root):
-        return None
-    gens = []
-    for st in fs.listStatus(root):
-        name = st.getPath().getName()
-        if name.startswith("batch_id=-") and _dir_has_visible_file(fs, st):
-            try:
-                gens.append(int(name.split("=", 1)[1]))
-            except ValueError:
-                continue
-    return None if not gens else -min(gens) - 2
+    are ignored: discovery is the shared reader-view listing
+    (`_visible_batch_ids`)."""
+    return _gens_watermark(_visible_batch_ids(spark, registers_dir)[1])
 
 
 def compact_registers(
@@ -1374,7 +1372,8 @@ def _rebuild_base_segment(
 
     fs, root, jvm = _registers_fs(spark, delta_dir)
     live, gens = _visible_batch_ids(spark, delta_dir)
-    mark = -min(gens) - 2 if gens else None
+    mark = _gens_watermark(gens)
+    explicit_upto = upto_batch_id is not None
     if upto_batch_id is None:
         upto_batch_id = max(live) - 1 if live else None
     consumed = sorted(
@@ -1421,11 +1420,17 @@ def _rebuild_base_segment(
     # ONE collapse execution for the two consumers (round-13 review:
     # build_meta's count and build_df's bucketed write each ran the
     # full union + corpus-wide groupBy shuffle — the rebuild's dominant
-    # cost, paid twice): persist is lazy, so a cache hit in
-    # _bucketed_serving_table (build closures never invoked) costs
-    # nothing, and on a build the count materializes the collapse once
-    # and the write re-reads the cached partitions
-    cached = collapsed().persist()
+    # cost, paid twice), materialized LAZILY inside the build closures:
+    # even constructing the collapse PLAN runs a small Spark job (the
+    # delta read's generation discovery collects distinct batch ids),
+    # so a cache hit in _bucketed_serving_table — which never invokes
+    # the closures — must not touch it (second-pass round-13 review).
+    holder: dict[str, DataFrame] = {}
+
+    def cached_collapsed() -> DataFrame:
+        if "df" not in holder:
+            holder["df"] = collapsed().persist()
+        return holder["df"]
 
     def build_meta() -> dict:
         # n rides in the metadata like the base caches' (downstream
@@ -1433,16 +1438,23 @@ def _rebuild_base_segment(
         # the consumed-watermark record the reset below reads back
         return dict(
             pinned_meta,
-            n=cached.count(),
+            n=cached_collapsed().count(),
             rebuilt_upto=-1 if upto_eff is None else int(upto_eff),
         )
 
     try:
         serving, meta = _bucketed_serving_table(
-            spark, table, loc, columns_ddl, lambda _meta: cached, build_meta, meta_name
+            spark,
+            table,
+            loc,
+            columns_ddl,
+            lambda _meta: cached_collapsed(),
+            build_meta,
+            meta_name,
         )
     finally:
-        cached.unpersist()
+        if "df" in holder:
+            holder["df"].unpersist()
     if "rebuilt_upto" not in meta:
         raise RuntimeError(
             f"rebuild target {loc} already holds a non-rebuild artifact "
@@ -1463,20 +1475,26 @@ def _rebuild_base_segment(
                 )
     # Stale-reuse guard (round-13 review: rebuilding into a loc that
     # already holds a PRIOR rebuild generation silently returned the
-    # old artifact). A genuine crash re-run sees the same consumable
-    # watermark as the published one; consumable batches BEYOND it mean
-    # this loc predates them and folding them needs a fresh location.
-    # Raised AFTER the reset above so an interrupted old-generation
-    # reset still completes (deletions are keyed to the PUBLISHED
-    # watermark either way).
+    # old artifact). Raised only for an EXPLICIT upto_batch_id beyond
+    # the published watermark — the caller demanded folding through a
+    # batch this artifact predates, which needs a fresh location. A
+    # default-upto re-run returns the published artifact instead
+    # (second-pass review: the documented publish-then-reset two-step
+    # would otherwise raise spuriously when the stream appended batches
+    # between the steps) — that is still CORRECT serving state: the
+    # published base covers batches <= its watermark and everything
+    # newer stays in the delta, complete though unfolded. Raised AFTER
+    # the reset above so an interrupted old-generation reset still
+    # completes (deletions are keyed to the PUBLISHED watermark either
+    # way).
     eff = -1 if upto_eff is None else int(upto_eff)
-    if eff > published:
+    if explicit_upto and eff > published:
         raise RuntimeError(
             f"rebuild target {loc} holds a prior rebuild generation "
-            f"(consumed up to batch {published}) but the delta now has "
-            f"consumable batches up to {eff} — base caches are "
-            "immutable: pass a fresh location/table per rebuild "
-            "generation to fold the newer batches"
+            f"(consumed up to batch {published}) but upto_batch_id asks "
+            f"to fold through batch {eff} — base caches are immutable: "
+            "pass a fresh location/table per rebuild generation to fold "
+            "the newer batches"
         )
     return serving, meta
 

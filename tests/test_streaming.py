@@ -1458,15 +1458,20 @@ def test_ann_rebuild_base_lifecycle(spark, sf_dir, tmp_path):
     }
     assert probe(serving3.unionByName(remaining), emb) == oneshot
 
-    # (5) stale-reuse guard: folding the NEWER batch into the same loc
-    # must fail loudly (base caches are immutable — a silent return of
-    # the old generation would leave batch 1 unfolded forever), while
-    # the crash-rerun in (3) above — nothing new to consume — succeeds
-    import pytest as _pytest
-
-    with _pytest.raises(RuntimeError, match="prior rebuild generation"):
+    # (5) stale-reuse guards: an EXPLICIT upto beyond the published
+    # watermark must fail loudly (base caches are immutable — a silent
+    # return of the old generation would leave batch 1 unfolded
+    # forever), while the crash-rerun in (3) above — nothing new
+    # demanded — succeeds; and reusing a TABLE name against a fresh
+    # location must fail at the name/location binding check
+    with pytest.raises(RuntimeError, match="prior rebuild generation"):
         rebuild_ann_base(
             spark, base_serving, cents, delta2, str(tmp_path / "base_gen3"),
+            "sq8_rebuild_test_gen3", upto_batch_id=1,
+        )
+    with pytest.raises(RuntimeError, match="bind to one location"):
+        rebuild_ann_base(
+            spark, base_serving, cents, delta2, str(tmp_path / "base_gen4"),
             "sq8_rebuild_test_gen3", upto_batch_id=1,
         )
 
@@ -1481,7 +1486,6 @@ def test_pq_rebuild_collapses_updated_ids(spark, sf_dir, tmp_path):
     one-shot probe. Also pins that compaction REFUSES to fold the
     conflicting segment (round-12 ADVICE — the any-pick fold would
     silently lose the ordering the rebuild needs)."""
-    import pytest as _pytest
     from pyspark.sql import functions as F
 
     from accounts_receivable_data_pipeline_api_spark.operators.similarity import (
@@ -1522,7 +1526,7 @@ def test_pq_rebuild_collapses_updated_ids(spark, sf_dir, tmp_path):
     # compaction refuses the conflicting segment (id 400 now carries
     # two distinct code rows across batches 0 and 1) — the violation
     # fails LOUDLY instead of silently perturbing probe results
-    with _pytest.raises(Exception, match="append-only contract"):
+    with pytest.raises(Exception, match="append-only contract"):
         compact_pq_delta(spark, delta_dir, upto_batch_id=1)
 
     serving2, meta = rebuild_pq_base(
