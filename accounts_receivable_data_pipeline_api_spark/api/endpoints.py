@@ -226,6 +226,18 @@ class Endpoints:
         rows = page.contacts.collect()
         contacts = [row_to_dict(r, CONTACT_FIELDS) for r in rows]
         customer_name = rows[0]["customer_name"] if rows else name
+        if after is not None and not rows:
+            # the terminal empty page is a ROUTINE part of every cursor
+            # walk (unlike parity mode, where an empty page means a
+            # too-deep offset): keep customer_name in the dim's
+            # canonical casing rather than flipping to the raw query
+            # casing mid-walk (third-pass round-13 review) — one
+            # limit-1 group lookup, terminal page only
+            first = q.customer_contact(
+                self.customers, self.invoices, name, limit=1
+            ).contacts.first()
+            if first is not None:
+                customer_name = first["customer_name"]
         # Q6: total = page length, NOT match count (reference :115-119).
         if after is None:
             return {

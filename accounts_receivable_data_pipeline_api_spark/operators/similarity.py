@@ -717,11 +717,16 @@ def ivf_sq8_topk(
     distinct clusters as an IN-filter, so a BUCKETED serving table
     prunes whole buckets before IO (SelectedBucketsCount, plan-gated)
     and the prune can never miss a probed cluster by construction.
-    In literal mode ``nprobe`` (and, with a precomputed ``serving``,
-    ``centroids``) is NOT consulted — probe width is whatever the
-    assignments encode; compute them with the same nprobe/centroids
-    you would have passed here (second-pass round-12 review: stated
-    loudly so a mismatched pair doesn't read as a recall bug).
+    In literal mode ``nprobe`` is NOT consulted — probe width is
+    whatever the assignments encode; compute them with the same
+    nprobe/centroids you would have passed here (second-pass round-12
+    review: stated loudly so a mismatched pair doesn't read as a
+    recall bug). ``centroids`` IS still consulted for one thing even
+    with a precomputed ``serving``: its LENGTH bounds the structural
+    probe-id validation (`_literal_probe_frame` nlist — round-12
+    ADVICE), so pass the SAME generation's centroids the serving table
+    was built with (the published cache's, which is what its pinned
+    metadata exists for), not a stale or recomputed set.
     """
     if m_rerank is None:
         m_rerank = 3 * k
@@ -1018,8 +1023,10 @@ def ivf_pq_topk(
     scores are exact cosines regardless (the n_score_mismatches=0
     invariant). ``probe_assignments`` follows the ivf_sq8_topk
     contract: driver-literal probes replace the kernel, the serving
-    scan prunes to their clusters, and ``nprobe`` is not consulted in
-    literal mode."""
+    scan prunes to their clusters, ``nprobe`` is not consulted in
+    literal mode, and ``centroids``' LENGTH still bounds the
+    structural probe-id validation — pass the published cache's
+    pinned centroids, the same generation the serving codes carry."""
     if m_rerank is None:
         m_rerank = 5 * k
     if m_rerank < k:

@@ -891,6 +891,16 @@ def _frame_diff_count(a: DataFrame, b: DataFrame, alias: str) -> DataFrame:
     )
 
 
+def _ann_base_rows(emb: DataFrame) -> DataFrame:
+    """THE base/delta corpus split of the ANN lifecycle fixture
+    (vec_id % 4 != 3 -> base; the rest arrives as delta batches) — one
+    definition shared by the fixture builder and both row functions
+    (third-pass round-13 review: three inline copies could desync, and
+    the resulting nonzero diff counts would read as serving-lifecycle
+    operator bugs instead of fixture drift)."""
+    return emb.filter(F.col("vec_id") % 4 != 3)
+
+
 def _ann_updated_rows(emb: DataFrame) -> DataFrame:
     """The UPDATED-id fixture rows: ids 0 and 1 re-ingested with a
     deterministically changed vector (element reversal — no randomness,
@@ -898,6 +908,13 @@ def _ann_updated_rows(emb: DataFrame) -> DataFrame:
     return emb.filter(F.col("vec_id") < 2).withColumn(
         "embedding", F.reverse(F.col("embedding"))
     )
+
+
+def _ann_latest_corpus(emb: DataFrame) -> DataFrame:
+    """The corpus AFTER the updated-id re-ingest: original vectors for
+    every id except `_ann_updated_rows`' — the one-shot twin the PQ
+    rebuild row compares against."""
+    return emb.filter(F.col("vec_id") >= 2).unionByName(_ann_updated_rows(emb))
 
 
 def _ann_delta_fixture(spark: SparkSession, sf_dir: str, tier: str):
@@ -927,7 +944,7 @@ def _ann_delta_fixture(spark: SparkSession, sf_dir: str, tier: str):
     loc = f"/tmp/spark_graft_annd_{tier}_{tag}"
     if not os.path.isfile(os.path.join(loc, "meta.json")):
         emb = load_table(spark, sf_dir, "embeddings")
-        base = emb.filter(F.col("vec_id") % 4 != 3)
+        base = _ann_base_rows(emb)
         cents = similarity.ivf_build(base, k=8, iters=2)
         meta = {"centroids": cents}
         b0 = emb.filter(F.col("vec_id") % 8 == 3)
@@ -975,9 +992,7 @@ def _sq8_delta_row(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFram
 
     loc, meta, tag = _ann_delta_fixture(spark, sf_dir, "sq8")
     cents = meta["centroids"]
-    base_serving = similarity.ivf_sq8_serving_table(
-        emb.filter(F.col("vec_id") % 4 != 3), cents
-    )
+    base_serving = similarity.ivf_sq8_serving_table(_ann_base_rows(emb), cents)
     queries = emb.filter(F.col("vec_id") < 5)
 
     def probe(serving):
@@ -1035,9 +1050,7 @@ def _pq_delta_row(
 
     loc, meta, tag = _ann_delta_fixture(spark, sf_dir, "pq")
     cents, books = meta["centroids"], meta["codebooks"]
-    base_serving = similarity.pq_serving_table(
-        emb.filter(F.col("vec_id") % 4 != 3), cents, books
-    )
+    base_serving = similarity.pq_serving_table(_ann_base_rows(emb), cents, books)
     rebuilt, _m = rebuild_pq_base(
         spark,
         base_serving,
@@ -1049,7 +1062,7 @@ def _pq_delta_row(
         upto_batch_id=1,
         reset_delta=False,
     )
-    latest = emb.filter(F.col("vec_id") >= 2).unionByName(_ann_updated_rows(emb))
+    latest = _ann_latest_corpus(emb)
     oneshot_table = similarity.pq_serving_table(latest, cents, books)
     queries = latest.filter(F.col("vec_id") < 5)
 

@@ -126,6 +126,12 @@ def _publish_cache_dir(tmp: str, loc: str, marker: str) -> None:
         )
 
 
+# (table name, data dir) pairs whose catalog registration has been
+# verified to point at that dir in THIS process — see the binding
+# check inside _bucketed_serving_table
+_VERIFIED_TABLE_BINDINGS: set[tuple[str, str]] = set()
+
+
 def _bucketed_serving_table(
     spark: SparkSession,
     tbl: str,
@@ -206,20 +212,29 @@ def _bucketed_serving_table(
     # get the catalog's OLD registration back while this function's
     # meta comes from the NEW loc, silently serving a stale artifact
     # under fresh metadata. Table names are one-per-location here.
-    registered = [
-        (r[1] or "").strip()
-        for r in spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
-        if (r[0] or "").strip() == "Location"
-    ]
-    if not registered or not registered[0].rstrip("/").endswith(
-        data_dir.rstrip("/")
-    ):
-        raise RuntimeError(
-            f"table {tbl} is registered at "
-            f"{registered[0] if registered else '<unknown>'}, not "
-            f"{data_dir} — table names bind to one location; pass a "
-            "fresh table name alongside a fresh location"
-        )
+    # Verified once per (table, loc) per process — the catalog's
+    # registration is immutable after creation, so re-DESCRIBEing on
+    # every warm cache hit would tax the probe hot path for nothing
+    # (third-pass review); compare the URI PATHS exactly, not by
+    # suffix (a suffix match false-passes when one absolute path is a
+    # literal tail of a different mount's).
+    if (tbl, data_dir) not in _VERIFIED_TABLE_BINDINGS:
+        from urllib.parse import urlparse
+
+        registered = [
+            (r[1] or "").strip()
+            for r in spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
+            if (r[0] or "").strip() == "Location"
+        ]
+        got = os.path.normpath(urlparse(registered[0]).path) if registered else ""
+        if got != os.path.normpath(data_dir):
+            raise RuntimeError(
+                f"table {tbl} is registered at "
+                f"{registered[0] if registered else '<unknown>'}, not "
+                f"{data_dir} — table names bind to one location; pass a "
+                "fresh table name alongside a fresh location"
+            )
+        _VERIFIED_TABLE_BINDINGS.add((tbl, data_dir))
     with open(os.path.join(loc, meta_name)) as f:
         meta = _json.load(f)
     return spark.table(tbl), meta

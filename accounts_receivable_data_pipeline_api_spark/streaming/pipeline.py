@@ -1305,7 +1305,6 @@ def _rebuild_base_segment(
     base_serving: DataFrame,
     delta_dir: str,
     schema: str,
-    columns_ddl: str,
     pinned_meta: dict,
     meta_name: str,
     table: str,
@@ -1447,7 +1446,7 @@ def _rebuild_base_segment(
             spark,
             table,
             loc,
-            columns_ddl,
+            schema,  # the pinned schema string is valid column DDL
             lambda _meta: cached_collapsed(),
             build_meta,
             meta_name,
@@ -1469,7 +1468,9 @@ def _rebuild_base_segment(
                     jvm.org.apache.hadoop.fs.Path(f"{delta_dir}/batch_id={b}"), True
                 )
         for g in gens:
-            if -g - 2 <= published:
+            # a generation is consumed iff its encoded watermark is
+            # (shared decode — the generation subsumes batches <= it)
+            if _gens_watermark([g]) <= published:
                 fs.delete(
                     jvm.org.apache.hadoop.fs.Path(f"{delta_dir}/batch_id={g}"), True
                 )
@@ -1529,7 +1530,6 @@ def rebuild_ann_base(
         base_serving,
         delta_dir,
         _ANN_DELTA_SCHEMA,
-        "match_id BIGINT, cluster INT, q_scale DOUBLE, qvec ARRAY<TINYINT>",
         {"centroids": centroids},
         "centroids.json",
         table,
@@ -1560,7 +1560,6 @@ def rebuild_pq_base(
         base_serving,
         delta_dir,
         _PQ_DELTA_SCHEMA,
-        "match_id BIGINT, cluster INT, codes ARRAY<TINYINT>",
         {"centroids": centroids, "codebooks": codebooks},
         "codebooks.json",
         table,
@@ -1824,7 +1823,7 @@ def _compact_partials(
                 fs.delete(st.getPath(), True)
                 continue
             (gens if b < 0 else live).append(b)
-    mark = -min(gens) - 2 if gens else None
+    mark = _gens_watermark(gens)
     newest_gen = min(gens) if gens else None
     if upto_batch_id is None:
         upto_batch_id = max(live) - 1 if live else None

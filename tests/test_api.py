@@ -152,6 +152,12 @@ def test_contact_keyset_cursor(api, spark):
     assert first["next_after"] is not None
     tail = api.customer_contact("Lens & Light", limit=1, after=first["next_after"])
     assert tail["contacts"] == [] and tail["next_after"] is None
+    # the terminal empty page keeps the dim's CANONICAL casing even
+    # when the (case-insensitive) query used different casing — the
+    # envelope field must not flip value mid-walk (third-pass review)
+    lc = api.customer_contact("lens & light", limit=1, after="")
+    lc_tail = api.customer_contact("lens & light", limit=1, after=lc["next_after"])
+    assert lc["customer_name"] == lc_tail["customer_name"] == "Lens & Light"
     with pytest.raises(ApiError) as err:
         api.customer_contact("No Such Co", limit=1, after=first["next_after"])
     assert err.value.status_code == 404
