@@ -972,7 +972,18 @@ def _ann_delta_fixture(spark: SparkSession, sf_dir: str, tier: str):
         _publish_cache_dir(tmp, loc, "meta.json")
     with open(os.path.join(loc, "meta.json")) as f:
         meta = _json.load(f)
-    return loc, meta, tag
+    # The rebuilt-cache suffix binds to the fixture's CONTENT, not just
+    # its path tag: if the fixture dir is ever wiped and regenerated by
+    # a different process (new pid-ordered ivf_build partials -> new
+    # pinned centroids), a surviving rebuilt artifact from the old
+    # fixture must not pair with it — a content-hash suffix makes the
+    # stale pair structurally unreachable instead of a red driver row.
+    import hashlib
+
+    fp = hashlib.md5(
+        _json.dumps(meta, sort_keys=True).encode()
+    ).hexdigest()[:8]
+    return loc, meta, f"{tag}_{fp}"
 
 
 def _sq8_delta_row(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
@@ -1009,7 +1020,9 @@ def _sq8_delta_row(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFram
         base_serving,
         cents,
         os.path.join(loc, "delta"),
-        f"{loc}_rebuilt",
+        # tag embeds the fixture's metadata content hash, so a rebuilt
+        # artifact can only ever pair with the fixture it was built from
+        f"/tmp/spark_graft_annd_sq8_rebuilt_{tag}",
         f"annd_sq8_rebuilt_{tag}",
         upto_batch_id=1,
         reset_delta=False,
@@ -1057,7 +1070,7 @@ def _pq_delta_row(
         cents,
         books,
         os.path.join(loc, "delta"),
-        f"{loc}_rebuilt",
+        f"/tmp/spark_graft_annd_pq_rebuilt_{tag}",
         f"annd_pq_rebuilt_{tag}",
         upto_batch_id=1,
         reset_delta=False,
