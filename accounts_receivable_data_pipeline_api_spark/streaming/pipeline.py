@@ -876,6 +876,28 @@ def read_daily_distinct(
     return hll_estimate(day_reg, m=m, group_cols=("day",))
 
 
+def read_monthly_distinct(
+    spark: SparkSession, registers_dir: str, m: int = 1024
+) -> DataFrame:
+    """The month grain of the SAME continuous aggregate (round 13):
+    derived from the persisted hourly register state through the
+    identical law — hll_merge_registers to month (max-merge), priced by
+    the shared integer-exact estimator — which is the whole hypertable
+    claim: EVERY coarser grain is one map-side-combinable groupBy over
+    the finest persisted grain, and the raw events are never re-scanned
+    whether the caller wants hours, days, or months. month =
+    trunc(day, 'month'), derived from the stored day key in-plan."""
+    from ..operators.sketch import hll_estimate, hll_merge_registers
+
+    month_reg = hll_merge_registers(
+        read_hourly_registers(spark, registers_dir).withColumn(
+            "month", F.trunc(F.col("day"), "month")
+        ),
+        group_cols=("month",),
+    )
+    return hll_estimate(month_reg, m=m, group_cols=("month",))
+
+
 def compact_timegrain_registers(
     spark: SparkSession,
     registers_dir: str,
@@ -973,6 +995,30 @@ def read_daily_quantiles(
     if qs is None:
         return hdr_quantiles(day_reg, ["day"])
     return hdr_quantiles(day_reg, ["day"], qs=list(qs))
+
+
+def read_monthly_quantiles(
+    spark: SparkSession,
+    registers_dir: str,
+    qs: list[tuple[str, int, int]] | None = None,
+) -> DataFrame:
+    """The month grain of the quantile continuous aggregate — the HDR
+    (sum-merge) twin of read_monthly_distinct: hdr_merge_registers to
+    month over the persisted hourly state, priced by the batch
+    operator's own hdr_quantiles (integer bucket law + integer rank
+    arithmetic — bit-exact cross-view, no float contract). ``qs=None``
+    defers to hdr_quantiles' default, as read_daily_quantiles does."""
+    from ..operators.sketch import hdr_merge_registers, hdr_quantiles
+
+    month_reg = hdr_merge_registers(
+        read_hourly_hdr(spark, registers_dir).withColumn(
+            "month", F.trunc(F.col("day"), "month")
+        ),
+        group_cols=("month",),
+    )
+    if qs is None:
+        return hdr_quantiles(month_reg, ["month"])
+    return hdr_quantiles(month_reg, ["month"], qs=list(qs))
 
 
 def compact_timegrain_hdr(

@@ -945,8 +945,10 @@ def test_timegrain_continuous_aggregate_matches_batch_rollup(spark, tmp_path):
     batches = [
         [(i % 17, base + dt.timedelta(hours=i % 5, minutes=i)) for i in range(40)],
         [(i % 23, base + dt.timedelta(hours=3 + i % 7, minutes=i)) for i in range(40)],
+        # next MONTH, not just next day: the round-13 monthly view
+        # needs a non-trivial month grain (March 1 + 31d = April 1)
         [
-            (i % 13, base + dt.timedelta(days=1, hours=i % 4, minutes=i))
+            (i % 13, base + dt.timedelta(days=31, hours=i % 4, minutes=i))
             for i in range(40)
         ],
     ]
@@ -978,6 +980,25 @@ def test_timegrain_continuous_aggregate_matches_batch_rollup(spark, tmp_path):
     assert got_hourly == want_hourly
     got_daily = sorted(tuple(r) for r in read_daily_distinct(spark, reg_dir).collect())
     assert got_daily == want_daily
+    # the MONTH grain (round 13) derives from the SAME persisted hourly
+    # state through the same law — bit-for-bit vs the batch composition
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        read_monthly_distinct,
+    )
+
+    month_est = hll_estimate(
+        hll_merge_registers(
+            hr_reg.withColumn("month", F.trunc(F.col("day"), "month")),
+            group_cols=("month",),
+        ),
+        group_cols=("month",),
+    )
+    want_monthly = sorted(tuple(r) for r in month_est.collect())
+    assert len(want_monthly) == 2  # two months in the fixture
+    assert (
+        sorted(tuple(r) for r in read_monthly_distinct(spark, reg_dir).collect())
+        == want_monthly
+    )
     # and the estimates are sane: close to exact per-day distincts
     exact = {
         r["day"]: r["n"]
@@ -1002,6 +1023,10 @@ def test_timegrain_continuous_aggregate_matches_batch_rollup(spark, tmp_path):
     assert (
         sorted(tuple(r) for r in read_daily_distinct(spark, reg_dir).collect())
         == want_daily
+    )
+    assert (
+        sorted(tuple(r) for r in read_monthly_distinct(spark, reg_dir).collect())
+        == want_monthly
     )
 
     # replay: wipe the checkpoint, rerun the whole stream — partials
@@ -1051,8 +1076,10 @@ def test_timegrain_quantile_continuous_aggregate(spark, tmp_path):
     batches = [
         [((i * 37) % 997 + 1, base + dt.timedelta(hours=i % 5, minutes=i)) for i in range(60)],
         [((i * 61) % 4999 + 1, base + dt.timedelta(hours=2 + i % 6, minutes=i)) for i in range(60)],
+        # next MONTH (March 1 + 31d = April 1): the round-13 monthly
+        # view needs a non-trivial month grain
         [
-            ((i * 13) % 299 + 1, base + dt.timedelta(days=1, hours=i % 4, minutes=i))
+            ((i * 13) % 299 + 1, base + dt.timedelta(days=31, hours=i % 4, minutes=i))
             for i in range(60)
         ],
     ]
@@ -1085,6 +1112,24 @@ def test_timegrain_quantile_continuous_aggregate(spark, tmp_path):
         sorted(tuple(r) for r in read_daily_quantiles(spark, reg_dir).collect())
         == want_daily
     )
+    # the MONTH grain (round 13): same persisted state, same law
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        read_monthly_quantiles,
+    )
+
+    month_q = hdr_quantiles(
+        hdr_merge_registers(
+            hr_reg.withColumn("month", F.trunc(F.col("day"), "month")),
+            group_cols=("month",),
+        ),
+        ["month"],
+    )
+    want_monthly = sorted(tuple(r) for r in month_q.collect())
+    assert len(want_monthly) == 6  # 2 months x 3 quantiles
+    assert (
+        sorted(tuple(r) for r in read_monthly_quantiles(spark, reg_dir).collect())
+        == want_monthly
+    )
     # the sketch invariant: the exact rank-r value lies within [q_lb, q_ub]
     exact = {
         (r["day"], r["q"]): r
@@ -1116,6 +1161,10 @@ def test_timegrain_quantile_continuous_aggregate(spark, tmp_path):
     assert (
         sorted(tuple(r) for r in read_daily_quantiles(spark, reg_dir).collect())
         == want_daily
+    )
+    assert (
+        sorted(tuple(r) for r in read_monthly_quantiles(spark, reg_dir).collect())
+        == want_monthly
     )
 
     # replay after compaction: resurrected partitions sit at/below the
@@ -1474,6 +1523,67 @@ def test_ann_rebuild_base_lifecycle(spark, sf_dir, tmp_path):
             spark, base_serving, cents, delta2, str(tmp_path / "base_gen4"),
             "sq8_rebuild_test_gen3", upto_batch_id=1,
         )
+
+
+def test_ann_rebuild_ignores_midwrite_debris(spark, sf_dir, tmp_path):
+    """The rebuild's consumption snapshot applies the READER's
+    file-visibility rule (_visible_batch_ids): a batch dir with no
+    visible file — a crashed or mid-write writer's debris — is invisible
+    to the snapshot, so it neither raises the default-upto watermark
+    (which would consume a batch the stream is still writing) nor
+    enters the collapse; the probe over (new base + remaining delta)
+    stays complete, and the debris dir is left for the writer/compactor
+    to finish or sweep (the rebuild is read-only over live state)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from accounts_receivable_data_pipeline_api_spark.operators.similarity import (
+        ivf_build,
+        ivf_sq8_serving_table,
+        ivf_sq8_topk,
+    )
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        read_ann_delta,
+        rebuild_ann_base,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming.pipeline import (
+        _write_batch_partial,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_rows = emb.filter(F.col("vec_id") < 400)
+    cents = ivf_build(base_rows, k=16, iters=2)
+    base_serving = ivf_sq8_serving_table(base_rows, cents)
+
+    delta_dir = str(tmp_path / "delta")
+    b0 = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    b1 = emb.filter(F.col("vec_id") >= 450)
+    _write_batch_partial(ivf_sq8_serving_table(b0, cents), delta_dir, 0)
+    _write_batch_partial(ivf_sq8_serving_table(b1, cents), delta_dir, 1)
+    # a mid-write/crashed writer's dir: exists, no visible file
+    os.makedirs(os.path.join(delta_dir, "batch_id=2"))
+
+    serving2, meta = rebuild_ann_base(
+        spark, base_serving, cents, delta_dir,
+        str(tmp_path / "base_gen2"), "sq8_rebuild_debris_gen2",
+    )
+    # default upto = all-but-highest over VISIBLE batches {0,1} -> 0;
+    # the invisible dir neither raised it to 1 nor got deleted
+    assert meta["rebuilt_upto"] == 0
+    assert os.path.isdir(os.path.join(delta_dir, "batch_id=2"))
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+
+    def probe(serving):
+        df = ivf_sq8_topk(queries, emb, cents, k=10, nprobe=8, serving=serving)
+        return [tuple(r) for r in sorted(df.collect(), key=key)]
+
+    assert probe(
+        serving2.unionByName(read_ann_delta(spark, delta_dir))
+    ) == probe(ivf_sq8_serving_table(emb, cents))
 
 
 def test_pq_rebuild_collapses_updated_ids(spark, sf_dir, tmp_path):
