@@ -867,35 +867,50 @@ def read_daily_distinct(
     preserve register maxima per grain). This is the hypertable
     pattern end to end: the stream persists the finest grain, every
     coarser grain is one map-side-combinable groupBy over
-    register-bounded state, and the raw events are never re-scanned."""
-    from ..operators.sketch import hll_estimate, hll_merge_registers
-
-    day_reg = hll_merge_registers(
-        read_hourly_registers(spark, registers_dir), group_cols=("day",)
-    )
-    return hll_estimate(day_reg, m=m, group_cols=("day",))
+    register-bounded state, and the raw events are never re-scanned.
+    Implementation is the shared `_distinct_grain_view` — ONE copy of
+    the view law for every grain (fourth-pass round-13 review)."""
+    return _distinct_grain_view(spark, registers_dir, "day", m=m)
 
 
 def read_monthly_distinct(
     spark: SparkSession, registers_dir: str, m: int = 1024
 ) -> DataFrame:
     """The month grain of the SAME continuous aggregate (round 13):
-    derived from the persisted hourly register state through the
-    identical law — hll_merge_registers to month (max-merge), priced by
-    the shared integer-exact estimator — which is the whole hypertable
-    claim: EVERY coarser grain is one map-side-combinable groupBy over
-    the finest persisted grain, and the raw events are never re-scanned
-    whether the caller wants hours, days, or months. month =
-    trunc(day, 'month'), derived from the stored day key in-plan."""
+    month = trunc(day, 'month') derived from the stored day key
+    in-plan, then the identical law (`_distinct_grain_view`) — which is
+    the whole hypertable claim: EVERY coarser grain is one
+    map-side-combinable groupBy over the finest persisted grain, and
+    the raw events are never re-scanned whether the caller wants
+    hours, days, or months."""
+    return _distinct_grain_view(
+        spark, registers_dir, "month", key_expr=F.trunc(F.col("day"), "month"), m=m
+    )
+
+
+def _distinct_grain_view(
+    spark: SparkSession,
+    registers_dir: str,
+    key: str,
+    key_expr=None,
+    m: int = 1024,
+) -> DataFrame:
+    """THE distinct-count grain view, one implementation for every
+    grain (day, month, anything derivable from the stored keys via
+    ``key_expr``): max-merge the persisted per-batch partials straight
+    to the requested grain and price with the shared integer-exact
+    estimator. Merging directly from the partials (not via the hourly
+    view) is exact — max-merge is associative, so partials->grain
+    equals partials->hourly->grain — and saves the intermediate
+    (day, hr) shuffle a stacked composition would pay."""
     from ..operators.sketch import hll_estimate, hll_merge_registers
 
-    month_reg = hll_merge_registers(
-        read_hourly_registers(spark, registers_dir).withColumn(
-            "month", F.trunc(F.col("day"), "month")
-        ),
-        group_cols=("month",),
+    regs = _read_excluding_folded(spark, registers_dir)
+    if key_expr is not None:
+        regs = regs.withColumn(key, key_expr)
+    return hll_estimate(
+        hll_merge_registers(regs, group_cols=(key,)), m=m, group_cols=(key,)
     )
-    return hll_estimate(month_reg, m=m, group_cols=("month",))
 
 
 def compact_timegrain_registers(
@@ -986,15 +1001,9 @@ def read_daily_quantiles(
     Compaction leaves it invariant (generation folds preserve per-grain
     counts exactly). ``qs=None`` defers to hdr_quantiles' own default
     (fourth-pass round-12 review: a re-declared default here could
-    silently drift from the batch operator's)."""
-    from ..operators.sketch import hdr_merge_registers, hdr_quantiles
-
-    day_reg = hdr_merge_registers(
-        read_hourly_hdr(spark, registers_dir), group_cols=("day",)
-    )
-    if qs is None:
-        return hdr_quantiles(day_reg, ["day"])
-    return hdr_quantiles(day_reg, ["day"], qs=list(qs))
+    silently drift from the batch operator's). Implementation is the
+    shared `_quantile_grain_view` — one copy of the view law."""
+    return _quantile_grain_view(spark, registers_dir, "day", qs=qs)
 
 
 def read_monthly_quantiles(
@@ -1003,22 +1012,38 @@ def read_monthly_quantiles(
     qs: list[tuple[str, int, int]] | None = None,
 ) -> DataFrame:
     """The month grain of the quantile continuous aggregate — the HDR
-    (sum-merge) twin of read_monthly_distinct: hdr_merge_registers to
-    month over the persisted hourly state, priced by the batch
-    operator's own hdr_quantiles (integer bucket law + integer rank
-    arithmetic — bit-exact cross-view, no float contract). ``qs=None``
-    defers to hdr_quantiles' default, as read_daily_quantiles does."""
+    (sum-merge) twin of read_monthly_distinct: month derived from the
+    stored day key in-plan, then the shared `_quantile_grain_view`
+    (integer bucket law + integer rank arithmetic — bit-exact
+    cross-view, no float contract)."""
+    return _quantile_grain_view(
+        spark, registers_dir, "month", key_expr=F.trunc(F.col("day"), "month"), qs=qs
+    )
+
+
+def _quantile_grain_view(
+    spark: SparkSession,
+    registers_dir: str,
+    key: str,
+    key_expr=None,
+    qs: list[tuple[str, int, int]] | None = None,
+) -> DataFrame:
+    """THE quantile grain view, one implementation for every grain:
+    sum-merge the persisted per-batch partials straight to the
+    requested grain (associative, so partials->grain equals
+    partials->hourly->grain, minus the intermediate shuffle) and price
+    with the batch operator's own hdr_quantiles. ``qs=None`` defers to
+    hdr_quantiles' own default so a re-declared default here can never
+    drift from the batch operator's."""
     from ..operators.sketch import hdr_merge_registers, hdr_quantiles
 
-    month_reg = hdr_merge_registers(
-        read_hourly_hdr(spark, registers_dir).withColumn(
-            "month", F.trunc(F.col("day"), "month")
-        ),
-        group_cols=("month",),
-    )
+    regs = _read_excluding_folded(spark, registers_dir)
+    if key_expr is not None:
+        regs = regs.withColumn(key, key_expr)
+    grain_reg = hdr_merge_registers(regs, group_cols=(key,))
     if qs is None:
-        return hdr_quantiles(month_reg, ["month"])
-    return hdr_quantiles(month_reg, ["month"], qs=list(qs))
+        return hdr_quantiles(grain_reg, [key])
+    return hdr_quantiles(grain_reg, [key], qs=list(qs))
 
 
 def compact_timegrain_hdr(

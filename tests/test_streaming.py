@@ -945,10 +945,16 @@ def test_timegrain_continuous_aggregate_matches_batch_rollup(spark, tmp_path):
     batches = [
         [(i % 17, base + dt.timedelta(hours=i % 5, minutes=i)) for i in range(40)],
         [(i % 23, base + dt.timedelta(hours=3 + i % 7, minutes=i)) for i in range(40)],
-        # next MONTH, not just next day: the round-13 monthly view
-        # needs a non-trivial month grain (March 1 + 31d = April 1)
+        # next MONTH, not just next day (March 1 + 31d = April 1), and
+        # TWO distinct April days (31/45 by parity) so the month fold
+        # actually crosses a day boundary — with only month-start days
+        # trunc(day, 'month') == day and a broken truncation would pass
+        # (fourth-pass round-13 review)
         [
-            (i % 13, base + dt.timedelta(days=31, hours=i % 4, minutes=i))
+            (
+                i % 13,
+                base + dt.timedelta(days=31 + 14 * (i % 2), hours=i % 4, minutes=i),
+            )
             for i in range(40)
         ],
     ]
@@ -974,7 +980,7 @@ def test_timegrain_continuous_aggregate_matches_batch_rollup(spark, tmp_path):
     )
     want_hourly = {tuple(r) for r in hr_reg.collect()}
     want_daily = sorted(tuple(r) for r in day_est.collect())
-    assert len(want_daily) == 2  # two days in the fixture
+    assert len(want_daily) == 3  # Mar 1, Apr 1, Apr 15
 
     got_hourly = {tuple(r) for r in read_hourly_registers(spark, reg_dir).collect()}
     assert got_hourly == want_hourly
@@ -1076,10 +1082,15 @@ def test_timegrain_quantile_continuous_aggregate(spark, tmp_path):
     batches = [
         [((i * 37) % 997 + 1, base + dt.timedelta(hours=i % 5, minutes=i)) for i in range(60)],
         [((i * 61) % 4999 + 1, base + dt.timedelta(hours=2 + i % 6, minutes=i)) for i in range(60)],
-        # next MONTH (March 1 + 31d = April 1): the round-13 monthly
-        # view needs a non-trivial month grain
+        # next MONTH (March 1 + 31d = April 1), spanning TWO April days
+        # (31/45 by parity) so the month fold crosses a day boundary —
+        # month-start-only days would make trunc vacuous (fourth-pass
+        # round-13 review)
         [
-            ((i * 13) % 299 + 1, base + dt.timedelta(days=31, hours=i % 4, minutes=i))
+            (
+                (i * 13) % 299 + 1,
+                base + dt.timedelta(days=31 + 14 * (i % 2), hours=i % 4, minutes=i),
+            )
             for i in range(60)
         ],
     ]
@@ -1105,7 +1116,7 @@ def test_timegrain_quantile_continuous_aggregate(spark, tmp_path):
         hdr_merge_registers(hr_reg, group_cols=("day",)), ["day"]
     )
     want_daily = sorted(tuple(r) for r in day_q.collect())
-    assert len(want_daily) == 6  # 2 days x 3 quantiles
+    assert len(want_daily) == 9  # 3 days x 3 quantiles
 
     assert {tuple(r) for r in read_hourly_hdr(spark, reg_dir).collect()} == want_hourly
     assert (
@@ -1401,6 +1412,27 @@ def test_pq_delta_stream_serves_fresh_vectors(spark, sf_dir, tmp_path):
     assert seg(read_pq_delta(spark, delta_dir)) == before
 
 
+def _sq8_rebuild_corpus(spark, sf_dir):
+    """Shared SQ8 rebuild-test corpus (fourth-pass round-13 review —
+    the lifecycle and debris tests each re-derived it): base = vec_id <
+    400, centroids pinned from the base, plus the two standard delta
+    batches ([400, 450), [450, ...)). Returns (emb, cents, base_serving,
+    batches)."""
+    from accounts_receivable_data_pipeline_api_spark.operators.similarity import (
+        ivf_build,
+        ivf_sq8_serving_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_rows = emb.filter(F.col("vec_id") < 400)
+    cents = ivf_build(base_rows, k=16, iters=2)
+    batches = [
+        emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450)),
+        emb.filter(F.col("vec_id") >= 450),
+    ]
+    return emb, cents, ivf_sq8_serving_table(base_rows, cents), batches
+
+
 def test_ann_rebuild_base_lifecycle(spark, sf_dir, tmp_path):
     """The rebuild half of the serving split (round-12 VERDICT #1): fold
     base + delta into a fresh bucketed base cache, reset the consumed
@@ -1418,11 +1450,9 @@ def test_ann_rebuild_base_lifecycle(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
     from accounts_receivable_data_pipeline_api_spark.operators.similarity import (
-        ivf_build,
         ivf_sq8_serving_table,
         ivf_sq8_topk,
     )
-    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
     from accounts_receivable_data_pipeline_api_spark.streaming import (
         compact_ann_delta,
         read_ann_delta,
@@ -1432,19 +1462,12 @@ def test_ann_rebuild_base_lifecycle(spark, sf_dir, tmp_path):
         _write_batch_partial,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    base_rows = emb.filter(F.col("vec_id") < 400)
-    cents = ivf_build(base_rows, k=16, iters=2)
-    base_serving = ivf_sq8_serving_table(base_rows, cents)
+    emb, cents, base_serving, batches = _sq8_rebuild_corpus(spark, sf_dir)
 
     # the stream's on-disk layout via its own partial writer: two
     # closed batches of appends (the stream wrapper itself is covered
     # by test_ann_delta_stream_serves_fresh_vectors)
     delta_dir = str(tmp_path / "delta")
-    batches = [
-        emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450)),
-        emb.filter(F.col("vec_id") >= 450),
-    ]
     for i, b in enumerate(batches):
         _write_batch_partial(ivf_sq8_serving_table(b, cents), delta_dir, i)
     # fold batch 0 into a generation so the rebuild consumes a MIX of
@@ -1536,14 +1559,10 @@ def test_ann_rebuild_ignores_midwrite_debris(spark, sf_dir, tmp_path):
     to finish or sweep (the rebuild is read-only over live state)."""
     import os
 
-    from pyspark.sql import functions as F
-
     from accounts_receivable_data_pipeline_api_spark.operators.similarity import (
-        ivf_build,
         ivf_sq8_serving_table,
         ivf_sq8_topk,
     )
-    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
     from accounts_receivable_data_pipeline_api_spark.streaming import (
         read_ann_delta,
         rebuild_ann_base,
@@ -1552,16 +1571,11 @@ def test_ann_rebuild_ignores_midwrite_debris(spark, sf_dir, tmp_path):
         _write_batch_partial,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    base_rows = emb.filter(F.col("vec_id") < 400)
-    cents = ivf_build(base_rows, k=16, iters=2)
-    base_serving = ivf_sq8_serving_table(base_rows, cents)
+    emb, cents, base_serving, batches = _sq8_rebuild_corpus(spark, sf_dir)
 
     delta_dir = str(tmp_path / "delta")
-    b0 = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
-    b1 = emb.filter(F.col("vec_id") >= 450)
-    _write_batch_partial(ivf_sq8_serving_table(b0, cents), delta_dir, 0)
-    _write_batch_partial(ivf_sq8_serving_table(b1, cents), delta_dir, 1)
+    for i, b in enumerate(batches):
+        _write_batch_partial(ivf_sq8_serving_table(b, cents), delta_dir, i)
     # a mid-write/crashed writer's dir: exists, no visible file
     os.makedirs(os.path.join(delta_dir, "batch_id=2"))
 
