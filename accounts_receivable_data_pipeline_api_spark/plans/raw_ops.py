@@ -205,6 +205,13 @@ def _bucketed_serving_table(
             spark.sql(f"DROP TABLE IF EXISTS {tmp_tbl}")  # external: keeps files
             shutil.rmtree(tmp, ignore_errors=True)
     if not spark.catalog.tableExists(tbl):
+        # the name is being (re-)registered: any binding verified for a
+        # PRIOR registration of this name is stale — a drop/recreate at
+        # a new location within one process must re-verify, not ride
+        # the old entry (round-13 ADVICE)
+        _VERIFIED_TABLE_BINDINGS.difference_update(
+            {b for b in _VERIFIED_TABLE_BINDINGS if b[0] == tbl}
+        )
         spark.sql(ddl.format(name=tbl, loc=data_dir))
     # Name/location binding check (round-13 second-pass review): a
     # caller reusing a TABLE name with a fresh loc — e.g. a rebuild
@@ -215,19 +222,30 @@ def _bucketed_serving_table(
     # Verified once per (table, loc) per process — the catalog's
     # registration is immutable after creation, so re-DESCRIBEing on
     # every warm cache hit would tax the probe hot path for nothing
-    # (third-pass review); compare the URI PATHS exactly, not by
-    # suffix (a suffix match false-passes when one absolute path is a
-    # literal tail of a different mount's).
+    # (third-pass review); compare the FULL normalized URI — scheme +
+    # authority + path, defaulting a scheme-less side to file: — not
+    # just the path (a path-only compare false-passes a table
+    # registered at hdfs://nn/X against a local /X; round-13 ADVICE),
+    # and exactly, not by suffix (a suffix match false-passes when one
+    # absolute path is a literal tail of a different mount's).
     if (tbl, data_dir) not in _VERIFIED_TABLE_BINDINGS:
         from urllib.parse import urlparse
+
+        def _norm_uri(u: str) -> tuple[str, str, str]:
+            p = urlparse(u)
+            return (
+                (p.scheme or "file").lower(),
+                p.netloc.lower(),
+                os.path.normpath(p.path or "/"),
+            )
 
         registered = [
             (r[1] or "").strip()
             for r in spark.sql(f"DESCRIBE FORMATTED {tbl}").collect()
             if (r[0] or "").strip() == "Location"
         ]
-        got = os.path.normpath(urlparse(registered[0]).path) if registered else ""
-        if got != os.path.normpath(data_dir):
+        got = _norm_uri(registered[0]) if registered else ("", "", "")
+        if got != _norm_uri(data_dir):
             raise RuntimeError(
                 f"table {tbl} is registered at "
                 f"{registered[0] if registered else '<unknown>'}, not "

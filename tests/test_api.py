@@ -164,12 +164,17 @@ def test_contact_keyset_cursor(api, spark):
     for bad in (
         {"after": "", "offset": 5},
         {"after": "not-a-cursor"},
-        {"after": "12"},  # missing name half
+        {"after": "12"},  # no separator at all
         {"after": "x,Name"},  # non-integer id
     ):
         with pytest.raises(ApiError) as err:
             api.customer_contact("Lens & Light", **bad)
         assert err.value.status_code == 422
+    # an EMPTY name half is legal ("<id>," — a dim row whose name is
+    # the empty string mints exactly this; round-13 ADVICE): parses as
+    # ("", id) and the walk continues instead of 422-ing
+    empty_half = api.customer_contact("Lens & Light", limit=1, after="5,")
+    assert empty_half["contacts"] == first["contacts"]
 
     # query layer, multi-group walk: 23 case-variant groups of one
     # lowercased name, names containing commas (the reason the wire
