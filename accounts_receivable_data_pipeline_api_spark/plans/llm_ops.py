@@ -993,13 +993,23 @@ def _sq8_delta_row(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFram
     n_score_mismatches counts full-row differences between
     probe(base + delta read) and probe(one-shot) — the physical split
     must be invisible to search; n_rank_violations counts them between
-    probe(rebuilt base) and probe(one-shot) — the rebuild fold must be
-    a pure re-layout (streaming/pipeline.py:rebuild_ann_base, consumed
-    delta left in place for the next driver run via
-    reset_delta=False); recall_floor_met = both zero."""
+    probe(SERVING MANIFEST resolution) and probe(one-shot) — the
+    rebuild fold must be a pure re-layout AND the atomic cutover must
+    route to it (round-13 VERDICT #1): the rebuilt base is published
+    through `publish_ann_serving` with floor = the consumed watermark,
+    and the probe goes through `resolve_serving`, whose floor filter
+    excludes the consumed delta partitions that are deliberately left
+    on disk for the next driver run (reset_delta=False — the
+    publish-then-reset two-step, driver-visible);
+    recall_floor_met = both zero."""
     import os
 
-    from ..streaming import read_ann_delta, rebuild_ann_base
+    from ..streaming import (
+        publish_ann_serving,
+        read_ann_delta,
+        rebuild_ann_base,
+        resolve_serving,
+    )
 
     loc, meta, tag = _ann_delta_fixture(spark, sf_dir, "sq8")
     cents = meta["centroids"]
@@ -1015,22 +1025,34 @@ def _sq8_delta_row(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFram
         base_serving.unionByName(read_ann_delta(spark, os.path.join(loc, "delta")))
     )
     oneshot = probe(similarity.ivf_sq8_serving_table(emb, cents))
-    rebuilt, _m = rebuild_ann_base(
+    rebuilt_loc = f"/tmp/spark_graft_annd_sq8_rebuilt_{tag}"
+    rebuilt_tbl = f"annd_sq8_rebuilt_{tag}"
+    _rebuilt, _m = rebuild_ann_base(
         spark,
         base_serving,
         cents,
         os.path.join(loc, "delta"),
         # tag embeds the fixture's metadata content hash, so a rebuilt
         # artifact can only ever pair with the fixture it was built from
-        f"/tmp/spark_graft_annd_sq8_rebuilt_{tag}",
-        f"annd_sq8_rebuilt_{tag}",
+        rebuilt_loc,
+        rebuilt_tbl,
         upto_batch_id=1,
         reset_delta=False,
     )
+    # the router cutover, mechanized: atomically repoint the serving
+    # manifest to (rebuilt base, floor=consumed watermark) and probe
+    # through it — resolve_serving's floor filter excludes the
+    # consumed (un-reset) delta, so the union is duplicate-free
+    man = f"/tmp/spark_graft_annd_sq8_man_{tag}"
+    publish_ann_serving(
+        man, tier="sq8", table=rebuilt_tbl, loc=rebuilt_loc,
+        delta_dir=os.path.join(loc, "delta"), floor=int(_m["rebuilt_upto"]),
+    )
+    routed = resolve_serving(spark, man).serving
     return (
         queries.agg(F.count(F.lit(1)).cast("bigint").alias("n_queries"))
         .crossJoin(F.broadcast(_frame_diff_count(fresh, oneshot, "n_score_mismatches")))
-        .crossJoin(F.broadcast(_frame_diff_count(probe(rebuilt), oneshot, "n_rank_violations")))
+        .crossJoin(F.broadcast(_frame_diff_count(probe(routed), oneshot, "n_rank_violations")))
         .select(
             F.lit("ivf_sq8_delta").alias("method"),
             "n_queries",

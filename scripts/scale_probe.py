@@ -353,10 +353,13 @@ def _probe_ann_delta(spark, sf_dir: str) -> None:
     tag = f'{sf_dir.rsplit("sf", 1)[-1].replace(".", "_")}_{_os.getpid()}'
     base_dir = f"/tmp/spark_graft_ann_delta_probe_base_{tag}"
     delta_dir = f"/tmp/spark_graft_ann_delta_probe_delta_{tag}"
+    # the published-cache layout (loc/data + loc/centroids.json): the
+    # data subdir keeps the metadata JSON out of Spark's file index,
+    # and the advisor reads the same root a real cache publishes
     (
         similarity.ivf_sq8_serving_table(base_rows, cents)
         .repartition(64, F.col("cluster"))
-        .write.parquet(base_dir)
+        .write.parquet(_os.path.join(base_dir, "data"))
     )
     # 4 closed batches, the stream's on-disk layout (batch_id partitions)
     (
@@ -365,6 +368,12 @@ def _probe_ann_delta(spark, sf_dir: str) -> None:
         .write.partitionBy("batch_id")
         .parquet(delta_dir)
     )
+    # the base cache's pinned metadata (centroids + n) beside the data,
+    # as the published caches carry it — what the rebuild advisor reads
+    # instead of counting the corpus
+    with open(_os.path.join(base_dir, "centroids.json"), "w") as _fh:
+        json.dump({"centroids": cents, "n": cut}, _fh)
+    base_data = _os.path.join(base_dir, "data")
 
     queries = emb.filter(F.col("vec_id") < 5)
     assigns = _probe_assignments(queries, cents, nprobe=8)
@@ -377,11 +386,11 @@ def _probe_ann_delta(spark, sf_dir: str) -> None:
         )
 
     def base_only():
-        return probe(spark.read.parquet(base_dir), base_rows)
+        return probe(spark.read.parquet(base_data), base_rows)
 
     def with_delta():
         return probe(
-            spark.read.parquet(base_dir).select(
+            spark.read.parquet(base_data).select(
                 "match_id", "cluster", "q_scale", "qvec"
             ).unionByName(read_ann_delta(spark, delta_dir, clusters=pcs)),
             emb,
@@ -410,23 +419,38 @@ def _probe_ann_delta(spark, sf_dir: str) -> None:
         t_base = _timed(base_only)
         t_delta = _timed(with_delta)
 
-        # post-rebuild leg (round-12 VERDICT #1): fold base+delta into
-        # a fresh bucketed base (streaming.rebuild_ann_base — pinned
-        # centroids, full consumption, delta reset) and measure the
-        # steady state AFTER the cutover: probe(rebuilt, empty delta)
-        # must equal the one-shot index row-for-row, the reset delta
-        # must read as empty, and the probe wall should return to
-        # ~base-only (the delta overhead is what the rebuild reclaims)
+        # advisor leg (round-13 VERDICT #2): the metadata-only trigger
+        # policy reads the pinned base n + the delta's footer row
+        # counts; this probe's 80/20 split sits EXACTLY at the default
+        # 20% share threshold, so the fold below is advisor-triggered,
+        # not scheduled — the operability claim under test
         from accounts_receivable_data_pipeline_api_spark.streaming import (
+            ann_rebuild_advisor,
             read_ann_delta as _rad,
             rebuild_ann_base,
+            resolve_serving,
         )
 
+        adv_before = ann_rebuild_advisor(
+            spark, base_loc=base_dir, delta_dir=delta_dir, tier="sq8"
+        )
+        assert adv_before["recommend_rebuild"], adv_before
+
+        # post-rebuild leg (round-12 VERDICT #1): fold base+delta into
+        # a fresh bucketed base (streaming.rebuild_ann_base — pinned
+        # centroids, full consumption, delta reset) THROUGH the serving
+        # manifest (round-13 VERDICT #1: publish -> repoint -> reset in
+        # one call) and measure the steady state AFTER the cutover:
+        # probe(resolve_serving(manifest)) must equal the one-shot
+        # index row-for-row, the reset delta must read as empty, and
+        # the probe wall should return to ~base-only (the delta
+        # overhead is what the rebuild reclaims)
         rebuilt_loc = f"/tmp/spark_graft_ann_delta_probe_rebuilt_{tag}"
+        man_dir = f"/tmp/spark_graft_ann_delta_probe_man_{tag}"
         t0 = time.perf_counter()
         rebuilt, _meta = rebuild_ann_base(
             spark,
-            spark.read.parquet(base_dir).select(
+            spark.read.parquet(base_data).select(
                 "match_id", "cluster", "q_scale", "qvec"
             ),
             cents,
@@ -434,12 +458,17 @@ def _probe_ann_delta(spark, sf_dir: str) -> None:
             rebuilt_loc,
             f"ann_probe_rebuilt_{tag}",
             upto_batch_id=3,
+            reset_delta=True,
+            manifest_dir=man_dir,
         )
         t_rebuild_wall = time.perf_counter() - t0
         assert _rad(spark, delta_dir).count() == 0, "delta not reset by rebuild"
+        adv_after = ann_rebuild_advisor(spark, man_dir)
+        assert not adv_after["recommend_rebuild"], adv_after
+        assert adv_after["delta_rows"] == 0, adv_after
 
         def rebuilt_only():
-            return probe(rebuilt, emb)
+            return probe(resolve_serving(spark, man_dir, clusters=pcs).serving, emb)
 
         post = sorted(
             (tuple(r) for r in rebuilt_only().collect()), key=lambda t: (t[0], t[3])
@@ -452,6 +481,7 @@ def _probe_ann_delta(spark, sf_dir: str) -> None:
             base_dir,
             delta_dir,
             f"/tmp/spark_graft_ann_delta_probe_rebuilt_{tag}",
+            f"/tmp/spark_graft_ann_delta_probe_man_{tag}",
         ):
             _sh.rmtree(d, ignore_errors=True)
     print(
@@ -465,6 +495,9 @@ def _probe_ann_delta(spark, sf_dir: str) -> None:
                 "probe_base_warm_s": round(t_base, 3),
                 "probe_with_delta_warm_s": round(t_delta, 3),
                 "delta_overhead_pct": round(100 * (t_delta - t_base) / t_base, 1),
+                "advisor_share_before": adv_before["delta_share"],
+                "advisor_recommended": adv_before["recommend_rebuild"],
+                "advisor_share_after": adv_after["delta_share"],
                 "rebuild_wall_s": round(t_rebuild_wall, 3),
                 "probe_rebuilt_warm_s": round(t_rebuilt, 3),
             }

@@ -1492,7 +1492,7 @@ def test_ann_rebuild_base_lifecycle(spark, sf_dir, tmp_path):
     new_loc = str(tmp_path / "base_gen2")
     serving2, meta = rebuild_ann_base(
         spark, base_serving, cents, delta_dir, new_loc,
-        "sq8_rebuild_test_gen2", upto_batch_id=1,
+        "sq8_rebuild_test_gen2", upto_batch_id=1, reset_delta=True,
     )
     # (1) probe continuity across the cutover, with the delta now empty
     empty_delta = read_ann_delta(spark, delta_dir)
@@ -1509,7 +1509,7 @@ def test_ann_rebuild_base_lifecycle(spark, sf_dir, tmp_path):
     # watermark's deletions — convergent, no error
     serving2b, meta_b = rebuild_ann_base(
         spark, base_serving, cents, delta_dir, new_loc,
-        "sq8_rebuild_test_gen2", upto_batch_id=1,
+        "sq8_rebuild_test_gen2", upto_batch_id=1, reset_delta=True,
     )
     assert meta_b == meta
     assert serving2b.count() == meta["n"]
@@ -1521,7 +1521,7 @@ def test_ann_rebuild_base_lifecycle(spark, sf_dir, tmp_path):
         _write_batch_partial(ivf_sq8_serving_table(b, cents), delta2, i)
     serving3, meta3 = rebuild_ann_base(
         spark, base_serving, cents, delta2, str(tmp_path / "base_gen3"),
-        "sq8_rebuild_test_gen3",
+        "sq8_rebuild_test_gen3", reset_delta=True,
     )
     assert meta3["rebuilt_upto"] == 0
     remaining = read_ann_delta(spark, delta2)
@@ -1582,6 +1582,7 @@ def test_ann_rebuild_ignores_midwrite_debris(spark, sf_dir, tmp_path):
     serving2, meta = rebuild_ann_base(
         spark, base_serving, cents, delta_dir,
         str(tmp_path / "base_gen2"), "sq8_rebuild_debris_gen2",
+        reset_delta=True,
     )
     # default upto = all-but-highest over VISIBLE batches {0,1} -> 0;
     # the invisible dir neither raised it to 1 nor got deleted
@@ -1598,6 +1599,223 @@ def test_ann_rebuild_ignores_midwrite_debris(spark, sf_dir, tmp_path):
     assert probe(
         serving2.unionByName(read_ann_delta(spark, delta_dir))
     ) == probe(ivf_sq8_serving_table(emb, cents))
+
+
+def test_ann_serving_manifest_atomic_cutover(spark, sf_dir, tmp_path):
+    """The serving manifest closes the rebuild's manual cutover window
+    (round-13 VERDICT #1): (base table, delta dir, consumed floor) are
+    published as ONE atomic snapshot, so a `resolve_serving` probe is
+    complete and duplicate-free at EVERY point of the lifecycle —
+    bootstrap, live delta, post-publish/pre-reset (the old window that
+    could lose rows or double-count), post-reset, and the one-call
+    rebuild(manifest_dir=..., reset_delta=True) path. Floors: a view
+    resolved BEFORE a repoint keeps working until the reset deletes
+    its files (old base + full delta — complete); a view resolved
+    AFTER excludes consumed batches via the floor filter even while
+    they still exist on disk (new base + remaining delta — never
+    double-counted)."""
+    import json
+    import os
+
+    from accounts_receivable_data_pipeline_api_spark.operators.similarity import (
+        ivf_sq8_serving_table,
+        ivf_sq8_topk,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        publish_ann_serving,
+        read_ann_delta,
+        rebuild_ann_base,
+        reset_consumed_delta,
+        resolve_serving,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming.pipeline import (
+        _write_batch_partial,
+    )
+
+    emb, cents, base_serving, batches = _sq8_rebuild_corpus(spark, sf_dir)
+    base_rows = emb.filter(F.col("vec_id") < 400)
+    delta_dir = str(tmp_path / "delta")
+    man = str(tmp_path / "manifest")
+    queries = emb.filter(F.col("vec_id") < 5)
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+
+    def probe(serving, candidates):
+        df = ivf_sq8_topk(
+            queries, candidates, cents, k=10, nprobe=8, serving=serving
+        )
+        return [tuple(r) for r in sorted(df.collect(), key=key)]
+
+    def assert_complete(view, corpus):
+        # complete AND duplicate-free: one serving row per corpus id
+        got = view.serving.groupBy("match_id").count()
+        assert got.filter(F.col("count") > 1).count() == 0
+        assert got.count() == corpus.count()
+        assert probe(view.serving, corpus) == probe(
+            ivf_sq8_serving_table(corpus, cents), corpus
+        )
+
+    # bootstrap: gen-1 bucketed base over an (as yet nonexistent)
+    # delta dir — rebuild over an empty delta is the cache build
+    loc1 = str(tmp_path / "base_gen1")
+    _s1, meta1 = rebuild_ann_base(
+        spark, base_serving, cents, delta_dir, loc1, "sq8_manifest_gen1"
+    )
+    assert meta1["rebuilt_upto"] == -1  # nothing consumed
+    publish_ann_serving(
+        man, tier="sq8", table="sq8_manifest_gen1", loc=loc1,
+        delta_dir=delta_dir, floor=-1,
+    )
+    v1 = resolve_serving(spark, man)
+    assert v1.tier == "sq8" and v1.floor == -1
+    assert v1.meta["centroids"] == cents  # the pinned encoding contract
+    assert_complete(v1, base_rows)
+
+    # live delta: two ingested batches become visible with NO repoint
+    for i, b in enumerate(batches):
+        _write_batch_partial(ivf_sq8_serving_table(b, cents), delta_dir, i)
+    v2 = resolve_serving(spark, man)
+    assert_complete(v2, emb)
+
+    # publish->repoint (reset deferred): the during-window both halves
+    # of the old hazard are closed in — the pre-rebuild view still
+    # reads (old base, full delta) with nothing deleted, the
+    # re-resolved view reads (new base, floor-filtered delta) with the
+    # consumed partitions still ON DISK but excluded
+    loc2 = str(tmp_path / "base_gen2")
+    _s2, meta2 = rebuild_ann_base(
+        spark, base_serving, cents, delta_dir, loc2, "sq8_manifest_gen2",
+        upto_batch_id=1, manifest_dir=man,  # reset_delta defaults False
+    )
+    assert meta2["rebuilt_upto"] == 1
+    assert read_ann_delta(spark, delta_dir).count() > 0  # not reset
+    assert_complete(v2, emb)  # old view: unchanged, still complete
+    v3 = resolve_serving(spark, man)
+    assert v3.floor == 1 and v3.snapshot["loc"] == loc2
+    assert_complete(v3, emb)  # new view: no double count pre-reset
+    # the floor filter also applies through the reader surface
+    assert read_ann_delta(spark, delta_dir, floor=1).count() == 0
+
+    # the deferred reset: keyed to the manifest floor, idempotent;
+    # the post-repoint view is byte-unchanged by it
+    assert reset_consumed_delta(spark, delta_dir, v3.floor) == 2
+    assert reset_consumed_delta(spark, delta_dir, v3.floor) == 0
+    assert_complete(resolve_serving(spark, man), emb)
+
+    # one-call mechanized path: new batch, then rebuild(manifest_dir,
+    # reset_delta=True) does publish -> repoint -> reset in order
+    b2 = ivf_sq8_serving_table(batches[0], cents).withColumn(
+        "match_id", F.col("match_id") + 10000
+    )
+    _write_batch_partial(b2, delta_dir, 2)
+    corpus3 = emb.unionByName(
+        batches[0].withColumn("vec_id", F.col("vec_id") + 10000)
+    )
+    assert_complete(resolve_serving(spark, man), corpus3)
+    loc3 = str(tmp_path / "base_gen3")
+    _s3, meta3 = rebuild_ann_base(
+        spark, _s2, cents, delta_dir, loc3, "sq8_manifest_gen3",
+        upto_batch_id=2, manifest_dir=man, reset_delta=True,
+    )
+    assert meta3["rebuilt_upto"] == 2
+    v4 = resolve_serving(spark, man)
+    assert v4.snapshot["loc"] == loc3 and v4.floor == 2
+    assert read_ann_delta(spark, delta_dir).count() == 0  # reset ran
+    assert_complete(v4, corpus3)
+
+    # snapshots are immutable files; the pointer names exactly one
+    with open(os.path.join(man, "_MANIFEST")) as fh:
+        snap_name = fh.read().strip()
+    with open(os.path.join(man, snap_name)) as fh:
+        assert json.load(fh) == v4.snapshot
+
+    # a manifest must refuse to resolve an unpublished base
+    publish_ann_serving(
+        man, tier="sq8", table="sq8_manifest_missing",
+        loc=str(tmp_path / "nowhere"), delta_dir=delta_dir, floor=-1,
+    )
+    with pytest.raises(RuntimeError, match="unpublished base cache"):
+        resolve_serving(spark, man)
+
+
+def test_ann_rebuild_advisor_metadata_only(spark, sf_dir, tmp_path):
+    """The rebuild trigger policy (round-13 VERDICT #2): delta share
+    from the base cache's pinned n + the delta's visible row count —
+    listing and parquet footers only, never a vector scan — with the
+    fold recommendation crossing at target_share, floor-aware through
+    the serving manifest (consumed batches stop counting the moment
+    the manifest repoints, before any reset)."""
+    from accounts_receivable_data_pipeline_api_spark.operators.similarity import (
+        ivf_sq8_serving_table,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        ann_rebuild_advisor,
+        publish_ann_serving,
+        rebuild_ann_base,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming.pipeline import (
+        _write_batch_partial,
+    )
+
+    emb, cents, base_serving, batches = _sq8_rebuild_corpus(spark, sf_dir)
+    n_base = 400
+    n_b0 = batches[0].count()
+    n_b1 = batches[1].count()
+    delta_dir = str(tmp_path / "delta")
+    man = str(tmp_path / "manifest")
+
+    loc1 = str(tmp_path / "base_gen1")
+    rebuild_ann_base(spark, base_serving, cents, delta_dir, loc1, "sq8_adv_gen1")
+    publish_ann_serving(
+        man, tier="sq8", table="sq8_adv_gen1", loc=loc1,
+        delta_dir=delta_dir, floor=-1,
+    )
+
+    # empty delta: share 0, no recommendation
+    adv = ann_rebuild_advisor(spark, man)
+    assert adv == {
+        **adv, "base_n": n_base, "delta_rows": 0, "delta_batches": 0,
+        "delta_share": 0.0, "recommend_rebuild": False,
+    }
+
+    # one batch: exact visible-row count, share = b0/(base+b0); the
+    # recommendation is purely the threshold comparison
+    _write_batch_partial(ivf_sq8_serving_table(batches[0], cents), delta_dir, 0)
+    share0 = n_b0 / (n_base + n_b0)
+    adv = ann_rebuild_advisor(spark, man)
+    assert adv["delta_rows"] == n_b0 and adv["delta_batches"] == 1
+    assert abs(adv["delta_share"] - share0) < 1e-6
+    assert adv["recommend_rebuild"] is (share0 >= 0.20)
+    assert ann_rebuild_advisor(spark, man, target_share=0.01)[
+        "recommend_rebuild"
+    ] is True
+    assert ann_rebuild_advisor(spark, man, target_share=0.99)[
+        "recommend_rebuild"
+    ] is False
+
+    # both batches, then an advisor-triggered fold through the
+    # manifest: the repoint alone (reset deferred) returns the delta
+    # share to 0 — consumed batches are excluded by the floor even
+    # while still on disk
+    _write_batch_partial(ivf_sq8_serving_table(batches[1], cents), delta_dir, 1)
+    adv = ann_rebuild_advisor(spark, man)
+    assert adv["delta_rows"] == n_b0 + n_b1 and adv["delta_batches"] == 2
+    assert adv["recommend_rebuild"] is True  # 100/500 = 20% >= 20%
+    rebuild_ann_base(
+        spark, base_serving, cents, delta_dir, str(tmp_path / "base_gen2"),
+        "sq8_adv_gen2", upto_batch_id=1, manifest_dir=man,
+    )
+    adv = ann_rebuild_advisor(spark, man)
+    assert adv == {
+        **adv, "base_n": n_base + n_b0 + n_b1, "delta_rows": 0,
+        "floor": 1, "recommend_rebuild": False,
+    }
+
+    # explicit base_loc/delta_dir path (no manifest): floor=None counts
+    # everything visible
+    adv = ann_rebuild_advisor(
+        spark, base_loc=loc1, delta_dir=delta_dir, tier="sq8"
+    )
+    assert adv["base_n"] == n_base and adv["delta_rows"] == n_b0 + n_b1
 
 
 def test_pq_rebuild_collapses_updated_ids(spark, sf_dir, tmp_path):
@@ -1656,6 +1874,7 @@ def test_pq_rebuild_collapses_updated_ids(spark, sf_dir, tmp_path):
     serving2, meta = rebuild_pq_base(
         spark, base_serving, cents, books, delta_dir,
         str(tmp_path / "base_gen2"), "pq_rebuild_test_gen2", upto_batch_id=1,
+        reset_delta=True,
     )
 
     # latest corpus: original vectors except ids 0,1,400 which carry
