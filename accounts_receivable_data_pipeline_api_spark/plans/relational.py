@@ -1050,7 +1050,16 @@ def _hdr_bucket_ctes(prefix: str, src: str, key: str) -> str:
       FROM events
       WHERE value IS NOT NULL AND CAST(round(value * 100) AS BIGINT) > 0
     ),
-    {_hdr_bucket_ctes('evh', 'evcents', 'day')}
+    {_hdr_bucket_ctes('evh', 'evcents', 'day')},
+    -- hdr_rollup_month (round 14): MONTH registers computed directly
+    -- from the raw value-cents — the Spark side SUM-merges the hourly
+    -- partials straight to the month grain (the streaming grain-view
+    -- law), so the hash check proves hourly->month == direct month
+    -- for the SUM-merged family too
+    evmcents AS (
+      SELECT substr(day, 1, 7) AS mon, v FROM evcents
+    ),
+    {_hdr_bucket_ctes('evmh', 'evmcents', 'mon')}
     SELECT 'exact' AS kind, o_orderpriority,
            quantile_cont(o_totalprice, 0.5) AS p50,
            quantile_cont(o_totalprice, 0.9) AS p90,
@@ -1078,6 +1087,10 @@ def _hdr_bucket_ctes(prefix: str, src: str, key: str) -> str:
     SELECT 'hdr_rollup_bucket', day, NULL, NULL, NULL,
            exp, sub, cnt, lb, ub, NULL, NULL, NULL, NULL, NULL
     FROM evhreg
+    UNION ALL
+    SELECT 'hdr_rollup_month', mon, NULL, NULL, NULL,
+           exp, sub, cnt, lb, ub, NULL, NULL, NULL, NULL, NULL
+    FROM evmhreg
     """,
     tags=("EXT", "AGG", "SKETCH"),
     doc="Quantile gauntlet per order priority, one row group per kind "
@@ -1106,7 +1119,13 @@ def _hdr_bucket_ctes(prefix: str, src: str, key: str) -> str:
     "hypertable time-grain law (hourly->daily == direct daily) for "
     "the SUM-merged sketch family as well as the MAX-merged one; "
     "zero-value events filtered on both sides (HDR is defined over "
-    "positive integers).",
+    "positive integers). kind='hdr_rollup_month' (round 14): the "
+    "month grain on the scoreboard — hourly partials SUM-merged "
+    "DIRECTLY to month (the streaming grain-view law, streaming/"
+    "pipeline.py:read_monthly_quantiles) vs an oracle computing month "
+    "registers straight from raw rows: hourly->month == direct month "
+    "for the SUM-merged family, the same one-step-deeper treatment "
+    "as hll_rollup_month.",
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketch import hdr_merge_registers, hdr_quantiles, hdr_registers
@@ -1188,6 +1207,21 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lb",
         "ub",
     )
+    # hdr_rollup_month (round 14): hourly partials SUM-merged DIRECTLY
+    # to the month grain — the streaming grain-view law on the driver
+    # scoreboard (exact by merge associativity; oracle goes straight
+    # from raw rows, so equality proves hourly->month == direct month)
+    mon_hdr = hdr_merge_registers(
+        hr_hdr.withColumn("month", F.date_format("day", "yyyy-MM")),
+        group_cols=("month",),
+    ).select(
+        F.col("month").alias("o_orderpriority"),
+        "exp",
+        "sub",
+        "cnt",
+        "lb",
+        "ub",
+    )
     return (
         pad(exact, "exact", {"p50", "p90", "n"})
         .unionByName(pad(buckets, "hdr_bucket", {"exp", "sub", "cnt", "lb", "ub"}))
@@ -1200,6 +1234,9 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             pad(day_hdr, "hdr_rollup_bucket", {"exp", "sub", "cnt", "lb", "ub"})
+        )
+        .unionByName(
+            pad(mon_hdr, "hdr_rollup_month", {"exp", "sub", "cnt", "lb", "ub"})
         )
     )
 

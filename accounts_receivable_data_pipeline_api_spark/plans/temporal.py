@@ -221,6 +221,49 @@ def _hll_oracle() -> str:
              CAST(COUNT(*) AS BIGINT) AS n_events
       FROM events GROUP BY 1
     ),
+    -- hll_rollup_month row groups (round 14): per-MONTH registers
+    -- computed DIRECTLY from the raw rows — the Spark side derives
+    -- them by MAX-merging the per-(day, hour) partials straight to
+    -- the month grain (the streaming grain-view law), so the hash
+    -- check proves hourly->month == direct month cross-engine
+    evmreg AS (
+      SELECT substr(day, 1, 7) AS mon, bucket,
+             MAX(CASE WHEN w = 0 THEN {rank_base}
+                      ELSE CAST({rank_base} - length(bin(w)) AS INT) END)
+               AS max_rank
+      FROM evhashed GROUP BY 1, 2
+    ),
+    evmregagg AS (
+      SELECT mon,
+             CAST(COUNT(*) AS BIGINT) AS n_observed,
+             CAST(SUM(CAST(1 AS BIGINT) << ({rank_base} - max_rank))
+                  + (1024 - COUNT(*)) * {scale_pow} AS BIGINT) AS sum_scaled
+      FROM evmreg GROUP BY mon
+    ),
+    evmest AS (
+      SELECT mon, n_observed, sum_scaled,
+             {alpha!r} * ({msq_scaled!r} / CAST(sum_scaled AS DOUBLE)) AS raw,
+             1024 - n_observed AS v
+      FROM evmregagg
+    ),
+    evmest2 AS (
+      SELECT mon, n_observed, sum_scaled,
+             CASE WHEN raw <= 2560.0 AND v > 0
+                  THEN round(1024.0 * ln(1024.0 / CAST(v AS DOUBLE)), 6)
+                  WHEN raw >= {0.99 * hash_space!r}
+                  THEN CAST(error('hll month rollup oracle: raw estimate '
+                                  'saturates the 48-bit hash space') AS DOUBLE)
+                  WHEN raw > {large_thresh!r}
+                  THEN round(-{hash_space!r} * ln(1.0 - raw / {hash_space!r}), 6)
+                  ELSE round(raw, 6) END AS estimate
+      FROM evmest
+    ),
+    evmex AS (
+      SELECT substr(CAST(CAST(ts AS DATE) AS VARCHAR), 1, 7) AS mon,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ),
     -- count-min sketch over o_custkey (global): salted-md5 cells,
     -- exact mirror of operators/sketch.py:_cms_positions
     cpos AS (
@@ -385,6 +428,21 @@ def _hll_oracle() -> str:
            NULL, NULL, NULL, NULL, NULL
     FROM evest2 e JOIN evex x USING (day)
     UNION ALL
+    SELECT 'hll_rollup_month_register', mon, NULL, NULL, NULL,
+           bucket, max_rank, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL
+    FROM evmreg
+    UNION ALL
+    SELECT 'hll_rollup_month_estimate', e.mon, x.exact_users, x.n_events,
+           abs(e.estimate - CAST(x.exact_users AS DOUBLE))
+             / CAST(x.exact_users AS DOUBLE) <= 0.15,
+           NULL, NULL, CAST(1024 AS INT), e.n_observed, e.sum_scaled,
+           e.estimate,
+           NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL, NULL, NULL
+    FROM evmest2 e JOIN evmex x USING (mon)
+    UNION ALL
     SELECT 'cms_counter', CAST(NULL AS VARCHAR), NULL, NULL, NULL,
            NULL, NULL, NULL, NULL, NULL, NULL,
            d, pos, cnt, NULL, NULL, NULL,
@@ -480,6 +538,12 @@ def _hll_oracle() -> str:
     "grains by one map-side-combinable groupBy max, never re-scan "
     "raw events); the estimate arm prices the rolled-up registers "
     "with exact per-day distincts as fixtures. "
+    "kind='hll_rollup_month_register' + 'hll_rollup_month_estimate' "
+    "(round 14): the MONTH grain joins the scoreboard — hourly "
+    "partials MAX-merged DIRECTLY to month (the streaming grain-view "
+    "law, streaming/pipeline.py:read_monthly_distinct) against an "
+    "oracle that computes month registers straight from the raw rows, "
+    "proving hourly->month == direct month cross-engine. "
     "kind='cms_counter' + 'cms_estimate' (round 9): the count-min "
     "sketch joins the scoreboard — every (d, pos) counter cell of a "
     "4x512 CMS over o_custkey (operators/sketch.py:cms_counters, one "
@@ -660,6 +724,62 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.lit("hll_rollup_estimate").alias("kind"),
             F.col("day").cast("string").alias("o_orderstatus"),
+            F.col("exact_users").alias("exact_customers"),
+            F.col("n_events").alias("n_orders"),
+            (
+                F.abs(F.col("estimate") - F.col("exact_users").cast("double"))
+                / F.col("exact_users").cast("double")
+                <= F.lit(0.15)
+            ).alias("within_bound"),
+            F.lit(None).cast("bigint").alias("hll_bucket"),
+            F.lit(None).cast("int").alias("hll_rank"),
+            F.col("hll_m"),
+            F.col("n_observed").alias("hll_observed"),
+            F.col("sum_scaled").alias("hll_sum_scaled"),
+            F.col("estimate").alias("hll_estimate"),
+            *cms_nulls,
+            *kmv_nulls,
+        )
+    )
+    # hll_rollup_month row groups (round 14, the VERDICT #3 ask): the
+    # month grain joins the scoreboard with the SAME shape the
+    # streaming grain views use (streaming/pipeline.py:
+    # read_monthly_distinct) — hourly partials MAX-merged to month
+    # DIRECTLY, skipping the day grain (exact by merge associativity).
+    # The oracle computes month registers DIRECTLY from raw rows, so
+    # the hash check proves hourly->month == direct month cross-engine
+    # — the treatment the day grain got in round 11, one step deeper.
+    mon_reg = hll_merge_registers(
+        hr_reg.withColumn("month", F.date_format("day", "yyyy-MM")),
+        group_cols=("month",),
+    )
+    roll_mon_reg_arm = mon_reg.select(
+        F.lit("hll_rollup_month_register").alias("kind"),
+        F.col("month").alias("o_orderstatus"),
+        F.lit(None).cast("bigint").alias("exact_customers"),
+        F.lit(None).cast("bigint").alias("n_orders"),
+        F.lit(None).cast("boolean").alias("within_bound"),
+        F.col("bucket").alias("hll_bucket"),
+        F.col("max_rank").alias("hll_rank"),
+        F.lit(None).cast("int").alias("hll_m"),
+        F.lit(None).cast("bigint").alias("hll_observed"),
+        F.lit(None).cast("bigint").alias("hll_sum_scaled"),
+        F.lit(None).cast("double").alias("hll_estimate"),
+        *cms_nulls,
+        *kmv_nulls,
+    )
+    exact_mon = ev.groupBy(
+        F.date_format("day", "yyyy-MM").alias("month")
+    ).agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+    roll_mon_est_arm = (
+        hll_estimate(mon_reg, m=1024, group_cols=("month",))
+        .join(exact_mon, "month")
+        .select(
+            F.lit("hll_rollup_month_estimate").alias("kind"),
+            F.col("month").alias("o_orderstatus"),
             F.col("exact_users").alias("exact_customers"),
             F.col("n_events").alias("n_orders"),
             (
@@ -893,6 +1013,8 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(est_arm)
         .unionByName(roll_reg_arm)
         .unionByName(roll_est_arm)
+        .unionByName(roll_mon_reg_arm)
+        .unionByName(roll_mon_est_arm)
         .unionByName(counter_arm)
         .unionByName(cms_est_arm)
         .unionByName(ksample_arm)
