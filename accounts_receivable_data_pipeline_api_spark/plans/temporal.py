@@ -108,6 +108,52 @@ def _hll_oracle() -> str:
     # KMV: (k-1) * 2^48 as ONE exact double literal, embedded via
     # repr() on both engines (the Beyer et al. estimator numerator)
     kmv_numer = float(256 - 1) * hash_space
+
+    def hll_chain(prefix: str, src: str, key: str, label: str) -> str:
+        """The register->estimate CTE chain (reg/regagg/est/est2), in
+        one place — three instantiations (status, day grain, month
+        grain) of the intricate estimator law, one copy (round-14
+        review; the _hdr_bucket_ctes pattern). ``src`` must expose
+        (key, bucket, w)."""
+        return f"""
+    {prefix}reg AS (
+      SELECT {key}, bucket,
+             MAX(CASE WHEN w = 0 THEN {rank_base}
+                      ELSE CAST({rank_base} - length(bin(w)) AS INT) END)
+               AS max_rank
+      FROM {src} GROUP BY {key}, bucket
+    ),
+    {prefix}regagg AS (
+      SELECT {key},
+             CAST(COUNT(*) AS BIGINT) AS n_observed,
+             CAST(SUM(CAST(1 AS BIGINT) << ({rank_base} - max_rank))
+                  + (1024 - COUNT(*)) * {scale_pow} AS BIGINT) AS sum_scaled
+      FROM {prefix}reg GROUP BY {key}
+    ),
+    {prefix}est AS (
+      SELECT {key}, n_observed, sum_scaled,
+             {alpha!r} * ({msq_scaled!r} / CAST(sum_scaled AS DOUBLE)) AS raw,
+             1024 - n_observed AS v
+      FROM {prefix}regagg
+    ),
+    {prefix}est2 AS (
+      SELECT {key}, n_observed, sum_scaled,
+             CASE WHEN raw <= 2560.0 AND v > 0
+                  THEN round(1024.0 * ln(1024.0 / CAST(v AS DOUBLE)), 6)
+                  -- saturation guard mirrors the Spark side's in-plan
+                  -- raise (sketch.py:hll_estimate): past 0.99 * 2^48 no
+                  -- correction recovers the count, so the oracle errors
+                  -- loudly too instead of feeding ln() a non-positive
+                  -- argument (unreachable at test scale by design)
+                  WHEN raw >= {0.99 * hash_space!r}
+                  THEN CAST(error('{label}: raw estimate saturates the '
+                                  '48-bit hash space') AS DOUBLE)
+                  WHEN raw > {large_thresh!r}
+                  THEN round(-{hash_space!r} * ln(1.0 - raw / {hash_space!r}), 6)
+                  ELSE round(raw, 6) END AS estimate
+      FROM {prefix}est
+    )"""
+
     return f"""
     WITH items AS (
       SELECT o_orderstatus, CAST(o_custkey AS VARCHAR) AS item
@@ -120,43 +166,7 @@ def _hll_oracle() -> str:
              CAST('0x' || substr(md5('rhll:' || item), 1, 12) AS BIGINT) AS w
       FROM items
     ),
-    reg AS (
-      SELECT o_orderstatus, bucket,
-             MAX(CASE WHEN w = 0 THEN {rank_base}
-                      ELSE CAST({rank_base} - length(bin(w)) AS INT) END)
-               AS max_rank
-      FROM hashed GROUP BY o_orderstatus, bucket
-    ),
-    regagg AS (
-      SELECT o_orderstatus,
-             CAST(COUNT(*) AS BIGINT) AS n_observed,
-             CAST(SUM(CAST(1 AS BIGINT) << ({rank_base} - max_rank))
-                  + (1024 - COUNT(*)) * {scale_pow} AS BIGINT) AS sum_scaled
-      FROM reg GROUP BY o_orderstatus
-    ),
-    est AS (
-      SELECT o_orderstatus, n_observed, sum_scaled,
-             {alpha!r} * ({msq_scaled!r} / CAST(sum_scaled AS DOUBLE)) AS raw,
-             1024 - n_observed AS v
-      FROM regagg
-    ),
-    est2 AS (
-      SELECT o_orderstatus, n_observed, sum_scaled,
-             CASE WHEN raw <= 2560.0 AND v > 0
-                  THEN round(1024.0 * ln(1024.0 / CAST(v AS DOUBLE)), 6)
-                  -- saturation guard mirrors the Spark side's in-plan
-                  -- raise (sketch.py:hll_estimate): past 0.99 * 2^48 no
-                  -- correction recovers the count, so the oracle errors
-                  -- loudly too instead of feeding ln() a non-positive
-                  -- argument (unreachable at test scale by design)
-                  WHEN raw >= {0.99 * hash_space!r}
-                  THEN CAST(error('hll oracle: raw estimate saturates the '
-                                  '48-bit hash space') AS DOUBLE)
-                  WHEN raw > {large_thresh!r}
-                  THEN round(-{hash_space!r} * ln(1.0 - raw / {hash_space!r}), 6)
-                  ELSE round(raw, 6) END AS estimate
-      FROM est
-    ),
+    {hll_chain('', 'hashed', 'o_orderstatus', 'hll oracle')},
     ex AS (
       SELECT o_orderstatus,
              CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
@@ -183,38 +193,7 @@ def _hll_oracle() -> str:
              CAST('0x' || substr(md5('rhll:' || item), 1, 12) AS BIGINT) AS w
       FROM evitems
     ),
-    evreg AS (
-      SELECT day, bucket,
-             MAX(CASE WHEN w = 0 THEN {rank_base}
-                      ELSE CAST({rank_base} - length(bin(w)) AS INT) END)
-               AS max_rank
-      FROM evhashed GROUP BY day, bucket
-    ),
-    evregagg AS (
-      SELECT day,
-             CAST(COUNT(*) AS BIGINT) AS n_observed,
-             CAST(SUM(CAST(1 AS BIGINT) << ({rank_base} - max_rank))
-                  + (1024 - COUNT(*)) * {scale_pow} AS BIGINT) AS sum_scaled
-      FROM evreg GROUP BY day
-    ),
-    evest AS (
-      SELECT day, n_observed, sum_scaled,
-             {alpha!r} * ({msq_scaled!r} / CAST(sum_scaled AS DOUBLE)) AS raw,
-             1024 - n_observed AS v
-      FROM evregagg
-    ),
-    evest2 AS (
-      SELECT day, n_observed, sum_scaled,
-             CASE WHEN raw <= 2560.0 AND v > 0
-                  THEN round(1024.0 * ln(1024.0 / CAST(v AS DOUBLE)), 6)
-                  WHEN raw >= {0.99 * hash_space!r}
-                  THEN CAST(error('hll rollup oracle: raw estimate saturates '
-                                  'the 48-bit hash space') AS DOUBLE)
-                  WHEN raw > {large_thresh!r}
-                  THEN round(-{hash_space!r} * ln(1.0 - raw / {hash_space!r}), 6)
-                  ELSE round(raw, 6) END AS estimate
-      FROM evest
-    ),
+    {hll_chain('ev', 'evhashed', 'day', 'hll rollup oracle')},
     evex AS (
       SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
@@ -226,38 +205,10 @@ def _hll_oracle() -> str:
     -- them by MAX-merging the per-(day, hour) partials straight to
     -- the month grain (the streaming grain-view law), so the hash
     -- check proves hourly->month == direct month cross-engine
-    evmreg AS (
-      SELECT substr(day, 1, 7) AS mon, bucket,
-             MAX(CASE WHEN w = 0 THEN {rank_base}
-                      ELSE CAST({rank_base} - length(bin(w)) AS INT) END)
-               AS max_rank
-      FROM evhashed GROUP BY 1, 2
+    evmhashed AS (
+      SELECT DISTINCT substr(day, 1, 7) AS mon, bucket, w FROM evhashed
     ),
-    evmregagg AS (
-      SELECT mon,
-             CAST(COUNT(*) AS BIGINT) AS n_observed,
-             CAST(SUM(CAST(1 AS BIGINT) << ({rank_base} - max_rank))
-                  + (1024 - COUNT(*)) * {scale_pow} AS BIGINT) AS sum_scaled
-      FROM evmreg GROUP BY mon
-    ),
-    evmest AS (
-      SELECT mon, n_observed, sum_scaled,
-             {alpha!r} * ({msq_scaled!r} / CAST(sum_scaled AS DOUBLE)) AS raw,
-             1024 - n_observed AS v
-      FROM evmregagg
-    ),
-    evmest2 AS (
-      SELECT mon, n_observed, sum_scaled,
-             CASE WHEN raw <= 2560.0 AND v > 0
-                  THEN round(1024.0 * ln(1024.0 / CAST(v AS DOUBLE)), 6)
-                  WHEN raw >= {0.99 * hash_space!r}
-                  THEN CAST(error('hll month rollup oracle: raw estimate '
-                                  'saturates the 48-bit hash space') AS DOUBLE)
-                  WHEN raw > {large_thresh!r}
-                  THEN round(-{hash_space!r} * ln(1.0 - raw / {hash_space!r}), 6)
-                  ELSE round(raw, 6) END AS estimate
-      FROM evmest
-    ),
+    {hll_chain('evm', 'evmhashed', 'mon', 'hll month rollup oracle')},
     evmex AS (
       SELECT substr(CAST(CAST(ts AS DATE) AS VARCHAR), 1, 7) AS mon,
              CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
@@ -698,48 +649,66 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("hr"),
     )
     hr_reg = hll_registers(ev, "user_id", m=1024, group_cols=("day", "hr"))
-    day_reg = hll_merge_registers(hr_reg, group_cols=("day",))
-    roll_reg_arm = day_reg.select(
-        F.lit("hll_rollup_register").alias("kind"),
-        F.col("day").cast("string").alias("o_orderstatus"),
-        F.lit(None).cast("bigint").alias("exact_customers"),
-        F.lit(None).cast("bigint").alias("n_orders"),
-        F.lit(None).cast("boolean").alias("within_bound"),
-        F.col("bucket").alias("hll_bucket"),
-        F.col("max_rank").alias("hll_rank"),
-        F.lit(None).cast("int").alias("hll_m"),
-        F.lit(None).cast("bigint").alias("hll_observed"),
-        F.lit(None).cast("bigint").alias("hll_sum_scaled"),
-        F.lit(None).cast("double").alias("hll_estimate"),
-        *cms_nulls,
-        *kmv_nulls,
-    )
-    exact_day = ev.groupBy("day").agg(
-        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-    )
-    roll_est_arm = (
-        hll_estimate(day_reg, m=1024, group_cols=("day",))
-        .join(exact_day, "day")
-        .select(
-            F.lit("hll_rollup_estimate").alias("kind"),
-            F.col("day").cast("string").alias("o_orderstatus"),
-            F.col("exact_users").alias("exact_customers"),
-            F.col("n_events").alias("n_orders"),
-            (
-                F.abs(F.col("estimate") - F.col("exact_users").cast("double"))
-                / F.col("exact_users").cast("double")
-                <= F.lit(0.15)
-            ).alias("within_bound"),
-            F.lit(None).cast("bigint").alias("hll_bucket"),
-            F.lit(None).cast("int").alias("hll_rank"),
-            F.col("hll_m"),
-            F.col("n_observed").alias("hll_observed"),
-            F.col("sum_scaled").alias("hll_sum_scaled"),
-            F.col("estimate").alias("hll_estimate"),
+
+    def rollup_arms(grain_reg, key, kind_prefix):
+        """One grain's (register, estimate) arm pair — shared by the
+        day and month grains (round-14 review: the arm builders were
+        the Python-side copy of the oracle's CTE-chain duplication).
+        ``grain_reg``: a merged register frame keyed by ``key``;
+        ``kind_prefix``: the row-group kind stem. The estimate arm
+        joins exact per-grain distincts computed from the SAME ev
+        frame, so fixtures and sketch always cover identical rows."""
+        reg_a = grain_reg.select(
+            F.lit(f"{kind_prefix}_register").alias("kind"),
+            F.col(key).cast("string").alias("o_orderstatus"),
+            F.lit(None).cast("bigint").alias("exact_customers"),
+            F.lit(None).cast("bigint").alias("n_orders"),
+            F.lit(None).cast("boolean").alias("within_bound"),
+            F.col("bucket").alias("hll_bucket"),
+            F.col("max_rank").alias("hll_rank"),
+            F.lit(None).cast("int").alias("hll_m"),
+            F.lit(None).cast("bigint").alias("hll_observed"),
+            F.lit(None).cast("bigint").alias("hll_sum_scaled"),
+            F.lit(None).cast("double").alias("hll_estimate"),
             *cms_nulls,
             *kmv_nulls,
         )
+        grain_col = (
+            F.col("day") if key == "day" else F.date_format("day", "yyyy-MM")
+        )
+        exact_grain = ev.groupBy(grain_col.alias(key)).agg(
+            F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        est_a = (
+            hll_estimate(grain_reg, m=1024, group_cols=(key,))
+            .join(exact_grain, key)
+            .select(
+                F.lit(f"{kind_prefix}_estimate").alias("kind"),
+                F.col(key).cast("string").alias("o_orderstatus"),
+                F.col("exact_users").alias("exact_customers"),
+                F.col("n_events").alias("n_orders"),
+                (
+                    F.abs(
+                        F.col("estimate") - F.col("exact_users").cast("double")
+                    )
+                    / F.col("exact_users").cast("double")
+                    <= F.lit(0.15)
+                ).alias("within_bound"),
+                F.lit(None).cast("bigint").alias("hll_bucket"),
+                F.lit(None).cast("int").alias("hll_rank"),
+                F.col("hll_m"),
+                F.col("n_observed").alias("hll_observed"),
+                F.col("sum_scaled").alias("hll_sum_scaled"),
+                F.col("estimate").alias("hll_estimate"),
+                *cms_nulls,
+                *kmv_nulls,
+            )
+        )
+        return reg_a, est_a
+
+    roll_reg_arm, roll_est_arm = rollup_arms(
+        hll_merge_registers(hr_reg, group_cols=("day",)), "day", "hll_rollup"
     )
     # hll_rollup_month row groups (round 14, the VERDICT #3 ask): the
     # month grain joins the scoreboard with the SAME shape the
@@ -749,53 +718,13 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The oracle computes month registers DIRECTLY from raw rows, so
     # the hash check proves hourly->month == direct month cross-engine
     # — the treatment the day grain got in round 11, one step deeper.
-    mon_reg = hll_merge_registers(
-        hr_reg.withColumn("month", F.date_format("day", "yyyy-MM")),
-        group_cols=("month",),
-    )
-    roll_mon_reg_arm = mon_reg.select(
-        F.lit("hll_rollup_month_register").alias("kind"),
-        F.col("month").alias("o_orderstatus"),
-        F.lit(None).cast("bigint").alias("exact_customers"),
-        F.lit(None).cast("bigint").alias("n_orders"),
-        F.lit(None).cast("boolean").alias("within_bound"),
-        F.col("bucket").alias("hll_bucket"),
-        F.col("max_rank").alias("hll_rank"),
-        F.lit(None).cast("int").alias("hll_m"),
-        F.lit(None).cast("bigint").alias("hll_observed"),
-        F.lit(None).cast("bigint").alias("hll_sum_scaled"),
-        F.lit(None).cast("double").alias("hll_estimate"),
-        *cms_nulls,
-        *kmv_nulls,
-    )
-    exact_mon = ev.groupBy(
-        F.date_format("day", "yyyy-MM").alias("month")
-    ).agg(
-        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-    )
-    roll_mon_est_arm = (
-        hll_estimate(mon_reg, m=1024, group_cols=("month",))
-        .join(exact_mon, "month")
-        .select(
-            F.lit("hll_rollup_month_estimate").alias("kind"),
-            F.col("month").alias("o_orderstatus"),
-            F.col("exact_users").alias("exact_customers"),
-            F.col("n_events").alias("n_orders"),
-            (
-                F.abs(F.col("estimate") - F.col("exact_users").cast("double"))
-                / F.col("exact_users").cast("double")
-                <= F.lit(0.15)
-            ).alias("within_bound"),
-            F.lit(None).cast("bigint").alias("hll_bucket"),
-            F.lit(None).cast("int").alias("hll_rank"),
-            F.col("hll_m"),
-            F.col("n_observed").alias("hll_observed"),
-            F.col("sum_scaled").alias("hll_sum_scaled"),
-            F.col("estimate").alias("hll_estimate"),
-            *cms_nulls,
-            *kmv_nulls,
-        )
+    roll_mon_reg_arm, roll_mon_est_arm = rollup_arms(
+        hll_merge_registers(
+            hr_reg.withColumn("month", F.date_format("day", "yyyy-MM")),
+            group_cols=("month",),
+        ),
+        "month",
+        "hll_rollup_month",
     )
     counters = cms_counters(orders, "o_custkey", depth=4, width=512)
     counter_arm = counters.select(

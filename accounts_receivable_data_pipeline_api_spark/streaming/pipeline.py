@@ -1243,6 +1243,18 @@ def _consumed_floor_keep(floor: int):
     )
 
 
+def _cluster_keep(clusters: list[int]):
+    """Column predicate for a probe's cluster IN-list (an EMPTY probe
+    list keeps nothing) — one copy for the delta reader and the
+    manifest's base-side prune (round-14 review: the expression had
+    been duplicated inline and could drift)."""
+    return (
+        F.col("cluster").isin(sorted({int(c) for c in clusters}))
+        if clusters
+        else F.lit(False)
+    )
+
+
 def _read_delta_segment(
     spark: SparkSession,
     delta_dir: str,
@@ -1268,11 +1280,7 @@ def _read_delta_segment(
     if floor is not None:
         df = df.filter(_consumed_floor_keep(floor))
     if clusters is not None:
-        df = df.filter(
-            F.col("cluster").isin(sorted({int(c) for c in clusters}))
-            if clusters
-            else F.lit(False)
-        )
+        df = df.filter(_cluster_keep(clusters))
     return df.dropDuplicates(["match_id"]).select(*columns)
 
 
@@ -1281,11 +1289,26 @@ def _compact_delta_segment(
     delta_dir: str,
     upto_batch_id: int | None,
     schema: str,
+    floor: int | None = None,
 ) -> int | None:
     """Shared delta compaction (distributed-merge generation; the
     merge is the readers' own match_id dedup — fold-then-read equals
     read, and deterministic encoding makes resurrected rows
     byte-identical to folded content).
+
+    ``floor``: the serving manifest's consumed watermark, when this
+    delta serves through one (second-pass round-14 review). A
+    compaction running between a base publish and its deferred reset
+    would otherwise fold already-consumed batches into a generation
+    whose name-encoded watermark sits ABOVE the floor — a generation
+    the floor filter must keep whole, double-counting the consumed
+    rows against the new base. With ``floor`` set, the consumed
+    partitions are first RESET here (`reset_consumed_delta` — safe:
+    the published floor proves the base covers them; idempotent), so
+    the fold sees only unconsumed batches and the generation can
+    never straddle the floor. Serving deployments' compaction crons
+    must pass the manifest's current floor
+    (`_read_serving_snapshot(manifest_dir)["floor"]`).
 
     The merge also ENFORCES the append-only contract the any-pick dedup
     relies on (round-12 ADVICE): a match_id whose duplicate rows carry
@@ -1332,6 +1355,8 @@ def _compact_delta_segment(
             )
         )
 
+    if floor is not None:
+        reset_consumed_delta(spark, delta_dir, floor)
     return _compact_partials(
         spark, delta_dir, upto_batch_id, merge, schema, distributed_merge=True
     )
@@ -1354,9 +1379,13 @@ def compact_pq_delta(
     spark: SparkSession,
     delta_dir: str,
     upto_batch_id: int | None = None,
+    floor: int | None = None,
 ) -> int | None:
-    """Fold closed PQ delta batches (shared `_compact_delta_segment`)."""
-    return _compact_delta_segment(spark, delta_dir, upto_batch_id, _PQ_DELTA_SCHEMA)
+    """Fold closed PQ delta batches (shared `_compact_delta_segment`;
+    ``floor`` as compact_ann_delta's)."""
+    return _compact_delta_segment(
+        spark, delta_dir, upto_batch_id, _PQ_DELTA_SCHEMA, floor
+    )
 
 
 def read_ann_delta(
@@ -1399,12 +1428,18 @@ def compact_ann_delta(
     spark: SparkSession,
     delta_dir: str,
     upto_batch_id: int | None = None,
+    floor: int | None = None,
 ) -> int | None:
     """Fold closed delta batches into one generation via the shared
     protocol's distributed-merge path (vector state is corpus-sized,
     never driver-bounded) — see `_compact_delta_segment`: the merge is
-    the reader's own match_id-dedup, so fold-then-read equals read."""
-    return _compact_delta_segment(spark, delta_dir, upto_batch_id, _ANN_DELTA_SCHEMA)
+    the reader's own match_id-dedup, so fold-then-read equals read;
+    pass the serving manifest's ``floor`` when this delta serves
+    through one (the consumed partitions are reset before the fold so
+    no generation can straddle the floor)."""
+    return _compact_delta_segment(
+        spark, delta_dir, upto_batch_id, _ANN_DELTA_SCHEMA, floor
+    )
 
 
 def _rebuild_base_segment(
@@ -1576,25 +1611,6 @@ def _rebuild_base_segment(
             "fresh location per rebuild generation"
         )
     published = int(meta["rebuilt_upto"])
-    if manifest_dir is not None:
-        # CUTOVER BEFORE DELETIONS: repoint the serving manifest to
-        # (new base, remaining delta above the published floor) before
-        # any consumed partition is deleted — a manifest-routed reader
-        # (resolve_serving) therefore never unions the old base with a
-        # reset delta (lost rows) nor the new base with an un-reset
-        # one (the floor filter excludes consumed batches). This is
-        # the atomic form of the docstring's manual cutover discipline
-        # (round-13 VERDICT #1).
-        publish_ann_serving(
-            manifest_dir,
-            tier=tier,
-            table=table,
-            loc=loc,
-            delta_dir=delta_dir,
-            floor=published,
-        )
-    if reset_delta:
-        reset_consumed_delta(spark, delta_dir, published)
     # Stale-reuse guard (round-13 review: rebuilding into a loc that
     # already holds a PRIOR rebuild generation silently returned the
     # old artifact). Raised only for an EXPLICIT upto_batch_id beyond
@@ -1605,12 +1621,37 @@ def _rebuild_base_segment(
     # would otherwise raise spuriously when the stream appended batches
     # between the steps) — that is still CORRECT serving state: the
     # published base covers batches <= its watermark and everything
-    # newer stays in the delta, complete though unfolded. Raised AFTER
-    # the reset above so an interrupted old-generation reset still
-    # completes (deletions are keyed to the PUBLISHED watermark either
-    # way).
+    # newer stays in the delta, complete though unfolded.
     eff = -1 if upto_eff is None else int(upto_eff)
-    if explicit_upto and eff > published:
+    stale = explicit_upto and eff > published
+    if manifest_dir is not None and not stale:
+        # CUTOVER BEFORE DELETIONS: repoint the serving manifest to
+        # (new base, remaining delta above the published floor) before
+        # any consumed partition is deleted — a manifest-routed reader
+        # (resolve_serving) therefore never unions the old base with a
+        # reset delta (lost rows) nor the new base with an un-reset
+        # one (the floor filter excludes consumed batches). This is
+        # the atomic form of the docstring's manual cutover discipline
+        # (round-13 VERDICT #1). Ordered AFTER the stale check so a
+        # call that is about to fail never mutates serving state, and
+        # guarded by publish's own floor monotonicity — a delayed
+        # re-run of an OLDER generation fails loudly HERE instead of
+        # rolling live serving back (second-pass round-14 review).
+        publish_ann_serving(
+            manifest_dir,
+            tier=tier,
+            table=table,
+            loc=loc,
+            delta_dir=delta_dir,
+            floor=published,
+        )
+    if reset_delta and not (stale and manifest_dir is not None):
+        # In the NON-manifest stale path the reset still runs before
+        # the raise so an interrupted old-generation reset completes
+        # (deletions are keyed to the PUBLISHED watermark either way);
+        # in the manifest flow a stale call mutates nothing.
+        reset_consumed_delta(spark, delta_dir, published)
+    if stale:
         raise RuntimeError(
             f"rebuild target {loc} holds a prior rebuild generation "
             f"(consumed up to batch {published}) but upto_batch_id asks "
@@ -1739,6 +1780,23 @@ def reset_consumed_delta(spark: SparkSession, delta_dir: str, upto: int) -> int:
     return deleted
 
 
+def _read_serving_snapshot(manifest_dir: str) -> dict | None:
+    """The manifest's current snapshot dict, or None when no manifest
+    exists yet — the ONE copy of the pointer-then-snapshot read
+    (publish's monotonicity check, resolve_serving, and the advisor
+    all go through it)."""
+    import json as _json
+    import os
+
+    manifest = os.path.join(manifest_dir, MANIFEST)
+    if not os.path.exists(manifest):
+        return None
+    with open(manifest) as fh:
+        name = fh.read().strip()
+    with open(os.path.join(manifest_dir, name)) as fh:
+        return _json.load(fh)
+
+
 def publish_ann_serving(
     manifest_dir: str,
     *,
@@ -1761,7 +1819,18 @@ def publish_ann_serving(
     At 100 TB the manifest lives beside the caches on the shared
     store; on an object store without atomic rename, swap the
     os.replace for a pointer object put — the snapshot files
-    themselves are already immutable."""
+    themselves are already immutable.
+
+    MONOTONIC: a publish that would move the floor BACKWARDS — or
+    sideways, to a different base at the same floor, or to a different
+    tier/delta lineage entirely — is REFUSED (second-pass round-14
+    review). Without this, a delayed crash re-run of an OLDER rebuild
+    generation (whose cache-hit returns the old artifact with its old
+    watermark) would repoint live serving back to a base whose
+    consumed-batch complement a newer generation's reset has already
+    deleted — rows silently vanish. A byte-identical re-publish (the
+    legitimate crash re-run of the CURRENT generation) is idempotent
+    and succeeds."""
     import json as _json
     import os
     import uuid
@@ -1776,6 +1845,24 @@ def publish_ann_serving(
         "delta_dir": delta_dir,
         "floor": int(floor),
     }
+    cur = _read_serving_snapshot(manifest_dir)
+    if cur is not None and cur != snap:
+        if cur["tier"] != tier or cur["delta_dir"] != delta_dir:
+            raise RuntimeError(
+                f"serving manifest {manifest_dir} already serves "
+                f"tier={cur['tier']} over {cur['delta_dir']} — one "
+                "manifest per (tier, delta lineage); use a fresh "
+                "manifest_dir"
+            )
+        if int(floor) <= int(cur["floor"]):
+            raise RuntimeError(
+                f"refusing manifest rollback: current floor "
+                f"{cur['floor']} (base {cur['loc']}), attempted floor "
+                f"{floor} (base {loc}) — an older rebuild generation "
+                "must not repoint live serving (its consumed-batch "
+                "complement may already be reset); only a publish with "
+                "a strictly higher floor can move the manifest"
+            )
     name = f"serving_{uuid.uuid4().hex}.json"
     with open(os.path.join(manifest_dir, name), "w") as fh:
         _json.dump(snap, fh)
@@ -1822,28 +1909,24 @@ def resolve_serving(
     cluster IN-list, pushed into BOTH sides' scans (bucket pruning on
     the base, partition-file prune on the delta before its dedup).
 
-    Protocol constraint, stated: between a manifest publish and the
-    corresponding `reset_consumed_delta`, do not run a delta
-    COMPACTION whose upto reaches at or below the published floor — a
-    generation folding already-consumed batches would straddle the
-    floor and the floor filter cannot split a generation's rows
-    (`_consumed_floor_keep`). The `rebuild_*_base(manifest_dir=...,
-    reset_delta=True)` path leaves no such window."""
-    import json as _json
-    import os
-
+    Protocol constraint, ENFORCED at the compactor (second-pass
+    round-14 review): a compaction folding batches at or below a
+    published-but-unreset floor would create a generation straddling
+    it, and the floor filter cannot split a generation's rows
+    (`_consumed_floor_keep`) — so a serving deployment's compaction
+    cron passes the manifest floor to `compact_*_delta`, which resets
+    the consumed partitions BEFORE folding (safe by the published
+    floor, idempotent), making a straddling generation structurally
+    impossible. The `rebuild_*_base(manifest_dir=...,
+    reset_delta=True)` path leaves no such window at all."""
     from ..plans.raw_ops import _bucketed_serving_table
 
-    manifest = os.path.join(manifest_dir, MANIFEST)
-    if not os.path.exists(manifest):
+    snap = _read_serving_snapshot(manifest_dir)
+    if snap is None:
         raise FileNotFoundError(
             f"no serving manifest at {manifest_dir} — publish one with "
             "publish_ann_serving or rebuild_*_base(manifest_dir=...)"
         )
-    with open(manifest) as fh:
-        name = fh.read().strip()
-    with open(os.path.join(manifest_dir, name)) as fh:
-        snap = _json.load(fh)
     tier = snap["tier"]
     schema, meta_name = _SERVING_TIERS[tier]
 
@@ -1863,11 +1946,7 @@ def resolve_serving(
     )
     serving = base
     if clusters is not None:
-        serving = serving.filter(
-            F.col("cluster").isin(sorted({int(c) for c in clusters}))
-            if clusters
-            else F.lit(False)
-        )
+        serving = serving.filter(_cluster_keep(clusters))
     return ServingView(
         tier=tier,
         serving=serving.unionByName(delta),
@@ -1913,11 +1992,9 @@ def ann_rebuild_advisor(
     import os
 
     if manifest_dir is not None:
-        manifest = os.path.join(manifest_dir, MANIFEST)
-        with open(manifest) as fh:
-            name = fh.read().strip()
-        with open(os.path.join(manifest_dir, name)) as fh:
-            snap = _json.load(fh)
+        snap = _read_serving_snapshot(manifest_dir)
+        if snap is None:
+            raise FileNotFoundError(f"no serving manifest at {manifest_dir}")
         tier = snap["tier"]
         base_loc = snap["loc"]
         delta_dir = snap["delta_dir"]

@@ -166,15 +166,36 @@ def test_contact_keyset_cursor(api, spark):
         {"after": "not-a-cursor"},
         {"after": "12"},  # no separator at all
         {"after": "x,Name"},  # non-integer id
+        # a cursor BELONGS to the queried name (round-14 review: the
+        # terminal page echoes the cursor's name half, so a forged or
+        # cross-customer cursor is refused, not reflected)
+        {"after": "5,Some Other Co"},
+        {"after": "5,"},
     ):
         with pytest.raises(ApiError) as err:
             api.customer_contact("Lens & Light", **bad)
         assert err.value.status_code == 422
-    # an EMPTY name half is legal ("<id>," — a dim row whose name is
-    # the empty string mints exactly this; round-13 ADVICE): parses as
-    # ("", id) and the walk continues instead of 422-ing
-    empty_half = api.customer_contact("Lens & Light", limit=1, after="5,")
-    assert empty_half["contacts"] == first["contacts"]
+    # an EMPTY name half is legal for the customer it belongs to (a
+    # dim row whose name IS the empty string mints "<id>,"; round-13
+    # ADVICE — the old parse 422-ed it and such a walk could never
+    # continue past a full page ending on that row): full end-to-end
+    # walk over a synthetic dim with an empty-name customer
+    from accounts_receivable_data_pipeline_api_spark.api.endpoints import Endpoints
+
+    dim2 = spark.createDataFrame(
+        [(1, "", "c1", "c1@x.com", "555-0001"),
+         (2, "", "c2", "c2@x.com", "555-0002"),
+         (3, "Zed", "c3", "c3@x.com", "555-0003")],
+        "id long, name string, contact_name string, contact_email string, contact_phone string",
+    )
+    api2 = Endpoints(spark, dim2, api.invoices.limit(0))
+    p1 = api2.customer_contact("", limit=1, after="")
+    assert p1["next_after"] == "1,"
+    p2 = api2.customer_contact("", limit=1, after=p1["next_after"])
+    assert [c["contact_name"] for c in p2["contacts"]] == ["c2"]
+    p3 = api2.customer_contact("", limit=1, after=p2["next_after"])
+    assert p3["contacts"] == [] and p3["next_after"] is None
+    assert p3["customer_name"] == ""  # the cursor's own (empty) name
 
     # query layer, multi-group walk: 23 case-variant groups of one
     # lowercased name, names containing commas (the reason the wire

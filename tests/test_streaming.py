@@ -1728,13 +1728,99 @@ def test_ann_serving_manifest_atomic_cutover(spark, sf_dir, tmp_path):
     with open(os.path.join(man, snap_name)) as fh:
         assert json.load(fh) == v4.snapshot
 
-    # a manifest must refuse to resolve an unpublished base
+    # MONOTONICITY (second-pass round-14 review): the floor only moves
+    # forward — an older generation can neither publish directly nor
+    # repoint through a delayed rebuild re-run (whose cache-hit would
+    # otherwise resurrect the old watermark after a newer generation's
+    # reset already deleted its complement — silently lost rows); a
+    # different tier/lineage cannot take the manifest over; the
+    # idempotent re-publish of the CURRENT snapshot still succeeds
+    # (the legitimate crash re-run).
+    with pytest.raises(RuntimeError, match="rollback"):
+        publish_ann_serving(
+            man, tier="sq8", table="sq8_manifest_gen2", loc=loc2,
+            delta_dir=delta_dir, floor=1,
+        )
+    with pytest.raises(RuntimeError, match="one manifest per"):
+        publish_ann_serving(
+            man, tier="pq", table="sq8_manifest_gen3", loc=loc3,
+            delta_dir=delta_dir, floor=5,
+        )
     publish_ann_serving(
-        man, tier="sq8", table="sq8_manifest_missing",
+        man, tier="sq8", table="sq8_manifest_gen3", loc=loc3,
+        delta_dir=delta_dir, floor=2,
+    )
+    with pytest.raises(RuntimeError, match="rollback"):
+        rebuild_ann_base(
+            spark, base_serving, cents, delta_dir, loc2,
+            "sq8_manifest_gen2", upto_batch_id=1, manifest_dir=man,
+        )
+    assert resolve_serving(spark, man).snapshot == v4.snapshot  # unmoved
+
+    # a manifest must refuse to resolve an unpublished base
+    man2 = str(tmp_path / "manifest2")
+    publish_ann_serving(
+        man2, tier="sq8", table="sq8_manifest_missing",
         loc=str(tmp_path / "nowhere"), delta_dir=delta_dir, floor=-1,
     )
     with pytest.raises(RuntimeError, match="unpublished base cache"):
-        resolve_serving(spark, man)
+        resolve_serving(spark, man2)
+
+
+def test_compaction_respects_serving_floor(spark, sf_dir, tmp_path):
+    """Floor-aware compaction (second-pass round-14 review): a
+    compaction running in the publish-to-reset window whose upto
+    reaches past the published floor would fold consumed AND
+    unconsumed batches into one generation — a generation the floor
+    filter must keep whole, double-counting the consumed rows against
+    the new base. Passing the manifest's floor makes that straddle
+    structurally impossible: the consumed partitions are RESET first
+    (safe — the published floor proves the base covers them), so the
+    generation holds only unconsumed rows and the manifest-routed
+    probe stays complete and duplicate-free through the fold."""
+    from accounts_receivable_data_pipeline_api_spark.operators.similarity import (
+        ivf_sq8_serving_table,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        compact_ann_delta,
+        rebuild_ann_base,
+        resolve_serving,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming.pipeline import (
+        _write_batch_partial,
+    )
+
+    emb, cents, base_serving, batches = _sq8_rebuild_corpus(spark, sf_dir)
+    delta_dir = str(tmp_path / "delta")
+    for i, b in enumerate(batches):
+        _write_batch_partial(ivf_sq8_serving_table(b, cents), delta_dir, i)
+
+    # gen2 consumes batch 0 only; manifest repointed, reset DEFERRED —
+    # the during-window with a consumed batch still on disk
+    man = str(tmp_path / "manifest")
+    rebuild_ann_base(
+        spark, base_serving, cents, delta_dir, str(tmp_path / "base_gen2"),
+        "sq8_floor_gen2", upto_batch_id=0, manifest_dir=man,
+    )
+    import os
+
+    assert os.path.isdir(os.path.join(delta_dir, "batch_id=0"))
+
+    def counts():
+        serving = resolve_serving(spark, man).serving
+        per_id = serving.groupBy("match_id").count()
+        return (
+            per_id.count(),
+            per_id.filter(F.col("count") > 1).count(),
+        )
+
+    assert counts() == (emb.count(), 0)
+    # the cron's fold, floor-aware: upto=1 reaches past floor=0, so the
+    # consumed batch is reset before the fold — the new generation
+    # (mark=1 > floor) holds ONLY batch 1's rows
+    assert compact_ann_delta(spark, delta_dir, upto_batch_id=1, floor=0) == 1
+    assert not os.path.isdir(os.path.join(delta_dir, "batch_id=0"))
+    assert counts() == (emb.count(), 0)  # complete, still no double count
 
 
 def test_ann_rebuild_advisor_metadata_only(spark, sf_dir, tmp_path):
