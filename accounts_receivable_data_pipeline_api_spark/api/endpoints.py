@@ -227,20 +227,6 @@ class Endpoints:
         )
         if page.match_count == 0:
             raise ApiError(404, "Customer not found")
-        # a cursor BELONGS to the queried name: every group this route
-        # pages over satisfies lower(group name) == lower(query name),
-        # so a well-formed continuation cursor always does too — a
-        # mismatch is a forged or cross-customer cursor, refused
-        # before any result is computed (third-pass round-14 review:
-        # the terminal page echoes the cursor's name half, which this
-        # check constrains to a case variant of the client's own query
-        # string — the same trust class as the parity-mode echo).
-        # Ordered after the 404 so unknown-name continuations keep the
-        # reference's "Customer not found" answer.
-        if cursor is not None and cursor[0].lower() != name.lower():
-            raise ApiError(
-                422, "after does not belong to this customer_name"
-            )
         rows = page.contacts.collect()
         contacts = [row_to_dict(r, CONTACT_FIELDS) for r in rows]
         customer_name = rows[0]["customer_name"] if rows else name
@@ -254,10 +240,17 @@ class Endpoints:
             # previous page's rows, so no re-query is needed — this
             # used to run an extra limit-1 Spark job per walk
             # termination (round-13 ADVICE/VERDICT). The cursor IS
-            # client input on the wire, but the belongs-to check above
-            # pins it to a case variant of the query's own name — the
-            # same trust class as the parity-mode echo of `name`.
-            customer_name = cursor[0]
+            # client input on the wire, so the echo is GATED: only a
+            # case variant of the query's own name is reflected (the
+            # same trust class as the parity-mode echo of `name`),
+            # anything else falls back to the query string. Gate, not
+            # 422 (third-pass round-14 review): a rejection would have
+            # to re-implement the dim-side lower() exactly — a JVM-vs-
+            # Python Unicode-casing skew on a legitimately minted
+            # cursor would then 422 a walk that can never proceed.
+            customer_name = (
+                cursor[0] if cursor[0].lower() == name.lower() else name
+            )
         # Q6: total = page length, NOT match count (reference :115-119).
         if after is None:
             return {

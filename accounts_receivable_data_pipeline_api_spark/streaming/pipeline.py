@@ -1290,25 +1290,31 @@ def _compact_delta_segment(
     upto_batch_id: int | None,
     schema: str,
     floor: int | None = None,
+    manifest_dir: str | None = None,
+    tier: str | None = None,
 ) -> int | None:
     """Shared delta compaction (distributed-merge generation; the
     merge is the readers' own match_id dedup — fold-then-read equals
     read, and deterministic encoding makes resurrected rows
     byte-identical to folded content).
 
-    ``floor``: the serving manifest's consumed watermark, when this
-    delta serves through one (second-pass round-14 review). A
-    compaction running between a base publish and its deferred reset
-    would otherwise fold already-consumed batches into a generation
-    whose name-encoded watermark sits ABOVE the floor — a generation
-    the floor filter must keep whole, double-counting the consumed
-    rows against the new base. With ``floor`` set, the consumed
-    partitions are first RESET here (`reset_consumed_delta` — safe:
-    the published floor proves the base covers them; idempotent), so
-    the fold sees only unconsumed batches and the generation can
-    never straddle the floor. Serving deployments' compaction crons
-    must pass the manifest's current floor
-    (`_read_serving_snapshot(manifest_dir)["floor"]`).
+    ``floor``/``manifest_dir``: the serving-split guard (second- and
+    third-pass round-14 review). A compaction running between a base
+    publish and its deferred reset would otherwise fold
+    already-consumed batches into a generation whose name-encoded
+    watermark sits ABOVE the floor — a generation the floor filter
+    must keep whole, double-counting the consumed rows against the
+    new base. With the floor known, the consumed partitions are first
+    RESET here (`reset_consumed_delta` — safe: the published floor
+    proves the base covers them; idempotent), so the fold sees only
+    unconsumed batches. Prefer ``manifest_dir``: the floor is then
+    read at FOLD time rather than by the caller earlier (a
+    caller-read floor can go stale if a rebuild publishes in
+    between). The residual exclusion is operational, not structural:
+    compaction and rebuild are both maintenance FOLDS over the same
+    state dir — run one maintenance writer at a time, the same rule
+    the generation protocol already assumes for concurrent
+    compactions.
 
     The merge also ENFORCES the append-only contract the any-pick dedup
     relies on (round-12 ADVICE): a match_id whose duplicate rows carry
@@ -1355,6 +1361,16 @@ def _compact_delta_segment(
             )
         )
 
+    if manifest_dir is not None:
+        snap = _read_serving_snapshot(manifest_dir)
+        if snap is not None:
+            # adopt the floor ONLY from the manifest that serves THIS
+            # delta — a foreign floor would delete unconsumed batches
+            # (fourth-pass round-14 review)
+            _require_manifest_lineage(snap, manifest_dir, delta_dir, tier)
+            floor = int(snap["floor"]) if floor is None else max(
+                int(floor), int(snap["floor"])
+            )
     if floor is not None:
         reset_consumed_delta(spark, delta_dir, floor)
     return _compact_partials(
@@ -1380,11 +1396,13 @@ def compact_pq_delta(
     delta_dir: str,
     upto_batch_id: int | None = None,
     floor: int | None = None,
+    manifest_dir: str | None = None,
 ) -> int | None:
     """Fold closed PQ delta batches (shared `_compact_delta_segment`;
-    ``floor`` as compact_ann_delta's)."""
+    ``floor``/``manifest_dir`` as compact_ann_delta's)."""
     return _compact_delta_segment(
-        spark, delta_dir, upto_batch_id, _PQ_DELTA_SCHEMA, floor
+        spark, delta_dir, upto_batch_id, _PQ_DELTA_SCHEMA, floor,
+        manifest_dir, "pq",
     )
 
 
@@ -1429,16 +1447,19 @@ def compact_ann_delta(
     delta_dir: str,
     upto_batch_id: int | None = None,
     floor: int | None = None,
+    manifest_dir: str | None = None,
 ) -> int | None:
     """Fold closed delta batches into one generation via the shared
     protocol's distributed-merge path (vector state is corpus-sized,
     never driver-bounded) — see `_compact_delta_segment`: the merge is
-    the reader's own match_id-dedup, so fold-then-read equals read;
-    pass the serving manifest's ``floor`` when this delta serves
-    through one (the consumed partitions are reset before the fold so
-    no generation can straddle the floor)."""
+    the reader's own match_id-dedup, so fold-then-read equals read.
+    When this delta serves through a manifest, pass ``manifest_dir``
+    (preferred — the floor is read at fold time) or the floor itself:
+    consumed partitions are reset before the fold so the generation
+    cannot straddle the serving floor."""
     return _compact_delta_segment(
-        spark, delta_dir, upto_batch_id, _ANN_DELTA_SCHEMA, floor
+        spark, delta_dir, upto_batch_id, _ANN_DELTA_SCHEMA, floor,
+        manifest_dir, "sq8",
     )
 
 
@@ -1633,18 +1654,49 @@ def _rebuild_base_segment(
         # one (the floor filter excludes consumed batches). This is
         # the atomic form of the docstring's manual cutover discipline
         # (round-13 VERDICT #1). Ordered AFTER the stale check so a
-        # call that is about to fail never mutates serving state, and
-        # guarded by publish's own floor monotonicity — a delayed
-        # re-run of an OLDER generation fails loudly HERE instead of
-        # rolling live serving back (second-pass round-14 review).
-        publish_ann_serving(
-            manifest_dir,
-            tier=tier,
-            table=table,
-            loc=loc,
-            delta_dir=delta_dir,
-            floor=published,
-        )
+        # call that is about to fail never mutates serving state.
+        # Repointed ONLY when this artifact strictly RAISES the floor
+        # (third-pass round-14 review): a delayed crash re-run of an
+        # OLDER generation, or a rebuild that consumed nothing (its
+        # watermark -1 says nothing about what the INPUT base had
+        # already folded), must leave the manifest exactly where it is
+        # — the current snapshot already serves every row correctly,
+        # and rolling it back could pair an old base with a delta
+        # whose complement a newer reset deleted. Convergent no-op,
+        # matching the cache's own crash-re-run semantics; a DIRECT
+        # publish_ann_serving misuse still raises loudly there.
+        cur = _read_serving_snapshot(manifest_dir)
+        if cur is not None:
+            # the skip path must apply the same lineage guard the
+            # publish path does — a wrong-manifest rebuild would
+            # otherwise skip silently and then reset partitions the
+            # delta's REAL manifest still serves (fourth-pass review)
+            _require_manifest_lineage(cur, manifest_dir, delta_dir, tier)
+        if cur is None or published > int(cur["floor"]):
+            publish_ann_serving(
+                manifest_dir,
+                tier=tier,
+                table=table,
+                loc=loc,
+                delta_dir=delta_dir,
+                floor=published,
+            )
+        elif published == int(cur["floor"]) and (
+            cur["table"],
+            cur["loc"],
+        ) != (table, loc):
+            # two DIFFERENT artifacts claiming one floor is ambiguous
+            # serving state, not a crash re-run — fail loudly (the
+            # pre-skip publish behavior; fourth-pass review: an
+            # operator replacing a bad base at the same watermark must
+            # hear that the manifest did NOT move, not get a success
+            # that leaves readers on the bad base)
+            raise RuntimeError(
+                f"manifest {manifest_dir} already serves a DIFFERENT "
+                f"base ({cur['loc']}) at floor {published} — equal-"
+                "floor repoints are ambiguous; rebuild with a higher "
+                "upto_batch_id (or repoint manually) to replace it"
+            )
     if reset_delta and not (stale and manifest_dir is not None):
         # In the NON-manifest stale path the reset still runs before
         # the raise so an interrupted old-generation reset completes
@@ -1780,6 +1832,25 @@ def reset_consumed_delta(spark: SparkSession, delta_dir: str, upto: int) -> int:
     return deleted
 
 
+def _require_manifest_lineage(
+    snap: dict, manifest_dir: str, delta_dir: str, tier: str
+) -> None:
+    """Refuse to act on a manifest that does not serve this (tier,
+    delta lineage) — the guard `publish_ann_serving` applies on write,
+    hoisted so every path that READS a floor to make destructive or
+    skip decisions applies it too (fourth-pass round-14 review: a
+    wrong manifest_dir handed to a compactor or rebuild would
+    otherwise adopt a foreign floor and delete unconsumed
+    partitions)."""
+    if snap.get("tier") != tier or snap.get("delta_dir") != delta_dir:
+        raise RuntimeError(
+            f"manifest {manifest_dir} serves tier={snap.get('tier')} over "
+            f"{snap.get('delta_dir')}, not tier={tier} over {delta_dir} — "
+            "one manifest per (tier, delta lineage); pass the manifest "
+            "that serves THIS delta"
+        )
+
+
 def _read_serving_snapshot(manifest_dir: str) -> dict | None:
     """The manifest's current snapshot dict, or None when no manifest
     exists yet — the ONE copy of the pointer-then-snapshot read
@@ -1909,16 +1980,18 @@ def resolve_serving(
     cluster IN-list, pushed into BOTH sides' scans (bucket pruning on
     the base, partition-file prune on the delta before its dedup).
 
-    Protocol constraint, ENFORCED at the compactor (second-pass
+    Protocol constraint, enforced at the compactor (second/third-pass
     round-14 review): a compaction folding batches at or below a
     published-but-unreset floor would create a generation straddling
     it, and the floor filter cannot split a generation's rows
     (`_consumed_floor_keep`) — so a serving deployment's compaction
-    cron passes the manifest floor to `compact_*_delta`, which resets
-    the consumed partitions BEFORE folding (safe by the published
-    floor, idempotent), making a straddling generation structurally
-    impossible. The `rebuild_*_base(manifest_dir=...,
-    reset_delta=True)` path leaves no such window at all."""
+    cron passes ``manifest_dir`` to `compact_*_delta`, which reads the
+    floor at fold time and resets the consumed partitions BEFORE
+    folding (safe by the published floor, idempotent). One maintenance
+    writer at a time remains the operational rule — compaction and
+    rebuild are both folds over the same state dir. The
+    `rebuild_*_base(manifest_dir=..., reset_delta=True)` path leaves
+    no window at all."""
     from ..plans.raw_ops import _bucketed_serving_table
 
     snap = _read_serving_snapshot(manifest_dir)

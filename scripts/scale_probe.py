@@ -339,11 +339,22 @@ def _probe_ann_delta(spark, sf_dir: str) -> None:
 
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
-    cut = int(n * 0.8)
-    base_rows = emb.filter(F.col("vec_id") < cut)
-    delta_rows = emb.filter(F.col("vec_id") >= cut)
+    # MODULO split, not an id threshold (round-14 fix): vec_ids need
+    # not be contiguous — the synthesized /tmp/sf1 corpus is
+    # key-shifted, so the old `vec_id < int(n*0.8)` split actually put
+    # ~10% of rows in the base there (2,000 of 20,000; ids reach
+    # ~9.9e12) and the probe measured a ~90% delta share while
+    # REPORTING 20%. The advisor leg exposed the mismatch (its
+    # metadata-only footer count disagreed with the assumed counts).
+    # id % 5 == 0 -> delta gives a true 80/20 split at every SF
+    # regardless of the id space; r13-and-earlier sf1 rows of this
+    # probe are therefore not comparable (they measured a far heavier
+    # delta than labeled — see BASELINE.md r14).
+    base_rows = emb.filter(F.col("vec_id") % 5 != 0)
+    delta_rows = emb.filter(F.col("vec_id") % 5 == 0)
+    n_base = base_rows.count()
     cents = similarity.ivf_build(
-        base_rows, k=similarity.ivf_auto_nlist(cut), iters=2
+        base_rows, k=similarity.ivf_auto_nlist(n_base), iters=2
     )
 
     # pid-suffixed like _probe_ivf_sq8's float twin: concurrent probe
@@ -372,7 +383,7 @@ def _probe_ann_delta(spark, sf_dir: str) -> None:
     # as the published caches carry it — what the rebuild advisor reads
     # instead of counting the corpus
     with open(_os.path.join(base_dir, "centroids.json"), "w") as _fh:
-        json.dump({"centroids": cents, "n": cut}, _fh)
+        json.dump({"centroids": cents, "n": n_base}, _fh)
     base_data = _os.path.join(base_dir, "data")
 
     queries = emb.filter(F.col("vec_id") < 5)
@@ -431,10 +442,18 @@ def _probe_ann_delta(spark, sf_dir: str) -> None:
             resolve_serving,
         )
 
+        # target 0.15, not the 0.20 default: the constructed share is
+        # ~0.20 and sits exactly ON the default threshold only when
+        # the corpus divides evenly by 5 — asserting at the boundary
+        # would crash the leg on any fixture whose residues don't
+        # (fourth-pass round-14 review); the band check keeps the
+        # share itself honest
         adv_before = ann_rebuild_advisor(
-            spark, base_loc=base_dir, delta_dir=delta_dir, tier="sq8"
+            spark, base_loc=base_dir, delta_dir=delta_dir, tier="sq8",
+            target_share=0.15,
         )
         assert adv_before["recommend_rebuild"], adv_before
+        assert 0.15 <= adv_before["delta_share"] <= 0.30, adv_before
 
         # post-rebuild leg (round-12 VERDICT #1): fold base+delta into
         # a fresh bucketed base (streaming.rebuild_ann_base — pinned
@@ -490,8 +509,8 @@ def _probe_ann_delta(spark, sf_dir: str) -> None:
                 "query": "op_ann_delta_probe",
                 "sf": sf_dir.rsplit("sf", 1)[-1],
                 "input_rows": n,
-                "base_rows": cut,
-                "delta_rows": n - cut,
+                "base_rows": n_base,
+                "delta_rows": n - n_base,
                 "probe_base_warm_s": round(t_base, 3),
                 "probe_with_delta_warm_s": round(t_delta, 3),
                 "delta_overhead_pct": round(100 * (t_delta - t_base) / t_base, 1),

@@ -166,15 +166,21 @@ def test_contact_keyset_cursor(api, spark):
         {"after": "not-a-cursor"},
         {"after": "12"},  # no separator at all
         {"after": "x,Name"},  # non-integer id
-        # a cursor BELONGS to the queried name (round-14 review: the
-        # terminal page echoes the cursor's name half, so a forged or
-        # cross-customer cursor is refused, not reflected)
-        {"after": "5,Some Other Co"},
-        {"after": "5,"},
     ):
         with pytest.raises(ApiError) as err:
             api.customer_contact("Lens & Light", **bad)
         assert err.value.status_code == 422
+    # the terminal-page echo is GATED (round-14 review): the cursor is
+    # client input, so only a case variant of the query's own name is
+    # reflected back as customer_name — a forged cross-customer cursor
+    # gets the query string, never its own text (and no 422: rejecting
+    # would need the dim's exact lower() semantics; a Unicode-casing
+    # skew on a legitimate cursor would then break the walk for good)
+    forged = api.customer_contact(
+        "Lens & Light", limit=1, after="5,Some Other Co"
+    )
+    assert forged["customer_name"] == "Lens & Light"
+    assert "Some Other Co" not in str(forged)
     # an EMPTY name half is legal for the customer it belongs to (a
     # dim row whose name IS the empty string mints "<id>,"; round-13
     # ADVICE — the old parse 422-ed it and such a walk could never

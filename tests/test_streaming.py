@@ -1750,12 +1750,39 @@ def test_ann_serving_manifest_atomic_cutover(spark, sf_dir, tmp_path):
         man, tier="sq8", table="sq8_manifest_gen3", loc=loc3,
         delta_dir=delta_dir, floor=2,
     )
-    with pytest.raises(RuntimeError, match="rollback"):
-        rebuild_ann_base(
-            spark, base_serving, cents, delta_dir, loc2,
-            "sq8_manifest_gen2", upto_batch_id=1, manifest_dir=man,
-        )
+    # ...while a delayed crash re-run of the OLD generation's rebuild
+    # command converges to a NO-OP: the published artifact is returned
+    # and the repoint is SKIPPED (its watermark does not raise the
+    # floor), so live serving never rolls back (third-pass round-14
+    # review — the rebuild's repoint is conditional, matching the
+    # cache's own crash-re-run semantics)
+    _old_again, old_meta = rebuild_ann_base(
+        spark, base_serving, cents, delta_dir, loc2,
+        "sq8_manifest_gen2", upto_batch_id=1, manifest_dir=man,
+    )
+    assert old_meta["rebuilt_upto"] == 1
     assert resolve_serving(spark, man).snapshot == v4.snapshot  # unmoved
+
+    # a rebuild that consumes NOTHING (one live batch, default upto)
+    # publishes watermark -1 — the manifest must not move for it
+    # either (third-pass round-14 review: floor=-1 says nothing about
+    # what the INPUT base had folded; repointing would re-admit
+    # already-consumed rows the floor currently excludes)
+    b3 = ivf_sq8_serving_table(batches[1], cents).withColumn(
+        "match_id", F.col("match_id") + 20000
+    )
+    _write_batch_partial(b3, delta_dir, 3)
+    corpus4 = corpus3.unionByName(
+        batches[1].withColumn("vec_id", F.col("vec_id") + 20000)
+    )
+    _s4, meta4 = rebuild_ann_base(
+        spark, _s3, cents, delta_dir, str(tmp_path / "base_gen4"),
+        "sq8_manifest_gen4", manifest_dir=man,
+    )
+    assert meta4["rebuilt_upto"] == -1  # nothing consumable below max(live)
+    v5 = resolve_serving(spark, man)
+    assert v5.snapshot == v4.snapshot  # unmoved — and still complete:
+    assert_complete(v5, corpus4)
 
     # a manifest must refuse to resolve an unpublished base
     man2 = str(tmp_path / "manifest2")
@@ -1783,6 +1810,7 @@ def test_compaction_respects_serving_floor(spark, sf_dir, tmp_path):
     )
     from accounts_receivable_data_pipeline_api_spark.streaming import (
         compact_ann_delta,
+        publish_ann_serving,
         rebuild_ann_base,
         resolve_serving,
     )
@@ -1815,12 +1843,34 @@ def test_compaction_respects_serving_floor(spark, sf_dir, tmp_path):
         )
 
     assert counts() == (emb.count(), 0)
-    # the cron's fold, floor-aware: upto=1 reaches past floor=0, so the
+    # the cron's fold, manifest-aware: the floor is read at FOLD time
+    # (third-pass round-14 review — a caller-read floor can go stale
+    # against a racing publish); upto=1 reaches past floor=0, so the
     # consumed batch is reset before the fold — the new generation
     # (mark=1 > floor) holds ONLY batch 1's rows
-    assert compact_ann_delta(spark, delta_dir, upto_batch_id=1, floor=0) == 1
+    assert (
+        compact_ann_delta(spark, delta_dir, upto_batch_id=1, manifest_dir=man)
+        == 1
+    )
     assert not os.path.isdir(os.path.join(delta_dir, "batch_id=0"))
     assert counts() == (emb.count(), 0)  # complete, still no double count
+
+    # LINEAGE GUARD (fourth-pass round-14 review): a manifest serving
+    # a DIFFERENT delta must be refused by both destructive readers —
+    # adopting a foreign floor would delete unconsumed partitions
+    man_other = str(tmp_path / "manifest_other")
+    publish_ann_serving(
+        man_other, tier="sq8", table="other_tbl", loc=str(tmp_path / "o"),
+        delta_dir=str(tmp_path / "other_delta"), floor=7,
+    )
+    with pytest.raises(RuntimeError, match="delta lineage"):
+        compact_ann_delta(spark, delta_dir, manifest_dir=man_other)
+    with pytest.raises(RuntimeError, match="delta lineage"):
+        rebuild_ann_base(
+            spark, base_serving, cents, delta_dir,
+            str(tmp_path / "base_gen3"), "sq8_floor_gen3",
+            manifest_dir=man_other,
+        )
 
 
 def test_ann_rebuild_advisor_metadata_only(spark, sf_dir, tmp_path):
