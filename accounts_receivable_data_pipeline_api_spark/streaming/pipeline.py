@@ -1960,6 +1960,29 @@ class ServingView:
     snapshot: dict
 
 
+def _resolve_serving_base(spark: SparkSession, snap: dict):
+    """The BASE half of a manifest resolution — (bucketed table, pinned
+    metadata) for the snapshot's artifact, with refuse-builders (a
+    manifest only ever names already-published caches). Shared by
+    `resolve_serving` and `rebuild_from_manifest` so the maintenance
+    path never pays the delta-side resolution it does not use
+    (fifth-pass round-14 review)."""
+    from ..plans.raw_ops import _bucketed_serving_table
+
+    schema, meta_name = _SERVING_TIERS[snap["tier"]]
+
+    def _refuse(*_a):
+        raise RuntimeError(
+            f"serving manifest points at an unpublished base cache "
+            f"({snap['loc']}) — manifests only ever name "
+            "already-published artifacts"
+        )
+
+    return _bucketed_serving_table(
+        spark, snap["table"], snap["loc"], schema, _refuse, _refuse, meta_name
+    )
+
+
 def resolve_serving(
     spark: SparkSession,
     manifest_dir: str,
@@ -1992,8 +2015,6 @@ def resolve_serving(
     rebuild are both folds over the same state dir. The
     `rebuild_*_base(manifest_dir=..., reset_delta=True)` path leaves
     no window at all."""
-    from ..plans.raw_ops import _bucketed_serving_table
-
     snap = _read_serving_snapshot(manifest_dir)
     if snap is None:
         raise FileNotFoundError(
@@ -2001,18 +2022,8 @@ def resolve_serving(
             "publish_ann_serving or rebuild_*_base(manifest_dir=...)"
         )
     tier = snap["tier"]
-    schema, meta_name = _SERVING_TIERS[tier]
-
-    def _refuse(*_a):
-        raise RuntimeError(
-            f"serving manifest {manifest_dir} points at an unpublished "
-            f"base cache ({snap['loc']}) — manifests only ever name "
-            "already-published artifacts"
-        )
-
-    base, meta = _bucketed_serving_table(
-        spark, snap["table"], snap["loc"], schema, _refuse, _refuse, meta_name
-    )
+    schema, _meta_name = _SERVING_TIERS[tier]
+    base, meta = _resolve_serving_base(spark, snap)
     floor = int(snap["floor"])
     delta = _read_delta_segment(
         spark, snap["delta_dir"], schema, clusters, floor=floor
@@ -2030,6 +2041,98 @@ def resolve_serving(
     )
 
 
+def rebuild_from_manifest(
+    spark: SparkSession,
+    manifest_dir: str,
+    loc: str,
+    table: str,
+    upto_batch_id: int | None = None,
+    reset_delta: bool = True,
+):
+    """One-call maintenance fold for a manifest-routed deployment —
+    the missing arc of the advisor loop (round 14): the advisor said
+    "fold"; this reads EVERYTHING else from the manifest itself — the
+    current base table, its pinned centroids/codebooks, the delta dir,
+    the tier — rebuilds into the fresh (``loc``, ``table``), repoints,
+    and resets, so a maintenance cron holds NO deployment state beyond
+    the manifest_dir the probes already use:
+
+        if ann_rebuild_advisor(spark, man)["recommend_rebuild"]:
+            rebuild_from_manifest(spark, man, fresh_loc, fresh_table)
+
+    ``reset_delta`` defaults True HERE (unlike the raw rebuilds): the
+    manifest repoint precedes the reset inside the shared protocol, so
+    manifest-routed readers — the only readers a manifest deployment
+    has — are cut over before any deletion. All rebuild semantics
+    (latest-vector-wins collapse, re-pinned codebooks, crash
+    convergence, floor monotonicity, lineage guard) are the shared
+    `_rebuild_base_segment` contract.
+
+    Returns None — WITHOUT building anything — when the default
+    consumption window holds nothing above the manifest floor
+    (fifth-pass round-14 review): with exactly ONE pending batch, the
+    shared default upto (all-but-highest, compaction's mid-write
+    safety) excludes it, and blindly rebuilding would pay the full
+    corpus fold only to publish an artifact that cannot advance the
+    floor. A cron therefore never wedges and never orphans an
+    artifact; an AT-REST caller who wants the newest batch folded
+    passes ``upto_batch_id`` explicitly (the same rule as the raw
+    rebuilds). Leftover consumed partitions from a crash between a
+    previous repoint and its reset are cleaned here (keyed to the
+    manifest floor) even when the fold itself is skipped."""
+    snap = _read_serving_snapshot(manifest_dir)
+    if snap is None:
+        raise FileNotFoundError(
+            f"no serving manifest at {manifest_dir} — publish one with "
+            "publish_ann_serving or rebuild_*_base(manifest_dir=...)"
+        )
+    tier = snap["tier"]
+    if tier not in _SERVING_TIERS:
+        raise ValueError(f"unknown serving tier {tier!r} (expected sq8|pq)")
+    delta_dir = snap["delta_dir"]
+    floor = int(snap["floor"])
+    if upto_batch_id is None:
+        live, gens = _visible_batch_ids(spark, delta_dir)
+        mark = _gens_watermark(gens)
+        default_upto = max(live) - 1 if live else None
+        consumable = any(
+            b > floor and (mark is None or b > mark)
+            for b in live
+            if default_upto is not None and b <= default_upto
+        ) or (mark is not None and mark > floor)
+        if not consumable:
+            if reset_delta:
+                # crash-recovery sweep: consumed-but-unreset leftovers
+                # below the floor are safe to delete at any time
+                reset_consumed_delta(spark, delta_dir, floor)
+            return None
+    base, meta = _resolve_serving_base(spark, snap)
+    if tier == "sq8":
+        return rebuild_ann_base(
+            spark,
+            base,
+            meta["centroids"],
+            delta_dir,
+            loc,
+            table,
+            upto_batch_id,
+            reset_delta,
+            manifest_dir,
+        )
+    return rebuild_pq_base(
+        spark,
+        base,
+        meta["centroids"],
+        meta["codebooks"],
+        delta_dir,
+        loc,
+        table,
+        upto_batch_id,
+        reset_delta,
+        manifest_dir,
+    )
+
+
 def ann_rebuild_advisor(
     spark: SparkSession,
     manifest_dir: str | None = None,
@@ -2039,6 +2142,7 @@ def ann_rebuild_advisor(
     tier: str = "sq8",
     floor: int | None = None,
     target_share: float = 0.20,
+    compact_at_batches: int = 8,
 ) -> dict:
     """Metadata-only rebuild trigger policy (round-13 VERDICT #2): read
     the base cache's pinned ``n`` and the delta's visible row count,
@@ -2058,9 +2162,18 @@ def ann_rebuild_advisor(
     one consistent snapshot), else from ``base_loc``/``delta_dir``
     explicitly. The delta count is the pre-dedup visible row count
     (duplicates from resurrected partitions inflate it slightly) — an
-    upper bound is the right direction for a trigger. Returns a dict:
-    base_n, delta_rows, delta_batches, floor, delta_share,
-    target_share, recommend_rebuild, reason."""
+    upper bound is the right direction for a trigger.
+
+    Also advises the CHEAPER maintenance op: ``recommend_compaction``
+    fires when the unconsumed delta spans ``compact_at_batches`` or
+    more fold units (live batches above the floor + the newest
+    generation) — many small batch partitions tax every probe's delta
+    listing and file-open cost even at a tiny row share, and the fold
+    that fixes it is one generation write, far cheaper than a base
+    rebuild. A cron applies whichever fires (rebuild subsumes
+    compaction). Returns a dict: base_n, delta_rows, delta_batches,
+    floor, delta_share, target_share, recommend_rebuild,
+    recommend_compaction, compact_at_batches, reason."""
     import json as _json
     import os
 
@@ -2093,6 +2206,25 @@ def ann_rebuild_advisor(
         delta_rows = df.select("batch_id").count()
     share = delta_rows / (base_n + delta_rows) if (base_n + delta_rows) else 0.0
     recommend = share >= target_share
+    recommend_compact = not recommend and n_batches >= compact_at_batches
+    if recommend:
+        reason = (
+            f"delta share {share:.1%} >= target {target_share:.0%}: fold "
+            "the delta into a fresh base (rebuild_from_manifest) to "
+            "reclaim the probe overhead"
+        )
+    elif recommend_compact:
+        reason = (
+            f"{n_batches} fold units >= {compact_at_batches}: compact the "
+            "delta (compact_*_delta) — per-probe listing/file-open cost, "
+            "not row share, is the tax here"
+        )
+    else:
+        reason = (
+            f"delta share {share:.1%} < target {target_share:.0%} and "
+            f"{n_batches} fold units < {compact_at_batches}: serving "
+            "overhead within the measured band, no maintenance needed"
+        )
     return {
         "base_n": base_n,
         "delta_rows": int(delta_rows),
@@ -2101,14 +2233,9 @@ def ann_rebuild_advisor(
         "delta_share": round(share, 6),
         "target_share": target_share,
         "recommend_rebuild": recommend,
-        "reason": (
-            f"delta share {share:.1%} >= target {target_share:.0%}: fold "
-            "the delta into a fresh base (rebuild_*_base) to reclaim the "
-            "probe overhead"
-            if recommend
-            else f"delta share {share:.1%} < target {target_share:.0%}: "
-            "serving overhead within the measured band, no fold needed"
-        ),
+        "recommend_compaction": recommend_compact,
+        "compact_at_batches": compact_at_batches,
+        "reason": reason,
     }
 
 

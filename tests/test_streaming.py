@@ -1887,6 +1887,7 @@ def test_ann_rebuild_advisor_metadata_only(spark, sf_dir, tmp_path):
         ann_rebuild_advisor,
         publish_ann_serving,
         rebuild_ann_base,
+        rebuild_from_manifest,
     )
     from accounts_receivable_data_pipeline_api_spark.streaming.pipeline import (
         _write_batch_partial,
@@ -1936,9 +1937,13 @@ def test_ann_rebuild_advisor_metadata_only(spark, sf_dir, tmp_path):
     adv = ann_rebuild_advisor(spark, man)
     assert adv["delta_rows"] == n_b0 + n_b1 and adv["delta_batches"] == 2
     assert adv["recommend_rebuild"] is True  # 100/500 = 20% >= 20%
-    rebuild_ann_base(
-        spark, base_serving, cents, delta_dir, str(tmp_path / "base_gen2"),
-        "sq8_adv_gen2", upto_batch_id=1, manifest_dir=man,
+    # the advisor loop closes with NO operator-held state (round 14):
+    # the one-call fold reads base/centroids/delta/tier from the
+    # manifest the probes already use; reset deferred here so the
+    # share-via-floor assertion below exercises the floor semantics
+    rebuild_from_manifest(
+        spark, man, str(tmp_path / "base_gen2"), "sq8_adv_gen2",
+        upto_batch_id=1, reset_delta=False,
     )
     adv = ann_rebuild_advisor(spark, man)
     assert adv == {
@@ -1952,6 +1957,106 @@ def test_ann_rebuild_advisor_metadata_only(spark, sf_dir, tmp_path):
         spark, base_loc=loc1, delta_dir=delta_dir, tier="sq8"
     )
     assert adv["base_n"] == n_base and adv["delta_rows"] == n_b0 + n_b1
+
+    # the cheaper-maintenance arm: below the share threshold but at or
+    # above compact_at_batches fold units -> recommend COMPACTION (the
+    # per-probe listing/file-open tax, not row share); rebuild subsumes
+    # it, so the two recommendations are mutually exclusive
+    adv = ann_rebuild_advisor(
+        spark, base_loc=loc1, delta_dir=delta_dir, tier="sq8",
+        target_share=0.9, compact_at_batches=2,
+    )
+    assert adv["recommend_rebuild"] is False
+    assert adv["recommend_compaction"] is True and adv["delta_batches"] == 2
+    adv = ann_rebuild_advisor(
+        spark, base_loc=loc1, delta_dir=delta_dir, tier="sq8",
+        target_share=0.05, compact_at_batches=2,
+    )
+    assert adv["recommend_rebuild"] is True
+    assert adv["recommend_compaction"] is False  # subsumed by the fold
+
+
+def test_rebuild_from_manifest_pq_tier(spark, sf_dir, tmp_path):
+    """The one-call maintenance fold on the PQ tier: bootstrap a
+    manifest over a PQ base, ingest delta batches, and fold with
+    `rebuild_from_manifest` — base frame, pinned centroids AND both
+    codebook tiers, delta dir, and tier all come from the manifest
+    itself (a cron holds only the manifest_dir), the default
+    reset_delta=True is safe because the repoint precedes the reset,
+    and the folded table equals the one-shot serving table row for
+    row with the codebooks re-pinned through the cutover."""
+    from accounts_receivable_data_pipeline_api_spark.operators.similarity import (
+        ivf_build,
+        pq_build,
+        pq_serving_table,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        publish_ann_serving,
+        read_pq_delta,
+        rebuild_from_manifest,
+        rebuild_pq_base,
+        resolve_serving,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming.pipeline import (
+        _write_batch_partial,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base_rows = emb.filter(F.col("vec_id") < 400)
+    cents = ivf_build(base_rows, k=16, iters=2)
+    books = pq_build(base_rows, m=8, ksub=16, iters=2)
+    delta_dir = str(tmp_path / "delta")
+    man = str(tmp_path / "manifest")
+
+    loc1 = str(tmp_path / "base_gen1")
+    rebuild_pq_base(
+        spark, pq_serving_table(base_rows, cents, books), cents, books,
+        delta_dir, loc1, "pq_mfm_gen1",
+    )
+    publish_ann_serving(
+        man, tier="pq", table="pq_mfm_gen1", loc=loc1,
+        delta_dir=delta_dir, floor=-1,
+    )
+    _write_batch_partial(
+        pq_serving_table(emb.filter(F.col("vec_id") >= 400), cents, books),
+        delta_dir, 0,
+    )
+
+    rebuild_from_manifest(
+        spark, man, str(tmp_path / "base_gen2"), "pq_mfm_gen2",
+        upto_batch_id=0,
+    )
+    view = resolve_serving(spark, man)
+    assert view.tier == "pq" and view.floor == 0
+    assert view.meta["codebooks"] == books  # re-pinned via the manifest
+    assert read_pq_delta(spark, delta_dir).count() == 0  # default reset ran
+    got = {
+        (r["match_id"], r["cluster"], tuple(r["codes"]))
+        for r in view.serving.collect()
+    }
+    want = {
+        (r["match_id"], r["cluster"], tuple(r["codes"]))
+        for r in pq_serving_table(emb, cents, books).collect()
+    }
+    assert got == want
+
+    # one pending batch: the default consumption window (all-but-
+    # highest, mid-write safety) holds nothing above the floor — the
+    # cron call is a NO-OP returning None, never a full orphaned fold
+    # nor an equal-floor raise (fifth-pass round-14 review); an
+    # at-rest caller folds it by passing upto_batch_id explicitly
+    _write_batch_partial(
+        pq_serving_table(emb.filter(F.col("vec_id") < 50), cents, books)
+        .withColumn("match_id", F.col("match_id") + 30000),
+        delta_dir, 1,
+    )
+    assert (
+        rebuild_from_manifest(
+            spark, man, str(tmp_path / "base_noop"), "pq_mfm_noop"
+        )
+        is None
+    )
+    assert resolve_serving(spark, man).snapshot == view.snapshot  # unmoved
 
 
 def test_pq_rebuild_collapses_updated_ids(spark, sf_dir, tmp_path):
