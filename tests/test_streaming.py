@@ -2059,6 +2059,107 @@ def test_rebuild_from_manifest_pq_tier(spark, sf_dir, tmp_path):
     assert resolve_serving(spark, man).snapshot == view.snapshot  # unmoved
 
 
+def test_ann_stream_manifest_lifecycle_end_to_end(spark, sf_dir, tmp_path):
+    """The production arc in ONE test, with the REAL stream as the
+    writer: bootstrap a manifest over a bucketed base; `ann_delta_stream`
+    ingests a microbatch; a manifest-routed probe sees the fresh
+    vectors with NO repoint; the one-call fold cuts over at-rest
+    (publish -> repoint -> reset); the SAME stream (same checkpoint)
+    keeps appending into the reset delta afterwards, and the next
+    resolve serves the post-fold arrivals — no re-bootstrap, no
+    re-encode, no operator-held state beyond the manifest_dir."""
+    import os
+
+    from accounts_receivable_data_pipeline_api_spark.operators.similarity import (
+        ivf_build,
+        ivf_sq8_serving_table,
+        ivf_sq8_topk,
+    )
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        ann_delta_stream,
+        ann_rebuild_advisor,
+        publish_ann_serving,
+        read_ann_delta,
+        rebuild_ann_base,
+        rebuild_from_manifest,
+        resolve_serving,
+    )
+
+    emb, cents, base_serving, batches = _sq8_rebuild_corpus(spark, sf_dir)
+    base_rows = emb.filter(F.col("vec_id") < 400)
+    delta_dir = str(tmp_path / "delta")
+    ckpt = str(tmp_path / "ckpt")
+    man = str(tmp_path / "manifest")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+
+    def stage_one(df, i):
+        d = f"{src}/b{i}"
+        df.coalesce(1).write.parquet(d)
+        t = 2_000_000_000 + i * 60
+        for f in os.listdir(d):
+            os.utime(f"{d}/{f}", (t, t))
+        return df.schema
+
+    def drain(schema):
+        q = ann_delta_stream(
+            _ordered_stream(spark, src, schema), delta_dir, ckpt, cents
+        ).start()
+        assert q.awaitTermination(120), "stream did not terminate in 120s"
+
+    def probe(serving, corpus):
+        df = ivf_sq8_topk(
+            emb.filter(F.col("vec_id") < 5), corpus, cents, k=10, nprobe=8,
+            serving=serving,
+        )
+        return [tuple(r) for r in sorted(df.collect(), key=lambda r: (r[0], r[3]))]
+
+    # bootstrap: gen-1 bucketed base + manifest at floor -1
+    loc1 = str(tmp_path / "base_gen1")
+    rebuild_ann_base(spark, base_serving, cents, delta_dir, loc1, "sq8_e2e_gen1")
+    publish_ann_serving(
+        man, tier="sq8", table="sq8_e2e_gen1", loc=loc1,
+        delta_dir=delta_dir, floor=-1,
+    )
+
+    # microbatch 0 lands via the REAL stream; a manifest-routed probe
+    # sees the fresh vectors with no repoint
+    schema = stage_one(batches[0], 0)
+    drain(schema)
+    corpus1 = base_rows.unionByName(batches[0])
+    assert probe(resolve_serving(spark, man).serving, corpus1) == probe(
+        ivf_sq8_serving_table(corpus1, cents), corpus1
+    )
+
+    # the at-rest fold: ONE pending batch means the cron's default
+    # window is a no-op; the at-rest caller folds it explicitly
+    assert (
+        rebuild_from_manifest(spark, man, str(tmp_path / "noop"), "sq8_e2e_noop")
+        is None
+    )
+    rebuild_from_manifest(
+        spark, man, str(tmp_path / "base_gen2"), "sq8_e2e_gen2",
+        upto_batch_id=0,
+    )
+    v2 = resolve_serving(spark, man)
+    assert v2.floor == 0 and v2.snapshot["table"] == "sq8_e2e_gen2"
+    assert read_ann_delta(spark, delta_dir).count() == 0  # reset ran
+    assert probe(v2.serving, corpus1) == probe(
+        ivf_sq8_serving_table(corpus1, cents), corpus1
+    )
+
+    # the SAME stream (same checkpoint) continues into the reset delta:
+    # its next microbatch gets batch_id=1 > floor=0, so the resolve
+    # serves post-fold arrivals immediately
+    stage_one(batches[1], 1)
+    drain(schema)
+    assert probe(resolve_serving(spark, man).serving, emb) == probe(
+        ivf_sq8_serving_table(emb, cents), emb
+    )
+    adv = ann_rebuild_advisor(spark, man)
+    assert adv["delta_rows"] == batches[1].count() and adv["floor"] == 0
+
+
 def test_pq_rebuild_collapses_updated_ids(spark, sf_dir, tmp_path):
     """The PQ-tier rebuild twin, pinned on the UPDATED-id case (the
     append-only-contract violation the delta read tolerates only until
