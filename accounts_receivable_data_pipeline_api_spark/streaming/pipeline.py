@@ -1463,6 +1463,33 @@ def compact_ann_delta(
     )
 
 
+def _consumption_window(
+    live: list[int], gens: list[int], upto_batch_id: int | None
+) -> tuple[list[int], int | None, int | None]:
+    """THE rebuild consumption rule, in one place (sixth-pass round-14
+    review — `rebuild_from_manifest`'s skip guard must agree with the
+    fold it guards, so both derive from this): default upto is
+    all-but-the-highest live batch (compaction's mid-write safety);
+    consumed = live batches in (generation watermark, upto]; the
+    effective watermark is the max of consumed and the generation
+    mark. Returns (consumed, upto_eff, mark)."""
+    mark = _gens_watermark(gens)
+    if upto_batch_id is None:
+        upto_batch_id = max(live) - 1 if live else None
+    consumed = sorted(
+        b
+        for b in live
+        if upto_batch_id is not None
+        and b <= upto_batch_id
+        and (mark is None or b > mark)
+    )
+    upto_eff = max(
+        ([consumed[-1]] if consumed else []) + ([mark] if mark is not None else []),
+        default=None,
+    )
+    return consumed, upto_eff, mark
+
+
 def _rebuild_base_segment(
     spark: SparkSession,
     base_serving: DataFrame,
@@ -1542,21 +1569,8 @@ def _rebuild_base_segment(
     payload_cols = [c for c in data_cols if c != "match_id"]
 
     live, gens = _visible_batch_ids(spark, delta_dir)
-    mark = _gens_watermark(gens)
     explicit_upto = upto_batch_id is not None
-    if upto_batch_id is None:
-        upto_batch_id = max(live) - 1 if live else None
-    consumed = sorted(
-        b
-        for b in live
-        if upto_batch_id is not None
-        and b <= upto_batch_id
-        and (mark is None or b > mark)
-    )
-    upto_eff = max(
-        ([consumed[-1]] if consumed else []) + ([mark] if mark is not None else []),
-        default=None,
-    )
+    consumed, upto_eff, mark = _consumption_window(live, gens, upto_batch_id)
 
     def delta_frame() -> DataFrame:
         if mark is None and not consumed:
@@ -1868,6 +1882,25 @@ def _read_serving_snapshot(manifest_dir: str) -> dict | None:
         return _json.load(fh)
 
 
+def _require_serving_snapshot(manifest_dir: str) -> dict:
+    """`_read_serving_snapshot` that RAISES on a missing manifest and
+    validates the snapshot's tier — one copy of the error path
+    (sixth-pass round-14 review: two inline raises had appeared, and
+    the tier check applied to one reader but not the other)."""
+    snap = _read_serving_snapshot(manifest_dir)
+    if snap is None:
+        raise FileNotFoundError(
+            f"no serving manifest at {manifest_dir} — publish one with "
+            "publish_ann_serving or rebuild_*_base(manifest_dir=...)"
+        )
+    if snap.get("tier") not in _SERVING_TIERS:
+        raise ValueError(
+            f"manifest {manifest_dir} names unknown serving tier "
+            f"{snap.get('tier')!r} (expected sq8|pq)"
+        )
+    return snap
+
+
 def publish_ann_serving(
     manifest_dir: str,
     *,
@@ -1960,21 +1993,25 @@ class ServingView:
     snapshot: dict
 
 
-def _resolve_serving_base(spark: SparkSession, snap: dict):
+def _resolve_serving_base(
+    spark: SparkSession, snap: dict, manifest_dir: str = "<unknown>"
+):
     """The BASE half of a manifest resolution — (bucketed table, pinned
     metadata) for the snapshot's artifact, with refuse-builders (a
     manifest only ever names already-published caches). Shared by
     `resolve_serving` and `rebuild_from_manifest` so the maintenance
     path never pays the delta-side resolution it does not use
-    (fifth-pass round-14 review)."""
+    (fifth-pass round-14 review). ``manifest_dir`` is for the error
+    message only — an operator triaging a cron log across several
+    deployments needs to know WHICH manifest is broken."""
     from ..plans.raw_ops import _bucketed_serving_table
 
     schema, meta_name = _SERVING_TIERS[snap["tier"]]
 
     def _refuse(*_a):
         raise RuntimeError(
-            f"serving manifest points at an unpublished base cache "
-            f"({snap['loc']}) — manifests only ever name "
+            f"serving manifest {manifest_dir} points at an unpublished "
+            f"base cache ({snap['loc']}) — manifests only ever name "
             "already-published artifacts"
         )
 
@@ -2015,15 +2052,10 @@ def resolve_serving(
     rebuild are both folds over the same state dir. The
     `rebuild_*_base(manifest_dir=..., reset_delta=True)` path leaves
     no window at all."""
-    snap = _read_serving_snapshot(manifest_dir)
-    if snap is None:
-        raise FileNotFoundError(
-            f"no serving manifest at {manifest_dir} — publish one with "
-            "publish_ann_serving or rebuild_*_base(manifest_dir=...)"
-        )
+    snap = _require_serving_snapshot(manifest_dir)
     tier = snap["tier"]
     schema, _meta_name = _SERVING_TIERS[tier]
-    base, meta = _resolve_serving_base(spark, snap)
+    base, meta = _resolve_serving_base(spark, snap, manifest_dir)
     floor = int(snap["floor"])
     delta = _read_delta_segment(
         spark, snap["delta_dir"], schema, clusters, floor=floor
@@ -2080,33 +2112,25 @@ def rebuild_from_manifest(
     rebuilds). Leftover consumed partitions from a crash between a
     previous repoint and its reset are cleaned here (keyed to the
     manifest floor) even when the fold itself is skipped."""
-    snap = _read_serving_snapshot(manifest_dir)
-    if snap is None:
-        raise FileNotFoundError(
-            f"no serving manifest at {manifest_dir} — publish one with "
-            "publish_ann_serving or rebuild_*_base(manifest_dir=...)"
-        )
+    snap = _require_serving_snapshot(manifest_dir)
     tier = snap["tier"]
-    if tier not in _SERVING_TIERS:
-        raise ValueError(f"unknown serving tier {tier!r} (expected sq8|pq)")
     delta_dir = snap["delta_dir"]
     floor = int(snap["floor"])
     if upto_batch_id is None:
+        # this listing + _rebuild_base_segment's own re-listing = two
+        # delta-dir RPC listings per maintenance call — bounded,
+        # per-cron (never per-probe), and the price of keeping the
+        # guard and the fold on ONE consumption rule
         live, gens = _visible_batch_ids(spark, delta_dir)
-        mark = _gens_watermark(gens)
-        default_upto = max(live) - 1 if live else None
-        consumable = any(
-            b > floor and (mark is None or b > mark)
-            for b in live
-            if default_upto is not None and b <= default_upto
-        ) or (mark is not None and mark > floor)
-        if not consumable:
+        _consumed, upto_eff, _mark = _consumption_window(live, gens, None)
+        if upto_eff is None or upto_eff <= floor:
+            # the fold could not advance the floor — skip it entirely
             if reset_delta:
                 # crash-recovery sweep: consumed-but-unreset leftovers
                 # below the floor are safe to delete at any time
                 reset_consumed_delta(spark, delta_dir, floor)
             return None
-    base, meta = _resolve_serving_base(spark, snap)
+    base, meta = _resolve_serving_base(spark, snap, manifest_dir)
     if tier == "sq8":
         return rebuild_ann_base(
             spark,
@@ -2178,9 +2202,7 @@ def ann_rebuild_advisor(
     import os
 
     if manifest_dir is not None:
-        snap = _read_serving_snapshot(manifest_dir)
-        if snap is None:
-            raise FileNotFoundError(f"no serving manifest at {manifest_dir}")
+        snap = _require_serving_snapshot(manifest_dir)
         tier = snap["tier"]
         base_loc = snap["loc"]
         delta_dir = snap["delta_dir"]
@@ -2196,6 +2218,21 @@ def ann_rebuild_advisor(
     n_batches = len([b for b in live if floor is None or b > floor])
     if mark is not None and (floor is None or mark > floor):
         n_batches += 1  # the newest generation counts as one fold unit
+    # a compaction can only REDUCE units when at least one live batch
+    # sits inside its default window (all-but-highest, above mark and
+    # floor) — without this, a delta of {generation, highest live}
+    # would recommend a fold that _compact_partials then no-ops,
+    # spinning the cron forever (sixth-pass round-14 review)
+    n_foldable = len(
+        [
+            b
+            for b in live
+            if live
+            and b <= max(live) - 1
+            and (mark is None or b > mark)
+            and (floor is None or b > floor)
+        ]
+    )
     if not (live or gens):
         delta_rows = 0
     else:
@@ -2206,7 +2243,9 @@ def ann_rebuild_advisor(
         delta_rows = df.select("batch_id").count()
     share = delta_rows / (base_n + delta_rows) if (base_n + delta_rows) else 0.0
     recommend = share >= target_share
-    recommend_compact = not recommend and n_batches >= compact_at_batches
+    recommend_compact = (
+        not recommend and n_batches >= compact_at_batches and n_foldable >= 1
+    )
     if recommend:
         reason = (
             f"delta share {share:.1%} >= target {target_share:.0%}: fold "

@@ -1975,6 +1975,21 @@ def test_ann_rebuild_advisor_metadata_only(spark, sf_dir, tmp_path):
     assert adv["recommend_rebuild"] is True
     assert adv["recommend_compaction"] is False  # subsumed by the fold
 
+    # {generation, highest live} counts 2 units but NOTHING a
+    # compaction's default window could fold — the advisor must not
+    # spin a cron on an unsatisfiable recommendation (round-14 review)
+    from accounts_receivable_data_pipeline_api_spark.streaming import (
+        compact_ann_delta,
+    )
+
+    assert compact_ann_delta(spark, delta_dir, upto_batch_id=0) == 0
+    adv = ann_rebuild_advisor(
+        spark, base_loc=loc1, delta_dir=delta_dir, tier="sq8",
+        target_share=0.9, compact_at_batches=2,
+    )
+    assert adv["delta_batches"] == 2
+    assert adv["recommend_compaction"] is False  # no foldable live batch
+
 
 def test_rebuild_from_manifest_pq_tier(spark, sf_dir, tmp_path):
     """The one-call maintenance fold on the PQ tier: bootstrap a
