@@ -551,6 +551,8 @@ def _probe_timegrain_view(spark, sf_dir: str) -> None:
         compact_timegrain_registers,
         read_daily_distinct,
         read_daily_quantiles,
+        read_monthly_distinct,
+        read_monthly_quantiles,
     )
 
     events = load_table(spark, sf_dir, "events")
@@ -596,10 +598,24 @@ def _probe_timegrain_view(spark, sf_dir: str) -> None:
         def hdr_view():
             return read_daily_quantiles(spark, hdr_dir)
 
+        # the r13 MONTH-grain views read the SAME hourly partial state
+        # (partials -> grain directly, skipping day — the grain-view
+        # law); at 100 TB the claim is identical: grains x registers
+        # bounded, coarser grain = smaller read, never a raw re-scan
+        def hll_month():
+            return read_monthly_distinct(spark, hll_dir)
+
+        def hdr_month():
+            return read_monthly_quantiles(spark, hdr_dir)
+
         hll_live_rows = sorted(tuple(r) for r in hll_view().collect())
         hdr_live_rows = sorted(tuple(r) for r in hdr_view().collect())
+        hll_mon_rows = sorted(tuple(r) for r in hll_month().collect())
+        hdr_mon_rows = sorted(tuple(r) for r in hdr_month().collect())
         t_hll_live = _timed(hll_view)
         t_hdr_live = _timed(hdr_view)
+        t_hll_mon_live = _timed(hll_month)
+        t_hdr_mon_live = _timed(hdr_month)
         compact_timegrain_registers(spark, hll_dir, upto_batch_id=batches - 1)
         compact_timegrain_hdr(spark, hdr_dir, upto_batch_id=batches - 1)
         assert sorted(tuple(r) for r in hll_view().collect()) == hll_live_rows, (
@@ -608,8 +624,16 @@ def _probe_timegrain_view(spark, sf_dir: str) -> None:
         assert sorted(tuple(r) for r in hdr_view().collect()) == hdr_live_rows, (
             "HDR view changed under compaction"
         )
+        assert sorted(tuple(r) for r in hll_month().collect()) == hll_mon_rows, (
+            "HLL month view changed under compaction"
+        )
+        assert sorted(tuple(r) for r in hdr_month().collect()) == hdr_mon_rows, (
+            "HDR month view changed under compaction"
+        )
         t_hll_comp = _timed(hll_view)
         t_hdr_comp = _timed(hdr_view)
+        t_hll_mon_comp = _timed(hll_month)
+        t_hdr_mon_comp = _timed(hdr_month)
     finally:
         for d in (hll_dir, hdr_dir):
             _sh.rmtree(d, ignore_errors=True)
@@ -625,6 +649,10 @@ def _probe_timegrain_view(spark, sf_dir: str) -> None:
                 "hll_view_compacted_warm_s": round(t_hll_comp, 3),
                 "hdr_view_live_warm_s": round(t_hdr_live, 3),
                 "hdr_view_compacted_warm_s": round(t_hdr_comp, 3),
+                "hll_month_live_warm_s": round(t_hll_mon_live, 3),
+                "hll_month_compacted_warm_s": round(t_hll_mon_comp, 3),
+                "hdr_month_live_warm_s": round(t_hdr_mon_live, 3),
+                "hdr_month_compacted_warm_s": round(t_hdr_mon_comp, 3),
             }
         ),
         flush=True,
