@@ -1993,9 +1993,7 @@ class ServingView:
     snapshot: dict
 
 
-def _resolve_serving_base(
-    spark: SparkSession, snap: dict, manifest_dir: str = "<unknown>"
-):
+def _resolve_serving_base(spark: SparkSession, snap: dict, manifest_dir: str):
     """The BASE half of a manifest resolution — (bucketed table, pinned
     metadata) for the snapshot's artifact, with refuse-builders (a
     manifest only ever names already-published caches). Shared by
@@ -2218,20 +2216,17 @@ def ann_rebuild_advisor(
     n_batches = len([b for b in live if floor is None or b > floor])
     if mark is not None and (floor is None or mark > floor):
         n_batches += 1  # the newest generation counts as one fold unit
-    # a compaction can only REDUCE units when at least one live batch
-    # sits inside its default window (all-but-highest, above mark and
-    # floor) — without this, a delta of {generation, highest live}
-    # would recommend a fold that _compact_partials then no-ops,
-    # spinning the cron forever (sixth-pass round-14 review)
-    n_foldable = len(
-        [
-            b
-            for b in live
-            if live
-            and b <= max(live) - 1
-            and (mark is None or b > mark)
-            and (floor is None or b > floor)
-        ]
+    # BOTH recommendations must be satisfiable by the default-window
+    # maintenance op they trigger, or a cron spins forever on advice
+    # the op then no-ops (sixth/seventh-pass round-14 review) — derive
+    # from the ONE consumption rule both folds use: a compaction can
+    # reduce units only if the default window holds a live batch above
+    # mark and floor; a default rebuild advances the manifest only if
+    # the effective watermark would exceed the floor
+    consumed_dflt, upto_eff_dflt, _mark2 = _consumption_window(live, gens, None)
+    n_foldable = sum(1 for b in consumed_dflt if floor is None or b > floor)
+    rebuild_satisfiable = upto_eff_dflt is not None and (
+        floor is None or upto_eff_dflt > floor
     )
     if not (live or gens):
         delta_rows = 0
@@ -2242,7 +2237,8 @@ def ann_rebuild_advisor(
         # batch_id-only projection: partition column, footer-only scan
         delta_rows = df.select("batch_id").count()
     share = delta_rows / (base_n + delta_rows) if (base_n + delta_rows) else 0.0
-    recommend = share >= target_share
+    over_share = share >= target_share
+    recommend = over_share and rebuild_satisfiable
     recommend_compact = (
         not recommend and n_batches >= compact_at_batches and n_foldable >= 1
     )
@@ -2251,6 +2247,13 @@ def ann_rebuild_advisor(
             f"delta share {share:.1%} >= target {target_share:.0%}: fold "
             "the delta into a fresh base (rebuild_from_manifest) to "
             "reclaim the probe overhead"
+        )
+    elif over_share:
+        reason = (
+            f"delta share {share:.1%} >= target {target_share:.0%} but the "
+            "default consumption window (all-but-highest, mid-write "
+            "safety) cannot advance the floor — an AT-REST caller can "
+            "fold the newest batch by passing upto_batch_id explicitly"
         )
     elif recommend_compact:
         reason = (

@@ -1922,9 +1922,14 @@ def test_ann_rebuild_advisor_metadata_only(spark, sf_dir, tmp_path):
     assert adv["delta_rows"] == n_b0 and adv["delta_batches"] == 1
     assert abs(adv["delta_share"] - share0) < 1e-6
     assert adv["recommend_rebuild"] is (share0 >= 0.20)
-    assert ann_rebuild_advisor(spark, man, target_share=0.01)[
-        "recommend_rebuild"
-    ] is True
+    # ONE pending batch: the share may cross the threshold, but the
+    # default consumption window cannot advance the floor, and a cron
+    # acting on the recommendation would call a fold that no-ops —
+    # recommend_rebuild is gated on satisfiability (seventh-pass
+    # round-14 review), with the at-rest escape hatch in the reason
+    unsat = ann_rebuild_advisor(spark, man, target_share=0.01)
+    assert unsat["recommend_rebuild"] is False
+    assert "upto_batch_id" in unsat["reason"]
     assert ann_rebuild_advisor(spark, man, target_share=0.99)[
         "recommend_rebuild"
     ] is False
