@@ -270,13 +270,17 @@ def excise_duplicate_spans(
     no floats anywhere, so the whole operator hash-checks cross-engine.
 
     Plan shape at 100 TB: the gram explode is O(corpus chars) but
-    strictly linear and map-local; duplicated-gram detection is one
-    map-side-combinable agg on the 8-byte fingerprint key (skew dial:
-    the same stop-feature logic as the pair operators applies if a
-    gram goes viral, though a gram hot enough to skew is by definition
-    duplicated and will be excised anyway); coverage is a shuffle join
-    back on the fingerprint key — both wide exchanges now ship 8-byte
-    keys instead of k-char strings (~5x fewer shuffle bytes at k=40).
+    strictly linear and map-local; duplicated-gram detection (r14) is
+    one map-side-combinable COUNT on the 8-byte fingerprint key over
+    per-document array_distinct'd fingerprints — rows arrive unique
+    per (doc, gf), so the exchange carries per-partition gf partial
+    counts, not the (gf, doc) pair stream the old count_distinct
+    shipped twice (skew dial: the same stop-feature logic as the pair
+    operators applies if a gram goes viral, though a gram hot enough
+    to skew is by definition duplicated and will be excised anyway);
+    coverage is a shuffle join back on the fingerprint key — the
+    remaining wide exchange ships 8-byte keys instead of k-char
+    strings (~5x fewer shuffle bytes at k=40).
     The raw-string re-check's K-CHAR shuffles are proportional to the
     DUPLICATED text only (candidate positions + vanishing collision
     noise), but fetching the source text for those candidates is a
@@ -314,9 +318,25 @@ def excise_duplicate_spans(
         "i",
         F.xxhash64(F.expr(f"substr(t, CAST(i AS INT), {k})")).alias("gf"),
     )
+    # Duplicated-fingerprint detection (r14, guide §2.3): the old
+    # count_distinct(doc) per gf over the positions stream planned as
+    # TWO corpus-sized exchanges (partial (gf, doc) dedup -> exchange
+    # on (gf, doc) -> final dedup -> exchange on gf). Deduplicating
+    # PER ROW instead (array_distinct over each document's fingerprint
+    # array) makes every exploded (doc, gf) row unique by construction,
+    # so the distinct-doc count is a plain map-side-combinable COUNT —
+    # one exchange carrying per-partition gf partial counts instead of
+    # the whole (gf, doc) pair stream. Same xxhash64 over the same
+    # substr, so dfd is value-identical.
+    gf_per_doc = F.expr(
+        f"CASE WHEN length(t) < {k} THEN CAST(array() AS ARRAY<BIGINT>) "
+        f"ELSE array_distinct(transform(sequence(1, length(t) - {k - 1}), "
+        f"i -> xxhash64(substr(t, CAST(i AS INT), {k})))) END"
+    )
     hot_f = (
-        grams_f.groupBy("gf")
-        .agg(F.count_distinct(F.col(id_col)).alias("dfd"))
+        src.select(F.explode(gf_per_doc).alias("gf"))
+        .groupBy("gf")
+        .agg(F.count(F.lit(1)).alias("dfd"))
         .filter(F.col("dfd") >= min_docs)
         .select("gf")
     )
@@ -414,6 +434,17 @@ def excise_duplicate_spans(
     )
 
 
+def _shingle_array(n: int, src: str = "__norm_text") -> str:
+    """SQL expression for the full character-n-gram array of ``src``
+    (positions 1..len-n+1, each exactly n chars). The caller must
+    pre-filter length(src) >= n — below that the sequence() bound goes
+    non-positive and Spark would produce a DESCENDING sequence."""
+    return (
+        f"transform(sequence(1, length({src}) - {n - 1}), "
+        f"i -> substr({src}, i, {n}))"
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -425,15 +456,33 @@ def minhash_signatures(
     over shingles of xxhash64(seed_i, shingle).
 
     xxhash64 with distinct literal seeds gives an independent-enough
-    hash family; everything is content-derived and deterministic. One
-    aggregation pass over the exploded shingles.
+    hash family; everything is content-derived and deterministic.
+
+    Plan shape (r14 optimization, guide §2.4): the signature is a
+    PER-ROW array computation — shingle array built once per document
+    in an inner projection (the alias is referenced num_hashes times,
+    which keeps CollapseProject from inlining the non-cheap transform
+    into every consumer), then one array_min(transform(hash_i)) per
+    hash — so fingerprinting the corpus is a ZERO-SHUFFLE projection.
+    The r13 shape exploded every shingle occurrence (~(len-n+1) rows
+    per document, 5M rows at sf0.1) into a corpus-wide hash aggregate;
+    min over the array is the same multiset-min, value-identical, and
+    the explode, the aggregation hashmap, and the exchange all
+    disappear. Documents with no full-length shingle (len < n, null
+    text) are absent from the output in both shapes (the length
+    pre-filter mirrors the old explode-then-length-filter semantics).
     """
-    sh = char_shingles(df, id_col, text_col, n, distinct=False)
+    norm = df.select(F.col(id_col), normalized(text_col).alias("__norm_text")).filter(
+        F.length("__norm_text") >= n
+    )
+    staged = norm.select(F.col(id_col), F.expr(_shingle_array(n)).alias("__sh"))
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.array_min(
+            F.transform(F.col("__sh"), lambda s, i=i: F.xxhash64(F.lit(i), s))
+        ).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return sh.groupBy(id_col).agg(*mins)
+    return staged.select(F.col(id_col), *mins)
 
 
 def minhash_lsh_pairs(
@@ -457,20 +506,14 @@ def minhash_lsh_pairs(
     joins shingle sets only for candidate ids (semi-join pushdown).
     """
     rows_per_band = num_hashes // bands
-    # The signature path shingles the FULL corpus without distinct()
-    # (multiset-min == set-min); verification re-shingles only the
-    # candidate docs WITH distinct() (Jaccard needs set sizes) — the
-    # two subtrees intentionally share nothing. An explicit persist()
-    # of the shingle stream was measured SLOWER than recomputing it
-    # (materialization barrier + memory pressure) — do not re-add; the
-    # only materialization point is the tiny candidate checkpoint
-    # below.
-    sh_all = char_shingles(df, id_col, text_col, n, distinct=False)
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = sh_all.groupBy(id_col).agg(*mins)
+    # r14: signatures are the zero-shuffle per-row array computation
+    # (see minhash_signatures — value-identical to the old exploded
+    # corpus-wide min agg, minus the 5M-row explode, the aggregation
+    # hashmap, and the exchange). Verification below re-reads only the
+    # candidate docs; the two subtrees intentionally share nothing,
+    # and the only materialization point is the tiny candidate
+    # checkpoint.
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
     band_cols = []
     for b in range(bands):
         slice_cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -506,34 +549,47 @@ def minhash_lsh_pairs(
     candidates = candidates.localCheckpoint(eager=False)
 
     # Exact-Jaccard verification restricted to candidate ids. The
-    # semi-join applies to the DOCUMENTS before re-shingling (not to an
-    # already-exploded shingle stream): near-dup candidates are a tiny
-    # fraction of the corpus, so filtering first means the second
-    # shingle explode touches only candidate docs — with the parallel
-    # scan fix this took the operator 7.5 s -> 4.8 s warm at sf0.1
-    # (round-5 profile), and the asymptotic win grows with corpus size
-    # since candidate count tracks true dups, not n.
+    # semi-join applies to the DOCUMENTS first: near-dup candidates are
+    # a tiny fraction of the corpus, so only candidate docs are
+    # re-read. r14 (guide §2.4): the per-pair set intersection is
+    # computed by joining each candidate pair to the two documents'
+    # DISTINCT shingle-set arrays and taking size(array_intersect)
+    # per row — value-identical to the r13 shape (explode candidate
+    # shingles -> inverted-index join on shingle -> count shared ->
+    # two size joins), which paid four exchanges of shingle rows for
+    # the same candidate-bounded result. The arrays shuffle only
+    # candidate documents' shingle sets (~the candidate text), the
+    # same cost class as the old exploded shingle stream, through two
+    # id-keyed joins instead of five shuffle operators. The
+    # shared > 0 filter mirrors the old inner join on shingle, which
+    # silently dropped zero-overlap candidate pairs regardless of
+    # threshold.
     cand_ids = candidates.select(F.col("id_a").alias(id_col)).union(
         candidates.select(F.col("id_b"))
     ).distinct()
-    sh_cand = char_shingles(
-        df.join(cand_ids, id_col, "left_semi"), id_col, text_col, n
+    cnorm = (
+        df.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), normalized(text_col).alias("__norm_text"))
+        .filter(F.length("__norm_text") >= n)
     )
-    sizes = sh_cand.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-
-    sa = sh_cand.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = sh_cand.select(F.col(id_col).alias("id_b"), "shingle")
-    shared = (
-        candidates.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+    csets = cnorm.select(
+        F.col(id_col), F.array_distinct(F.expr(_shingle_array(n))).alias("__ss")
     )
-    za = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    zb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
-    return (
-        shared.join(za, "id_a")
+    za = csets.select(F.col(id_col).alias("id_a"), F.col("__ss").alias("__sa"))
+    zb = csets.select(F.col(id_col).alias("id_b"), F.col("__ss").alias("__sb"))
+    scored = (
+        candidates.join(za, "id_a")
         .join(zb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("__sa", "__sb")).cast("long").alias("shared"),
+            F.size("__sa").cast("long").alias("size_a"),
+            F.size("__sb").cast("long").alias("size_b"),
+        )
+    )
+    return (
+        scored.filter(F.col("shared") > 0)
         .withColumn(
             "jaccard",
             (
@@ -946,6 +1002,12 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_min"))
         )
+        # r14 note: a lazy checkpoint materialized by the convergence
+        # count (fusing the round's two jobs into one) was tried and
+        # MEASURED SLOWER on the A/B harness (dedup_canonical min
+        # 3.70 -> 5.64 s over 6 interleaved runs) — the fused
+        # compute+cache+join+count job beat the separate eager
+        # checkpoint job on paper but not on the clock; kept eager.
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(

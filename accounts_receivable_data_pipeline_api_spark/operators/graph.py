@@ -108,10 +108,19 @@ def pagerank_portable(
         _release_checkpoint(edges_w)
         return nodes.select("node", F.lit(0.0).alias("rank"))
     base = (1.0 - damping) / n  # python double; oracle interpolates repr()
-    ranks = nodes.select(
-        "node", F.lit(1.0 / n).alias("rank")
-    ).localCheckpoint(eager=True)
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     dec = f"decimal(28,{round_dp})"
+    # r14 (guide §2.4/§1.2): the rank recurrence is a SINGLE-REFERENCE
+    # chain — each round consumes the previous ranks exactly once, and
+    # the multiply-referenced frames (edges_w, nodes) are already
+    # eagerly checkpointed above — so the rounds unroll LAZILY into one
+    # plan with no per-round materialization barrier: no per-round
+    # localCheckpoint job, no initial-ranks checkpoint job (it was a
+    # pure projection of the nodes checkpoint). The old shape paid
+    # 1 + iterations eager checkpoint jobs to truncate a lineage that
+    # cannot blow up here (the exponential-replan hazard needs a frame
+    # referenced more than once per round, as in connected_components).
+    # Plan depth grows linearly with the fixed iteration count.
     for _ in range(iterations):
         contrib = (
             ranks.join(edges_w, ranks.node == edges_w.src)
@@ -124,21 +133,18 @@ def pagerank_portable(
             .groupBy("node")
             .agg(F.sum("c").cast("double").alias("s"))
         )
-        new_ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(contrib, "node", "left").select(
+            "node",
+            (
+                F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
+            ).alias("rank"),
         )
-        _release_checkpoint(ranks)
-        ranks = new_ranks
-    # only the result-backing ranks checkpoint may survive the call
-    # (the components/minhash hygiene contract, asserted in
-    # tests/test_memory_hygiene.py)
+    # ONE eager materialization runs every unrolled round; it must
+    # complete before edges_w/nodes are released below (their blocks
+    # back the lazy chain), and it becomes the single result-backing
+    # checkpoint the hygiene contract allows
+    # (tests/test_memory_hygiene.py).
+    ranks = ranks.localCheckpoint(eager=True)
     _release_checkpoint(edges_w)
     _release_checkpoint(nodes)
     return ranks
@@ -285,6 +291,10 @@ def kcore_nodes(
         ).join(alive_df.select(F.col("node").alias("dst")), "dst")
 
     for _ in range(rounds):
+        # r14 note: a lazy checkpoint materialized by the per-round
+        # convergence count (one fused job instead of checkpoint+count)
+        # was tried and MEASURED SLOWER on the A/B harness (op_kcore
+        # min 3.67 -> 4.78 s over 6 interleaved runs); kept eager.
         new_alive = (
             _induced(alive)
             .groupBy("src")

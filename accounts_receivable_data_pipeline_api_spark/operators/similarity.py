@@ -387,7 +387,8 @@ def kmeans_portable(
     the corpus shuffles once per iteration on the window's hash
     exchange; the update aggregates (cluster, dim) partial decimal sums
     map-side before a k*dim-row shuffle. Driver state is k centroids
-    per iteration, independent of corpus size.
+    per iteration, independent of corpus size. (A zero-shuffle per-row
+    argmax variant measured slower — see the loop comment.)
     """
     if not 0 <= int(round_dp) <= 18:
         raise ValueError(
@@ -403,6 +404,15 @@ def kmeans_portable(
     }
     assign = None
     for it in range(max(int(iters), 1)):
+        # r14 note: a per-row argmax over literal centroid arrays
+        # (array_max over (score, -cid) structs — removing the window
+        # exchange and the per-iteration broadcast) was tried and
+        # MEASURED SLOWER in interleaved A/B runs under BOTH orderings
+        # (embed_kmeans min 2.27 -> 2.72 s / round-2 2.53 -> 4.11 s):
+        # the k literal 64-double arrays are re-constructed per row
+        # inside the CodegenFallback cosine fold, costing more than
+        # the exchange it saved. Kept the broadcast-crossJoin + window
+        # shape.
         cdf = spark.createDataFrame(
             sorted(centroids.items()),
             schema="cluster_id INT, __c ARRAY<DOUBLE>",

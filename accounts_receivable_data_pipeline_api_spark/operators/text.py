@@ -229,20 +229,25 @@ def top_terms(
     6 dp before ranking so rankings are engine-portable (ln() may differ
     in the last ulp across libm implementations).
 
-    Plan shape: explode -> two hash aggs (tf, document frequency) ->
-    broadcast of the tiny (token, df) side is NOT safe at corpus scale
-    (vocabulary grows); it stays a shuffle join on token. The N scalar
-    joins in as a broadcast literal frame (no driver-side collect, plan
-    stays lazy).
+    Plan shape (r14, guide §2.4): explode -> one hash agg (tf) -> df_t
+    as COUNT() OVER (PARTITION BY token) on the tf table itself —
+    value-identical to the r13 separate docfreq agg + shuffle join on
+    token (df_t = the number of tf rows per token either way), but the
+    window rides the exact token-keyed exchange+sort the join needed
+    anyway, dropping the second aggregation pass over tf and the join
+    operator. Broadcasting a (token, df) side is NOT safe at corpus
+    scale (vocabulary grows), which is why this stays token-keyed; the
+    per-token partition is bounded by document frequency in both
+    shapes. The N scalar joins in as a broadcast literal frame (no
+    driver-side collect, plan stays lazy).
     """
     from pyspark.sql import Window
 
     toks = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("token"))
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(docfreq, "token")
+        tf.withColumn("df_t", F.count(F.lit(1)).over(Window.partitionBy("token")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
@@ -349,19 +354,26 @@ def bm25_topk(
     order-free. avgdl is the raw IEEE quotient total_len / n_docs,
     never re-rounded. Ranking ties break doc_id-asc.
 
-    Plan shape at 100 TB: tf/df are the same map-side-combinable token
-    aggs tfidf uses; the query set is tiny and BROADCAST onto tf
-    BEFORE the df join, so only postings of query terms flow into the
-    join (the corpus-wide token join tfidf needs is exactly what this
-    prunes); the document length rides the token explode into the tf
-    agg (+8 bytes per posting row, max-folded), so there is NO
-    doc-keyed join against a corpus-wide length table — round-7
-    ADVICE: that join had no broadcastable side at scale and was the
-    one place a SortMergeJoin could reappear; corpus stats join in as
-    a 1-row broadcast; the final window partitions by query_id —
-    bounded by the query list, and each partition carries only scored
-    candidates, not the corpus. Every non-broadcast exchange is a
-    map-side-combinable agg; none is a corpus-sized join.
+    Plan shape at 100 TB (r14 optimization, guide §2.3/§3.2): the
+    token stream is pruned to the BROADCAST query vocabulary BEFORE
+    the tf aggregate — a broadcast hash join applied map-side under
+    the explode, so no corpus-wide (doc, token) table is ever built,
+    shuffled, or aggregated. Every BM25 input is unchanged by the
+    prune: tf and dl are per-(doc, query-term) values; df_t for a
+    query term equals the row count of the pruned tf table for that
+    term (identical to the corpus-wide docfreq restricted to query
+    terms — the r13 shape computed the FULL corpus-vocabulary tf and
+    docfreq aggs and only then joined the query vocabulary, paying two
+    corpus-sized exchanges for rows that were then discarded); the
+    corpus-wide statistics BM25 genuinely needs (n_docs, avgdl) come
+    from one map-side-total agg over the tokenized scan, joined in as
+    a 1-row broadcast. The document length rides the token explode
+    into the tf agg (+8 bytes per pruned posting row, max-folded), so
+    there is still NO doc-keyed join against a corpus-wide length
+    table (round-7 ADVICE). The final window partitions by query_id —
+    bounded by the query list, over scored candidates only. After the
+    prune, the only non-broadcast exchanges carry query-term postings:
+    O(|query vocab| x matching docs), not O(corpus).
     """
     from pyspark.sql import Window
 
@@ -371,18 +383,29 @@ def bm25_topk(
         F.size("toks").cast("long").alias("dl"),
         F.explode("toks").alias("token"),
     )
+    qterms = queries.select(
+        F.col(qid_col), F.explode(tokens_expr(qtext_col)).alias("token")
+    ).distinct()
+    qvocab = qterms.select("token").distinct()
+    # the prune: map-side broadcast semi-reduction of the exploded
+    # token stream to query terms, BEFORE any shuffle
+    toks = toks.join(F.broadcast(qvocab), "token")
     # dl is constant per doc, so max() just carries it through the agg
     tf = toks.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl")
     )
-    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
+    # df_t as COUNT() OVER (PARTITION BY token) on the pruned tf: for
+    # every query term this is exactly the corpus document frequency
+    # (the prune keeps all docs containing it), and the window rides
+    # the tiny pruned-postings frame — no separate docfreq aggregation
+    # subtree, so the scan+tokenize+explode pipeline is never
+    # re-executed to build a broadcast (the first r14 draft paid that;
+    # the window form has FEWER plan subtrees than the r13 original)
+    tf = tf.withColumn("df_t", F.count(F.lit(1)).over(Window.partitionBy("token")))
     stats = tokenized.agg(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.sum(F.size("toks").cast("long")).cast("double").alias("total_len"),
     )
-    qterms = queries.select(
-        F.col(qid_col), F.explode(tokens_expr(qtext_col)).alias("token")
-    ).distinct()
 
     k1p1 = k1 + 1.0
     omb = 1.0 - b
@@ -405,13 +428,8 @@ def bm25_topk(
         )
     )
     contrib = F.round(idf6 * tfnorm, 6)
-    # df stays corpus-wide math-wise, but only query-term rows are
-    # needed — semi-reduce BOTH join sides to the broadcast query
-    # vocabulary so no corpus-sized token table ever shuffles here
-    df_q = docfreq.join(F.broadcast(qterms.select("token").distinct()), "token")
     scores = (
         tf.join(F.broadcast(qterms), "token")
-        .join(F.broadcast(df_q), "token")
         .crossJoin(F.broadcast(stats))
         .groupBy(qid_col, id_col)
         .agg(F.sum(contrib.cast("decimal(28,6)")).cast("double").alias("score"))
@@ -987,22 +1005,28 @@ def tfidf_query_topk(
     length-normalizes and saturates tf; tf-idf doesn't — exactly the
     kind of ranker disagreement reciprocal-rank fusion exploits.
 
-    Plan shape: identical to bm25_topk's pruned form — the broadcast
-    query vocabulary reduces BOTH token-join sides to query-term
-    postings before any shuffle (df stays exact corpus-wide math: the
-    docfreq agg runs full, only its JOIN is pruned), corpus size joins
-    in as a 1-row broadcast, and the final window partitions by
-    query_id over scored candidates only.
+    Plan shape: identical to bm25_topk's r14 pruned form (guide
+    §2.3/§3.2) — the exploded token stream is semi-reduced to the
+    broadcast query vocabulary BEFORE the tf aggregate, so no
+    corpus-vocabulary (doc, token) table is built or shuffled; df_t
+    over the pruned tf equals the corpus document frequency for every
+    query term (the prune keeps every doc containing the term), corpus
+    size joins in as a 1-row broadcast, and the final window
+    partitions by query_id over scored candidates only.
     """
     from pyspark.sql import Window
 
     toks = docs.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("token"))
-    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    docfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
-    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     qterms = queries.select(
         F.col(qid_col), F.explode(tokens_expr(qtext_col)).alias("token")
     ).distinct()
+    qvocab = qterms.select("token").distinct()
+    toks = toks.join(F.broadcast(qvocab), "token")
+    tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    # df_t as a count window on the pruned tf (see bm25_topk): no
+    # separate docfreq subtree, no re-executed scan for its broadcast
+    tf = tf.withColumn("df_t", F.count(F.lit(1)).over(Window.partitionBy("token")))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     score6 = F.round(
         F.col("tf")
         * (
@@ -1011,10 +1035,8 @@ def tfidf_query_topk(
         ),
         6,
     )
-    df_q = docfreq.join(F.broadcast(qterms.select("token").distinct()), "token")
     scores = (
         tf.join(F.broadcast(qterms), "token")
-        .join(F.broadcast(df_q), "token")
         .crossJoin(F.broadcast(n_docs))
         .groupBy(qid_col, id_col)
         .agg(F.sum(score6.cast("decimal(28,6)")).cast("double").alias("score"))

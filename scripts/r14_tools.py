@@ -81,11 +81,43 @@ def time_query(name: str, runs: int, action: str) -> None:
     spark.stop()
 
 
+def time_many(names: list[str], runs: int, action: str) -> None:
+    spark = get_spark("r14-timer")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).count()
+    from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
+
+    load_table(spark, SF_DIR, "region").count()
+    import pandas as _pd  # noqa: F401
+
+    spark.range(0, 64, 1, 64).mapInPandas(lambda it: it, schema="id long").count()
+    for name in names:
+        build = _builder(name)
+        samples = []
+        for i in range(runs):
+            spark.sparkContext.setJobDescription(f"{name} run {i}")
+            t0 = time.perf_counter()
+            df = build(spark)
+            if action == "noop":
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.collect()
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        print(
+            f"RESULT {name} min={samples[0]:.3f} med={samples[len(samples) // 2]:.3f}"
+            f" all={[round(s, 2) for s in samples]}"
+        )
+    spark.stop()
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "plans"
     if cmd == "plans":
         out = sys.argv[2] if len(sys.argv) > 2 else "plans/r14"
         capture_plans(out, sys.argv[3:])
+    elif cmd == "timeall":
+        time_many(sys.argv[3].split(","), int(sys.argv[2]), "collect")
     elif cmd in ("time", "timec"):
         time_query(
             sys.argv[2],
