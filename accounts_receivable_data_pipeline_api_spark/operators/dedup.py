@@ -882,6 +882,21 @@ def embedding_cosine_pairs_lsh(
     # (64-double) vectors re-join after dropDuplicates. Shipping vectors
     # through the candidate shuffle was measured ~8x more shuffle bytes.
     buckets = v.mapInPandas(kernel, schema=bucket_schema)
+    # r15 (guide §1.2 — don't compute things twice): the self-join
+    # references `buckets` on BOTH sides, and whenever the planner
+    # broadcasts one side (always at bench scale, and at any scale
+    # where a partition's bucket slice fits the threshold) the scan +
+    # GEMM bucket kernel execute TWICE — once building the broadcast,
+    # once streaming the probe side (exchange reuse can only dedupe two
+    # EXCHANGES, never a broadcast build against a streamed input;
+    # plans/r15/op_embedding_lsh_pairs_before.txt nodes (3)/(8)). A
+    # LAZY localCheckpoint materializes the (vid, table, bucket)
+    # stream — 20 bytes x n x L, no vectors — on first action, so the
+    # kernel fingerprints the corpus exactly once per build. Lazy, not
+    # eager: corpus entries are built for .explain without execution
+    # (the minhash candidate checkpoint's rule). On a cluster, swap
+    # for checkpoint(dir) to survive executor loss.
+    buckets = buckets.localCheckpoint(eager=False)
     a = buckets.select(F.col("vid").alias("id_a"), "table", "bucket")
     b = buckets.select(F.col("vid").alias("id_b"), "table", "bucket")
     candidates = (

@@ -193,7 +193,25 @@ def triangle_counts(
         .localCheckpoint(eager=True)
     )
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("a", "node")
+    # r15 (guide §2.4 — share work across plan branches): the degree
+    # table feeds THREE consumers (both orientation joins and the final
+    # zero-triangle left join) and the oriented edge list feeds three
+    # more (both wedge sides and the closing join); without a
+    # materialization point the r14 plan re-executed the degree agg ~7x
+    # and the 2-join orientation subtree 3x per build
+    # (plans/r15/op_triangles_before.txt — zero ReusedExchange fired:
+    # the consumers re-key every copy differently, so no two exchanges
+    # canonicalize equal). Both frames are (long, long[, long]) rows
+    # bounded by |V| / |E| — tiny next to the wedge volume — so LAZY
+    # localCheckpoints (the minhash-candidate rule: no job at plan
+    # construction) pin each exactly once per build. On a cluster,
+    # swap for checkpoint(dir), as in connected_components.
+    deg = (
+        sym.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed("a", "node")
+        .localCheckpoint(eager=False)
+    )
     # orient every canonical edge by the (deg, id) total order
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
@@ -209,6 +227,7 @@ def triangle_counts(
             F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("hi"),
             F.when(ka < kb, kb).otherwise(ka).alias("hi_key"),
         )
+        .localCheckpoint(eager=False)
     )
     w1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"), F.col("hi_key").alias("kv"))
     w2 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w"), F.col("hi_key").alias("kw"))

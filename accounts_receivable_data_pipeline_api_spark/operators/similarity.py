@@ -404,32 +404,46 @@ def kmeans_portable(
     }
     assign = None
     for it in range(max(int(iters), 1)):
-        # r14 note: a per-row argmax over literal centroid arrays
-        # (array_max over (score, -cid) structs — removing the window
-        # exchange and the per-iteration broadcast) was tried and
-        # MEASURED SLOWER in interleaved A/B runs under BOTH orderings
-        # (embed_kmeans min 2.27 -> 2.72 s / round-2 2.53 -> 4.11 s):
-        # the k literal 64-double arrays are re-constructed per row
-        # inside the CodegenFallback cosine fold, costing more than
-        # the exchange it saved. Kept the broadcast-crossJoin + window
-        # shape.
+        # r15 (guide §2.4/§3.1, round-14 VERDICT next-round #5): the
+        # assignment is a PER-ROW argmax over a BROADCAST-joined
+        # centroid ARRAY COLUMN — array_max over (score, -cid) structs,
+        # so the k-fold row blowup and the per-iteration window
+        # exchange (which shuffled n*k rows CARRYING the 64-double
+        # vector) are gone; assignment is now zero-shuffle. The r14
+        # attempt at this shape was rejected because it embedded the
+        # centroids as per-row LITERAL arrays, re-constructed per row
+        # inside the CodegenFallback fold; the array column arrives
+        # from the 1-row broadcast instead. Struct-max semantics mirror
+        # the old window exactly: score desc (Spark orders NaN above
+        # every double in both forms), ties to the LOWEST cluster id
+        # via the negated cid field; cosine/round are the byte-same
+        # expressions, so the assignment map is value-identical.
         cdf = spark.createDataFrame(
-            sorted(centroids.items()),
-            schema="cluster_id INT, __c ARRAY<DOUBLE>",
+            [([(cid, vec) for cid, vec in sorted(centroids.items())],)],
+            schema="__cs ARRAY<STRUCT<cid: INT, c: ARRAY<DOUBLE>>>",
         )
-        scored = vecs.crossJoin(F.broadcast(cdf)).select(
-            F.col(id_col),
-            F.col("cluster_id"),
-            F.col("__v"),
-            F.round(cosine(F.col("__v"), F.col("__c")), round_dp).alias("score"),
+        best = F.array_max(
+            F.transform(
+                F.col("__cs"),
+                lambda x: F.struct(
+                    F.round(cosine(F.col("__v"), x["c"]), round_dp).alias("score"),
+                    (-x["cid"]).alias("nc"),
+                ),
+            )
         )
-        w = Window.partitionBy(id_col).orderBy(
-            F.col("score").desc(), F.col("cluster_id")
-        )
+        # __best is staged in its own projection: the argmax expression
+        # is non-cheap and referenced twice below, which keeps
+        # CollapseProject from inlining (and re-evaluating) it per use
+        # — the minhash __sh staging rule.
         assign = (
-            scored.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") == 1)
-            .select(F.col(id_col), F.col("cluster_id"), F.col("score"), F.col("__v"))
+            vecs.crossJoin(F.broadcast(cdf))
+            .withColumn("__best", best)
+            .select(
+                F.col(id_col),
+                (-F.col("__best.nc")).cast("int").alias("cluster_id"),
+                F.col("__best.score").alias("score"),
+                F.col("__v"),
+            )
         )
         if it == max(int(iters), 1) - 1:
             break

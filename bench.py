@@ -59,6 +59,30 @@ if len(CORPUS) != DRIVER_WINDOW:
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+
+def _cpu_ticks() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat's aggregate cpu line.
+
+    Round-14 postmortem: a hypervisor stealing 20-93% CPU in bursts
+    voided every absolute number that round, and proving it took
+    after-the-fact forensics. Sampling steal around each query puts the
+    noise context IN the bench record (round-14 VERDICT next-round #1b).
+    Measurement context only — no timing behavior changes. Returns
+    (0, 0) when /proc/stat is unreadable (non-Linux), which renders as
+    0.0% steal.
+    """
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+    dtotal = after[1] - before[1]
+    return round(100.0 * (after[0] - before[0]) / dtotal, 2) if dtotal > 0 else 0.0
+
 # Headline set: the scan/shuffle/join-heavy corpus queries that dominate
 # at scale, one from each [EXT] operator family, plus the raw dedup/ANN
 # operators (op_* from plans/raw_ops.py).
@@ -163,14 +187,18 @@ def _measure(cold_only: bool = False) -> dict:
         lambda it: it, schema="id long"
     ).count()
 
+    suite_ticks0 = _cpu_ticks()
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
+    steal: dict[str, float] = {}
     for name in HEADLINE:
         build = _builder(name)
+        ticks0 = _cpu_ticks()
         t0 = time.perf_counter()
         build(spark).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
         if cold_only:
+            steal[name] = _steal_pct(ticks0, _cpu_ticks())
             continue
         samples = []
         for _ in range(3):
@@ -186,6 +214,8 @@ def _measure(cold_only: bool = False) -> dict:
             build(spark).collect()
             samples.append(time.perf_counter() - t0)
         warm[name] = round(statistics.median(samples), 3)
+        # One steal sample spanning this query's cold + warm window.
+        steal[name] = _steal_pct(ticks0, _cpu_ticks())
 
     verification: dict[str, float] = {}
     verification_warm: dict[str, float] = {}
@@ -211,6 +241,12 @@ def _measure(cold_only: bool = False) -> dict:
         "verification": verification,
         "verification_warm": verification_warm,
         "sf": sf,
+        # Host-noise context (round-14 VERDICT #1b): hypervisor CPU steal
+        # as a percentage of all-cpu jiffies, per query window and for
+        # the whole pass. >1-2% sustained means absolute seconds in this
+        # record are contaminated; ~0% means they are trustworthy.
+        "steal_pct": steal,
+        "steal_pct_suite": _steal_pct(suite_ticks0, _cpu_ticks()),
     }
 
 
@@ -262,14 +298,21 @@ def main() -> None:
         record = _measure()
     else:
         record = _child_record(cold_only=False)
+        # Suite-level steal per pass (the per-query steal_pct dict stays
+        # the full pass's — attributing a merged min to the right pass's
+        # steal window isn't worth the bookkeeping; the pass-level list
+        # is what separates a noisy run from a clean one).
+        steal_runs = [record.get("steal_pct_suite", 0.0)]
         for _ in range(runs - 1):
             extra = _child_record(cold_only=True)
+            steal_runs.append(extra.get("steal_pct_suite", 0.0))
             record["queries"] = {
                 k: min(v, extra["queries"].get(k, v))
                 for k, v in record["queries"].items()
             }
         record["value"] = round(sum(record["queries"].values()), 3)
         record["cold_runs"] = runs
+        record["steal_pct_runs"] = steal_runs
 
     timings = record["queries"]
     warm = record["queries_warm"]
@@ -292,6 +335,11 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "sf": sf,
+        # Worst pass-level hypervisor steal, so the driver-captured line
+        # carries its own noise context (round-14 VERDICT #1b).
+        "steal_pct_max": max(
+            record.get("steal_pct_runs", [record.get("steal_pct_suite", 0.0)])
+        ),
         "queries_warm": compact_warm,
     }
     line = json.dumps(summary, separators=(",", ":"))
