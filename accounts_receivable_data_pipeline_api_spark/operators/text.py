@@ -229,25 +229,39 @@ def top_terms(
     6 dp before ranking so rankings are engine-portable (ln() may differ
     in the last ulp across libm implementations).
 
-    Plan shape (r14, guide §2.4): explode -> one hash agg (tf) -> df_t
-    as COUNT() OVER (PARTITION BY token) on the tf table itself —
-    value-identical to the r13 separate docfreq agg + shuffle join on
-    token (df_t = the number of tf rows per token either way), but the
-    window rides the exact token-keyed exchange+sort the join needed
-    anyway, dropping the second aggregation pass over tf and the join
-    operator. Broadcasting a (token, df) side is NOT safe at corpus
-    scale (vocabulary grows), which is why this stays token-keyed; the
-    per-token partition is bounded by document frequency in both
-    shapes. The N scalar joins in as a broadcast literal frame (no
-    driver-side collect, plan stays lazy).
+    Plan shape (r15, guide §2.3/§2.5 + round-14 ADVICE #1): explode ->
+    one hash agg (tf) -> df_t as a MAP-SIDE-COMBINABLE count agg over
+    tf, joined back on token. The r14 shape computed df_t as COUNT()
+    OVER (PARTITION BY token), which BUFFERS each token's full postings
+    in one window task — a corpus-frequent token (stopword, df ~ N)
+    creates a single hot partition of up to n_docs rows at scale, and
+    AQE can split skewed JOIN partitions but never window partitions.
+    The agg+join form streams: a hot token is one partial counter per
+    map task, and the join side is AQE-skew-splittable. Measured
+    value-identical and time-identical at sf0.1 (isolated noop A/B,
+    min 0.955 vs 0.949 s over 5 interleaved rounds); the skew study
+    behind it (r15): the fixture vocabulary is 31 tokens, EVERY one
+    with df ~ 0.78 * n_docs, so each token-keyed window partition
+    buffers ~n_docs/1.3 rows — exactly the unbounded-buffer pattern.
+    Two rejected alternates, measured in the same harness: a PER-ROW
+    sorted-run tf (minhash recipe, removes the (doc, token) exchange)
+    cost +17% — the interpreted HOF run-length pass is slower than
+    the codegen'd hash agg it replaces; an explicit repartition(token)
+    shared by both consumers (single-exchange variant from the r14
+    candidate list) cost +15% — it ships raw tf rows where the agg
+    branch ships per-partition partial counts. Broadcasting the
+    (token, df) side is NOT hinted (vocabulary grows with corpus
+    scale; AQE may choose it locally). The N scalar joins in as a
+    broadcast literal frame (no driver-side collect, plan stays lazy).
     """
     from pyspark.sql import Window
 
     toks = df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("token"))
     tf = toks.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_t"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.withColumn("df_t", F.count(F.lit(1)).over(Window.partitionBy("token")))
+        tf.join(df_t, "token")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
