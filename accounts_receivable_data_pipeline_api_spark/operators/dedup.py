@@ -154,7 +154,22 @@ def _feature_jaccard_pairs(
     winnowed fingerprints. ``features`` is one row per (doc, feature),
     DISTINCT per doc; sizes come from the FULL set while the optional
     stop-feature cap prunes the JOIN side only — the lower-bound
-    soundness argument documented on both callers lives here once."""
+    soundness argument documented on both callers lives here once.
+
+    r15 (guide §1.2/§2.4): the feature set feeds SIX plan branches —
+    both join sides, the stop-feature df agg under each (the left-anti
+    prune is planned per side), and both size joins — and the r14 plan
+    re-ran the whole fingerprint/shingle scan pipeline (winnow: the
+    O(window x chars) md5 least-chain) once per branch: 6 identical
+    Exchange(doc, feature) subtrees, zero reuse fired
+    (plans/r15/op_winnow_pairs_before.txt). One LAZY localCheckpoint of
+    the (doc, feature) rows — ~2/(window+1) of corpus chars for winnow,
+    the operator's own output bound — fingerprints the corpus once
+    (measured at sf0.1, interleaved in-session noop A/B over 5 rounds:
+    winnow pair mining min 3.32 -> 1.66 s, median 4.35 -> 1.89). Lazy,
+    not eager: entries are built for .explain without execution. On a
+    cluster, swap for checkpoint(dir), as in connected_components."""
+    features = features.localCheckpoint(eager=False)
     sizes = features.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
 
     join_f = features

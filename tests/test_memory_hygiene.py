@@ -21,26 +21,28 @@ def _n_persistent(spark) -> int:
 
 def test_repeated_dedup_builds_leave_no_pinned_storage(spark, sf_dir):
     """Executor storage memory returns to baseline after N corpus
-    builds: the operators rely on ReusedExchange for intra-plan sharing
-    plus at most ONE result-backing lazy checkpoint per build (minhash's
-    candidate set — same contract as connected_components), which the
-    async cleanup chain frees once the caller drops the result. A leak
-    in OUR code shows as MORE pinned RDDs than dropped results, or as a
-    count that never returns to baseline after GC."""
+    builds: each build pins a BOUNDED number of result-backing lazy
+    checkpoints — ngram_jaccard_pairs one (the distinct feature set,
+    r15: shared by six plan branches that otherwise re-ran the
+    fingerprint scan per branch), minhash_lsh_pairs one (the candidate
+    set) — which the async cleanup chain frees once the caller drops
+    the result. A leak in OUR code shows as MORE pinned RDDs than
+    dropped results, or as a count that never returns to baseline
+    after GC."""
     import gc
     import time
 
     docs = load_table(spark, sf_dir, "documents").limit(200)
     baseline = _n_persistent(spark)
     n_builds = 3
+    checkpoints_per_build = 2  # ngram features + minhash candidates
     for _ in range(n_builds):
         dedup.ngram_jaccard_pairs(docs, threshold=0.6).collect()
         dedup.minhash_lsh_pairs(docs, verify_threshold=0.5).collect()
-    # Bound while results may still await async cleanup: one candidate
-    # checkpoint per minhash build, nothing else. (<=, not ==: in a
-    # full-suite run the baseline can include earlier modules' pending
-    # checkpoints the cleaner frees DURING the builds.)
-    assert _n_persistent(spark) <= baseline + n_builds
+    # Bound while results may still await async cleanup. (<=, not ==:
+    # in a full-suite run the baseline can include earlier modules'
+    # pending checkpoints the cleaner frees DURING the builds.)
+    assert _n_persistent(spark) <= baseline + checkpoints_per_build * n_builds
     # All results are dropped -> after GC the cleaner frees every one.
     for _ in range(60):
         gc.collect()
@@ -49,7 +51,7 @@ def test_repeated_dedup_builds_leave_no_pinned_storage(spark, sf_dir):
             break
         time.sleep(0.5)
     residual = _n_persistent(spark)
-    assert residual <= baseline + n_builds
+    assert residual <= baseline + checkpoints_per_build * n_builds
     if residual > baseline:
         pytest.skip(
             "async ContextCleaner has not freed the dropped result-backing "
