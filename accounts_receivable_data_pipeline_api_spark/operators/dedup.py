@@ -243,6 +243,7 @@ def excise_duplicate_spans(
     k: int = 40,
     min_len: int = 50,
     min_docs: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """ExactSubstr-style duplicate-SPAN removal (the policy of Lee et
     al. 2022, "Deduplicating Training Data Makes Language Models
@@ -365,6 +366,30 @@ def excise_duplicate_spans(
     cand_g = cand.join(src, id_col).select(
         id_col, "i", F.expr(f"substr(t, CAST(i AS INT), {k})").alias("g")
     )
+    # r15 (guide §1.2): cand_g feeds BOTH the raw-gram re-count and the
+    # coverage join, and spans (below) feeds both the per-doc stats and
+    # the survivor-gap window — left unmaterialized, every downstream
+    # reference multiplies: the gram-explode pipeline executed SIX
+    # times per build (3 root paths to spans x 2 cand_g refs;
+    # plans/r15/dedup_exact_groups_before.txt, 24 Generate nodes), not
+    # the two deliberate passes the design costs out. Two LAZY
+    # localCheckpoints restore the documented dataflow: ``cand_g``
+    # (candidate positions + their k-char grams — bounded by DUPLICATED
+    # text plus collision noise, the same bytes its own groupBy(g)
+    # exchange already ships once, never the ~260x full gram stream)
+    # and ``spans`` (final span bounds only). Decomposition A/B at
+    # sf0.1, balanced order, 4 rounds each: none 5.41 s min /
+    # cand_g-only 4.85 / spans-only 4.12 / cand_g+spans 3.60 —
+    # and checkpointing the ``hot`` gram set instead measured 5.91,
+    # WORSE than no checkpoint: a stats-less LogicalRDD on the small
+    # side demotes the coverage join from broadcast to sort-merge, so
+    # only the two streamed frames are pinned. The round-8 raw-gram
+    # pin keeps its gate: ``materialize=False`` skips both checkpoints
+    # so tests/test_plans.py can assert the TRANSPARENT dataflow (the
+    # checkpoints change where results are pinned, never which
+    # expressions run). On a cluster, swap for checkpoint(dir).
+    if materialize:
+        cand_g = cand_g.localCheckpoint(eager=False)
     hot = (
         cand_g.groupBy("g")
         .agg(F.count_distinct(F.col(id_col)).alias("dfd"))
@@ -389,6 +414,8 @@ def excise_duplicate_spans(
         .filter(F.col("e") - F.col("s") + 1 >= min_len)
         .select(id_col, "s", "e")
     )
+    if materialize:
+        spans = spans.localCheckpoint(eager=False)
 
     per_doc = spans.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_spans"),

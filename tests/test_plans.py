@@ -524,15 +524,25 @@ def test_span_excise_no_cartesian_no_single_partition(spark, sf_dir):
     from accounts_receivable_data_pipeline_api_spark.sources.star import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    plan = _formatted(spark, excise_duplicate_spans(docs))
-    assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "SinglePartition" not in plan, plan
-    assert not re.findall(r"MapInPandas|ArrowEval", plan), plan
-    # round-8 ADVICE pin: raw k-char grams must only materialize AFTER
-    # the doc-keyed candidate join (the substr shows up as a join-side
-    # expression over the joined text), never as a corpus-wide raw-gram
-    # explode — the wide gf shuffles carry 8-byte fingerprints only.
+    # r15: the shipped form pins two lazy checkpoints (hot grams,
+    # spans), which hide the candidate machinery from the final
+    # explain; materialize=False yields the TRANSPARENT plan — the
+    # same expressions with no materialization points — so the pins
+    # below keep gating the real dataflow. Both forms must stay free
+    # of cartesian/nested-loop/single-partition/Python operators.
+    for materialize in (True, False):
+        plan = _formatted(
+            spark, excise_duplicate_spans(docs, materialize=materialize)
+        )
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "SinglePartition" not in plan, plan
+        assert not re.findall(r"MapInPandas|ArrowEval", plan), plan
+    # round-8 ADVICE pin (on the transparent plan): raw k-char grams
+    # must only materialize AFTER the doc-keyed candidate join (the
+    # substr shows up as a join-side expression over the joined text),
+    # never as a corpus-wide raw-gram explode — the wide gf shuffles
+    # carry 8-byte fingerprints only.
     assert re.search(r"substr\(t#\d+, cast\(i#\d+L? as int\), \d+\)", plan), plan
     assert "xxhash64" in plan, plan
 
