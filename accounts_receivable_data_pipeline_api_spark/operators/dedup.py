@@ -343,7 +343,10 @@ def excise_duplicate_spans(
     # so the distinct-doc count is a plain map-side-combinable COUNT —
     # one exchange carrying per-partition gf partial counts instead of
     # the whole (gf, doc) pair stream. Same xxhash64 over the same
-    # substr, so dfd is value-identical.
+    # substr, so dfd is value-identical. Document-length note (round-14
+    # ADVICE): the per-doc fingerprint array is 8 bytes per character
+    # in one row value — O(len) per row, same class as holding the
+    # text; chunk pathological multi-hundred-MB documents upstream.
     gf_per_doc = F.expr(
         f"CASE WHEN length(t) < {k} THEN CAST(array() AS ARRAY<BIGINT>) "
         f"ELSE array_distinct(transform(sequence(1, length(t) - {k - 1}), "
@@ -513,6 +516,14 @@ def minhash_signatures(
     disappear. Documents with no full-length shingle (len < n, null
     text) are absent from the output in both shapes (the length
     pre-filter mirrors the old explode-then-length-filter semantics).
+
+    Document-length assumption (round-14 ADVICE): the __sh array holds
+    every shingle occurrence as a string (~n x document bytes) in ONE
+    row value, so per-row memory is O(n x len). Fine for web/document
+    corpora (MBs per row at worst); a corpus with multi-hundred-MB
+    single documents should chunk them upstream (the curation split
+    operators) before fingerprinting — the same practical bound the
+    exploded shape hit as a single task's input instead.
     """
     norm = df.select(F.col(id_col), normalized(text_col).alias("__norm_text")).filter(
         F.length("__norm_text") >= n

@@ -120,8 +120,14 @@ def pagerank_portable(
     # 1 + iterations eager checkpoint jobs to truncate a lineage that
     # cannot blow up here (the exponential-replan hazard needs a frame
     # referenced more than once per round, as in connected_components).
-    # Plan depth grows linearly with the fixed iteration count.
-    for _ in range(iterations):
+    # Plan depth grows linearly with the fixed iteration count; since
+    # analyzer/optimizer time grows superlinearly in that depth, an
+    # eager checkpoint every _TRUNCATE_EVERY rounds re-bounds the plan
+    # for callers passing large iteration counts (round-14 ADVICE) —
+    # a no-op at the bench's default 3.
+    _TRUNCATE_EVERY = 8
+    prev_ck = None
+    for _i in range(iterations):
         contrib = (
             ranks.join(edges_w, ranks.node == edges_w.src)
             .select(
@@ -139,12 +145,19 @@ def pagerank_portable(
                 F.lit(base) + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0))
             ).alias("rank"),
         )
+        if (_i + 1) % _TRUNCATE_EVERY == 0 and _i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+            if prev_ck is not None:
+                _release_checkpoint(prev_ck)
+            prev_ck = ranks
     # ONE eager materialization runs every unrolled round; it must
     # complete before edges_w/nodes are released below (their blocks
     # back the lazy chain), and it becomes the single result-backing
     # checkpoint the hygiene contract allows
     # (tests/test_memory_hygiene.py).
     ranks = ranks.localCheckpoint(eager=True)
+    if prev_ck is not None:
+        _release_checkpoint(prev_ck)
     _release_checkpoint(edges_w)
     _release_checkpoint(nodes)
     return ranks
