@@ -1,5 +1,13 @@
 """Performance regression gate against the round-1 bench anchor.
 
+r15 tiering (round-14 VERDICT item 1a): the two tests that RUN the
+bench carry @pytest.mark.slow — excluded from the default tier by
+pytest.ini so the driver-window run completes — and execute in the
+separate `-m slow` tier (completed output committed per optimization
+round, plans/r15/pytest_slow_tier.txt). The three no-Spark anchor
+invariants below stay in the default tier: anchor drift still fails
+at commit time.
+
 Runs the real bench harness (bench.py, fresh Spark subprocess) at the
 anchor's scale factor and asserts the suite and each warm per-query time
 stay within 2x of BENCH_ANCHOR.json — so a round can answer "did this
@@ -205,6 +213,7 @@ def test_anchor_raises_are_explained():
     )
 
 
+@pytest.mark.slow
 def test_suite_within_anchor(bench):
     anchor = _merged_anchor()
     assert bench.first["value"] <= FACTOR * anchor["suite_seconds_cold"], (
@@ -213,6 +222,7 @@ def test_suite_within_anchor(bench):
     )
 
 
+@pytest.mark.slow
 def test_warm_queries_within_anchor(bench):
     anchor = _merged_anchor()["queries_warm"]
     warm = bench.first.get("queries_warm", {})
